@@ -1,0 +1,147 @@
+"""Text scalar kernels shared by the parse operator, the oracle, and fixtures.
+
+Pure stdlib (the reference leans on gensim/nltk/phonenumbers/thefuzz; none of
+those are available here, so each gets a deterministic stand-in with the same
+shape — divergences are documented per function). Reference semantics:
+/root/reference/app/crawler/crawler_services/shared/helper_method.py
+(strip_special_character :29-31, clean_text :219-222, extract_emails :64-68,
+extract_phone_numbers :71-85), spell_check_handler.py:63-83, and
+api/nlp_manager/nlp_controller.py:13-34.
+"""
+
+from __future__ import annotations
+
+import re
+from difflib import SequenceMatcher
+
+# --- stopwords (stand-in for gensim.parsing.preprocessing.STOPWORDS;
+#     helper_method.is_stop_word :22-26). Fixed set, frozen for determinism. ---
+STOPWORDS = frozenset("""
+a about above after again against all am an and any are as at be because been
+before being below between both but by can did do does doing down during each
+few for from further had has have having he her here hers herself him himself
+his how i if in into is it its itself just me more most my myself no nor not
+now of off on once only or other our ours ourselves out over own same she so
+some such than that the their theirs them themselves then there these they
+this those through to too under until up very was we were what when where
+which while who whom why will with you your yours yourself yourselves
+""".split())
+
+# --- dictionary (stand-in for the reference's spell-check wordlist,
+#     spell_check_handler.py:39-44). The fixture generator draws its prose
+#     vocabulary from this list, so the >=60%-known-tokens sentence gate
+#     (clean_paragraph :63-83) exercises both branches deterministically. ---
+DICTIONARY = frozenset("""
+market service hidden search engine index forum board user account login
+register password secure private network relay node circuit router gateway
+data base record file archive image video document page site link mirror
+vendor product listing price order payment wallet coin token escrow review
+message thread post reply topic member admin moderator rule guide wiki news
+update release version status online offline server host domain address
+research report analysis system security privacy encrypted anonymous access
+browser protocol connection traffic bandwidth cache proxy tunnel bridge
+content text media upload download share public leak dump breach credential
+email contact support help question answer information detail description
+welcome home main menu section category tag label title header footer
+quality score count total number list item entry key value source target
+""".split())
+
+
+def strip_special_character(text: str) -> str:
+    """helper_method.py:29-31 — drop leading non-word run."""
+    return re.sub(r"^\W+", "", text)
+
+
+def clean_ws(text: str) -> str:
+    """helper_method.clean_text (:219-222) — collapse whitespace, strip."""
+    return re.sub(r"\s+", " ", text).strip()
+
+
+EMAIL_RE = re.compile(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}")
+PHONE_RE = re.compile(
+    r"\+?\d{1,3}[-.\s]?\(?\d{1,4}?\)?[-.\s]?\d{1,4}[-.\s]?\d{1,4}[-.\s]?\d{1,9}")
+
+
+def extract_emails(text: str) -> list[str]:
+    """nlp_controller.py:17 — set() of regex matches. Returned sorted for
+    determinism (the reference's set order is arbitrary per process)."""
+    return sorted(set(EMAIL_RE.findall(text)))
+
+
+def extract_phone_numbers(text: str) -> list[str]:
+    """nlp_controller.py:16,19-27 — regex candidates, cleaned to [\\d+], then
+    E.164-validated. Stand-in for phonenumbers (unavailable): a candidate is
+    valid iff it starts with '+' and has 8..15 digits; E.164 form is '+'+digits.
+    Fixture phones are generated in exactly this shape so the stand-in and the
+    real library agree on the fixture space."""
+    out = set()
+    for cand in set(PHONE_RE.findall(text)):
+        cleaned = re.sub(r"[^\d+]", "", cand)
+        if cleaned.startswith("+"):
+            digits = cleaned[1:]
+            if digits.isdigit() and 8 <= len(digits) <= 15:
+                out.add("+" + digits)
+    return sorted(out)
+
+
+def fuzz_ratio(a: str, b: str) -> int:
+    """thefuzz.fuzz.ratio stand-in (html_parse_manager.py:291-295):
+    difflib ratio scaled to 0..100 (thefuzz's pure-python backend does the
+    same int(round(...)))."""
+    return int(round(100 * SequenceMatcher(None, a, b).ratio()))
+
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+
+
+def split_sentences(text: str) -> list[str]:
+    """nltk.sent_tokenize stand-in: split after terminal punctuation.
+    Fixture prose uses simple '.'-terminated sentences where this agrees
+    with punkt."""
+    return [s for s in _SENT_SPLIT.split(text) if s]
+
+
+def clean_paragraph(text: str, dictionary: frozenset[str] = DICTIONARY) -> str:
+    """spell_check_handler.clean_paragraph (:63-83): keep sentences where
+    >=60% of whitespace tokens are stopwords or dictionary words; join
+    survivors with ' - '."""
+    kept = ""
+    for sentence in split_sentences(text):
+        tokens = sentence.lower().split()
+        if not tokens:
+            continue
+        valid = sum(1 for t in tokens if t in STOPWORDS or t in dictionary)
+        if valid > 0 and valid / len(tokens) >= 0.60:
+            kept = sentence if not kept else kept + " - " + sentence
+    return kept
+
+
+def dedup_words(text: str) -> str:
+    """html_parse_manager.__clean_text (:246-268) context/phrase dedup minus
+    the raw-paragraph removal (callers pass that separately): drop a token if
+    it appears in the previous-5 emitted or next-5 pending tokens, or if its
+    5-gram already occurs in the emitted stream."""
+    toks = text.split()
+    out: list[str] = []
+    emitted = ""
+    for i, tok in enumerate(toks):
+        if tok in out[-5:] or tok in toks[i + 1:i + 6]:
+            continue
+        pattern = " ".join(toks[i:i + 5])
+        if pattern in emitted:
+            continue
+        out.append(tok)
+        emitted = " ".join(out)
+    return " ".join(out)
+
+
+def clean_text_vs_raw(text: str, raw_paragraphs: list[str]) -> str:
+    """Full html_parse_manager.__clean_text (:246-268): lowercase, blank out
+    already-captured raw paragraphs, normalize whitespace, then the word/
+    5-gram context dedup."""
+    m = text.lower()
+    for item in raw_paragraphs:
+        m = m.replace(item, " ")
+    m = m.replace("\n", " ").replace("\t", " ").replace("\r", " ")
+    m = re.sub(" +", " ", m)
+    return dedup_words(m.lower())
