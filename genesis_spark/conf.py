@@ -58,6 +58,9 @@ VIDEO_EXTENSIONS = ['.mp4', '.avi', '.mov', '.wmv', '.flv', '.mkv', '.webm']
 DOCUMENT_EXTENSIONS = ['.pdf', '.doc', '.docx', '.ppt', '.pptx', '.xls',
                        '.xlsx', '.txt']
 
+# --- frontier scheduling (crawl_model.py:73,85 — CELERY_WORKER_COUNT) ---
+WAVE_HOST_BUDGET = 8           # hosts dispatched per frontier round
+
 # --- engine-side scale knobs (not reference policy) ---
 POLITENESS_BUCKETS = 256       # pmod(xxhash64(host_key), B) fetch partitioning
 BLOOM_SHARDS = 64              # URL-seen Bloom shard count

@@ -1,0 +1,54 @@
+"""Generate the deterministic crawl fixtures + oracle goldens.
+
+Writes tests/fixtures/{t1,t2}/: seeds.parquet, web_pages.parquet and the
+four golden tables (FIXTURES.md §4). Idempotent — seed 42, no wall-clock.
+
+Usage: python tests/gen_fixtures.py [--tier t1|t2|all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from genesis_spark.crawler import oracle
+from genesis_spark.sources import fixtures
+
+TIERS = {
+    # (n_onion_hosts, n_i2p, n_clearnet)
+    "t1": (16, 2, 2),
+    "t2": (160, 20, 20),
+}
+FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def generate_tier(tier: str) -> str:
+    n_onion, n_i2p, n_clear = TIERS[tier]
+    out_dir = os.path.join(FIXTURE_ROOT, tier)
+    seeds, pages = fixtures.generate(n_onion, n_i2p, n_clear, seed=42)
+    fixtures.write_parquet(seeds, pages, out_dir)
+    result = oracle.run(seeds, pages)
+    oracle.write_goldens(result, out_dir)
+    print(f"{tier}: {len(seeds)} seeds, {len(pages)} pages, "
+          f"{len(result.crawl_order)} crawl-order rows, "
+          f"{len(result.seen)} seen, {len(result.documents)} docs -> {out_dir}")
+    return out_dir
+
+
+def ensure(tier: str = "t1") -> str:
+    """Generate the tier iff absent (used by test fixtures)."""
+    out_dir = os.path.join(FIXTURE_ROOT, tier)
+    if not os.path.exists(os.path.join(out_dir, "crawl_order_golden.parquet")):
+        generate_tier(tier)
+    return out_dir
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tier", default="all", choices=[*TIERS, "all"])
+    args = ap.parse_args()
+    for t in (TIERS if args.tier == "all" else [args.tier]):
+        generate_tier(t)
