@@ -1,0 +1,226 @@
+"""The Spark-native frontier + crawl engine (the rebuild's core).
+
+Replaces the reference's Mongo frontier + Celery per-host tasks
+(crawl_model.py, generic_parse_controller.py) with a declarative wave loop:
+
+  install  seeds -> validate -> canonicalize -> MERGE-dedup -> priority rank
+  rounds   pending hosts, (installed_at, seq) ASC, host-budget per round
+  waves    one fetch-join + parse + link-admission job per BFS depth, ALL
+           hosts of the wave in parallel (the reference serializes one host
+           per Celery task; hosts never interact, so per-host FIFO order is
+           reconstructed exactly from (depth, parent_pos, link_pos) — see
+           SURVEY.md §2.6 O2: per-host BFS with document-order children IS
+           depth-stratified FIFO)
+
+Every stage is DataFrame-native: fetch = equi-join against ``web_pages``
+(J4), URL-seen dedup = left_anti join per task (J2, exact truth; the Bloom
+prefilter in operators/bloom.py is an optional bandwidth saver), ordering =
+window functions + the scalable global-sequence operator. The only Python is
+the Arrow-batched parse kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from genesis_spark import conf
+from genesis_spark.functions import urls as U
+from genesis_spark.functions.parse import parse_pages
+from genesis_spark.operators.seq import with_global_seq
+
+# is_uri_validator (helper_method.py:187-192): scheme + non-empty netloc
+_VALID_URI_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+"
+
+
+def install_seeds(seeds: DataFrame,
+                  host_budget: int = conf.WAVE_HOST_BUDGET) -> DataFrame:
+    """Feeder install (crawl_model.py:113-118 + mongo upsert S8): validate
+    raw URLs, canonicalize, collapse duplicate canonical forms keeping the
+    earliest (installed_at, seed_id), then assign the global priority rank
+    and round number (rank div budget). Returns the frontier table."""
+    valid = seeds.filter(F.col("url").rlike(_VALID_URI_RE))
+    canon = valid.select(
+        U.canonicalize_expr(F.col("url")).alias("url"),
+        "installed_at", "seed_id")
+    dedup = (canon.groupBy("url")
+             .agg(F.min(F.struct("installed_at", "seed_id")).alias("first"))
+             .select("url",
+                     F.col("first.installed_at").alias("installed_at"),
+                     F.col("first.seed_id").alias("seq")))
+    ranked = with_global_seq(dedup, ["installed_at", "seq"], "host_rank")
+    return ranked.select(
+        F.xxhash64("url").alias("url_hash"),
+        "url",
+        U.host_name_expr(F.col("url")).alias("host_key"),
+        F.lit(0).alias("depth"),
+        U.network_type_expr(F.col("url")).alias("network"),
+        F.lit("pending").alias("state"),
+        "installed_at", "seq",
+        F.lit(0).alias("fail_count"),
+        (F.col("host_rank") / host_budget).cast("int").alias("round"),
+        "host_rank")
+
+
+_PASSTHROUGH = ["task_id", "host_rank", "round", "host_key", "depth", "pos"]
+
+
+def crawl_frontier(spark: SparkSession, frontier: DataFrame, pages: DataFrame,
+                   max_depth: int = conf.MAX_ALLOWED_DEPTH,
+                   seq_offset: int = 0) -> dict[str, DataFrame]:
+    """Crawl every frontier host to completion; returns crawl_order / seen /
+    documents / frontier_done DataFrames matching the oracle goldens.
+
+    ``seq_offset`` shifts crawl_seq for multi-round incremental runs.
+    """
+    pages_j = pages.select(
+        F.col("url_hash").alias("p_hash"), F.col("url").alias("p_url"),
+        "status", "redirect_url", "html")
+
+    wave = frontier.select(
+        F.col("url_hash").alias("task_id"), "host_rank", "round", "host_key",
+        "url", F.lit(0).alias("depth"), F.lit(0).alias("pos"))
+    seen = spark.createDataFrame([], "task_id long, url string, host_key string")
+    order_waves: list[DataFrame] = []
+    doc_waves: list[DataFrame] = []
+    cached: list[DataFrame] = []
+
+    for d in range(max_depth + 1):
+        fetched = wave.join(
+            pages_j,
+            (F.xxhash64(wave.url) == pages_j.p_hash) & (wave.url == pages_j.p_url),
+            "left")
+        # ok = fetch success AND same-host redirect (generic_parse_controller
+        # :75-82); parse of non-null html never fails in the kernel
+        ok = (F.col("status") == 200) & F.col("html").isNotNull() & \
+            (U.host_name_expr(F.coalesce("redirect_url", "url")) ==
+             U.host_name_expr(F.col("url")))
+        crawled = (fetched.withColumn("ok", ok.isNotNull() & ok)
+                   .select("task_id", "host_rank", "round", "host_key", "url",
+                           "depth", "pos", "ok", "html")
+                   .persist())
+        cached.append(crawled)
+        order_waves.append(crawled.drop("html"))
+
+        parsed = parse_pages(
+            crawled.filter("ok").withColumnRenamed("url", "u_req"),
+            url_col="u_req", html_col="html", passthrough=_PASSTHROUGH)
+        parsed = parsed.persist()
+        cached.append(parsed)
+        doc_waves.append(parsed)
+
+        if d >= max_depth:
+            break
+        kids = parsed.select(
+            "task_id", "host_rank", "round", "host_key",
+            F.col("pos").alias("parent_pos"),
+            F.posexplode("sub_url").alias("link_pos", "url"))
+        # per-task URL-seen: exact left_anti (J2/D1) + first-occurrence in
+        # (parent_pos, link_pos) order — identical to insert-on-admission
+        fresh = kids.join(seen.select("task_id", "url"),
+                          ["task_id", "url"], "left_anti")
+        w_first = Window.partitionBy("task_id", "url").orderBy(
+            "parent_pos", "link_pos")
+        admitted = (fresh.withColumn("_rn", F.row_number().over(w_first))
+                    .filter(F.col("_rn") == 1).drop("_rn"))
+        w_bfs = Window.partitionBy("task_id").orderBy("parent_pos", "link_pos")
+        wave = (admitted
+                .withColumn("pos", F.row_number().over(w_bfs) - 1)
+                .withColumn("depth", F.lit(d + 1))
+                .drop("parent_pos", "link_pos")
+                .persist())
+        cached.append(wave)
+        seen = seen.unionByName(wave.select("task_id", "url", "host_key"))
+
+    all_rows = order_waves[0]
+    for w in order_waves[1:]:
+        all_rows = all_rows.unionByName(w)
+    ordered = with_global_seq(all_rows, ["host_rank", "depth", "pos"], "_gseq")
+    crawl_order_full = (ordered
+                        .withColumn("crawl_seq", F.col("_gseq") + F.lit(seq_offset))
+                        .withColumn("attempts",
+                                    F.when((F.col("depth") == 0) & ~F.col("ok"),
+                                           conf.MAX_SEED_ATTEMPTS).otherwise(1))
+                        .drop("_gseq"))
+    crawl_order_full = crawl_order_full.persist()
+    cached.append(crawl_order_full)
+
+    docs = doc_waves[0]
+    for w in doc_waves[1:]:
+        docs = docs.unionByName(w)
+    documents = docs.join(
+        crawl_order_full.select("task_id", "depth", "pos", "crawl_seq"),
+        ["task_id", "depth", "pos"])
+
+    # seed outcome -> frontier end state (3-strikes abandon, O8)
+    seed_ok = crawl_order_full.filter("depth = 0").select(
+        F.col("task_id").alias("url_hash"), F.col("ok").alias("_seed_ok"))
+    frontier_done = (frontier.join(seed_ok, "url_hash", "left")
+                     .withColumn("state", F.when(F.col("_seed_ok"), "done")
+                                 .otherwise("failed"))
+                     .withColumn("fail_count",
+                                 F.when(F.col("_seed_ok"), 0).otherwise(3))
+                     .drop("_seed_ok"))
+
+    crawl_order = crawl_order_full.select(
+        "crawl_seq", "round", "host_key", "url", "depth", "attempts", "ok",
+        "task_id", "host_rank", "pos")
+    return {"crawl_order": crawl_order, "seen": seen,
+            "documents": documents, "frontier_done": frontier_done,
+            "_cached": cached}
+
+
+def run(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
+        host_budget: int = conf.WAVE_HOST_BUDGET) -> dict[str, DataFrame]:
+    """Install + crawl the whole frontier in one multi-wave job."""
+    frontier = install_seeds(seeds, host_budget)
+    return crawl_frontier(spark, frontier, pages)
+
+
+def run_rounds(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
+               store, host_budget: int = conf.WAVE_HOST_BUDGET,
+               stop_after_round: int | None = None) -> None:
+    """Production shape: one frontier round per iteration, one snapshot per
+    round (ST2/ST4). Crash-resume = rerun with the same store; the last
+    committed snapshot defines the restart point, uncommitted work is
+    invisible (rename-atomic manifests). ``stop_after_round`` simulates a
+    crash after committing that round (tests §5.4)."""
+    latest = store.latest()
+    if latest is None:
+        frontier = install_seeds(seeds, host_budget).persist()
+        store.commit({"frontier": frontier}, {"round": -1, "seq_offset": 0})
+        next_round, seq_offset = 0, 0
+    else:
+        frontier = store.read(spark, "frontier").persist()
+        next_round = latest["round"] + 1
+        seq_offset = latest["seq_offset"]
+
+    max_round = frontier.agg(F.max("round")).first()[0]
+    if max_round is None:
+        return
+    for r in range(next_round, max_round + 1):
+        todo = frontier.filter((F.col("round") == r) &
+                               (F.col("state") == "pending"))
+        res = crawl_frontier(spark, todo, pages, seq_offset=seq_offset)
+        seq_offset += res["crawl_order"].count()
+        upd = res["frontier_done"].select(
+            "url_hash", F.col("state").alias("_new_state"),
+            F.col("fail_count").alias("_new_fails"))
+        new_frontier = (frontier.join(upd, "url_hash", "left")
+                        .withColumn("state", F.coalesce("_new_state", "state"))
+                        .withColumn("fail_count",
+                                    F.coalesce("_new_fails", "fail_count"))
+                        .drop("_new_state", "_new_fails")).persist()
+        store.commit({
+            "frontier": new_frontier,
+            "crawl_order": res["crawl_order"].drop("task_id", "host_rank", "pos"),
+            "seen": res["seen"],
+            "documents": res["documents"].drop("task_id", "host_rank", "pos",
+                                               "round"),
+        }, {"round": r, "seq_offset": seq_offset})
+        for df in res["_cached"]:
+            df.unpersist()
+        frontier.unpersist()
+        frontier = new_frontier
+        if stop_after_round is not None and r >= stop_after_round:
+            return

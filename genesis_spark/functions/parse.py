@@ -488,17 +488,29 @@ def parse_page(url: str, html: str, network: str | None = None,
 # ---------------------------------------------------------------------------
 
 def parse_pages(df, url_col: str = "url", html_col: str = "html",
-                network_col: str | None = None):
+                network_col: str | None = None,
+                passthrough: list[str] | None = None):
     """Distributed parse: ``mapInPandas`` over Arrow batches — one
     ``parse_page`` call per row inside the batch, zero driver-side work.
     Input partitioning is preserved (no shuffle); pair with a host-bucket
     ``repartition`` upstream when politeness pacing matters (SURVEY §2.9 ST3).
+
+    ``passthrough`` columns from the input are carried into the output
+    unchanged (prepended to the PARSED_PAGE schema) so callers keep task
+    identity without a join-back.
     """
     import pandas as pd  # noqa: F401  (executor-side import)
 
+    from pyspark.sql import types as T
+
     from genesis_spark import schemas
 
+    passthrough = passthrough or []
     cols = [c for c in df.columns]
+    in_schema = df.schema
+    out_schema = T.StructType(
+        [in_schema[c] for c in passthrough] + list(schemas.PARSED_PAGE))
+    out_names = [f.name for f in out_schema]
 
     def _run(batches):
         for pdf in batches:
@@ -509,7 +521,10 @@ def parse_pages(df, url_col: str = "url", html_col: str = "html",
                 if html is None:
                     continue
                 net = d.get(network_col) if network_col else None
-                rows.append(parse_page(d[url_col], html, net))
-            yield pd.DataFrame(rows, columns=[f.name for f in schemas.PARSED_PAGE])
+                parsed = parse_page(d[url_col], html, net)
+                for c in passthrough:
+                    parsed[c] = d[c]
+                rows.append(parsed)
+            yield pd.DataFrame(rows, columns=out_names)
 
-    return df.mapInPandas(_run, schema=schemas.PARSED_PAGE)
+    return df.mapInPandas(_run, schema=out_schema)

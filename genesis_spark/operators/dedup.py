@@ -1,0 +1,152 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four families, all engine-portable (the hash primitives are md5-hex based so
+DuckDB oracles can replay them bit-for-bit — no engine-specific hash()):
+
+  exact          hash-groupBy keep-first (reference D1's exactness, scaled)
+  minhash-LSH    word-shingles -> 16-slot minhash signature -> 4 bands ->
+                 band-bucket equi-joins -> jaccard estimate
+  simhash        16-bit sign-aggregated word-hash fingerprint -> bucket
+  ngram-jaccard  exact jaccard via shingle explode + equi-join + count ratio
+
+Every stage is shuffle-conscious: candidate pairs come from band/bucket
+equi-joins (never cross joins), and pair dedup uses union-of-joins +
+distinct. All expressions are JVM-side (whole-stage codegen); no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; a short text yields itself as one shingle."""
+    words = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + k + 1) for k in range(n)]))
+    return F.when(F.size(words) >= n, gram).otherwise(F.array(text))
+
+
+def _mh_slot(i: int) -> Column:
+    # portable minhash: lexicographic min of seed-prefixed md5-hex prefixes
+    return F.min(F.substring(
+        F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))), 1, 16)
+    ).alias(f"mh{i}")
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_gram: int = 3) -> DataFrame:
+    """One row per doc: mh0..mh15 + band keys b0..b3."""
+    sh = docs.select(id_col, F.explode(
+        shingles_expr(F.col(text_col), n_gram)).alias("shingle"))
+    sig = sh.groupBy(id_col).agg(*[_mh_slot(i) for i in range(N_MINHASH)])
+    for b in range(N_BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
+        sig = sig.withColumn(f"b{b}", F.concat(*cols))
+    return sig
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs sharing >=1 LSH band, scored by estimated jaccard
+    (#matching minhash slots / 16). Returns (doc_a, doc_b, est_jaccard)."""
+    sig = minhash_signatures(docs, id_col, text_col)
+    # candidate ids via per-band equi-joins (2-col shuffles), distinct, then
+    # one join back to the signatures for the estimate
+    cand = None
+    for band in range(N_BANDS):
+        left = sig.select(F.col(id_col).alias("doc_a"),
+                          F.col(f"b{band}").alias("_bk"))
+        right = sig.select(F.col(id_col).alias("doc_b"),
+                           F.col(f"b{band}").alias("_bk"))
+        p = (left.join(right, "_bk")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b"))
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    sa = sig.select(F.col(id_col).alias("doc_a"),
+                    *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)])
+    sb = sig.select(F.col(id_col).alias("doc_b"),
+                    *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)])
+    matches = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                  for i in range(N_MINHASH))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("est_jaccard",
+                        F.round(matches / F.lit(float(N_MINHASH)), 4))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("doc_a", "doc_b", "est_jaccard"))
+
+
+def simhash16_expr(text: Column) -> Column:
+    """16-bit SimHash: per word, h = first-4-hex-of-md5 as int; fingerprint
+    bit b is the sign of sum(+-1 over words' bit b)."""
+    words = F.split(text, " ")
+    hashes = F.transform(words, lambda w: F.conv(
+        F.substring(F.md5(w), 1, 4), 16, 10).cast("int"))
+    out = F.lit(0)
+    for b in range(16):
+        p = 1 << b
+        votes = F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(
+                (F.floor(h / p).cast("int") % 2) == 1, 1).otherwise(-1))
+        out = out + F.when(votes > 0, p).otherwise(0)
+    return out
+
+
+def simhash_buckets(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Docs grouped by identical 16-bit simhash: (simhash, n_docs, doc_ids
+    sorted). Buckets with n_docs > 1 are near-duplicate candidates."""
+    sh = docs.select(F.col(id_col), simhash16_expr(F.col(text_col)).alias("simhash"))
+    return (sh.groupBy("simhash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+            .filter(F.col("n_docs") > 1))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n_gram: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact jaccard over distinct shingle sets, computed by explode +
+    self-equi-join on shingle + count ratio (scalable set intersection —
+    no cross join; skew-prone hot shingles are bounded by the vocabulary)."""
+    sh = docs.select(
+        F.col(id_col).alias("d"),
+        F.explode(shingles_expr(F.col(text_col), n_gram)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("d").agg(F.count("*").alias("n_shingles"))
+    common = (sh.alias("x").join(sh.alias("y"),
+                                 (F.col("x.shingle") == F.col("y.shingle")) &
+                                 (F.col("x.d") < F.col("y.d")))
+              .groupBy(F.col("x.d").alias("doc_a"), F.col("y.d").alias("doc_b"))
+              .agg(F.count("*").alias("n_common")))
+    na = sizes.select(F.col("d").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col("d").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (common.join(na, "doc_a").join(nb, "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("n_common") /
+                (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the lowest id per identical text (md5 pre-hash so the wide text
+    column never shuffles; hash collisions resolved by grouping on the hash
+    AND the text)."""
+    return (docs
+            .withColumn("_h", F.md5(F.col(text_col)))
+            .groupBy("_h", text_col)
+            .agg(F.min(id_col).alias(id_col),
+                 F.count("*").alias("n_copies"))
+            .select(id_col, "n_copies"))

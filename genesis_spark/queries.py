@@ -1,0 +1,661 @@
+"""Driver-contract query registry: every SQL-expressible operator from
+SURVEY.md §2 plus the training-data pipeline operators, each as a
+(spark_fn, oracle_sql) pair over the driver's parquet tables.
+
+Conventions (the driver compares row count + schema + order-insensitive
+value hash):
+  * every computed column is aliased identically in Spark and SQL;
+  * float aggregates are rounded (2-4 dp) so summation order can't flip the
+    hash; similarity *scores* round to 4 dp, rankings break ties on id;
+  * randomness is banned — hashes are md5-hex based (portable to DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from genesis_spark.crawler import engine
+from genesis_spark.functions import urls as U
+from genesis_spark.operators import dedup as D
+from genesis_spark.operators import similarity as SIM
+from genesis_spark.operators import textstats as TS
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + synthetic twins: even doc_ids get a copy at id+100000 —
+    every 5th twin byte-identical (exact dup), the rest missing the last
+    word (near dup). Gives the dedup family deterministic positives."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = (docs.filter(F.col("doc_id") % 2 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+                     .otherwise(F.regexp_replace("text", " [^ ]+$", ""))
+                     .alias("text")))
+    return docs.unionByName(twins)
+
+
+_CORPUS_SQL = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text
+              ELSE regexp_replace(text, ' [^ ]+$', '') END AS text
+  FROM documents WHERE doc_id % 2 = 0
+)"""
+
+_SHINGLE_SQL = """base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM corpus
+),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= {n}
+           THEN list_transform(range(len(w) - {n_1}), i -> {gram})
+           ELSE [text] END) AS shingle
+  FROM base
+)"""
+
+
+def _shingle_sql(n: int) -> str:
+    gram = " || ' ' || ".join(f"w[i+{k + 1}]" for k in range(n))
+    return _SHINGLE_SQL.format(n=n, n_1=n - 1, gram=gram)
+
+
+# ---------------------------------------------------------------------------
+# URL kernel queries (P1-P6, T16 — SURVEY.md §2.2/2.7)
+# ---------------------------------------------------------------------------
+
+def q_url_canonicalize(spark, sf_dir):
+    k = F.col("o_orderkey")
+    raw = F.when(k % 2 == 0,
+                 F.concat(F.lit("HTTP://WWW.Site"), (k % 50).cast("string"),
+                          F.lit(".Onion/Path/"), k.cast("string"), F.lit("//")))\
+          .otherwise(
+                 F.concat(F.lit("http://www.site"), (k % 50).cast("string"),
+                          F.lit(".onion/p"), k.cast("string"), F.lit("/")))
+    return (_t(spark, sf_dir, "orders").filter(k < 2000)
+            .select(k.alias("o_orderkey"),
+                    U.canonicalize_expr(raw).alias("url_canonical")))
+
+
+ORACLE_URL_CANONICALIZE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 2 = 0
+            THEN 'http://www.site' || (o_orderkey % 50) || '.onion/Path/' || o_orderkey
+            ELSE 'http://site' || (o_orderkey % 50) || '.onion/p' || o_orderkey
+       END AS url_canonical
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
+def q_url_network_type(spark, sf_dir):
+    k = F.col("o_orderkey")
+    raw = (F.when(k % 4 == 0, F.concat(F.lit("http://h"), k.cast("string"), F.lit(".onion/x")))
+           .when(k % 4 == 1, F.concat(F.lit("http://h"), k.cast("string"), F.lit(".i2p")))
+           .when(k % 4 == 2, F.concat(F.lit("http://h"), k.cast("string"), F.lit(".com/a")))
+           .otherwise(F.concat(F.lit("h"), k.cast("string"), F.lit(".onion"))))
+    return (_t(spark, sf_dir, "orders")
+            .select(U.network_type_expr(raw).alias("network"))
+            .groupBy("network").agg(F.count("*").alias("n_urls")))
+
+
+ORACLE_URL_NETWORK_TYPE = """
+SELECT CASE WHEN o_orderkey % 4 IN (0, 3) THEN 'onion'
+            WHEN o_orderkey % 4 = 1 THEN 'i2p'
+            ELSE 'clearnet' END AS network,
+       count(*) AS n_urls
+FROM orders GROUP BY 1
+"""
+
+
+def q_url_host_key(spark, sf_dir):
+    k = F.col("o_orderkey")
+    raw = F.concat(F.lit("http://www.shop"), (k % 20).cast("string"),
+                   F.lit(".com/item/"), k.cast("string"))
+    return (_t(spark, sf_dir, "orders").filter(k < 1000)
+            .select(k.alias("o_orderkey"),
+                    U.host_name_expr(raw).alias("host_key")))
+
+
+ORACLE_URL_HOST_KEY = """
+SELECT o_orderkey, 'shop' || (o_orderkey % 20) AS host_key
+FROM orders WHERE o_orderkey < 1000
+"""
+
+
+def q_url_ext_bucket(spark, sf_dir):
+    k = F.col("o_orderkey")
+    ext = (F.when(k % 5 == 0, ".jpg").when(k % 5 == 1, ".mp4")
+           .when(k % 5 == 2, ".pdf").when(k % 5 == 3, ".zip")
+           .otherwise(".html"))
+    raw = F.concat(F.lit("http://files.example.com/f"), k.cast("string"), ext)
+    return (_t(spark, sf_dir, "orders")
+            .select(U.ext_bucket_expr(raw).alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n_urls")))
+
+
+ORACLE_URL_EXT_BUCKET = """
+SELECT CASE o_orderkey % 5 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+            WHEN 2 THEN 'document' WHEN 3 THEN 'archive'
+            ELSE 'none' END AS bucket,
+       count(*) AS n_urls
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# frontier queries (S8, O1, A3, J1/J2 — SURVEY.md §2.1/2.4/2.5/2.6)
+# ---------------------------------------------------------------------------
+
+def _orders_seeds(spark, sf_dir):
+    k = F.col("o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("http://host"), (k % 200).cast("string"),
+                 F.lit(".onion")).alias("url"),
+        F.col("o_orderdate").alias("installed_at"),
+        k.alias("seed_id"))
+
+
+def q_frontier_install(spark, sf_dir):
+    frontier = engine.install_seeds(_orders_seeds(spark, sf_dir), host_budget=8)
+    return frontier.select("url", "installed_at", "seq", "round", "host_rank")
+
+
+ORACLE_FRONTIER_INSTALL = """
+WITH raw AS (
+  SELECT 'http://host' || (o_orderkey % 200) || '.onion' AS url,
+         o_orderdate AS installed_at, o_orderkey AS seq
+  FROM orders
+), ded AS (
+  SELECT url, installed_at, seq FROM (
+    SELECT *, row_number() OVER (PARTITION BY url
+                                 ORDER BY installed_at, seq) AS rn
+    FROM raw) WHERE rn = 1
+)
+SELECT url, installed_at, seq,
+       CAST(host_rank // 8 AS INT) AS round, host_rank
+FROM (SELECT *, row_number() OVER (ORDER BY installed_at, seq) - 1
+             AS host_rank FROM ded)
+"""
+
+
+def q_frontier_wave_select(spark, sf_dir):
+    k = F.col("o_orderkey")
+    entries = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (k % 50).cast("string")).alias("host_key"),
+        F.col("o_orderdate").alias("installed_at"), k.alias("seq"))
+    w = Window.partitionBy("host_key").orderBy("installed_at", "seq")
+    return (entries.withColumn("prio_rank", F.row_number().over(w))
+            .filter(F.col("prio_rank") <= 3)
+            .select("host_key", "seq", "prio_rank"))
+
+
+ORACLE_FRONTIER_WAVE_SELECT = """
+SELECT host_key, seq, prio_rank FROM (
+  SELECT 'h' || (o_orderkey % 50) AS host_key, o_orderkey AS seq,
+         row_number() OVER (PARTITION BY 'h' || (o_orderkey % 50)
+                            ORDER BY o_orderdate, o_orderkey) AS prio_rank
+  FROM orders) WHERE prio_rank <= 3
+"""
+
+
+def q_frontier_host_agg(spark, sf_dir):
+    """Two-phase salted aggregation (A3): partial per (host, salt) then
+    final — identical result to a plain GROUP BY, immune to hub-host skew."""
+    k = F.col("o_orderkey")
+    entries = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (k % 40).cast("string")).alias("host_key"),
+        F.col("o_totalprice").alias("value"),
+        F.col("o_orderdate").alias("installed_at"),
+        F.pmod(F.xxhash64(k), F.lit(16)).alias("salt"))
+    partial = (entries.groupBy("host_key", "salt")
+               .agg(F.count("*").alias("c"), F.sum("value").alias("s"),
+                    F.min("installed_at").alias("m")))
+    return (partial.groupBy("host_key")
+            .agg(F.sum("c").alias("n_urls"),
+                 F.round(F.sum("s"), 2).alias("total_value"),
+                 F.min("m").alias("first_installed")))
+
+
+ORACLE_FRONTIER_HOST_AGG = """
+SELECT 'h' || (o_orderkey % 40) AS host_key,
+       count(*) AS n_urls,
+       round(sum(o_totalprice), 2) AS total_value,
+       min(o_orderdate) AS first_installed
+FROM orders GROUP BY 1
+"""
+
+
+def q_seen_anti_join(spark, sf_dir):
+    new = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("http://u"), (F.col("l_orderkey") % 1000).cast("string"),
+                 F.lit(".onion")).alias("url")).distinct()
+    seen = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0) \
+        .select(F.concat(F.lit("http://u"),
+                         (F.col("o_orderkey") % 300).cast("string"),
+                         F.lit(".onion")).alias("url")).distinct()
+    return new.join(seen, "url", "left_anti")
+
+
+ORACLE_SEEN_ANTI_JOIN = """
+SELECT DISTINCT 'http://u' || (l_orderkey % 1000) || '.onion' AS url
+FROM lineitem
+EXCEPT
+SELECT DISTINCT 'http://u' || (o_orderkey % 300) || '.onion' AS url
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+def q_validity_rubric(spark, sf_dir):
+    """A1-shaped pure-column scoring rubric over the documents table."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    score = (F.when(F.col("n_chars") > 200, 20)
+             .when(F.col("n_chars") > 100, 10).otherwise(-5)
+             + F.when(ntok > 30, 10).otherwise(-5)
+             + F.when(F.col("lang") == "en", 10).otherwise(0))
+    return d.select("doc_id", F.greatest(score, F.lit(0)).alias("score"))
+
+
+ORACLE_VALIDITY_RUBRIC = """
+SELECT doc_id, greatest(
+    (CASE WHEN n_chars > 200 THEN 20 WHEN n_chars > 100 THEN 10 ELSE -5 END)
+  + (CASE WHEN len(string_split(text, ' ')) > 30 THEN 10 ELSE -5 END)
+  + (CASE WHEN lang = 'en' THEN 10 ELSE 0 END), 0) AS score
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_corpus(spark, sf_dir))
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH {_CORPUS_SQL}
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM corpus GROUP BY md5(text), text
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(_corpus(spark, sf_dir), threshold=0.5)
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ",\n  ".join(
+        f"min(substr(md5('{i}|' || shingle), 1, 16)) AS mh{i}"
+        for i in range(D.N_MINHASH))
+    bands = ", ".join(
+        "mh%d || mh%d || mh%d || mh%d AS b%d" % (
+            b * 4, b * 4 + 1, b * 4 + 2, b * 4 + 3, b)
+        for b in range(D.N_BANDS))
+    cand = "\nUNION\n".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigb a "
+        f"JOIN sigb b ON a.b{b} = b.b{b} AND a.doc_id < b.doc_id"
+        for b in range(D.N_BANDS))
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(D.N_MINHASH))
+    return f"""
+WITH {_CORPUS_SQL},
+{_shingle_sql(3)},
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+sigb AS (SELECT *, {bands} FROM sig),
+cand AS ({cand})
+SELECT cand.doc_a, cand.doc_b,
+       round(({matches}) / 16.0, 4) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = cand.doc_a
+JOIN sig sb ON sb.doc_id = cand.doc_b
+WHERE round(({matches}) / 16.0, 4) >= 0.5
+"""
+
+
+ORACLE_DEDUP_MINHASH = _minhash_oracle()
+
+
+def q_dedup_simhash(spark, sf_dir):
+    b = D.simhash_buckets(_corpus(spark, sf_dir))
+    return b.select(
+        "simhash", "n_docs",
+        F.array_join(F.transform("doc_ids", lambda x: x.cast("string")),
+                     ",").alias("doc_ids_csv"))
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n  ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16))
+    bits = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+WITH {_CORPUS_SQL},
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus),
+h AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(word), 1, 4)) AS BIGINT) AS h
+      FROM w),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, {bits} AS simhash FROM v)
+SELECT simhash, count(*) AS n_docs,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids_csv
+FROM s GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+ORACLE_DEDUP_SIMHASH = _simhash_oracle()
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.6)
+
+
+ORACLE_DEDUP_NGRAM = f"""
+WITH {_CORPUS_SQL},
+{_shingle_sql(3)},
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_common / (na.n + nb.n - n_common), 4) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(n_common / (na.n + nb.n - n_common), 4) >= 0.6
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+ORACLE_ANN_COSINE = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(range(len(q.embedding)),
+             i -> q.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(len(q.embedding)),
+             i -> q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(len(b.embedding)),
+             i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))))
+         AS cos
+  FROM embeddings q JOIN embeddings b ON b.vec_id != q.vec_id
+  WHERE q.vec_id < 10)
+SELECT query_id, rnk AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(TS.lang_id_expr(F.col("text")).alias("lang_detected"))
+            .groupBy("lang_detected").agg(F.count("*").alias("n_docs")))
+
+
+def _lang_oracle() -> str:
+    def hits(markers):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        return ("len(list_filter(string_split(lower(text), ' '), "
+                f"t -> t IN ({lst})))")
+    en = hits(TS.LANG_MARKERS["en"])
+    fr = hits(TS.LANG_MARKERS["fr"])
+    es = hits(TS.LANG_MARKERS["es"])
+    de = hits(TS.LANG_MARKERS["de"])
+    cjk = "regexp_matches(text, '[一-鿿]')"
+    return f"""
+WITH c AS (
+  SELECT {en} AS en, {fr} AS fr, {es} AS es, {de} AS de, {cjk} AS zh
+  FROM documents)
+SELECT CASE WHEN zh THEN 'zh'
+            WHEN en > 0 AND en >= fr AND en >= es AND en >= de THEN 'en'
+            WHEN fr > 0 AND fr >= es AND fr >= de THEN 'fr'
+            WHEN es > 0 AND es >= de THEN 'es'
+            WHEN de > 0 THEN 'de'
+            ELSE 'und' END AS lang_detected,
+       count(*) AS n_docs
+FROM c GROUP BY 1
+"""
+
+
+ORACLE_TEXT_LANG_ID = _lang_oracle()
+
+
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("source",
+                     TS.quality_score_expr(F.col("text")).alias("q"))
+            .groupBy("source")
+            .agg(F.round(F.avg("q"), 2).alias("avg_quality"),
+                 F.min("q").alias("min_quality"),
+                 F.max("q").alias("max_quality"),
+                 F.count("*").alias("n_docs")))
+
+
+def _quality_oracle() -> str:
+    all_markers = (TS.LANG_MARKERS["en"] + TS.LANG_MARKERS["fr"] +
+                   TS.LANG_MARKERS["es"] + TS.LANG_MARKERS["de"])
+    lst = ", ".join(f"'{m}'" for m in all_markers)
+    return f"""
+WITH m AS (
+  SELECT source,
+         length(text) AS n,
+         len(string_split(text, ' ')) AS n_tok,
+         length(regexp_replace(text, '[^A-Za-z一-鿿]', '', 'g')) AS alpha,
+         len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN ({lst}))) AS stop_hits
+  FROM documents),
+s AS (
+  SELECT source,
+      (CASE WHEN n > 500 THEN 30 WHEN n > 100 THEN 20
+            WHEN n > 20 THEN 10 ELSE 0 END)
+    + (CASE WHEN alpha / greatest(n, 1) > 0.7 THEN 30
+            WHEN alpha / greatest(n, 1) > 0.4 THEN 15 ELSE 0 END)
+    + (CASE WHEN stop_hits / greatest(n_tok, 1) > 0.05 THEN 20 ELSE 0 END)
+    + (CASE WHEN n / greatest(n_tok, 1) BETWEEN 3 AND 12
+            THEN 20 ELSE 0 END) AS q
+  FROM m)
+SELECT source, round(avg(q), 2) AS avg_quality, min(q) AS min_quality,
+       max(q) AS max_quality, count(*) AS n_docs
+FROM s GROUP BY source
+"""
+
+
+ORACLE_TEXT_QUALITY = _quality_oracle()
+
+
+def q_text_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tc = TS.token_counts_exprs(F.col("text"))
+    return (d.select("source", tc["n_tokens_ws"].alias("ws"),
+                     tc["n_tokens_bpe"].alias("bpe"))
+            .groupBy("source")
+            .agg(F.sum("ws").alias("total_ws_tokens"),
+                 F.sum("bpe").alias("total_bpe_tokens")))
+
+
+ORACLE_TEXT_TOKEN_COUNT = r"""
+SELECT source,
+       sum(len(string_split(text, ' '))) AS total_ws_tokens,
+       sum(len(regexp_extract_all(text,
+           '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    fp = c.select("doc_id", TS.fingerprint_expr(F.col("text")).alias("fp"))
+    return (fp.groupBy("fp")
+            .agg(F.count("*").alias("n_docs"),
+                 F.array_join(
+                     F.transform(F.sort_array(F.collect_list("doc_id")),
+                                 lambda x: x.cast("string")), ",")
+                 .alias("doc_ids_csv"))
+            .filter(F.col("n_docs") > 1))
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+WITH {_CORPUS_SQL},
+{_shingle_sql(4)},
+fp AS (SELECT doc_id, min(substr(md5(shingle), 1, 16)) AS fp
+       FROM sh GROUP BY doc_id)
+SELECT fp, count(*) AS n_docs,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids_csv
+FROM fp GROUP BY fp HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational / events breadth
+# ---------------------------------------------------------------------------
+
+def q_events_windowed(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                      "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
+
+
+ORACLE_EVENTS_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_dispatch_join(spark, sf_dir):
+    """J3-style dispatch: broadcast the small dimension chain."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_balance")))
+
+
+ORACLE_DISPATCH_JOIN = """
+SELECT r_name AS region, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "url_canonicalize": q_url_canonicalize,
+    "url_network_type": q_url_network_type,
+    "url_host_key": q_url_host_key,
+    "url_ext_bucket": q_url_ext_bucket,
+    "frontier_install": q_frontier_install,
+    "frontier_wave_select": q_frontier_wave_select,
+    "frontier_host_agg": q_frontier_host_agg,
+    "seen_anti_join": q_seen_anti_join,
+    "validity_rubric": q_validity_rubric,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_token_count": q_text_token_count,
+    "text_fingerprint": q_text_fingerprint,
+    "events_windowed": q_events_windowed,
+    "pricing_summary": q_pricing_summary,
+    "dispatch_join": q_dispatch_join,
+}
+
+ORACLES = {
+    "url_canonicalize": ORACLE_URL_CANONICALIZE,
+    "url_network_type": ORACLE_URL_NETWORK_TYPE,
+    "url_host_key": ORACLE_URL_HOST_KEY,
+    "url_ext_bucket": ORACLE_URL_EXT_BUCKET,
+    "frontier_install": ORACLE_FRONTIER_INSTALL,
+    "frontier_wave_select": ORACLE_FRONTIER_WAVE_SELECT,
+    "frontier_host_agg": ORACLE_FRONTIER_HOST_AGG,
+    "seen_anti_join": ORACLE_SEEN_ANTI_JOIN,
+    "validity_rubric": ORACLE_VALIDITY_RUBRIC,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
+    "ann_cosine_topk": ORACLE_ANN_COSINE,
+    "text_lang_id": ORACLE_TEXT_LANG_ID,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_token_count": ORACLE_TEXT_TOKEN_COUNT,
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "events_windowed": ORACLE_EVENTS_WINDOWED,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "dispatch_join": ORACLE_DISPATCH_JOIN,
+}
+
+
+def flagship(spark: SparkSession,
+             sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: the frontier install + round-assignment pipeline over
+    orders-derived seeds, summarized per (round, network)."""
+    frontier = engine.install_seeds(_orders_seeds(spark, sf_dir), host_budget=8)
+    return (frontier.groupBy("round", "network")
+            .agg(F.count("*").alias("n_hosts"),
+                 F.min("installed_at").alias("first_installed"))
+            .orderBy("round", "network"))
