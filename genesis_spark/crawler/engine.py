@@ -221,6 +221,10 @@ def run_rounds(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
         for df in res["_cached"]:
             df.unpersist()
         frontier.unpersist()
-        frontier = new_frontier
+        new_frontier.unpersist()
+        # re-read from the committed snapshot: every round starts from a flat
+        # parquet scan, never a lineage chain through all prior rounds'
+        # crawl plans (which grows the DAG superlinearly)
+        frontier = store.read(spark, "frontier").persist()
         if stop_after_round is not None and r >= stop_after_round:
             return

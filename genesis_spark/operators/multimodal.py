@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary columns
+with typed metadata, processed through Arrow-batched ``mapInPandas``.
+
+The reference downloads media only as URLs (html_parse_manager media
+buckets) and ships a vendored NudeNet classifier it never invokes (M3).
+A training-data pipeline at 100 TB needs the decode/feature path, so the
+Spark-side contract is implemented for real here — schema, partitioning,
+UDF signature, Arrow batch shape — while the codec itself is stubbed:
+image/audio libraries are not in this container, so ``decode_fn`` defaults
+to a deterministic header parser over the fixture byte format and the
+library-backed path raises ``NotImplementedError`` until one is injected.
+
+Fixture byte format (media_blob): b"GSIM" + width:4BE + height:4BE +
+fmt:4s + payload. Real deployments swap ``decode_fn`` for PIL/ffmpeg.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("ok", T.BooleanType(), False),
+])
+
+MAGIC = b"GSIM"
+_HEADER = struct.Struct(">4sII4s")
+
+
+def encode_fake_media(width: int, height: int, fmt: str = "png",
+                      payload: bytes = b"") -> bytes:
+    """Deterministic fixture encoder matching ``decode_header``."""
+    return _HEADER.pack(MAGIC, width, height, fmt.ljust(4).encode()) + payload
+
+
+def decode_header(blob: bytes | None) -> tuple:
+    """Default decode_fn: parse the fixture header. Returns a MEDIA_META
+    tuple; malformed blobs yield ok=False, never an exception (a poison blob
+    must not kill a 100TB job)."""
+    if blob is None:
+        return (None, None, None, 0, False)
+    n = len(blob)
+    if n < _HEADER.size or blob[:4] != MAGIC:
+        return (None, None, None, n, False)
+    _, w, h, fmt = _HEADER.unpack(blob[:_HEADER.size])
+    return (int(w), int(h), fmt.decode().strip(), n, True)
+
+
+def library_decode(blob: bytes | None) -> tuple:
+    """Real-codec path — inject when PIL/ffmpeg are available."""
+    raise NotImplementedError(
+        "no image/audio codec in this container; pass decode_fn=... "
+        "(e.g. a PIL-backed callable) to extract_media_meta")
+
+
+def extract_media_meta(df: DataFrame, blob_col: str = "media_blob",
+                       decode_fn: Callable[[bytes], tuple] = decode_header,
+                       meta_col: str = "media_meta") -> DataFrame:
+    """Append a typed metadata struct per blob. Arrow moves the binary
+    column in bulk; ``decode_fn`` runs per element inside the batch."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(meta_col, MEDIA_META, False)])
+    names = [f.name for f in MEDIA_META.fields]
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[meta_col] = [dict(zip(names, decode_fn(b)))
+                             for b in pdf[blob_col]]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_frames(df: DataFrame, blob_col: str = "media_blob",
+                  every_n_bytes: int = 64,
+                  frame_col: str = "frame") -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled payload slice
+    (stand-in for video frame extraction; the slicing/explode shape is what
+    a real ffmpeg-backed UDF would keep)."""
+    import pandas as pd
+
+    out_schema = T.StructType([
+        df.schema["doc_id"] if "doc_id" in df.columns
+        else T.StructField("doc_id", T.StringType(), True),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField(frame_col, T.BinaryType(), True),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None:
+                    continue
+                payload = bytes(blob)[_HEADER.size:]
+                for i in range(0, max(len(payload), 1), every_n_bytes):
+                    ids.append(doc_id)
+                    nos.append(i // every_n_bytes)
+                    frames.append(payload[i:i + every_n_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": pd.Series(nos, dtype="int32"),
+                 frame_col: frames})
+
+    return df.mapInPandas(run, out_schema)

@@ -1,0 +1,98 @@
+"""Structured Streaming mappings of the reference's continuous loops.
+
+The reference "streams" by periodic re-scan: a RepeatedTimer re-feeds the
+frontier every 1800 s (scheduler.py:3-33, crawl_model.py:170-183) and Celery
+drains it continuously. Structured Streaming expresses the same contract
+declaratively:
+
+  * ``parse_stream``    — continuous page ingest: readStream over a
+    web_pages-shaped directory -> the same Arrow parse kernel -> append sink.
+    ``Trigger.AvailableNow`` gives the reference's batch-drain semantics;
+    a processing-time trigger gives the 1800 s re-feed loop (ST2).
+  * ``metrics_stream``  — per-window fetch/parse counters with a watermark
+    for late events (the reference's log-file metrics S12, made queryable).
+  * ``frontier_sink``   — foreachBatch MERGE of newly discovered URLs into
+    the frontier snapshot store: the streaming version of the install path
+    (S8) with exactly-once via (batch_id, url_hash) idempotence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genesis_spark import schemas
+from genesis_spark.functions.parse import parse_pages
+
+
+def parse_stream(spark: SparkSession, pages_dir: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming DataFrame of parsed pages from a web_pages parquet dir."""
+    reader = (spark.readStream.schema(schemas.WEB_PAGES)
+              .format("parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(pages_dir).filter(
+        (F.col("status") == 200) & F.col("html").isNotNull())
+    return parse_pages(raw, url_col="url", html_col="html")
+
+
+def run_parse_stream_once(spark: SparkSession, pages_dir: str, out_dir: str,
+                          checkpoint_dir: str) -> None:
+    """Drain everything currently in pages_dir through the parse kernel into
+    an append parquet sink, exactly once (AvailableNow), then stop."""
+    parsed = parse_stream(spark, pages_dir)
+    q = (parsed.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def metrics_stream(parsed: DataFrame, window: str = "10 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Windowed per-host crawl metrics with late-data watermark. ``parsed``
+    must carry an event-time column ``fetched_at``."""
+    return (parsed
+            .withWatermark("fetched_at", watermark)
+            .groupBy(F.window("fetched_at", window).alias("w"),
+                     F.col("base_url").alias("host"))
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum(F.size("sub_url")).alias("n_links"),
+                 F.avg("validity_score").alias("avg_score"))
+            .select(F.col("w.start").alias("window_start"),
+                    "host", "n_pages", "n_links", "avg_score"))
+
+
+def frontier_sink(parsed: DataFrame, store, checkpoint_dir: str,
+                  trigger_seconds: int | None = None):
+    """foreachBatch install: explode each micro-batch's admitted links and
+    MERGE them into the frontier snapshot store keyed on url_hash —
+    idempotent on replays, so end-to-end exactly-once."""
+
+    def install_batch(batch_df: DataFrame, batch_id: int) -> None:
+        links = (batch_df.select(F.explode("sub_url").alias("url"))
+                 .distinct()
+                 .withColumn("url_hash", F.xxhash64("url")))
+        spark = batch_df.sparkSession
+        existing = store.read(spark, "frontier")
+        if existing is not None:
+            links = links.join(existing.select("url_hash"), "url_hash",
+                               "left_anti")
+        new_frontier = links.select(
+            "url_hash", "url",
+            F.lit(1).alias("depth"), F.lit("pending").alias("state"))
+        if existing is not None:
+            new_frontier = existing.select(
+                "url_hash", "url", "depth", "state").unionByName(new_frontier)
+        store.commit({"frontier": new_frontier}, {"batch_id": batch_id})
+
+    writer = (parsed.writeStream.foreachBatch(install_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

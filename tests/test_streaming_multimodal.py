@@ -1,0 +1,58 @@
+"""Streaming drain + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from genesis_spark.operators import multimodal as MM
+
+
+def test_streaming_parse_drain(spark, tmp_path):
+    from genesis_spark import schemas
+    from genesis_spark.streaming.pipeline import run_parse_stream_once
+
+    host = "http://streamhostaaaa.onion"
+    rows = [
+        (1, f"{host}/p{i}", "streamhostaaaa", 200, f"{host}/p{i}",
+         f"<title>t{i}</title><p>the market service is secure and private "
+         f"data rec{i}</p>", [])
+        for i in range(6)
+    ] + [(9, f"{host}/dead", "streamhostaaaa", 404, f"{host}/dead", None, [])]
+    src = str(tmp_path / "pages_in")
+    spark.createDataFrame(rows, schemas.WEB_PAGES).write.parquet(src)
+    out = str(tmp_path / "parsed_out")
+    run_parse_stream_once(spark, src, out, str(tmp_path / "ckpt"))
+    parsed = spark.read.parquet(out)
+    assert parsed.count() == 6           # 404 row filtered
+    assert {r.doc_id for r in parsed.select("doc_id").collect()} == \
+        {f"{host}/p{i}" for i in range(6)}
+    spans = parsed.filter(f"doc_id = '{host}/p0'").select("spans").first().spans
+    assert spans[0].kind == "title" and spans[0].text == "t0"
+
+
+def test_media_meta_decode(spark):
+    rows = [("d0", MM.encode_fake_media(640, 480, "png", b"x" * 100)),
+            ("d1", MM.encode_fake_media(64, 64, "jpg")),
+            ("d2", b"not-a-blob"),
+            ("d3", None)]
+    df = spark.createDataFrame(rows, "doc_id string, media_blob binary")
+    out = {r.doc_id: r.media_meta for r in
+           MM.extract_media_meta(df).collect()}
+    assert out["d0"].width == 640 and out["d0"].height == 480
+    assert out["d0"].ok and out["d1"].format == "jpg"
+    assert not out["d2"].ok and not out["d3"].ok
+    assert out["d3"].n_bytes == 0
+
+
+def test_frame_sampling(spark):
+    blob = MM.encode_fake_media(8, 8, "mp4", bytes(range(200)))
+    df = spark.createDataFrame([("v0", blob)],
+                               "doc_id string, media_blob binary")
+    frames = MM.sample_frames(df, every_n_bytes=64).collect()
+    assert [f.frame_no for f in frames] == [0, 1, 2, 3]
+    assert bytes(frames[0].frame) == bytes(range(64))
+
+
+def test_library_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        MM.library_decode(b"\x89PNG")
