@@ -80,13 +80,13 @@ def paced_fetch(df: DataFrame,
                 statuses.append(status)
                 finals.append(final)
                 htmls.append(html)
-            pdf = pdf.copy()
+            pdf = pdf.drop(columns=["bucket"])
             pdf["status"] = pd.Series(statuses, dtype="int32", index=pdf.index)
             pdf["final_url"] = finals
             pdf["fetched_html"] = htmls
             yield pdf
 
-    return bucketed.mapInPandas(run, out_schema).drop("bucket")
+    return bucketed.mapInPandas(run, out_schema)
 
 
 def apply_robots(candidates: DataFrame, robots: DataFrame,

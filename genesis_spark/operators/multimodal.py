@@ -32,6 +32,8 @@ MEDIA_META = T.StructType([
 
 MAGIC = b"GSIM"
 _HEADER = struct.Struct(">4sII4s")
+_HEADER_SIZE = _HEADER.size  # plain int: closures must not capture the
+                             # Struct object (unpicklable in cloudpickle)
 
 
 def encode_fake_media(width: int, height: int, fmt: str = "png",
@@ -102,7 +104,7 @@ def sample_frames(df: DataFrame, blob_col: str = "media_blob",
             for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
                 if blob is None:
                     continue
-                payload = bytes(blob)[_HEADER.size:]
+                payload = bytes(blob)[_HEADER_SIZE:]
                 for i in range(0, max(len(payload), 1), every_n_bytes):
                     ids.append(doc_id)
                     nos.append(i // every_n_bytes)

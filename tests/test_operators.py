@@ -90,13 +90,15 @@ def test_politeness_bucket_pins_host(spark):
     from genesis_spark.crawler.politeness import paced_fetch
     rows = [(f"http://h{i % 5}.onion/p{i}", f"h{i % 5}") for i in range(50)]
     df = spark.createDataFrame(rows, "url string, host_key string")
-    out = paced_fetch(df, _fetch_ok, buckets=4)
+
+    # closure, not module-level: cloudpickle must ship it by value (executors
+    # can't import the tests package)
+    def fetch_ok(url):
+        return 200, url, "<p>one two three four five six seven</p>"
+
+    out = paced_fetch(df, fetch_ok, buckets=4)
     got = out.select("url", "status").collect()
     assert len(got) == 50 and all(r.status == 200 for r in got)
-
-
-def _fetch_ok(url):
-    return 200, url, "<p>one two three four five six seven</p>"
 
 
 def test_robots_admission(spark):
