@@ -58,7 +58,11 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       threshold: float = 0.5) -> DataFrame:
     """Candidate pairs sharing >=1 LSH band, scored by estimated jaccard
     (#matching minhash slots / 16). Returns (doc_a, doc_b, est_jaccard)."""
-    sig = minhash_signatures(docs, id_col, text_col)
+    # persist the signatures: the subplan below reuses them 6 times (4 band
+    # joins + 2 estimate join-backs); without the cache Catalyst/AQE carries
+    # 6 inlined copies of the 16-aggregate plan and driver-side re-planning
+    # dominates wall time
+    sig = minhash_signatures(docs, id_col, text_col).persist()
     # candidate ids via per-band equi-joins (2-col shuffles), distinct, then
     # one join back to the signatures for the estimate
     cand = None
@@ -122,7 +126,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     sh = docs.select(
         F.col(id_col).alias("d"),
         F.explode(shingles_expr(F.col(text_col), n_gram)).alias("shingle")
-    ).distinct()
+    ).distinct().persist()   # reused 3x (sizes + both join sides)
     sizes = sh.groupBy("d").agg(F.count("*").alias("n_shingles"))
     common = (sh.alias("x").join(sh.alias("y"),
                                  (F.col("x.shingle") == F.col("y.shingle")) &
