@@ -89,12 +89,17 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("doc_a", "doc_b", "est_jaccard"))
 
 
-def simhash16_expr(text: Column) -> Column:
-    """16-bit SimHash: per word, h = first-4-hex-of-md5 as int; fingerprint
-    bit b is the sign of sum(+-1 over words' bit b)."""
-    words = F.split(text, " ")
-    hashes = F.transform(words, lambda w: F.conv(
+def word_hashes_expr(text: Column) -> Column:
+    """Per-word 16-bit hash array (first 4 hex of md5). Materialize this in
+    its own projection — referencing it from the 16 bit-vote aggregates
+    below would otherwise inline the md5 transform 16x per row."""
+    return F.transform(F.split(text, " "), lambda w: F.conv(
         F.substring(F.md5(w), 1, 4), 16, 10).cast("int"))
+
+
+def simhash16_from_hashes(hashes: Column) -> Column:
+    """16-bit SimHash: fingerprint bit b is the sign of the +-1 vote sum
+    over the words' bit b."""
     out = F.lit(0)
     for b in range(16):
         p = 1 << b
@@ -110,7 +115,11 @@ def simhash_buckets(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Docs grouped by identical 16-bit simhash: (simhash, n_docs, doc_ids
     sorted). Buckets with n_docs > 1 are near-duplicate candidates."""
-    sh = docs.select(F.col(id_col), simhash16_expr(F.col(text_col)).alias("simhash"))
+    sh = (docs
+          .select(F.col(id_col),
+                  word_hashes_expr(F.col(text_col)).alias("_hs"))
+          .select(F.col(id_col),
+                  simhash16_from_hashes(F.col("_hs")).alias("simhash")))
     return (sh.groupBy("simhash")
             .agg(F.count("*").alias("n_docs"),
                  F.sort_array(F.collect_list(id_col)).alias("doc_ids"))

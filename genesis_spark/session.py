@@ -49,6 +49,15 @@ def get_spark(app_name: str = "genesis-spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # RAM-backed scratch for shuffle/spill files when available — the
+    # sandbox's overlay filesystem is slow and bursty under concurrent
+    # shuffle writers
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
