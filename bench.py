@@ -59,8 +59,9 @@ def run_queries(sf_dir: str, cores: str) -> tuple[dict[str, float], float]:
     total = 0.0
     for name in HEADLINE:
         fn = Q.QUERIES[name]
+        fn(spark, sf_dir).count()          # warm: plan compile + codegen
         t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
+        n = fn(spark, sf_dir).count()      # steady-state measurement
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
@@ -186,8 +187,24 @@ def main() -> None:
         # deliver; min-of-3 runs estimates unthrottled steady state.
         n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         n_high = 4 * n_low
-        flo = bench_frontier(n_low, N_FRONTIER_URLS)
-        fhi = bench_frontier(n_high, N_FRONTIER_URLS)
+        # throttle episodes last minutes and can swallow a whole session's
+        # repeats — interleave low/high sessions so at least one pair lands
+        # in a clean window; min across sessions per level
+        pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
+        flo, fhi = None, None
+        for _ in range(pairs):
+            a = bench_frontier(n_low, N_FRONTIER_URLS, repeats=2)
+            b = bench_frontier(n_high, N_FRONTIER_URLS, repeats=2)
+            if flo is None or a["wall_s"] < flo["wall_s"]:
+                runs = (flo["runs_s"] if flo else []) + a["runs_s"]
+                flo = {**a, "runs_s": runs}
+            else:
+                flo["runs_s"] = flo["runs_s"] + a["runs_s"]
+            if fhi is None or b["wall_s"] < fhi["wall_s"]:
+                runs = (fhi["runs_s"] if fhi else []) + b["runs_s"]
+                fhi = {**b, "runs_s": runs}
+            else:
+                fhi["runs_s"] = fhi["runs_s"] + b["runs_s"]
         eff = round((fhi["urls_per_sec"] / flo["urls_per_sec"]) / 4, 3)
         out["crawl"] = {
             "frontier_urls": N_FRONTIER_URLS,
@@ -195,6 +212,7 @@ def main() -> None:
             "urls_per_sec_n": flo["urls_per_sec"],
             "urls_per_sec_4n": fhi["urls_per_sec"],
             "scaling_efficiency": eff,
+            "throttle_suspected": fhi["wall_s"] >= flo["wall_s"],
         }
         if os.environ.get("SPARK_GRAFT_BENCH_E2E"):
             fixture_dir = _bench_fixture()
