@@ -109,17 +109,18 @@ def bench_frontier(cores: int, n_urls: int, repeats: int = 4,
 
     spark = get_spark(app_name=f"bench-frontier-{cores}", cores=cores,
                       shuffle_partitions=shuffle_partitions)
-    # warm JVM codegen + python workers off the clock (fixed session cost,
-    # not frontier throughput)
-    warm = engine.install_seeds(_synthetic_seed_urls(spark, 10_000), 1000)
+    # warm JVM codegen off the clock (fixed session cost, not throughput)
+    warm = engine.install_seeds_bucketed(
+        _synthetic_seed_urls(spark, 10_000), bucket_budget=1000)
     warm.count()
 
     runs = []
     n_installed = n_admitted = 0
     for _ in range(repeats):
         t0 = time.perf_counter()
-        frontier = engine.install_seeds(
-            _synthetic_seed_urls(spark, n_urls), host_budget=10_000).persist()
+        frontier = engine.install_seeds_bucketed(
+            _synthetic_seed_urls(spark, n_urls),
+            bucket_budget=10_000).persist()
         # candidate links vs URL-seen: half overlap, half new
         cand = spark.range(n_urls).select(
             F.concat(F.lit("http://h"),

@@ -62,6 +62,45 @@ def install_seeds(seeds: DataFrame,
         "host_rank")
 
 
+def install_seeds_bucketed(seeds: DataFrame,
+                           bucket_budget: int = conf.WAVE_HOST_BUDGET,
+                           buckets: int = conf.POLITENESS_BUCKETS) -> DataFrame:
+    """Production-scale install: identical validate/canonicalize/MERGE-dedup
+    pipeline, but the priority queue is salted per politeness bucket
+    (Window.partitionBy(bucket)) instead of globally ordered — one shuffle,
+    no global barrier, no sampling pass. This is the 10^10-row path (O1:
+    'salted priority queue; global order reconstructed deterministically for
+    verification'); ``install_seeds`` keeps the reference-exact global FIFO
+    for golden runs. Within a host the order is identical (a host maps to
+    one bucket); rounds interleave across buckets instead of globally."""
+    from pyspark.sql import Window
+
+    valid = seeds.filter(F.col("url").rlike(_VALID_URI_RE))
+    canon = valid.select(
+        U.canonicalize_expr(F.col("url")).alias("url"),
+        "installed_at", "seed_id")
+    dedup = (canon.groupBy("url")
+             .agg(F.min(F.struct("installed_at", "seed_id")).alias("first"))
+             .select("url",
+                     F.col("first.installed_at").alias("installed_at"),
+                     F.col("first.seed_id").alias("seq")))
+    host_key = U.host_name_expr(F.col("url"))
+    bucketed = dedup.withColumn(
+        "bucket", F.pmod(F.xxhash64(host_key), F.lit(buckets)))
+    w = Window.partitionBy("bucket").orderBy("installed_at", "seq")
+    return (bucketed
+            .withColumn("bucket_rank", F.row_number().over(w) - 1)
+            .select(F.xxhash64("url").alias("url_hash"), "url",
+                    host_key.alias("host_key"),
+                    F.lit(0).alias("depth"),
+                    U.network_type_expr(F.col("url")).alias("network"),
+                    F.lit("pending").alias("state"),
+                    "installed_at", "seq", F.lit(0).alias("fail_count"),
+                    (F.col("bucket_rank") / bucket_budget).cast("int")
+                    .alias("round"),
+                    "bucket", "bucket_rank"))
+
+
 _PASSTHROUGH = ["task_id", "host_rank", "round", "host_key", "depth", "pos"]
 
 
@@ -211,12 +250,25 @@ def run_rounds(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
                         .withColumn("fail_count",
                                     F.coalesce("_new_fails", "fail_count"))
                         .drop("_new_state", "_new_fails")).persist()
+        # per-partition fetch/parse metrics (S12/ST4): politeness bucket ==
+        # fetch partition, so (round, depth, bucket) rows are partition-level
+        # lineage for this snapshot
+        metrics = (res["crawl_order"]
+                   .groupBy("round", "depth",
+                            F.pmod(F.xxhash64("host_key"),
+                                   F.lit(conf.POLITENESS_BUCKETS))
+                            .alias("bucket"))
+                   .agg(F.count("*").alias("n_fetched"),
+                        F.sum(F.col("ok").cast("int")).alias("n_ok"),
+                        F.sum((~F.col("ok")).cast("int")).alias("n_failed"),
+                        F.sum(F.col("attempts")).alias("n_attempts")))
         store.commit({
             "frontier": new_frontier,
             "crawl_order": res["crawl_order"].drop("task_id", "host_rank", "pos"),
             "seen": res["seen"],
             "documents": res["documents"].drop("task_id", "host_rank", "pos",
                                                "round"),
+            "metrics": metrics,
         }, {"round": r, "seq_offset": seq_offset})
         for df in res["_cached"]:
             df.unpersist()
