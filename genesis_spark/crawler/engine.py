@@ -106,11 +106,16 @@ _PASSTHROUGH = ["task_id", "host_rank", "round", "host_key", "depth", "pos"]
 
 def crawl_frontier(spark: SparkSession, frontier: DataFrame, pages: DataFrame,
                    max_depth: int = conf.MAX_ALLOWED_DEPTH,
-                   seq_offset: int = 0) -> dict[str, DataFrame]:
+                   seq_offset: int = 0,
+                   use_bloom: bool = False) -> dict[str, DataFrame]:
     """Crawl every frontier host to completion; returns crawl_order / seen /
     documents / frontier_done DataFrames matching the oracle goldens.
 
     ``seq_offset`` shifts crawl_seq for multi-round incremental runs.
+    ``use_bloom`` puts the sharded Bloom prefilter (D1 north-star) in front
+    of the exact URL-seen anti-join: candidates the filter proves unseen
+    skip the shuffle; possible-positives still go through the join, so
+    results are identical either way (no false negatives by construction).
     """
     pages_j = pages.select(
         F.col("url_hash").alias("p_hash"), F.col("url").alias("p_url"),
@@ -156,8 +161,22 @@ def crawl_frontier(spark: SparkSession, frontier: DataFrame, pages: DataFrame,
             F.posexplode("sub_url").alias("link_pos", "url"))
         # per-task URL-seen: exact left_anti (J2/D1) + first-occurrence in
         # (parent_pos, link_pos) order — identical to insert-on-admission
-        fresh = kids.join(seen.select("task_id", "url"),
-                          ["task_id", "url"], "left_anti")
+        if use_bloom:
+            from genesis_spark.operators.bloom import (build_bloom,
+                                                       filter_not_seen)
+            key = F.concat_ws("\x1f", F.col("task_id").cast("string"), "url")
+            bl = build_bloom(seen.select(key.alias("_k")), "_k")
+            flagged = filter_not_seen(
+                kids.withColumn("_k", key), "_k", bl).drop("_k")
+            surely_new = flagged.filter(~F.col("_maybe_seen")) \
+                .drop("_maybe_seen")
+            maybe = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+            fresh = surely_new.unionByName(
+                maybe.join(seen.select("task_id", "url"),
+                           ["task_id", "url"], "left_anti"))
+        else:
+            fresh = kids.join(seen.select("task_id", "url"),
+                              ["task_id", "url"], "left_anti")
         w_first = Window.partitionBy("task_id", "url").orderBy(
             "parent_pos", "link_pos")
         admitted = (fresh.withColumn("_rn", F.row_number().over(w_first))

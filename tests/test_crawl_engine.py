@@ -67,6 +67,24 @@ def test_document_spans_byte_exact(result, fixture_dir):
         assert got_spans == want, r.doc_id
 
 
+def test_bloom_prefilter_path_identical(spark, fixture_dir):
+    """With use_bloom=True the sharded-Bloom prefilter fronts the exact
+    anti-join; no false negatives -> identical crawl order and seen set."""
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    pages = spark.read.parquet(f"{fixture_dir}/web_pages.parquet")
+    frontier = engine.install_seeds(seeds, 8)
+    res = engine.crawl_frontier(spark, frontier, pages, use_bloom=True)
+    golden = pq.read_table(f"{fixture_dir}/crawl_order_golden.parquet") \
+        .to_pylist()
+    got = [r.asDict() for r in res["crawl_order"]
+           .select("crawl_seq", "round", "host_key", "url", "depth",
+                   "attempts", "ok").orderBy("crawl_seq").collect()]
+    assert got == golden
+    g_seen = {r["url"] for r in
+              pq.read_table(f"{fixture_dir}/seen_golden.parquet").to_pylist()}
+    assert {r.url for r in res["seen"].collect()} == g_seen
+
+
 def test_score_coverage(result):
     # fixture pages must exercise both zero and positive score branches
     scores = [r.validity_score for r in
