@@ -29,8 +29,10 @@ from genesis_spark.functions import urls as U
 from genesis_spark.functions.parse import parse_pages
 from genesis_spark.operators.seq import with_global_seq
 
-# is_uri_validator (helper_method.py:187-192): scheme + non-empty netloc
-_VALID_URI_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+"
+# is_uri_validator (helper_method.py:187-192): scheme + non-empty netloc.
+# Shared with the pure-Python oracle (urls.is_uri_valid_one) so both paths
+# admit exactly the same seed set — see the note on VALID_URI_RE in urls.py.
+_VALID_URI_RE = U.VALID_URI_RE
 
 
 def install_seeds(seeds: DataFrame,
@@ -64,7 +66,8 @@ def install_seeds(seeds: DataFrame,
 
 def install_seeds_bucketed(seeds: DataFrame,
                            bucket_budget: int = conf.WAVE_HOST_BUDGET,
-                           buckets: int = conf.POLITENESS_BUCKETS) -> DataFrame:
+                           buckets: int = conf.POLITENESS_BUCKETS,
+                           portable_bucket: bool = False) -> DataFrame:
     """Production-scale install: identical validate/canonicalize/MERGE-dedup
     pipeline, but the priority queue is salted per politeness bucket
     (Window.partitionBy(bucket)) instead of globally ordered — one shuffle,
@@ -72,7 +75,14 @@ def install_seeds_bucketed(seeds: DataFrame,
     'salted priority queue; global order reconstructed deterministically for
     verification'); ``install_seeds`` keeps the reference-exact global FIFO
     for golden runs. Within a host the order is identical (a host maps to
-    one bucket); rounds interleave across buckets instead of globally."""
+    one bucket); rounds interleave across buckets instead of globally.
+
+    ``portable_bucket`` swaps the host->bucket hash from xxhash64 (fastest,
+    JVM-only) to an md5-based one a DuckDB oracle can replay bit-for-bit —
+    the driver CORRECTNESS row runs this variant; everything downstream of
+    the bucket assignment (window rank, round) is identical, and
+    tests/test_crawl_engine.py asserts both variants agree on the per-host
+    FIFO structure."""
     from pyspark.sql import Window
 
     valid = seeds.filter(F.col("url").rlike(_VALID_URI_RE))
@@ -85,8 +95,12 @@ def install_seeds_bucketed(seeds: DataFrame,
                      F.col("first.installed_at").alias("installed_at"),
                      F.col("first.seed_id").alias("seq")))
     host_key = U.host_name_expr(F.col("url"))
-    bucketed = dedup.withColumn(
-        "bucket", F.pmod(F.xxhash64(host_key), F.lit(buckets)))
+    if portable_bucket:
+        bucket = (F.conv(F.substring(F.md5(host_key), 25, 8), 16, 10)
+                  .cast("long") % buckets)
+    else:
+        bucket = F.pmod(F.xxhash64(host_key), F.lit(buckets))
+    bucketed = dedup.withColumn("bucket", bucket)
     w = Window.partitionBy("bucket").orderBy("installed_at", "seq")
     return (bucketed
             .withColumn("bucket_rank", F.row_number().over(w) - 1)
@@ -128,6 +142,10 @@ def crawl_frontier(spark: SparkSession, frontier: DataFrame, pages: DataFrame,
     order_waves: list[DataFrame] = []
     doc_waves: list[DataFrame] = []
     cached: list[DataFrame] = []
+    bloom = None
+    if use_bloom:
+        from genesis_spark.operators.bloom import ShardedBloom
+        bloom = ShardedBloom.empty()   # grown incrementally, wave by wave
 
     for d in range(max_depth + 1):
         fetched = wave.join(
@@ -162,12 +180,10 @@ def crawl_frontier(spark: SparkSession, frontier: DataFrame, pages: DataFrame,
         # per-task URL-seen: exact left_anti (J2/D1) + first-occurrence in
         # (parent_pos, link_pos) order — identical to insert-on-admission
         if use_bloom:
-            from genesis_spark.operators.bloom import (build_bloom,
-                                                       filter_not_seen)
+            from genesis_spark.operators.bloom import filter_not_seen
             key = F.concat_ws("\x1f", F.col("task_id").cast("string"), "url")
-            bl = build_bloom(seen.select(key.alias("_k")), "_k")
             flagged = filter_not_seen(
-                kids.withColumn("_k", key), "_k", bl).drop("_k")
+                kids.withColumn("_k", key), "_k", bloom).drop("_k")
             surely_new = flagged.filter(~F.col("_maybe_seen")) \
                 .drop("_maybe_seen")
             maybe = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
@@ -189,6 +205,14 @@ def crawl_frontier(spark: SparkSession, frontier: DataFrame, pages: DataFrame,
                 .persist())
         cached.append(wave)
         seen = seen.unionByName(wave.select("task_id", "url", "host_key"))
+        if use_bloom:
+            # incremental: hash only THIS wave's admissions into the filter
+            # (a from-scratch rebuild would re-hash the whole seen set every
+            # wave — O(total rows) per wave instead of O(new rows))
+            from genesis_spark.operators.bloom import build_bloom
+            key = F.concat_ws("\x1f", F.col("task_id").cast("string"), "url")
+            bloom = bloom.union(
+                build_bloom(wave.select(key.alias("_k")), "_k"))
 
     all_rows = order_waves[0]
     for w in order_waves[1:]:

@@ -12,8 +12,10 @@ The Spark rebuild replaces all shared state with computed partitioning:
   round-robin counter (J5);
 * ``repartition(B, bucket)`` pins every URL of a host to exactly one task,
   so a host is never fetched concurrently with itself;
-* inside each partition a token-bucket paces requests per host, and rows
-  are processed in (host_key, priority) order so per-host FIFO survives.
+* inside each partition a token-bucket paces requests per host; pass
+  ``order_col`` to ``paced_fetch`` to fetch each host's rows in a defined
+  order (sort is by (host_key, order_col) — without it only per-host
+  serialization is guaranteed, not FIFO, since Spark's sort is not stable).
 
 In the sandbox the fetch function is injected (the web_pages dict join is
 the test path); the pacing/partitioning machinery is the real, tested
@@ -42,14 +44,22 @@ def paced_fetch(df: DataFrame,
                 fetch_fn: Callable[[str], tuple[int, str | None, str | None]],
                 url_col: str = "url", host_col: str = "host_key",
                 buckets: int = conf.POLITENESS_BUCKETS,
-                per_host_delay_s: float = 0.0) -> DataFrame:
+                per_host_delay_s: float = 0.0,
+                order_col: str | None = None) -> DataFrame:
     """Fetch every row's URL with per-host serialization + pacing.
 
-    One Spark task per politeness bucket; within a task rows are fetched in
-    (host_key, input order) sequence, waiting ``per_host_delay_s`` between
-    consecutive requests to the same host (the reference's 5 s inter-host
-    sleep generalized to a per-host token bucket). ``fetch_fn`` returns
+    One Spark task per politeness bucket, so a host is never fetched
+    concurrently with itself; a token bucket waits ``per_host_delay_s``
+    between consecutive requests to the same host (the reference's 5 s
+    inter-host sleep generalized per host). With ``order_col`` set, rows are
+    fetched in (host_key, order_col) order — per-host FIFO; without it only
+    per-host serialization is guaranteed (Spark's sort is not stable, so
+    "input order" is not a thing after a shuffle). ``fetch_fn`` returns
     (status, final_url, html) and must be picklable.
+
+    The per-row ``iterrows`` loop here is deliberate: fetching is I/O-bound
+    and pacing is inherently sequential per host — do NOT copy this pattern
+    into compute operators.
     """
     import pandas as pd
 
@@ -61,9 +71,10 @@ def paced_fetch(df: DataFrame,
         T.StructField("fetched_html", T.StringType(), True),
     ])
 
+    sort_cols = [host_col] + ([order_col] if order_col else [])
     bucketed = (with_politeness_bucket(df, host_col, buckets)
                 .repartition(buckets, "bucket")
-                .sortWithinPartitions(host_col))
+                .sortWithinPartitions(*sort_cols))
 
     def run(batches):
         last_hit: dict[str, float] = {}

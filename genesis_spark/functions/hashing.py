@@ -4,8 +4,8 @@ star; the reference keeps raw URL strings, duplication_handler.py:3-19).
 ``xxh64`` is a pure-Python XXH64 used by the fixture generator and the oracle
 crawler so goldens carry the *same* hash values Spark computes JVM-side with
 ``F.xxhash64`` (seed 42, UTF-8 bytes). Equality is test-enforced
-(tests/test_hashing.py); the engine's hot path always uses the codegen
-expression, never this kernel.
+(tests/test_operators.py::test_xxh64_matches_spark); the engine's hot path
+always uses the codegen expression, never this kernel.
 """
 
 from __future__ import annotations

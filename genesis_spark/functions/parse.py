@@ -489,7 +489,8 @@ def parse_page(url: str, html: str, network: str | None = None,
 
 def parse_pages(df, url_col: str = "url", html_col: str = "html",
                 network_col: str | None = None,
-                passthrough: list[str] | None = None):
+                passthrough: list[str] | None = None,
+                dictionary=None):
     """Distributed parse: ``mapInPandas`` over Arrow batches — one
     ``parse_page`` call per row inside the batch, zero driver-side work.
     Input partitioning is preserved (no shuffle); pair with a host-bucket
@@ -498,6 +499,11 @@ def parse_pages(df, url_col: str = "url", html_col: str = "html",
     ``passthrough`` columns from the input are carried into the output
     unchanged (prepended to the PARSED_PAGE schema) so callers keep task
     identity without a join-back.
+
+    ``dictionary``: a frozenset of known words for the sentence gate
+    (T9/T10), or a ``sparkContext.broadcast`` of one (preferred for big
+    wordlists — ships once per executor instead of once per task); None ->
+    the built-in stand-in. Load from a file with text.load_dictionary().
     """
     import pandas as pd  # noqa: F401  (executor-side import)
 
@@ -513,6 +519,11 @@ def parse_pages(df, url_col: str = "url", html_col: str = "html",
     out_names = [f.name for f in out_schema]
 
     def _run(batches):
+        dic = dictionary
+        if dic is not None and hasattr(dic, "value"):   # Broadcast
+            dic = dic.value
+        if dic is None:
+            dic = TX.DICTIONARY
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
@@ -521,7 +532,7 @@ def parse_pages(df, url_col: str = "url", html_col: str = "html",
                 if html is None:
                     continue
                 net = d.get(network_col) if network_col else None
-                parsed = parse_page(d[url_col], html, net)
+                parsed = parse_page(d[url_col], html, net, dictionary=dic)
                 for c in passthrough:
                     parsed[c] = d[c]
                 rows.append(parsed)

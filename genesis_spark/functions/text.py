@@ -47,6 +47,25 @@ quality score count total number list item entry key value source target
 """.split())
 
 
+def load_dictionary(path: str | None = None) -> frozenset[str]:
+    """File-backed spell dictionary, the reference's loading shape verbatim
+    (spell_check_handler.py:39-44: ``set(open(path).read().split())``).
+    ``path=None`` falls back to the frozen fixture-vocabulary stand-in
+    above; a repo-shipped default lives at genesis_spark/data/dictionary.txt
+    (the shape of the reference's app/raw/dictionary). A missing explicit
+    path raises — silent fallback would quietly change parse goldens."""
+    if path is None:
+        return DICTIONARY
+    with open(path) as f:
+        return frozenset(f.read().split())
+
+
+def default_dictionary_path() -> str:
+    import os
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "dictionary.txt")
+
+
 def strip_special_character(text: str) -> str:
     """helper_method.py:29-31 — drop leading non-word run."""
     return re.sub(r"^\W+", "", text)

@@ -59,13 +59,23 @@ def normalize_slashes_one(url: str) -> str:
     return joined
 
 
+# Single source of truth for URI admission, shared verbatim by the Spark
+# install path (engine.install_seeds* .rlike) and the pure-Python oracle:
+# anchored scheme + non-empty authority. Deliberately STRICTER than
+# urlparse-based validation (helper_method.py:187-192): py>=3.10 urlparse
+# strips leading whitespace/control chars, so ' http://x.onion' would pass
+# there but silently diverge between engines — the anchored regex pins one
+# behavior on both paths (fixture seed ' http://leading-space.onion'
+# exercises the edge).
+VALID_URI_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+"
+
+_VALID_URI_COMPILED = re.compile(VALID_URI_RE)
+
+
 def is_uri_valid_one(url: str) -> bool:
-    """helper_method.is_uri_validator (:187-192): scheme and netloc present."""
-    try:
-        r = urlparse(url)
-        return bool(r.scheme) and bool(r.netloc)
-    except Exception:
-        return False
+    """is_uri_validator semantics (helper_method.py:187-192) via the shared
+    ``VALID_URI_RE`` predicate — see note above for the whitespace edge."""
+    return url is not None and _VALID_URI_COMPILED.match(url) is not None
 
 
 def network_type_one(url: str) -> str:

@@ -1,0 +1,119 @@
+"""Per-host topic-classifier harness (M1 + J6 + D8).
+
+Reference flow: every parsed page asks ``trigger_topic_classifier``; the
+result is memoized per base_url (shared_data_controller.py:40-52), so the
+model runs ONCE per host — on whichever page reaches it first — and the
+model itself is a lazily-constructed singleton per process
+(topic_classifier_model.py:11-14, loaded once, reused).
+
+Spark-first translation:
+  * D8 (per-host cache)  -> dedup BEFORE the model: one representative row
+    per base_url (first page in (depth, pos) order — per-host FIFO means
+    that is exactly the page the reference would have memoized);
+  * M1 (model invoke)    -> ONE mapInPandas over the representatives with
+    a lazy per-python-worker model load (module-level cache, the
+    ``pipeline(...)`` singleton pattern);
+  * J6 (join-back)       -> broadcast join of the (hosts << pages) label
+    table back onto the page stream.
+
+At 100 TB: the model only ever sees |distinct hosts| rows; pages never
+cross the Python boundary; the label table is O(hosts) and broadcasts.
+
+The default model is a deterministic stub with the reference's DECISION
+shape (input = (title+description+keyword)[:512], empty -> 'general',
+sub-threshold confidence -> 'general'; topic_classifier_model.py:15-31) —
+swap ``model_factory`` for a real transformers pipeline outside this
+sandbox.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from genesis_spark import conf
+
+MAX_INPUT_CHARS = 512      # topic_classifier_model.py:17-19
+SCORE_THRESHOLD = 0.45     # topic_classifier_model.py:28
+
+# per-python-worker model cache: factory runs once per worker process, like
+# the reference's singleton pipeline load (topic_classifier_model.py:11-14)
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def stub_model_factory() -> Callable[[str], list[str]]:
+    """Deterministic model stand-in: md5-derived (label, score), the
+    reference's thresholding applied verbatim."""
+    vocab = conf.VALID_CONTENT_TYPES
+
+    def predict(input_text: str) -> list[str]:
+        if not input_text:
+            return [conf.CONTENT_TYPE_GENERAL]
+        h = hashlib.md5(input_text.encode()).digest()
+        score = h[0] / 255.0
+        label = vocab[h[1] % len(vocab)]
+        if score > SCORE_THRESHOLD:
+            return [label]
+        return [conf.CONTENT_TYPE_GENERAL]
+
+    return predict
+
+
+def classify_hosts(pages: DataFrame,
+                   model_factory: Callable = stub_model_factory,
+                   model_key: str = "topic-stub",
+                   base_col: str = "base_url", title_col: str = "title",
+                   desc_col: str = "important_content",
+                   keyword_col: str = "content",
+                   order_cols: tuple = ("depth", "pos"),
+                   call_counter=None, load_counter=None) -> DataFrame:
+    """Label table (base_url, content_type) — ONE model call per distinct
+    host, fed the host's first page in ``order_cols`` order.
+
+    ``call_counter`` / ``load_counter`` accept Spark accumulators so tests
+    can prove call-per-host and load-per-worker counts.
+    """
+    w = Window.partitionBy(base_col).orderBy(*order_cols)
+    rep = (pages
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .select(F.col(base_col).alias("base_url"),
+                   F.col(title_col).alias("_t"),
+                   F.col(desc_col).alias("_d"),
+                   F.col(keyword_col).alias("_k")))
+
+    def run(batches):
+        if model_key not in _MODEL_CACHE:
+            _MODEL_CACHE[model_key] = model_factory()
+            if load_counter is not None:
+                load_counter.add(1)
+        model = _MODEL_CACHE[model_key]
+        for pdf in batches:
+            labels = []
+            for t, d, k in zip(pdf["_t"], pdf["_d"], pdf["_k"]):
+                text = ((t or "") + (d or "") + (k or ""))[:MAX_INPUT_CHARS]
+                labels.append(model(text))
+            if call_counter is not None and len(pdf):
+                call_counter.add(len(pdf))
+            yield pd.DataFrame({"base_url": pdf["base_url"],
+                                "content_type": labels})
+
+    return rep.mapInPandas(run, "base_url string, "
+                                "content_type array<string>")
+
+
+def with_host_labels(pages: DataFrame, labels: DataFrame,
+                     base_col: str = "base_url") -> DataFrame:
+    """J6: broadcast the O(hosts) label table back onto the page stream;
+    unlabeled hosts fall back to 'general' (the reference's default)."""
+    joined = pages.join(
+        F.broadcast(labels.withColumnRenamed("base_url", base_col)),
+        base_col, "left")
+    return joined.withColumn(
+        "content_type",
+        F.coalesce("content_type",
+                   F.array(F.lit(conf.CONTENT_TYPE_GENERAL))))

@@ -89,53 +89,145 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("doc_a", "doc_b", "est_jaccard"))
 
 
-def word_hashes_expr(text: Column) -> Column:
-    """Per-word 16-bit hash array (first 4 hex of md5). Materialize this in
-    its own projection — referencing it from the 16 bit-vote aggregates
-    below would otherwise inline the md5 transform 16x per row."""
-    return F.transform(F.split(text, " "), lambda w: F.conv(
-        F.substring(F.md5(w), 1, 4), 16, 10).cast("int"))
+def _bit_votes(b: int, h: str = "_h") -> Column:
+    # +1/-1 vote for bit b of the word hash; summed per doc in ONE groupBy
+    # pass (explode + grouped conditional sums — the single-traversal shape;
+    # the previous impl ran one F.aggregate array traversal PER BIT and cost
+    # 45% of the whole bench suite)
+    return F.sum(
+        F.when(F.shiftright(F.col(h), b).bitwiseAND(F.lit(1)) == 1, 1)
+        .otherwise(-1)).alias(f"s{b}")
 
 
-def simhash16_from_hashes(hashes: Column) -> Column:
-    """16-bit SimHash: fingerprint bit b is the sign of the +-1 vote sum
-    over the words' bit b."""
+def _bits_from_votes(bits: range, votes) -> Column:
+    """Assemble a fingerprint int from sign-of-vote columns: bit i of the
+    result is set iff votes[bits[i]] > 0."""
     out = F.lit(0)
-    for b in range(16):
-        p = 1 << b
-        votes = F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(
-                (F.floor(h / p).cast("int") % 2) == 1, 1).otherwise(-1))
-        out = out + F.when(votes > 0, p).otherwise(0)
+    for i, b in enumerate(bits):
+        out = out + F.when(votes(b) > 0, 1 << i).otherwise(0)
     return out
 
 
 def simhash_buckets(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Docs grouped by identical 16-bit simhash: (simhash, n_docs, doc_ids
-    sorted). Buckets with n_docs > 1 are near-duplicate candidates."""
-    sh = (docs
-          .select(F.col(id_col),
-                  word_hashes_expr(F.col(text_col)).alias("_hs"))
-          .select(F.col(id_col),
-                  simhash16_from_hashes(F.col("_hs")).alias("simhash")))
+    sorted). Buckets with n_docs > 1 are near-duplicate candidates.
+
+    Plan shape: explode words -> one 16-bit md5 hash per word -> ONE groupBy
+    with 16 conditional sums -> sign assembly. Single pass over the data,
+    all JVM-side. (16-bit buckets are a small-corpus demo; the scale path
+    is ``simhash64_pairs`` — 65k buckets collapse at 10^9 docs.)"""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("_w"))
+    hashes = words.select(
+        id_col,
+        F.conv(F.substring(F.md5("_w"), 1, 4), 16, 10).cast("int").alias("_h"))
+    votes = hashes.groupBy(id_col).agg(*[_bit_votes(b) for b in range(16)])
+    sh = votes.select(
+        F.col(id_col),
+        _bits_from_votes(range(16), lambda b: F.col(f"s{b}")).alias("simhash"))
     return (sh.groupBy("simhash")
             .agg(F.count("*").alias("n_docs"),
                  F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
             .filter(F.col("n_docs") > 1))
 
 
+N_SIMHASH_BITS = 64
+N_SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = N_SIMHASH_BITS // N_SIMHASH_BANDS
+
+
+def simhash64_signatures(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """One row per doc: seg0..seg3, the 64-bit SimHash split into 4 16-bit
+    band segments (seg_k holds fingerprint bits 16k..16k+15). Keeping the
+    fingerprint as 4 small ints avoids BIGINT sign games and makes the band
+    keys directly joinable. Word hash = md5 first 16 hex = 64 bits, read as
+    two 32-bit halves (each fits a BIGINT without sign issues)."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("_w"))
+    hashes = words.select(
+        id_col,
+        F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10)
+        .cast("long").alias("_hi"),
+        F.conv(F.substring(F.md5("_w"), 9, 8), 16, 10)
+        .cast("long").alias("_lo"))
+    votes = hashes.groupBy(id_col).agg(
+        *[_bit_votes(b, "_lo") for b in range(32)],
+        *[F.sum(F.when(F.shiftright(F.col("_hi"), b)
+                       .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+          .alias(f"s{32 + b}") for b in range(32)])
+    segs = [
+        _bits_from_votes(range(k * SIMHASH_BAND_BITS,
+                               (k + 1) * SIMHASH_BAND_BITS),
+                         lambda b: F.col(f"s{b}")).alias(f"seg{k}")
+        for k in range(N_SIMHASH_BANDS)]
+    return votes.select(F.col(id_col), *segs)
+
+
+def simhash64_pairs(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash with banded LSH: candidates share at
+    least one of 4 16-bit segments (pigeonhole: any pair within hamming
+    distance 3 MUST share a segment; max_hamming=8 keeps looser near-dups
+    that happen to collide on a band). Emits (doc_a, doc_b, hamming) — pair
+    output, never bucket membership arrays, so no per-bucket collect_list to
+    OOM on at 10^9+ docs. Candidate generation is 4 two-column equi-joins."""
+    sig = simhash64_signatures(docs, id_col, text_col).persist()
+    cand = None
+    for k in range(N_SIMHASH_BANDS):
+        left = sig.select(F.col(id_col).alias("doc_a"),
+                          F.col(f"seg{k}").alias("_bk"))
+        right = sig.select(F.col(id_col).alias("doc_b"),
+                           F.col(f"seg{k}").alias("_bk"))
+        p = (left.join(right, "_bk")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b"))
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    sa = sig.select(F.col(id_col).alias("doc_a"),
+                    *[F.col(f"seg{k}").alias(f"a{k}")
+                      for k in range(N_SIMHASH_BANDS)])
+    sb = sig.select(F.col(id_col).alias("doc_b"),
+                    *[F.col(f"seg{k}").alias(f"b{k}")
+                      for k in range(N_SIMHASH_BANDS)])
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")))
+        for k in range(N_SIMHASH_BANDS))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_gram: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_df: int | None = None) -> DataFrame:
     """Exact jaccard over distinct shingle sets, computed by explode +
     self-equi-join on shingle + count ratio (scalable set intersection —
-    no cross join; skew-prone hot shingles are bounded by the vocabulary)."""
+    no cross join).
+
+    ``max_df`` is the hot-shingle guard: a shingle occurring in more than
+    max_df documents is dropped from every document's shingle set BEFORE
+    sizes and the self-join, bounding the per-key join fan-out at max_df^2
+    (without it a boilerplate shingle shared by 10^6 docs would attempt a
+    10^12-row join group). Jaccard is then exact over the FILTERED sets —
+    mirror the same cap in any oracle."""
     sh = docs.select(
         F.col(id_col).alias("d"),
         F.explode(shingles_expr(F.col(text_col), n_gram)).alias("shingle")
-    ).distinct().persist()   # reused 3x (sizes + both join sides)
+    ).distinct()
+    if max_df is not None:
+        keep = (sh.groupBy("shingle")
+                .agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("shingle"))
+        sh = sh.join(keep, "shingle")
+    sh = sh.persist()        # reused 3x (sizes + both join sides)
     sizes = sh.groupBy("d").agg(F.count("*").alias("n_shingles"))
     common = (sh.alias("x").join(sh.alias("y"),
                                  (F.col("x.shingle") == F.col("y.shingle")) &

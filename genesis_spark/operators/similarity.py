@@ -57,19 +57,32 @@ def cosine_topk(base: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "rank", "neighbor_id"))
 
 
-def hyperplane_signature_expr(vec: Column, n_planes: int = 8) -> Column:
-    """Deterministic random-hyperplane sign signature: plane p's component i
-    is +1 iff hex digit (md5(p|i) first nibble) >= 8. Engine-portable."""
+def hyperplane_signs(table: int, n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic +-1 hyperplane components, computed ONCE on the driver:
+    plane p's component i is +1 iff the first hex nibble of
+    md5(f"{table}|{p}|{i}") >= 8. Engine-portable (an oracle can bake the
+    same literals); the old per-row expression recomputed this md5 per
+    (row x plane x dimension) for values that are constants of (plane, dim).
+    """
+    import hashlib
+
+    return [[1.0 if int(hashlib.md5(f"{table}|{p}|{i}".encode())
+                        .hexdigest()[0], 16) >= 8 else -1.0
+             for i in range(dim)]
+            for p in range(n_planes)]
+
+
+def hyperplane_signature_expr(vec: Column, table: int, n_planes: int,
+                              dim: int) -> Column:
+    """Sign signature of ``vec`` against the precomputed plane literals:
+    bit p = 1 iff dot(vec, plane_p) > 0. The planes are embedded as array
+    literals, so the whole expression is codegen'd arithmetic — no hashing
+    in the per-row path."""
     sig = F.lit(0)
-    for p in range(n_planes):
+    for p, signs in enumerate(hyperplane_signs(table, n_planes, dim)):
+        plane = F.array(*[F.lit(s) for s in signs])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda v, i: v * F.when(
-                    F.conv(F.substring(
-                        F.md5(F.concat_ws("|", F.lit(str(p)), i.cast("string"))),
-                        1, 1), 16, 10).cast("int") >= 8, 1.0).otherwise(-1.0)),
+            F.zip_with(vec, plane, lambda v, s: v.cast("double") * s),
             F.lit(0.0), lambda acc, v: acc + v)
         sig = sig + F.when(proj > 0, 1 << p).otherwise(0)
     return sig
@@ -77,17 +90,32 @@ def hyperplane_signature_expr(vec: Column, n_planes: int = 8) -> Column:
 
 def lsh_topk(base: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_planes: int = 8) -> DataFrame:
-    """Approximate top-k: exact cosine only among vectors sharing the
-    hyperplane signature bucket. Recall < 1.0 by design; bucket-join keeps
-    the pair count ~|base| * avg_bucket_occupancy instead of |Q| * |base|."""
-    sig = hyperplane_signature_expr(F.col(vec_col), n_planes)
-    b = base.select(F.col(id_col).alias("neighbor_id"),
-                    F.col(vec_col).alias("b_vec"), sig.alias("bucket"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"), sig.alias("bucket"))
-    scored = (b.join(q, "bucket")
-              .filter(F.col("query_id") != F.col("neighbor_id"))
+             n_planes: int = 8, n_tables: int = 4,
+             dim: int | None = None) -> DataFrame:
+    """Approximate top-k: exact cosine only among vectors sharing a
+    hyperplane signature bucket in ANY of ``n_tables`` independent tables
+    (standard multi-table LSH — one table's recall is limited by its bucket
+    occupancy; unioning tables multiplies recall at linear candidate cost).
+    Candidate generation is one 2-column equi-join per table, so the base
+    shuffles by bucket instead of cross-joining |Q| x |base|. Recall < 1 by
+    design; measured vs ``cosine_topk`` in tests/test_operators.py."""
+    if dim is None:
+        dim = len(base.select(vec_col).head()[0])
+    b_all = base.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("b_vec"))
+    q_all = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("q_vec"))
+    cand = None
+    for t in range(n_tables):
+        sig_b = hyperplane_signature_expr(F.col("b_vec"), t, n_planes, dim)
+        sig_q = hyperplane_signature_expr(F.col("q_vec"), t, n_planes, dim)
+        p = (b_all.withColumn("bucket", sig_b)
+             .join(q_all.withColumn("bucket", sig_q), "bucket")
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id"))
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    scored = (cand.join(b_all, "neighbor_id").join(q_all, "query_id")
               .withColumn("cos", cosine_expr(F.col("q_vec"), F.col("b_vec"))))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))

@@ -233,6 +233,42 @@ FROM orders GROUP BY 1
 """
 
 
+def q_frontier_install_bucketed(spark, sf_dir):
+    """The 10^10-row install path (no global-rank barrier): priority rank is
+    a window per politeness bucket. portable_bucket=True swaps xxhash64 for
+    the md5-derived bucket hash so DuckDB can replay the assignment."""
+    frontier = engine.install_seeds_bucketed(
+        _orders_seeds(spark, sf_dir), bucket_budget=8, buckets=16,
+        portable_bucket=True)
+    return frontier.select("url", "installed_at", "seq", "bucket",
+                           "bucket_rank", "round")
+
+
+ORACLE_FRONTIER_INSTALL_BUCKETED = """
+WITH raw AS (
+  SELECT 'http://host' || (o_orderkey % 200) || '.onion' AS url,
+         o_orderdate AS installed_at, o_orderkey AS seq
+  FROM orders
+), ded AS (
+  SELECT url, installed_at, seq FROM (
+    SELECT *, row_number() OVER (PARTITION BY url
+                                 ORDER BY installed_at, seq) AS rn
+    FROM raw) WHERE rn = 1
+), b AS (
+  SELECT url, installed_at, seq,
+         CAST(concat('0x', substr(md5(
+             regexp_extract(url, '^http://([^./]+)', 1)), 25, 8)) AS BIGINT)
+         % 16 AS bucket
+  FROM ded
+)
+SELECT url, installed_at, seq, bucket, bucket_rank,
+       CAST(bucket_rank // 8 AS INT) AS round
+FROM (SELECT *, row_number() OVER (PARTITION BY bucket
+                                   ORDER BY installed_at, seq) - 1
+             AS bucket_rank FROM b)
+"""
+
+
 def q_seen_anti_join(spark, sf_dir):
     new = _t(spark, sf_dir, "lineitem").select(
         F.concat(F.lit("http://u"), (F.col("l_orderkey") % 1000).cast("string"),
@@ -356,14 +392,67 @@ FROM s GROUP BY simhash HAVING count(*) > 1
 ORACLE_DEDUP_SIMHASH = _simhash_oracle()
 
 
+def q_dedup_simhash64(spark, sf_dir):
+    """The scale-path simhash: 64-bit fingerprint, 4x16-bit band equi-joins,
+    pair output (no per-bucket membership arrays)."""
+    return D.simhash64_pairs(_corpus(spark, sf_dir), max_hamming=8)
+
+
+def _simhash64_oracle() -> str:
+    votes = ",\n  ".join(
+        [f"sum(CASE WHEN (lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+         for b in range(32)] +
+        [f"sum(CASE WHEN (hi >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{32 + b}"
+         for b in range(32)])
+    segs = ",\n  ".join(
+        " + ".join(f"(CASE WHEN s{16 * k + i} > 0 THEN {1 << i} ELSE 0 END)"
+                   for i in range(16)) + f" AS seg{k}"
+        for k in range(D.N_SIMHASH_BANDS))
+    cand = "\nUNION\n".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sg a "
+        f"JOIN sg b ON a.seg{k} = b.seg{k} AND a.doc_id < b.doc_id"
+        for k in range(D.N_SIMHASH_BANDS))
+    ham = " + ".join(f"bit_count(xor(sa.seg{k}, sb.seg{k}))"
+                     for k in range(D.N_SIMHASH_BANDS))
+    return f"""
+WITH {_CORPUS_SQL},
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus),
+h AS (SELECT doc_id,
+        CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hi,
+        CAST(concat('0x', substr(md5(word), 9, 8)) AS BIGINT) AS lo
+      FROM w),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+sg AS (SELECT doc_id, {segs} FROM v),
+cand AS ({cand})
+SELECT cand.doc_a, cand.doc_b, CAST({ham} AS INTEGER) AS hamming
+FROM cand
+JOIN sg sa ON sa.doc_id = cand.doc_a
+JOIN sg sb ON sb.doc_id = cand.doc_b
+WHERE {ham} <= 8
+"""
+
+
+ORACLE_DEDUP_SIMHASH64 = _simhash64_oracle()
+
+
+_NGRAM_MAX_DF = 50
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.6)
+    # max_df: hot-shingle guard — a shingle in > max_df docs is dropped from
+    # every shingle set before the self-join (bounds join fan-out at
+    # max_df^2 per shingle); the oracle applies the identical cap
+    return D.ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.6,
+                                 max_df=_NGRAM_MAX_DF)
 
 
 ORACLE_DEDUP_NGRAM = f"""
 WITH {_CORPUS_SQL},
 {_shingle_sql(3)},
-dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+dsh0 AS (SELECT DISTINCT doc_id, shingle FROM sh),
+keep AS (SELECT shingle FROM dsh0 GROUP BY shingle
+         HAVING count(*) <= {_NGRAM_MAX_DF}),
+dsh AS (SELECT doc_id, dsh0.shingle FROM dsh0 JOIN keep USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
 common AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
@@ -405,6 +494,66 @@ SELECT query_id, rnk AS rank, neighbor_id FROM (
                             ORDER BY cos DESC, neighbor_id ASC) AS rnk
   FROM scored) WHERE rnk <= 5
 """
+
+
+_LSH_TABLES, _LSH_PLANES, _LSH_DIM = 4, 4, 64
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """The scale path for similarity search: multi-table hyperplane-LSH
+    candidates (bucket equi-joins), exact cosine + top-k only within the
+    candidate set. Plane sign vectors are driver-side literals (constants of
+    (table, plane, dim) — never recomputed per row). 4 tables x 4 planes is
+    the fixture-tuned setting (recall vs brute force measured in
+    tests/test_operators.py and BENCH.md)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                        n_planes=_LSH_PLANES, n_tables=_LSH_TABLES,
+                        dim=_LSH_DIM)
+
+
+def _lsh_oracle() -> str:
+    sig_cols = []
+    for t in range(_LSH_TABLES):
+        terms = []
+        for p, signs in enumerate(
+                SIM.hyperplane_signs(t, _LSH_PLANES, _LSH_DIM)):
+            lit = "[" + ", ".join(f"{s:.1f}" for s in signs) + "]"
+            terms.append(
+                f"(CASE WHEN list_sum(list_transform(range({_LSH_DIM}), "
+                f"i -> embedding[i+1]::DOUBLE * ({lit})[i+1])) > 0 "
+                f"THEN {1 << p} ELSE 0 END)")
+        sig_cols.append(" + ".join(terms) + f" AS bucket{t}")
+    sig_sql = ",\n  ".join(sig_cols)
+    cand = "\nUNION\n".join(
+        f"SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id "
+        f"FROM sig q JOIN sig b ON q.bucket{t} = b.bucket{t} "
+        f"AND q.vec_id < 10 AND b.vec_id != q.vec_id"
+        for t in range(_LSH_TABLES))
+    return f"""
+WITH sig AS (SELECT vec_id, {sig_sql} FROM embeddings),
+cand AS ({cand}),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(range(len(q.embedding)),
+             i -> q.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(len(q.embedding)),
+             i -> q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(len(b.embedding)),
+             i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))))
+         AS cos
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id)
+SELECT query_id, rnk AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
+
+
+ORACLE_ANN_LSH = _lsh_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -500,9 +649,10 @@ def q_text_token_count(spark, sf_dir):
 
 ORACLE_TEXT_TOKEN_COUNT = r"""
 SELECT source,
-       sum(len(string_split(text, ' '))) AS total_ws_tokens,
-       sum(len(regexp_extract_all(text,
-           '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe_tokens
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text,
+           '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+           AS total_bpe_tokens
 FROM documents GROUP BY source
 """
 
@@ -527,6 +677,80 @@ fp AS (SELECT doc_id, min(substr(md5(shingle), 1, 16)) AS fp
 SELECT fp, count(*) AS n_docs,
        string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids_csv
 FROM fp GROUP BY fp HAVING count(*) > 1
+"""
+
+
+def q_leak_dispatch(spark, sf_dir):
+    """M4/S7: leak-site registry dispatch + per-site extraction. Pages are
+    synthesized from the documents table (two registered site shapes + one
+    unregistered host that the dispatch join must drop); the REAL extractors
+    run in mapInPandas — the oracle replays the extraction arithmetic on the
+    same synthesized structure."""
+    from genesis_spark import leaks as L
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    zone_url = F.concat(F.lit("http://mirror-archive.onion/zone/"),
+                        k.cast("string"))
+    victim_url = F.concat(F.lit("http://victim-board.onion/v/"),
+                          k.cast("string"))
+    other_url = F.concat(F.lit("http://unknown-site.onion/p/"),
+                         k.cast("string"))
+    zone_html = F.concat(
+        F.lit('<html><body><div class="zone"><td class="attacker">A'),
+        k.cast("string"),
+        F.lit('</td><td class="date">2024-01-15</td>'
+              '<div class="defacement">'),
+        F.col("text"), F.lit('</div></div></body></html>'))
+    victim_html = F.concat(
+        F.lit('<html><body><ul>'),
+        F.array_join(F.transform(
+            F.slice(F.split(F.col("text"), " "), 1, 12),
+            lambda w: F.concat(F.lit('<li class="list-group-item">'
+                                     'Victime: '), w, F.lit('</li>'))), ""),
+        F.lit('</ul></body></html>'))
+    pages = d.select(
+        F.when(k % 3 == 0, zone_url).when(k % 3 == 1, victim_url)
+        .otherwise(other_url).alias("url"),
+        F.when(k % 3 == 0, zone_html).when(k % 3 == 1, victim_html)
+        .otherwise(F.lit("<html></html>")).alias("html"))
+    cards = L.dispatch_leak_parse(pages)
+    return cards.select("host_key", "m_url", "card_pos", "batch_id",
+                        "m_title", "m_network", "m_important_content",
+                        "m_content", "m_leak_date")
+
+
+ORACLE_LEAK_DISPATCH = """
+WITH zone AS (
+  SELECT 'mirror-archive' AS host_key,
+         'http://mirror-archive.onion/zone/' || doc_id AS m_url,
+         0 AS card_pos, 0 AS batch_id,
+         'Hacked by A' || doc_id AS m_title,
+         'onion' AS m_network,
+         CASE WHEN len(w) > 500 THEN array_to_string(w[1:500], ' ')
+              ELSE text END AS m_important_content,
+         CASE WHEN len(w) > 500 THEN array_to_string(w[501:len(w)], ' ')
+              ELSE '' END AS m_content,
+         '2024-01-15' AS m_leak_date
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id % 3 = 0)
+), victims AS (
+  SELECT 'victim-board' AS host_key,
+         'http://victim-board.onion/v/' || doc_id AS m_url,
+         CAST(u['i'] AS INT) AS card_pos,
+         CAST(u['i'] // 10 AS INT) AS batch_id,
+         rtrim(u['w'], '.') AS m_title,
+         'onion' AS m_network,
+         rtrim(u['w'], '.') AS m_important_content,
+         '' AS m_content,
+         NULL AS m_leak_date
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(least(len(w), 10)),
+                      i -> {'i': i, 'w': w[i + 1]})) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id % 3 = 1))
+)
+SELECT * FROM zone UNION ALL SELECT * FROM victims
 """
 
 
@@ -607,6 +831,7 @@ QUERIES = {
     "url_host_key": q_url_host_key,
     "url_ext_bucket": q_url_ext_bucket,
     "frontier_install": q_frontier_install,
+    "frontier_install_bucketed": q_frontier_install_bucketed,
     "frontier_wave_select": q_frontier_wave_select,
     "frontier_host_agg": q_frontier_host_agg,
     "seen_anti_join": q_seen_anti_join,
@@ -614,8 +839,10 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash64": q_dedup_simhash64,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,
@@ -623,6 +850,7 @@ QUERIES = {
     "events_windowed": q_events_windowed,
     "pricing_summary": q_pricing_summary,
     "dispatch_join": q_dispatch_join,
+    "leak_dispatch": q_leak_dispatch,
 }
 
 ORACLES = {
@@ -631,6 +859,7 @@ ORACLES = {
     "url_host_key": ORACLE_URL_HOST_KEY,
     "url_ext_bucket": ORACLE_URL_EXT_BUCKET,
     "frontier_install": ORACLE_FRONTIER_INSTALL,
+    "frontier_install_bucketed": ORACLE_FRONTIER_INSTALL_BUCKETED,
     "frontier_wave_select": ORACLE_FRONTIER_WAVE_SELECT,
     "frontier_host_agg": ORACLE_FRONTIER_HOST_AGG,
     "seen_anti_join": ORACLE_SEEN_ANTI_JOIN,
@@ -638,8 +867,10 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_simhash64": ORACLE_DEDUP_SIMHASH64,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "ann_cosine_topk": ORACLE_ANN_COSINE,
+    "ann_lsh_topk": ORACLE_ANN_LSH,
     "text_lang_id": ORACLE_TEXT_LANG_ID,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_token_count": ORACLE_TEXT_TOKEN_COUNT,
@@ -647,6 +878,7 @@ ORACLES = {
     "events_windowed": ORACLE_EVENTS_WINDOWED,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "dispatch_join": ORACLE_DISPATCH_JOIN,
+    "leak_dispatch": ORACLE_LEAK_DISPATCH,
 }
 
 

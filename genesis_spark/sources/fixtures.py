@@ -181,6 +181,10 @@ def generate(n_onion_hosts: int = 16, n_i2p: int = 2, n_clearnet: int = 2,
     # invalid feeder entries (is_uri_validator gate, crawl_model.py:113-118)
     seeds.append({"url": "not a url at all"})
     seeds.append({"url": "/relative/only"})
+    # leading whitespace: urlparse (py>=3.10) would strip and accept this;
+    # the shared anchored VALID_URI_RE rejects it on BOTH the Spark and
+    # oracle paths — pins the edge the two validators used to diverge on
+    seeds.append({"url": " http://leading-space.onion"})
 
     rng.shuffle(seeds)
     for i, s in enumerate(seeds):

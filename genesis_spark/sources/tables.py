@@ -6,7 +6,8 @@ module provides the same API surface over plain parquet directories:
 
     root/
       snap-00000/<table>/...parquet     append deltas committed that round
-      snap-00000/manifest.json          {snapshot_id, parent, round, counts}
+      snap-00000/manifest.json          {snapshot_id, parent, committed_at,
+                                         tables, **meta (round, seq_offset)}
       ...
 
 * append-style tables (crawl_order/seen/documents/metrics) commit only the
@@ -64,11 +65,9 @@ class SnapshotStore:
         snap_dir = self._snap_dir(sid)
         if os.path.exists(snap_dir):        # crashed, uncommitted attempt
             shutil.rmtree(snap_dir)
-        counts = {}
         for name, df in tables.items():
             path = os.path.join(snap_dir, name)
             df.write.mode("overwrite").parquet(path)
-            counts[name] = None  # avoid an extra count job; lineage is paths
         manifest = dict(snapshot_id=sid,
                         parent=prev["snapshot_id"] if prev else None,
                         committed_at=time.time(),

@@ -18,19 +18,23 @@ from genesis_spark.crawler import oracle
 from genesis_spark.sources import fixtures
 
 TIERS = {
-    # (n_onion_hosts, n_i2p, n_clearnet)
-    "t1": (16, 2, 2),
-    "t2": (160, 20, 20),
+    # (n_onion_hosts, n_i2p, n_clearnet, host_budget) — t1 keeps the
+    # reference budget (8, crawl_model.py:73); t2 widens to 64 so the
+    # 200-host graph exercises cross-host interleaving at ~4 rounds
+    # instead of 28 (round count is oracle-vs-engine-invariant either way
+    # and a 28-round Spark loop is pure test wall-clock)
+    "t1": (16, 2, 2, 8),
+    "t2": (160, 20, 20, 64),
 }
 FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 
 
 def generate_tier(tier: str) -> str:
-    n_onion, n_i2p, n_clear = TIERS[tier]
+    n_onion, n_i2p, n_clear, budget = TIERS[tier]
     out_dir = os.path.join(FIXTURE_ROOT, tier)
     seeds, pages = fixtures.generate(n_onion, n_i2p, n_clear, seed=42)
     fixtures.write_parquet(seeds, pages, out_dir)
-    result = oracle.run(seeds, pages)
+    result = oracle.run(seeds, pages, host_budget=budget)
     oracle.write_goldens(result, out_dir)
     print(f"{tier}: {len(seeds)} seeds, {len(pages)} pages, "
           f"{len(result.crawl_order)} crawl-order rows, "

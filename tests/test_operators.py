@@ -138,3 +138,93 @@ def test_cosine_topk_self_best_match(spark):
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
     out = cosine_topk(df, df.filter("vec_id = 0"), k=2).collect()
     assert [(r.rank, r.neighbor_id) for r in out] == [(1, 1), (2, 2)]
+
+
+def test_bloom_union_incremental(spark):
+    """Incremental multi-wave build: union of two half-builds must have no
+    false negatives across BOTH halves (the engine unions one small filter
+    per wave instead of rebuilding from the full seen set)."""
+    a = spark.createDataFrame(
+        [(f"http://a{i}.onion",) for i in range(300)], "url string")
+    b = spark.createDataFrame(
+        [(f"http://b{i}.onion",) for i in range(300)], "url string")
+    bl = B.ShardedBloom.empty(n_shards=8, n_bits=1 << 16, k=5)
+    bl = bl.union(B.build_bloom(a, "url", n_shards=8, n_bits=1 << 16, k=5))
+    bl = bl.union(B.build_bloom(b, "url", n_shards=8, n_bits=1 << 16, k=5))
+    probe = a.unionByName(b).unionByName(spark.createDataFrame(
+        [(f"http://new{i}.onion",) for i in range(200)], "url string"))
+    rows = {r.url: r._maybe_seen for r in
+            B.filter_not_seen(probe, "url", bl).collect()}
+    assert all(rows[f"http://a{i}.onion"] for i in range(300))
+    assert all(rows[f"http://b{i}.onion"] for i in range(300))
+    fp = sum(1 for i in range(200) if rows[f"http://new{i}.onion"])
+    assert fp < 20
+
+
+def test_simhash64_pairs_find_dups(spark):
+    """Exact duplicates have hamming 0 and MUST be found (pigeonhole over
+    the 4 band segments); unrelated docs with disjoint vocab don't pair."""
+    from genesis_spark.operators.dedup import simhash64_pairs
+    near = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, near), (2, near),
+            (3, near + " tail"),
+            (4, "zebra quartz vortex nymph glyph jackdaw sphinx oryx")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash64_pairs(docs, max_hamming=8).collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """The ANN scale path must recover a meaningful fraction of the true
+    top-k on the driver's embeddings fixture (near-random vectors — the
+    hardest case for LSH; measured 0.44 at the registry settings, assert a
+    conservative floor)."""
+    from genesis_spark.operators.similarity import cosine_topk, lsh_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in lsh_topk(emb, q, k=5, n_planes=4, n_tables=4,
+                                dim=64).collect()}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.3, f"LSH recall {recall:.2f} < 0.3"
+
+
+def test_install_bucketed_variants_same_host_fifo(spark):
+    """portable_bucket only swaps the host->bucket hash; within every host
+    the (installed_at, seq) order — and hence the per-host crawl FIFO —
+    must be identical under both variants."""
+    from genesis_spark.crawler import engine
+    rows = [(f"http://h{i % 37}.onion/p{i}", 1_700_000_000 + (i * 17 % 1000),
+             i) for i in range(500)]
+    seeds = spark.createDataFrame(
+        rows, "url string, installed_at long, seed_id long")
+    seeds = seeds.withColumn("installed_at",
+                             F.timestamp_seconds("installed_at"))
+
+    def per_host(df):
+        out = {}
+        for r in df.select("host_key", "url", "bucket_rank").collect():
+            out.setdefault(r.host_key, []).append((r.bucket_rank, r.url))
+        return {h: [u for _, u in sorted(v)] for h, v in out.items()}
+
+    fast = per_host(engine.install_seeds_bucketed(seeds, buckets=16))
+    portable = per_host(engine.install_seeds_bucketed(
+        seeds, buckets=16, portable_bucket=True))
+    assert fast == portable
+
+
+def test_ngram_max_df_drops_hot_shingles(spark):
+    """A boilerplate shingle shared by every doc must not create pairs once
+    its document frequency exceeds max_df (the join fan-out guard)."""
+    from genesis_spark.operators.dedup import ngram_jaccard_pairs
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"{boiler} unique{i} content{i} body{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    capped = ngram_jaccard_pairs(docs, threshold=0.01, max_df=3).collect()
+    assert len(uncapped) > 0          # boilerplate shingles DO pair docs
+    assert len(capped) == 0           # cap removes the hot shingles
