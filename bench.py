@@ -28,13 +28,48 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    "url_canonicalize", "frontier_install", "frontier_host_agg",
-    "seen_anti_join", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_cosine_topk", "text_quality", "text_token_count",
+    "url_canonicalize", "frontier_install", "frontier_install_bucketed",
+    "frontier_host_agg", "seen_anti_join", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash64",
+    "dedup_ngram_jaccard", "ann_cosine_topk", "ann_lsh_topk",
+    "text_quality", "text_token_count", "leak_dispatch",
     "events_windowed", "pricing_summary",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "300"))
+
+
+def cpu_probe() -> float:
+    """Per-worker throughput of 8 concurrent pure-python spinners relative
+    to 1 (a 2 s probe). ~1.0 = the CFS quota is currently delivering >= 8
+    clean cores; well below 1.0 = a burst-throttle episode is active and
+    any Spark timing taken now is inflated. Recorded next to every scaling
+    number so readers can tell clean measurements from throttled ones."""
+    import multiprocessing as mp
+    import time as _t
+
+    def spin(q, dur):
+        t_end = _t.monotonic() + dur
+        n, x = 0, 1
+        while _t.monotonic() < t_end:
+            for _ in range(10000):
+                x = (x * 1103515245 + 12345) % (1 << 31)
+            n += 1
+        q.put(n)
+
+    def measure(workers, dur=2.0):
+        q = mp.Queue()
+        ps = [mp.Process(target=spin, args=(q, dur))
+              for _ in range(workers)]
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        return sum(q.get() for _ in ps)
+
+    one = measure(1)
+    eight = measure(8)
+    return round((eight / 8) / max(one, 1), 3)
 
 
 def _bench_fixture() -> str:
@@ -70,7 +105,19 @@ def run_queries(sf_dir: str, cores: str) -> tuple[dict[str, float], float]:
     return timings, total
 
 
-N_FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "6000000"))
+# 12M: sized so the parallel fraction (~75 s of codegen+shuffle work at
+# 1-core-equivalent pace) dominates the ~2-3 s of per-run driver-serial
+# overhead (planning + AQE stage barriers + task dispatch) — at 6M the
+# serial fraction alone caps N->4N efficiency near 0.71 (Amdahl; see
+# BENCH.md round-2 notes)
+N_FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "12000000"))
+
+
+SOURCE_PARTITIONS = 32   # fixed source task count: both core levels run the
+                         # IDENTICAL task graph — only concurrency varies
+                         # (otherwise spark.range defaults to #cores and
+                         # local[2] gets 3M-row monster tasks whose straggler
+                         # tails dominate under burst throttling)
 
 
 def _synthetic_seed_urls(spark, n: int):
@@ -84,7 +131,7 @@ def _synthetic_seed_urls(spark, n: int):
            .when(host_id % 10 == 8, ".i2p").otherwise(".example.com"))
     www = F.when(host_id % 3 == 0, "www.").otherwise("")
     trail = F.when(host_id % 4 == 0, "/").otherwise("")
-    return spark.range(n).select(
+    return spark.range(0, n, 1, SOURCE_PARTITIONS).select(
         F.concat(F.lit("http://"), www, F.lit("h"),
                  host_id.cast("string"), tld, trail).alias("url"),
         F.timestamp_seconds(F.lit(1_700_000_000) + (F.col("id") % 86400))
@@ -93,7 +140,7 @@ def _synthetic_seed_urls(spark, n: int):
 
 
 def bench_frontier(cores: int, n_urls: int, repeats: int = 4,
-                   shuffle_partitions: int = 64) -> dict:
+                   shuffle_partitions: int = 32) -> dict:
     """The north-rule throughput job: install (validate -> canonicalize ->
     MERGE-dedup -> priority rank -> round assignment) + a URL-seen anti-join
     wave over n_urls candidate links. Same input, same shuffle config at
@@ -118,7 +165,7 @@ def bench_frontier(cores: int, n_urls: int, repeats: int = 4,
         frontier = engine.install_seeds_bucketed(
             _synthetic_seed_urls(spark, n_urls), bucket_budget=10_000)
         # candidate links vs URL-seen: half overlap, half new
-        cand = spark.range(n_urls).select(
+        cand = spark.range(0, n_urls, 1, SOURCE_PARTITIONS).select(
             F.concat(F.lit("http://h"),
                      ((F.col("id") * 40503) % (3 * n_urls // 2)).cast("string"),
                      F.lit(".onion")).alias("url"))
@@ -201,7 +248,9 @@ def main() -> None:
         # in a clean window; min across sessions per level
         pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
         flo, fhi = None, None
+        probes = []
         for _ in range(pairs):
+            probes.append(cpu_probe())
             a = bench_frontier(n_low, N_FRONTIER_URLS, repeats=2)
             b = bench_frontier(n_high, N_FRONTIER_URLS, repeats=2)
             if flo is None or a["wall_s"] < flo["wall_s"]:
@@ -214,6 +263,7 @@ def main() -> None:
                 fhi = {**b, "runs_s": runs}
             else:
                 fhi["runs_s"] = fhi["runs_s"] + b["runs_s"]
+        probes.append(cpu_probe())
         eff = round((fhi["urls_per_sec"] / flo["urls_per_sec"]) / 4, 3)
         out["crawl"] = {
             "frontier_urls": N_FRONTIER_URLS,
@@ -221,7 +271,9 @@ def main() -> None:
             "urls_per_sec_n": flo["urls_per_sec"],
             "urls_per_sec_4n": fhi["urls_per_sec"],
             "scaling_efficiency": eff,
-            "throttle_suspected": fhi["wall_s"] >= flo["wall_s"],
+            "cpu_probes": probes,
+            "throttle_suspected": (fhi["wall_s"] >= flo["wall_s"]
+                                   or min(probes) < 0.85),
         }
         if os.environ.get("SPARK_GRAFT_BENCH_E2E"):
             fixture_dir = _bench_fixture()

@@ -116,10 +116,50 @@ def parse_victim_list(url: str, html: str) -> list[dict]:
     return cards
 
 
+def parse_defacement_panel(url: str, html: str) -> list[dict]:
+    """Key-value panel extractor (_zone_xsec.py:60-135 semantics): one
+    incident page with 'Label: <strong>value</strong>' rows (Defacer, Team,
+    IP, Location, Web Server, Saved on), mirrored content in div.mirror
+    with the 500-word important/content split; weblink from the #url
+    element."""
+    base = base_url_one(url)
+    net = network_type_one(base)
+    root = _dom(html)
+    fields = {}
+    for p in _find_all(root, tag="p"):
+        text = _get_text(p, strip=True)
+        strong = _find_all(p, tag="strong")
+        if ":" in text and strong:
+            fields[text.split(":", 1)[0].strip()] = \
+                _get_text(strong[0], strip=True)
+    weblink_el = [n for n in _walk_elements(root)
+                  if n.attrs.get("id") == "url"]
+    weblink = _get_text(weblink_el[0], strip=True) if weblink_el else None
+    mirror_el = _find_all(root, tag="div", cls="mirror")
+    text = _get_text(mirror_el[0], separator="\n", strip=True) \
+        if mirror_el else ""
+    important, content = _split_important(text)
+    defacer = fields.get("Defacer")
+    if defacer is None:
+        return []
+    return [make_card(
+        m_title=f"Hacked by {defacer}",
+        m_name=fields.get("Team", ""),
+        m_url=url, m_base_url=base, m_network=net,
+        m_content=content, m_important_content=important,
+        m_content_type=["leaks"],
+        m_weblink=[weblink] if weblink else [],
+        m_addresses=[fields["Location"], fields["IP"]]
+        if "Location" in fields and "IP" in fields else [],
+        m_websites=[fields["Web Server"]] if "Web Server" in fields else [],
+        m_leak_date=fields.get("Saved on"))]
+
+
 # host_key -> extractor; the Spark analogue of importlib-by-host-name
 # (leak_parse_controller.py:44-62). Unregistered hosts are silently skipped
 # (the reference's bare ``except: pass``) by the dispatch inner join.
 REGISTRY: dict[str, Callable[[str, str], list[dict]]] = {
     "mirror-archive": parse_zone_board,
     "victim-board": parse_victim_list,
+    "zone-panel": parse_defacement_panel,
 }

@@ -87,3 +87,32 @@ def test_dispatch_join_drops_unregistered_and_batches(spark, tmp_path):
     assert back.count() == len(got)
     assert set(back.select("host_key").distinct().toPandas().host_key) == \
         {"mirror-archive", "victim-board"}
+
+
+PANEL_URL = "http://zone-panel.onion/mirror/77"
+PANEL_HTML = """<html><body><div class="panel panel-danger">
+<span id="url">http://victim.example.com</span>
+<p>Defacer: <strong>gh0st</strong></p>
+<p>Team: <strong>RedTeam</strong></p>
+<p>IP: <strong>10.1.2.3</strong></p>
+<p>Location: <strong>Nowhere</strong></p>
+<p>Web Server: <strong>nginx</strong></p>
+<p>Saved on: <strong>2024-03-03</strong></p>
+</div><div class="mirror">defaced page body text here</div></body></html>"""
+
+
+def test_defacement_panel_fields():
+    from genesis_spark.leaks.parsers import parse_defacement_panel
+    cards = parse_defacement_panel(PANEL_URL, PANEL_HTML)
+    assert len(cards) == 1
+    c = cards[0]
+    assert c["m_title"] == "Hacked by gh0st"
+    assert c["m_name"] == "RedTeam"
+    assert c["m_weblink"] == ["http://victim.example.com"]
+    assert c["m_addresses"] == ["Nowhere", "10.1.2.3"]
+    assert c["m_websites"] == ["nginx"]
+    assert c["m_leak_date"] == "2024-03-03"
+    assert c["m_important_content"] == "defaced page body text here"
+    assert c["m_content"] == "" and c["m_network"] == "onion"
+    # no Defacer row -> no card (the reference's selector returns nothing)
+    assert parse_defacement_panel(PANEL_URL, "<html><body/></html>") == []
