@@ -115,6 +115,27 @@ def install_seeds_bucketed(seeds: DataFrame,
                     "bucket", "bucket_rank"))
 
 
+def install_seeds_scaled(seeds: DataFrame,
+                         bucket_budget: int = conf.WAVE_HOST_BUDGET,
+                         buckets: int = conf.POLITENESS_BUCKETS,
+                         portable_bucket: bool = False) -> DataFrame:
+    """The bucketed install adapted to the crawl loop: identical to
+    ``install_seeds_bucketed`` plus a synthesized unique priority key
+    ``host_rank = bucket * 2^40 + bucket_rank`` so ``crawl_frontier`` can
+    order deterministically without a global barrier. Per-host FIFO is
+    identical to the reference (a host lives in one bucket and
+    bucket_rank follows (installed_at, seq)); only the CROSS-host
+    interleaving of crawl_seq differs from the golden global order — the
+    verification invariants that survive (seen set, documents, per-host
+    order) are pinned by tests/test_crawl_engine.py::
+    test_scaled_install_crawl_invariants."""
+    f = install_seeds_bucketed(seeds, bucket_budget, buckets,
+                               portable_bucket)
+    return f.withColumn(
+        "host_rank",
+        F.col("bucket") * F.lit(1 << 40) + F.col("bucket_rank"))
+
+
 _PASSTHROUGH = ["task_id", "host_rank", "round", "host_key", "depth", "pos"]
 
 
@@ -253,9 +274,16 @@ def crawl_frontier(spark: SparkSession, frontier: DataFrame, pages: DataFrame,
 
 
 def run(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
-        host_budget: int = conf.WAVE_HOST_BUDGET) -> dict[str, DataFrame]:
-    """Install + crawl the whole frontier in one multi-wave job."""
-    frontier = install_seeds(seeds, host_budget)
+        host_budget: int = conf.WAVE_HOST_BUDGET,
+        bucketed: bool = False) -> dict[str, DataFrame]:
+    """Install + crawl the whole frontier in one multi-wave job.
+
+    ``bucketed=True`` uses the production-scale install (no global-rank
+    barrier; see install_seeds_scaled) — same seen set, documents, and
+    per-host order; cross-host crawl_seq interleaving differs from the
+    golden global order."""
+    install = install_seeds_scaled if bucketed else install_seeds
+    frontier = install(seeds, host_budget)
     return crawl_frontier(spark, frontier, pages)
 
 

@@ -90,3 +90,42 @@ def test_score_coverage(result):
     scores = [r.validity_score for r in
               result["documents"].select("validity_score").collect()]
     assert any(s > 0 for s in scores) and any(s == 0 for s in scores)
+
+
+def test_scaled_install_crawl_invariants(spark, fixture_dir):
+    """The bucketed production install (no global-rank barrier) must crawl
+    the SAME pages in the SAME per-host order as the golden global path —
+    only the cross-host interleaving of crawl_seq may differ."""
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    pages = spark.read.parquet(f"{fixture_dir}/web_pages.parquet")
+    res = engine.run(spark, seeds, pages, bucketed=True)
+
+    g_seen = {(r["url"], r["host_key"]) for r in
+              pq.read_table(f"{fixture_dir}/seen_golden.parquet").to_pylist()}
+    assert {(r.url, r.host_key) for r in res["seen"].collect()} == g_seen
+
+    golden = pq.read_table(f"{fixture_dir}/crawl_order_golden.parquet") \
+        .to_pylist()
+    got = [r.asDict() for r in res["crawl_order"]
+           .select("crawl_seq", "host_key", "url", "depth", "attempts", "ok")
+           .collect()]
+    assert len(got) == len(golden)
+
+    def per_host(rows):
+        out = {}
+        for r in sorted(rows, key=lambda x: x["crawl_seq"]):
+            out.setdefault(r["host_key"], []).append(
+                (r["url"], r["depth"], r["attempts"], r["ok"]))
+        return out
+
+    assert per_host(got) == per_host(golden)
+
+    g_docs = {(d["doc_id"], d["validity_score"]) for d in
+              pq.read_table(f"{fixture_dir}/documents_golden.parquet")
+              .to_pylist()}
+    got_docs = {(r.doc_id, r.validity_score) for r in
+                res["documents"].select("doc_id", "validity_score")
+                .collect()}
+    assert got_docs == g_docs
+    for df in res["_cached"]:
+        df.unpersist()
