@@ -87,19 +87,60 @@ def extract_emails(text: str) -> list[str]:
     return sorted(set(EMAIL_RE.findall(text)))
 
 
+# Public ITU-T E.164 assigned country calling codes (Annex to ITU
+# Operational Bulletin; stable public knowledge). Longest-prefix match:
+# '1' and '7' are 1-digit codes; 2-digit codes 2x-9x; 3-digit codes fill
+# the gaps. Used for prefix validation only — national numbering-plan
+# length rules per country are out of scope for a library-free validator.
+_CC1 = {"1", "7"}
+_CC2 = {"20", "27", "30", "31", "32", "33", "34", "36", "39", "40", "41",
+        "43", "44", "45", "46", "47", "48", "49", "51", "52", "53", "54",
+        "55", "56", "57", "58", "60", "61", "62", "63", "64", "65", "66",
+        "81", "82", "84", "86", "90", "91", "92", "93", "94", "95", "98"}
+_CC3 = {"211", "212", "213", "216", "218", "220", "221", "222", "223",
+        "224", "225", "226", "227", "228", "229", "230", "231", "232",
+        "233", "234", "235", "236", "237", "238", "239", "240", "241",
+        "242", "243", "244", "245", "246", "248", "249", "250", "251",
+        "252", "253", "254", "255", "256", "257", "258", "260", "261",
+        "262", "263", "264", "265", "266", "267", "268", "269", "290",
+        "291", "297", "298", "299", "350", "351", "352", "353", "354",
+        "355", "356", "357", "358", "359", "370", "371", "372", "373",
+        "374", "375", "376", "377", "378", "380", "381", "382", "383",
+        "385", "386", "387", "389", "420", "421", "423", "500", "501",
+        "502", "503", "504", "505", "506", "507", "508", "509", "590",
+        "591", "592", "593", "594", "595", "596", "597", "598", "599",
+        "670", "672", "673", "674", "675", "676", "677", "678", "679",
+        "680", "681", "682", "683", "685", "686", "687", "688", "689",
+        "690", "691", "692", "850", "852", "853", "855", "856", "880",
+        "886", "960", "961", "962", "963", "964", "965", "966", "967",
+        "968", "970", "971", "972", "973", "974", "975", "976", "977",
+        "992", "993", "994", "995", "996", "998"}
+
+
+def valid_e164(digits: str) -> bool:
+    """Library-free E.164 plausibility: 8..15 digits total AND the leading
+    1-3 digits are an ITU-assigned country calling code (longest match).
+    Strictly tighter than round-1's any-8-to-15-digits stand-in; still a
+    stand-in for phonenumbers' per-country numbering plans (documented
+    divergence: a syntactically valid but unassigned national number
+    passes here)."""
+    if not (digits.isdigit() and 8 <= len(digits) <= 15):
+        return False
+    return (digits[:1] in _CC1 or digits[:2] in _CC2
+            or digits[:3] in _CC3)
+
+
 def extract_phone_numbers(text: str) -> list[str]:
-    """nlp_controller.py:16,19-27 — regex candidates, cleaned to [\\d+], then
-    E.164-validated. Stand-in for phonenumbers (unavailable): a candidate is
-    valid iff it starts with '+' and has 8..15 digits; E.164 form is '+'+digits.
-    Fixture phones are generated in exactly this shape so the stand-in and the
-    real library agree on the fixture space."""
+    """nlp_controller.py:16,19-27 — regex candidates, cleaned to [\\d+],
+    then E.164-validated (``valid_e164``: '+' prefix, 8..15 digits,
+    ITU-assigned country code). Fixture phones are generated with real
+    country codes so this validator and the phonenumbers library agree on
+    the fixture space."""
     out = set()
     for cand in set(PHONE_RE.findall(text)):
         cleaned = re.sub(r"[^\d+]", "", cand)
-        if cleaned.startswith("+"):
-            digits = cleaned[1:]
-            if digits.isdigit() and 8 <= len(digits) <= 15:
-                out.add("+" + digits)
+        if cleaned.startswith("+") and valid_e164(cleaned[1:]):
+            out.add("+" + cleaned[1:])
     return sorted(out)
 
 

@@ -228,3 +228,17 @@ def test_ngram_max_df_drops_hot_shingles(spark):
     capped = ngram_jaccard_pairs(docs, threshold=0.01, max_df=3).collect()
     assert len(uncapped) > 0          # boilerplate shingles DO pair docs
     assert len(capped) == 0           # cap removes the hot shingles
+
+
+def test_valid_e164_country_codes():
+    from genesis_spark.functions.text import extract_phone_numbers, valid_e164
+    assert valid_e164("12025550123")          # +1 NANP
+    assert valid_e164("447911123456")         # +44 UK
+    assert valid_e164("8613912345678")        # +86 CN
+    assert not valid_e164("02025550123")      # 0 is not an assigned CC
+    assert not valid_e164("9991234567")       # 999 unassigned
+    assert not valid_e164("1202555")          # too short
+    assert not valid_e164("1" * 16)           # too long
+    got = extract_phone_numbers(
+        "call +1-202-555-0123 or +999 123 4567 or +44 7911 123456")
+    assert got == ["+12025550123", "+447911123456"]

@@ -79,14 +79,24 @@ def test_network_type_schemeless_gets_http_prefix():
 @given(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
                min_size=1, max_size=60))
 @settings(max_examples=300, deadline=None)
-def test_clean_url_idempotent(s):
+def test_clean_url_stabilizes(s):
+    """on_clean_url (helper_method.py:34-45) is NOT idempotent on every
+    string: urlunparse renders an empty netloc + '//'-leading path (e.g.
+    'http:////A') so that re-parsing shifts the path into the netloc,
+    which only then gets lowercased. The reference has the identical
+    quirk (same urlparse/urlunparse round trip), so the kernel keeps it;
+    the guarantee that IS stable — and that the engine relies on, since
+    install canonicalizes exactly once and re-canonicalization happens
+    only on already-cleaned URLs — is stability from the second
+    application on, pinned here over the full printable input space."""
     u = "http://" + s
     try:
         once = U.clean_url_one(u)
         twice = U.clean_url_one(once)
+        thrice = U.clean_url_one(twice)
     except ValueError:
         return  # urlparse rejects some port-ish garbage; reference would too
-    assert once == twice
+    assert twice == thrice
 
 
 def test_expr_equals_udf_on_url_space(spark):
