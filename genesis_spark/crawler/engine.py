@@ -287,21 +287,52 @@ def run(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
     return crawl_frontier(spark, frontier, pages)
 
 
+def read_frontier_delta(spark: SparkSession, store) -> DataFrame:
+    """Reconstruct the current frontier from the delta-state layout:
+    ``frontier_base`` (written once at install) left-joined with the union
+    of per-round ``frontier_updates`` deltas. Sound because every url_hash
+    is dispatched in exactly one round, so at most ONE update row exists
+    per key — no precedence resolution needed (a 'done'/'failed' seed is
+    never re-dispatched)."""
+    base = store.read(spark, "frontier_base")
+    ups = store.read(spark, "frontier_updates")
+    if ups is None:
+        return base
+    upd = ups.select("url_hash", F.col("state").alias("_u_state"),
+                     F.col("fail_count").alias("_u_fails"))
+    return (base.join(upd, "url_hash", "left")
+            .withColumn("state", F.coalesce("_u_state", "state"))
+            .withColumn("fail_count", F.coalesce("_u_fails", "fail_count"))
+            .drop("_u_state", "_u_fails"))
+
+
 def run_rounds(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
                store, host_budget: int = conf.WAVE_HOST_BUDGET,
-               stop_after_round: int | None = None) -> None:
+               stop_after_round: int | None = None,
+               delta_state: bool = False) -> None:
     """Production shape: one frontier round per iteration, one snapshot per
     round (ST2/ST4). Crash-resume = rerun with the same store; the last
     committed snapshot defines the restart point, uncommitted work is
     invisible (rename-atomic manifests). ``stop_after_round`` simulates a
-    crash after committing that round (tests §5.4)."""
+    crash after committing that round (tests §5.4).
+
+    ``delta_state=True`` is the 10^10-row layout: the frontier is written
+    ONCE (``frontier_base``) and each round commits only the delta of
+    state changes for the seeds it dispatched (``frontier_updates``) —
+    O(round size), instead of rewriting the full frontier table every
+    round (O(frontier) rewrite amplification: at 10^10 rows a full
+    rewrite per round dwarfs the crawl itself). Reads reconstruct via
+    ``read_frontier_delta``; resume semantics are identical (pinned by
+    tests/test_resume.py::test_delta_state_resume_and_no_rewrite)."""
     latest = store.latest()
     if latest is None:
         frontier = install_seeds(seeds, host_budget).persist()
-        store.commit({"frontier": frontier}, {"round": -1, "seq_offset": 0})
+        base_name = "frontier_base" if delta_state else "frontier"
+        store.commit({base_name: frontier}, {"round": -1, "seq_offset": 0})
         next_round, seq_offset = 0, 0
     else:
-        frontier = store.read(spark, "frontier").persist()
+        frontier = (read_frontier_delta(spark, store) if delta_state
+                    else store.read(spark, "frontier")).persist()
         next_round = latest["round"] + 1
         seq_offset = latest["seq_offset"]
 
@@ -316,11 +347,18 @@ def run_rounds(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
         upd = res["frontier_done"].select(
             "url_hash", F.col("state").alias("_new_state"),
             F.col("fail_count").alias("_new_fails"))
-        new_frontier = (frontier.join(upd, "url_hash", "left")
-                        .withColumn("state", F.coalesce("_new_state", "state"))
-                        .withColumn("fail_count",
-                                    F.coalesce("_new_fails", "fail_count"))
-                        .drop("_new_state", "_new_fails")).persist()
+        if delta_state:
+            new_frontier = None
+            delta = res["frontier_done"].select("url_hash", "state",
+                                                "fail_count")
+        else:
+            new_frontier = (frontier.join(upd, "url_hash", "left")
+                            .withColumn("state",
+                                        F.coalesce("_new_state", "state"))
+                            .withColumn("fail_count",
+                                        F.coalesce("_new_fails",
+                                                   "fail_count"))
+                            .drop("_new_state", "_new_fails")).persist()
         # per-partition fetch/parse metrics (S12/ST4): politeness bucket ==
         # fetch partition, so (round, depth, bucket) rows are partition-level
         # lineage for this snapshot
@@ -333,21 +371,27 @@ def run_rounds(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
                         F.sum(F.col("ok").cast("int")).alias("n_ok"),
                         F.sum((~F.col("ok")).cast("int")).alias("n_failed"),
                         F.sum(F.col("attempts")).alias("n_attempts")))
-        store.commit({
-            "frontier": new_frontier,
+        tables = {
             "crawl_order": res["crawl_order"].drop("task_id", "host_rank", "pos"),
             "seen": res["seen"],
             "documents": res["documents"].drop("task_id", "host_rank", "pos",
                                                "round"),
             "metrics": metrics,
-        }, {"round": r, "seq_offset": seq_offset})
+        }
+        if delta_state:
+            tables["frontier_updates"] = delta      # O(round), not O(frontier)
+        else:
+            tables["frontier"] = new_frontier
+        store.commit(tables, {"round": r, "seq_offset": seq_offset})
         for df in res["_cached"]:
             df.unpersist()
         frontier.unpersist()
-        new_frontier.unpersist()
+        if new_frontier is not None:
+            new_frontier.unpersist()
         # re-read from the committed snapshot: every round starts from a flat
         # parquet scan, never a lineage chain through all prior rounds'
         # crawl plans (which grows the DAG superlinearly)
-        frontier = store.read(spark, "frontier").persist()
+        frontier = (read_frontier_delta(spark, store) if delta_state
+                    else store.read(spark, "frontier")).persist()
         if stop_after_round is not None and r >= stop_after_round:
             return

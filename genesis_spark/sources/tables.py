@@ -31,7 +31,11 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
-STATE_TABLES = {"frontier"}
+# state-style: read latest version only. frontier_base is the delta-state
+# layout's install-time table (engine.read_frontier_delta): written once,
+# never rewritten — per-round state changes land as frontier_updates
+# APPEND deltas instead of a full-frontier rewrite per round.
+STATE_TABLES = {"frontier", "frontier_base"}
 
 
 class SnapshotStore:
