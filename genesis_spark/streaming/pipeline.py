@@ -96,3 +96,51 @@ def frontier_sink(parsed: DataFrame, store, checkpoint_dir: str,
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(links: DataFrame, max_state_per_host: int = 1 << 20):
+    """Streaming URL-seen dedup (D1 as a CUSTOM STATEFUL operator): per
+    host_key, emit each URL the first time it is ever seen across ALL
+    micro-batches; the per-host seen set lives in the state store as
+    xxh64 hashes (``applyInPandasWithState``). This is the streaming form
+    of the reference's per-host ``duplication_handler`` list
+    (duplication_handler.py:3-19) — state scoped per host, surviving
+    micro-batch boundaries and restarts via the checkpoint.
+
+    ``max_state_per_host`` bounds state growth (insertion-order eviction);
+    at 10^10 scale the exact anti-join against the frontier snapshot
+    remains the source of truth downstream (frontier_sink) — this
+    operator's job is cutting duplicate traffic before it, exactly like
+    the batch Bloom prefilter.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from genesis_spark.functions.hashing import xxh64
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            (hashes,) = state.get
+            seen = list(hashes)
+        else:
+            seen = []
+        seen_set = set(seen)
+        host = key[0]
+        out = []
+        for pdf in pdfs:
+            for u in pdf["url"]:
+                h = xxh64(u)
+                if h not in seen_set:
+                    seen_set.add(h)
+                    seen.append(h)
+                    out.append((host, u))
+        if len(seen) > max_state_per_host:
+            drop = seen[:len(seen) - max_state_per_host]
+            seen = seen[len(seen) - max_state_per_host:]
+            seen_set.difference_update(drop)
+        state.update((seen,))
+        yield pd.DataFrame(out, columns=["host_key", "url"])
+
+    return links.groupBy("host_key").applyInPandasWithState(
+        fn, "host_key string, url string", "hashes array<long>",
+        "append", GroupStateTimeout.NoTimeout)

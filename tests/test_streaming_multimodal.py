@@ -56,3 +56,40 @@ def test_frame_sampling(spark):
 def test_library_decode_is_gated():
     with pytest.raises(NotImplementedError):
         MM.library_decode(b"\x89PNG")
+
+
+def test_dedup_stream_state_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState URL-seen: duplicates that SPAN micro-batches
+    (one file per trigger -> one batch per file) are suppressed by the
+    state store, not by within-batch logic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from genesis_spark.streaming.pipeline import dedup_stream
+
+    src = tmp_path / "links"
+    src.mkdir()
+    b1 = [("h0", f"http://h0.onion/p{i}") for i in range(5)] + \
+         [("h1", "http://h1.onion/a"), ("h0", "http://h0.onion/p0")]
+    b2 = [("h0", f"http://h0.onion/p{i}") for i in range(3, 8)] + \
+         [("h1", "http://h1.onion/a"), ("h1", "http://h1.onion/b")]
+    for name, rows in (("b1", b1), ("b2", b2)):
+        pq.write_table(pa.table({
+            "host_key": pa.array([r[0] for r in rows]),
+            "url": pa.array([r[1] for r in rows])}),
+            str(src / f"{name}.parquet"))
+
+    links = (spark.readStream.schema("host_key string, url string")
+             .option("maxFilesPerTrigger", 1).format("parquet")
+             .load(str(src)))
+    q = (dedup_stream(links).writeStream.format("memory")
+         .queryName("dedup_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = [(r.host_key, r.url) for r in
+           spark.sql("SELECT * FROM dedup_out").collect()]
+    # every distinct (host, url) exactly once — 12 input rows, 10 distinct;
+    # the h0 p3/p4 and h1 'a' dups cross the file/batch boundary
+    assert sorted(got) == sorted(set(r for r in b1 + b2))
+    assert len(got) == 10
