@@ -754,6 +754,48 @@ SELECT * FROM zone UNION ALL SELECT * FROM victims
 """
 
 
+_STREAM_SEQ = 0
+
+
+def q_stream_dedup(spark, sf_dir):
+    """ST2/D1 streaming: the custom stateful URL-seen operator
+    (applyInPandasWithState) run as a real Structured Streaming query —
+    4 parquet files, one micro-batch each, duplicates spanning batches
+    suppressed by the state store. The final emitted set is exactly the
+    distinct (host, url) set, which is what the DuckDB oracle checks."""
+    import os
+    import tempfile
+
+    from genesis_spark.streaming.pipeline import dedup_stream
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_dedup_{_STREAM_SEQ}"
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    links = d.select(
+        F.concat(F.lit("h"), (k % 20).cast("string")).alias("host_key"),
+        F.concat(F.lit("http://h"), (k % 20).cast("string"),
+                 F.lit(".onion/p"), (k % 100).cast("string")).alias("url"))
+    tmp = tempfile.mkdtemp(prefix="gs_stream_")
+    src, ck = os.path.join(tmp, "links"), os.path.join(tmp, "ckpt")
+    links.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("host_key string, url string")
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    q = (dedup_stream(stream).writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT 'h' || (doc_id % 20) AS host_key,
+       'http://h' || (doc_id % 20) || '.onion/p' || (doc_id % 100) AS url
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational / events breadth
 # ---------------------------------------------------------------------------
@@ -851,6 +893,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "dispatch_join": q_dispatch_join,
     "leak_dispatch": q_leak_dispatch,
+    "stream_dedup": q_stream_dedup,
 }
 
 ORACLES = {
@@ -879,6 +922,7 @@ ORACLES = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "dispatch_join": ORACLE_DISPATCH_JOIN,
     "leak_dispatch": ORACLE_LEAK_DISPATCH,
+    "stream_dedup": ORACLE_STREAM_DEDUP,
 }
 
 
