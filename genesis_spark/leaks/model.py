@@ -20,7 +20,8 @@ _STR_FIELDS = ("m_title", "m_url", "m_base_url", "m_content",
                "m_important_content", "m_network", "m_name")
 _LIST_FIELDS = ("m_content_type", "m_weblink", "m_dumplink",
                 "m_email_addresses", "m_phone_numbers", "m_addresses",
-                "m_websites")
+                "m_social_media_profiles", "m_websites",
+                "m_logo_or_images")
 _OPT_FIELDS = ("m_company_name", "m_leak_date", "m_data_size",
                "m_country_name", "m_industry", "m_revenue")
 

@@ -109,7 +109,16 @@ def classify_hosts(pages: DataFrame,
 def with_host_labels(pages: DataFrame, labels: DataFrame,
                      base_col: str = "base_url") -> DataFrame:
     """J6: broadcast the O(hosts) label table back onto the page stream;
-    unlabeled hosts fall back to 'general' (the reference's default)."""
+    unlabeled hosts fall back to 'general' (the reference's default).
+
+    Parsed pages (functions/parse.py) already carry a parser-filled
+    ``content_type`` column; the reference OVERWRITES it with the memoized
+    classifier decision (crawl_controller assigns m_content_type from
+    trigger_topic_classifier), so we drop the incoming column before the
+    join rather than leaving two same-named attributes (which would raise
+    AMBIGUOUS_REFERENCE on the coalesce below)."""
+    if "content_type" in pages.columns:
+        pages = pages.drop("content_type")
     joined = pages.join(
         F.broadcast(labels.withColumnRenamed("base_url", base_col)),
         base_col, "left")

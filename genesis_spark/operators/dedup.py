@@ -176,31 +176,33 @@ def simhash64_pairs(docs: DataFrame, id_col: str = "doc_id",
     that happen to collide on a band). Emits (doc_a, doc_b, hamming) — pair
     output, never bucket membership arrays, so no per-bucket collect_list to
     OOM on at 10^9+ docs. Candidate generation is 4 two-column equi-joins."""
-    sig = simhash64_signatures(docs, id_col, text_col).persist()
-    cand = None
-    for k in range(N_SIMHASH_BANDS):
-        left = sig.select(F.col(id_col).alias("doc_a"),
-                          F.col(f"seg{k}").alias("_bk"))
-        right = sig.select(F.col(id_col).alias("doc_b"),
-                           F.col(f"seg{k}").alias("_bk"))
-        p = (left.join(right, "_bk")
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b"))
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
-    sa = sig.select(F.col(id_col).alias("doc_a"),
-                    *[F.col(f"seg{k}").alias(f"a{k}")
-                      for k in range(N_SIMHASH_BANDS)])
-    sb = sig.select(F.col(id_col).alias("doc_b"),
-                    *[F.col(f"seg{k}").alias(f"b{k}")
-                      for k in range(N_SIMHASH_BANDS)])
+    # One row per (doc, band) with the FULL 4-segment signature carried
+    # along, then a single self-equi-join on (band, segment): candidate
+    # generation and hamming rescoring happen in one join, no join-backs.
+    # The signature subplan is referenced exactly twice (self-join sides)
+    # instead of six times — no persist, so nothing leaks cached blocks
+    # across bench/test invocations (round-2 advice); at 10^9+ docs
+    # materialize signatures to a table first and pass them in.
+    sig = simhash64_signatures(docs, id_col, text_col)
+    segs = [f"seg{k}" for k in range(N_SIMHASH_BANDS)]
+    bands = sig.select(
+        F.col(id_col), *segs,
+        F.posexplode(F.array(*[F.col(s) for s in segs]))
+        .alias("_band", "_bk"))
+    left = bands.select(F.col(id_col).alias("doc_a"), "_band", "_bk",
+                        *[F.col(s).alias(f"a{k}")
+                          for k, s in enumerate(segs)])
+    right = bands.select(F.col(id_col).alias("doc_b"), "_band", "_bk",
+                         *[F.col(s).alias(f"b{k}")
+                           for k, s in enumerate(segs)])
     hamming = sum(
         F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")))
         for k in range(N_SIMHASH_BANDS))
-    return (cand.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("hamming", hamming.cast("int"))
+    return (left.join(right, ["_band", "_bk"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
-            .select("doc_a", "doc_b", "hamming"))
+            .distinct())
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",

@@ -88,6 +88,20 @@ def hyperplane_signature_expr(vec: Column, table: int, n_planes: int,
     return sig
 
 
+def auto_n_planes(n_rows: int, target_bucket_rows: int = 1024) -> int:
+    """Sizing rule for the hyperplane count, as code instead of prose:
+    with ``p`` planes a table has 2**p buckets, so expected occupancy is
+    n_rows / 2**p — pick the smallest p (floor 8) that brings occupancy
+    under ``target_bucket_rows``. At 10^9 rows / 1024-row buckets that is
+    max(8, ceil(log2(10^9/1024))) = 20 planes; without this the default 8
+    planes would make each bucket join ~n/256 x n/256."""
+    import math
+
+    if n_rows <= 0:
+        return 8
+    return max(8, math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows))))
+
+
 def lsh_topk(base: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 8, n_tables: int = 4,
@@ -98,13 +112,28 @@ def lsh_topk(base: DataFrame, queries: DataFrame, k: int = 5,
     occupancy; unioning tables multiplies recall at linear candidate cost).
     Candidate generation is one 2-column equi-join per table, so the base
     shuffles by bucket instead of cross-joining |Q| x |base|. Recall < 1 by
-    design; measured vs ``cosine_topk`` in tests/test_operators.py."""
+    design; measured vs ``cosine_topk`` in tests/test_operators.py.
+
+    ``dim`` is required: the plane literals are dim-length arrays and a
+    wrong dim silently zero-pads every projection (all signatures collapse
+    to one bucket = accidental brute force), so rows are runtime-checked
+    against it. Size ``n_planes`` with ``auto_n_planes(n_rows)``."""
     if dim is None:
-        dim = len(base.select(vec_col).head()[0])
+        raise TypeError(
+            "lsh_topk requires dim= (the embedding length); inferring it "
+            "with a driver-side head() hides a job in plan construction")
+    # the check lives INSIDE the vector expression (a side column would be
+    # pruned by Catalyst and never run): wrong-length rows raise, they do
+    # not silently null-pad into bucket 0
+    def _checked(col: Column) -> Column:
+        return F.when(F.size(col) == dim, col).otherwise(F.raise_error(
+            F.concat(F.lit(f"lsh_topk: vector length != dim={dim}, got "),
+                     F.size(col).cast("string"))))
+
     b_all = base.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(vec_col).alias("b_vec"))
+                        _checked(F.col(vec_col)).alias("b_vec"))
     q_all = queries.select(F.col(id_col).alias("query_id"),
-                           F.col(vec_col).alias("q_vec"))
+                           _checked(F.col(vec_col)).alias("q_vec"))
     cand = None
     for t in range(n_tables):
         sig_b = hyperplane_signature_expr(F.col("b_vec"), t, n_planes, dim)

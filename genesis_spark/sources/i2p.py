@@ -32,11 +32,15 @@ def addressbook_seeds(subscriptions: DataFrame,
     Output: (url) rows ready for ``engine.install_seeds`` (attach
     installed_at/seed_id with the caller's ingest clock/sequence).
     """
+    # reference uses splitlines() + str.strip(): CRLF files must not leave
+    # a trailing '\r' on hosts, and whitespace-only (tab) lines are blank.
     lines = subscriptions.select(
-        F.explode(F.split(F.col(text_col), "\n")).alias("_line"))
+        F.explode(F.split(F.col(text_col), "\r?\n")).alias("_line"))
     kept = lines.filter(
-        (F.trim("_line") != "") & (~F.col("_line").startswith("#")))
-    host = F.trim(F.split(F.col("_line"), "=").getItem(0))
+        (~F.col("_line").rlike(r"^\s*$"))
+        & (~F.col("_line").startswith("#")))
+    host = F.regexp_replace(
+        F.split(F.col("_line"), "=").getItem(0), r"^\s+|\s+$", "")
     url = F.when(host.startswith("http"), host) \
         .otherwise(F.concat(F.lit("http://"), host))
     return kept.select(url.alias("url"))

@@ -60,3 +60,30 @@ def test_stub_model_threshold_semantics():
     outs = {tuple(model(f"text {i}")) for i in range(50)}
     assert ("general",) in outs                     # sub-threshold branch
     assert len(outs) > 3                            # confident branch too
+
+
+def test_label_joinback_onto_real_parse_output(spark):
+    """Round-2 advice: parse_pages output already carries a parser-filled
+    content_type column; with_host_labels must OVERWRITE it (the reference
+    assigns the memoized classifier decision), not die on an ambiguous
+    reference."""
+    from genesis_spark.functions.parse import parse_pages
+
+    html = ("<html><head><title>shop {i}</title></head>"
+            "<body><p>plain words about things here</p></body></html>")
+    rows = [(f"http://h{i % 3}.onion/p{i}", html.format(i=i))
+            for i in range(9)]
+    raw = spark.createDataFrame(rows, "url string, html string")
+    parsed = (parse_pages(raw)
+              .withColumn("depth", F.lit(0))
+              .withColumn("pos", F.lit(0)))
+    assert "content_type" in parsed.columns
+    labels = classify_hosts(parsed)
+    out = with_host_labels(parsed, labels)
+    got = out.select("base_url", "content_type").collect()
+    assert len(got) == 9
+    label_by_host = {r.base_url: tuple(r.content_type)
+                     for r in labels.collect()}
+    # the classifier label, not the parser stub, wins on every page
+    assert all(tuple(r.content_type) == label_by_host[r.base_url]
+               for r in got)

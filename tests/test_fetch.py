@@ -141,3 +141,19 @@ def test_i2p_subscription_fetch_to_install(spark, http_server):
     got = {(r.url, r.network) for r in
            frontier.select("url", "network").collect()}
     assert got == {("http://sub-x.i2p", "i2p"), ("http://sub-y.i2p", "i2p")}
+
+
+def test_i2p_addressbook_crlf_and_tab_lines(spark):
+    """Round-2 advice: reference splitlines()+strip() semantics — CRLF
+    subscription files must not leave '\\r' on hosts, and tab-only lines
+    are blank, not bogus seeds."""
+    from genesis_spark.sources.i2p import addressbook_seeds
+    crlf = "\r\n".join([
+        "# comment",
+        "site-crlf.i2p=Dest1",
+        "\t",
+        "site-last.i2p=Dest2",
+    ])
+    subs = spark.createDataFrame([(crlf,)], "content string")
+    got = [r.url for r in addressbook_seeds(subs).collect()]
+    assert got == ["http://site-crlf.i2p", "http://site-last.i2p"]

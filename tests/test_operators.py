@@ -242,3 +242,30 @@ def test_valid_e164_country_codes():
     got = extract_phone_numbers(
         "call +1-202-555-0123 or +999 123 4567 or +44 7911 123456")
     assert got == ["+12025550123", "+447911123456"]
+
+
+def test_auto_n_planes_sizing_rule():
+    """VERDICT r2 #6: the LSH plane-count sizing rule as code. 10^9 rows /
+    1024-row target buckets needs 20 planes; small inputs floor at 8."""
+    from genesis_spark.operators.similarity import auto_n_planes
+    assert auto_n_planes(0) == 8
+    assert auto_n_planes(1_000) == 8
+    assert auto_n_planes(10**9) == 20
+    assert auto_n_planes(10**9, target_bucket_rows=1) == 30
+
+
+def test_lsh_topk_requires_and_checks_dim(spark):
+    """dim is mandatory (no hidden head() job) and wrong-length vectors
+    raise instead of silently collapsing into one bucket."""
+    import pytest as _pytest
+
+    from genesis_spark.operators.similarity import lsh_topk
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    with _pytest.raises(TypeError, match="dim"):
+        lsh_topk(emb, emb, k=2)
+    with _pytest.raises(Exception, match="vector length"):
+        lsh_topk(emb, emb.limit(2), k=2, dim=4, n_planes=4).collect()
+    ok = lsh_topk(emb, emb.limit(2), k=2, dim=3, n_planes=4)
+    assert ok.count() >= 0
