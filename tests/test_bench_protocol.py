@@ -1,0 +1,34 @@
+"""The bench scaling protocol's clean-session gate (VERDICT r2 #1): the
+driver artifact must not record a throttled pair as clean again."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import session_clean  # noqa: E402
+
+
+def test_clean_probes_stable_runs_pass():
+    assert session_clean(1.0, 0.95, [52.1, 53.0, 51.8])
+
+
+def test_round2_decay_signature_rejected():
+    # the exact BENCH_r02 failure: probes passed, runs decayed 110 -> 64
+    assert not session_clean(1.035, 0.892, [110.02, 97.79, 79.18, 63.83])
+
+
+def test_throttled_probe_rejected():
+    assert not session_clean(0.66, 1.0, [52.0, 52.0])
+    assert not session_clean(1.0, 0.66, [52.0, 52.0])
+
+
+def test_mild_decay_within_noise_passes():
+    # monotone but < 20% first-to-last is normal warm-in, not throttle
+    assert session_clean(0.95, 0.95, [58.0, 55.0, 52.0])
+
+
+def test_non_monotone_spread_passes():
+    # a single slow outlier is not the decay signature; min is still valid
+    assert session_clean(0.95, 0.95, [80.0, 52.0, 53.0])

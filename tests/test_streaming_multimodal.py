@@ -93,3 +93,62 @@ def test_dedup_stream_state_across_microbatches(spark, tmp_path):
     # the h0 p3/p4 and h1 'a' dups cross the file/batch boundary
     assert sorted(got) == sorted(set(r for r in b1 + b2))
     assert len(got) == 10
+
+
+def test_frontier_sink_delta_appends_no_rewrite(spark, tmp_path):
+    """VERDICT r2 #2: the streaming frontier sink must commit O(batch)
+    append deltas, never rewrite the frontier per micro-batch. Three
+    micro-batches (maxFilesPerTrigger=1) -> one frontier_base + two
+    frontier_adds deltas; the reconstruction equals the distinct union of
+    all admitted links, and re-draining the same stream dir with a fresh
+    checkpoint (a full replay) adds only empty deltas."""
+    from genesis_spark import schemas
+    from genesis_spark.sources.tables import SnapshotStore
+    from genesis_spark.streaming.pipeline import (frontier_sink,
+                                                  parse_stream,
+                                                  read_streaming_frontier)
+
+    host = "http://deltahostaaaa.onion"
+    src = str(tmp_path / "pages_in")
+    all_links = set()
+    for b in range(3):
+        links = [f"{host}/b{b}l{j}" for j in range(4)] + [f"{host}/shared"]
+        all_links.update(links)
+        anchors = "".join(f'<a href="{u}">x</a>' for u in links)
+        rows = [(b, f"{host}/page{b}", "deltahostaaaa", 200,
+                 f"{host}/page{b}",
+                 f"<title>t{b}</title><p>the market data is private and "
+                 f"secure info</p>{anchors}", [])]
+        (spark.createDataFrame(rows, schemas.WEB_PAGES)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    parsed = parse_stream(spark, src, max_files_per_trigger=1)
+    q = frontier_sink(parsed, store, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {r.url for r in read_streaming_frontier(spark, store).collect()}
+    # sub_url admission keeps same-host links; every page's links admitted
+    assert got == all_links
+    n_frontier = len(got)
+
+    snaps = store.snapshots()
+    assert snaps[0]["tables"] == ["frontier_base"]
+    for m in snaps[1:]:
+        assert m["tables"] == ["frontier_adds"]     # never a full rewrite
+    assert len(snaps) == 3
+    # O(batch) deltas: total rows across base+adds == |distinct links|
+    n_base = store.read(spark, "frontier_base").count()
+    n_adds = store.read(spark, "frontier_adds").count()
+    assert n_base + n_adds == n_frontier
+    # '/shared' appears in every batch but lands exactly once
+    assert sum(1 for u in got if u.endswith("/shared")) == 1
+
+    # full replay (fresh checkpoint, same input): anti-join makes every
+    # delta empty -> frontier unchanged, still no rewrite
+    q2 = frontier_sink(parse_stream(spark, src, max_files_per_trigger=1),
+                       store, str(tmp_path / "ckpt2"))
+    q2.awaitTermination()
+    assert read_streaming_frontier(spark, store).count() == n_frontier
+    for m in store.snapshots()[3:]:
+        assert m["tables"] == ["frontier_adds"]
