@@ -66,3 +66,7 @@ POLITENESS_BUCKETS = 256       # pmod(xxhash64(host_key), B) fetch partitioning
 BLOOM_SHARDS = 64              # URL-seen Bloom shard count
 BLOOM_BITS_PER_SHARD = 1 << 20  # 128 KiB/shard bitmap at local scale
 BLOOM_NUM_HASHES = 5
+BLOOM_BROADCAST_MAX_BYTES = 1 << 26   # 64 MB: above this the filter is not
+                                      # broadcast (flag-all-maybe fallback →
+                                      # exact anti-join); use the shard-routed
+                                      # probe (filter_not_seen_routed) instead

@@ -269,3 +269,46 @@ def test_lsh_topk_requires_and_checks_dim(spark):
         lsh_topk(emb, emb.limit(2), k=2, dim=4, n_planes=4).collect()
     ok = lsh_topk(emb, emb.limit(2), k=2, dim=3, n_planes=4)
     assert ok.count() >= 0
+
+
+def test_bloom_routed_probe_matches_broadcast(spark):
+    """VERDICT r2 #4: the shard-routed probe (cogroup per shard, one bitmap
+    per task) must flag exactly the same rows as the broadcast path, and
+    each group task must receive at most ONE bitmap row — per-task memory
+    is one shard, never the full filter."""
+    seen = spark.createDataFrame(
+        [(f"http://seen{i}.onion",) for i in range(500)], "url string")
+    probe = spark.createDataFrame(
+        [(f"http://seen{i}.onion",) for i in range(0, 500, 25)] +
+        [(f"http://new{i}.onion",) for i in range(200)], "url string")
+    kw = dict(n_shards=8, n_bits=1 << 16, k=5)
+
+    bloom = B.build_bloom(seen, "url", **kw)
+    want = {r.url: r._maybe_seen for r in
+            B.filter_not_seen(probe, "url", bloom).collect()}
+
+    shard_df = B.build_bloom_shards(seen, "url", **kw)
+    assert shard_df.count() <= 8                       # one row per shard
+    rows_per_group = spark.sparkContext.accumulator(0)
+    got_df = B.filter_not_seen_routed(
+        probe, "url", shard_df, shard_rows_counter=rows_per_group, **kw)
+    got = {r.url: r._maybe_seen for r in got_df.collect()}
+    assert got == want
+    # total bitmap rows delivered across ALL group tasks <= n_shards: no
+    # task ever held more than its own shard (the full filter is 8 bitmaps)
+    assert 0 < rows_per_group.value <= 8
+
+
+def test_bloom_broadcast_size_cap_falls_back_to_maybe(spark):
+    """Above the broadcast byte cap the filter must not ship: every row is
+    flagged maybe-seen (degrading to the exact anti-join downstream) and
+    no row is ever marked definitely-new incorrectly."""
+    seen = spark.createDataFrame(
+        [(f"http://seen{i}.onion",) for i in range(50)], "url string")
+    bloom = B.build_bloom(seen, "url", n_shards=8, n_bits=1 << 16, k=5)
+    probe = spark.createDataFrame(
+        [("http://seen1.onion",), ("http://new.onion",)], "url string")
+    out = {r.url: r._maybe_seen for r in
+           B.filter_not_seen(probe, "url", bloom,
+                             max_broadcast_bytes=16).collect()}
+    assert out == {"http://seen1.onion": True, "http://new.onion": True}
