@@ -754,6 +754,101 @@ SELECT * FROM zone UNION ALL SELECT * FROM victims
 """
 
 
+def q_leak_dispatch2(spark, sf_dir):
+    """M4 round 3: three of the six new site shapes (ransom-board download
+    table, hack-blog post page, card-grid) synthesized from the documents
+    table and run through the same registry dispatch; the oracle replays
+    each extractor's arithmetic. (feed-site/post-board/leak-archive are
+    golden-tested; their date stamping / fallback sentinels don't add
+    oracle-expressible structure.)"""
+    from genesis_spark import leaks as L
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    ransom_url = F.concat(F.lit("http://ransom-board.onion/post/"),
+                          k.cast("string"))
+    blog_url = F.concat(F.lit("http://hack-blog.onion/post/"),
+                        k.cast("string"))
+    grid_url = F.concat(F.lit("http://card-grid.onion/page/"),
+                        k.cast("string"))
+    ransom_html = F.concat(
+        F.lit('<html><body><div class="theading">C'), k.cast("string"),
+        F.lit('</div><div class="tstat">'), F.col("text"),
+        F.lit('</div><table class="tdownload"><tr><td>'
+              '<a href="/files/a.zip">a</a><a href="/files/b.zip">b</a>'
+              '</td></tr></table></body></html>'))
+    blog_html = F.concat(
+        F.lit('<html><body><h1 class="wp-block-post-title '
+              'has-x-large-font-size">B'), k.cast("string"),
+        F.lit('</h1><div class="wp-block-post-date">'
+              '<time datetime="2024-06-15">x</time></div>'
+              '<div class="entry-content wp-block-post-content"><p>'),
+        F.col("text"), F.lit('</p></div></body></html>'))
+    grid_html = F.concat(
+        F.lit("<html><body>"),
+        F.array_join(F.transform(
+            F.slice(F.split(F.col("text"), " "), 1, 6),
+            lambda w: F.concat(
+                F.lit('<div class="card"><div class="title">'), w,
+                F.lit('</div><div class="text">'), w,
+                F.lit("</div></div>"))), ""),
+        F.lit("</body></html>"))
+    pages = d.select(
+        F.when(k % 3 == 0, ransom_url).when(k % 3 == 1, blog_url)
+        .otherwise(grid_url).alias("url"),
+        F.when(k % 3 == 0, ransom_html).when(k % 3 == 1, blog_html)
+        .otherwise(grid_html).alias("html"))
+    cards = L.dispatch_leak_parse(pages)
+    return cards.select("host_key", "m_url", "card_pos", "batch_id",
+                        "m_title", "m_content", "m_important_content",
+                        "m_leak_date",
+                        F.array_join("m_dumplink", ",").alias("dump_csv"))
+
+
+ORACLE_LEAK_DISPATCH2 = r"""
+WITH ransom AS (
+  SELECT 'ransom-board' AS host_key,
+         'http://ransom-board.onion/post/' || doc_id AS m_url,
+         0 AS card_pos, 0 AS batch_id,
+         'C' || doc_id AS m_title,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS m_content,
+         trim(regexp_replace(text, '\s+', ' ', 'g'))
+           AS m_important_content,
+         CAST(NULL AS VARCHAR) AS m_leak_date,
+         'http://ransom-board.onion/files/a.zip,' ||
+         'http://ransom-board.onion/files/b.zip' AS dump_csv
+  FROM documents WHERE doc_id % 3 = 0
+), blog AS (
+  SELECT 'hack-blog' AS host_key,
+         'http://hack-blog.onion/post/' || doc_id AS m_url,
+         0 AS card_pos, 0 AS batch_id,
+         'B' || doc_id AS m_title,
+         text AS m_content,
+         CASE WHEN len(w) > 500 THEN array_to_string(w[1:500], ' ')
+              ELSE text END AS m_important_content,
+         '2024-06-15' AS m_leak_date,
+         '' AS dump_csv
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id % 3 = 1)
+), grid AS (
+  SELECT 'card-grid' AS host_key,
+         'http://card-grid.onion/page/' || doc_id AS m_url,
+         CAST(u['i'] AS INT) AS card_pos, 0 AS batch_id,
+         u['w'] AS m_title, u['w'] AS m_content,
+         u['w'] AS m_important_content,
+         CAST(NULL AS VARCHAR) AS m_leak_date,
+         '' AS dump_csv
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(least(len(w), 6)),
+                      i -> {'i': i, 'w': w[i + 1]})) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id % 3 = 2))
+)
+SELECT * FROM ransom UNION ALL SELECT * FROM blog
+UNION ALL SELECT * FROM grid
+"""
+
+
 _STREAM_SEQ = 0
 
 
@@ -893,6 +988,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "dispatch_join": q_dispatch_join,
     "leak_dispatch": q_leak_dispatch,
+    "leak_dispatch2": q_leak_dispatch2,
     "stream_dedup": q_stream_dedup,
 }
 
@@ -922,6 +1018,7 @@ ORACLES = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "dispatch_join": ORACLE_DISPATCH_JOIN,
     "leak_dispatch": ORACLE_LEAK_DISPATCH,
+    "leak_dispatch2": ORACLE_LEAK_DISPATCH2,
     "stream_dedup": ORACLE_STREAM_DEDUP,
 }
 
