@@ -849,6 +849,56 @@ UNION ALL SELECT * FROM grid
 """
 
 
+def q_robots_admission(spark, sf_dir):
+    """ST3 robots admission as a driver CORRECTNESS row (VERDICT r2 #9):
+    candidates synthesized from orders (4 path shapes incl. a pathless
+    URL), a broadcast robots table over 40 hosts (two disallow sets, one
+    host in three unlisted); a candidate is dropped iff its path starts
+    with any disallowed prefix of its host."""
+    from genesis_spark.crawler.politeness import apply_robots
+
+    k = F.col("o_orderkey")
+    path = (F.when(k % 4 == 0, F.concat(F.lit("/pub/"), k.cast("string")))
+            .when(k % 4 == 1, F.concat(F.lit("/private/"), k.cast("string")))
+            .when(k % 4 == 2, F.concat(F.lit("/admin/x"), k.cast("string")))
+            .otherwise(F.lit("")))
+    cand = _t(spark, sf_dir, "orders").select(
+        k.alias("o_orderkey"),
+        F.concat(F.lit("h"), (k % 40).cast("string")).alias("host_key"),
+        F.concat(F.lit("http://h"), (k % 40).cast("string"),
+                 F.lit(".onion"), path).alias("url"))
+    r = F.col("id")
+    robots = (spark.range(40).filter(r % 3 < 2).select(
+        F.concat(F.lit("h"), r.cast("string")).alias("host_key"),
+        F.when(r % 3 == 0, F.array(F.lit("/private/"), F.lit("/admin/")))
+        .otherwise(F.array(F.lit("/admin/"))).alias("disallow")))
+    return apply_robots(cand, robots).select("o_orderkey", "host_key", "url")
+
+
+ORACLE_ROBOTS_ADMISSION = """
+WITH cand AS (
+  SELECT o_orderkey,
+         'h' || (o_orderkey % 40) AS host_key,
+         CASE o_orderkey % 4
+            WHEN 0 THEN '/pub/' || o_orderkey
+            WHEN 1 THEN '/private/' || o_orderkey
+            WHEN 2 THEN '/admin/x' || o_orderkey
+            ELSE '' END AS path
+  FROM orders
+), rob AS (
+  SELECT 'h' || r AS host_key,
+         CASE WHEN r % 3 = 0 THEN ['/private/', '/admin/']
+              ELSE ['/admin/'] END AS disallow
+  FROM range(40) t(r) WHERE r % 3 < 2
+)
+SELECT o_orderkey, host_key,
+       'http://' || host_key || '.onion' || path AS url
+FROM cand LEFT JOIN rob USING (host_key)
+WHERE NOT coalesce(
+  len(list_filter(disallow, p -> path LIKE p || '%')) > 0, FALSE)
+"""
+
+
 _STREAM_SEQ = 0
 
 
@@ -989,6 +1039,7 @@ QUERIES = {
     "dispatch_join": q_dispatch_join,
     "leak_dispatch": q_leak_dispatch,
     "leak_dispatch2": q_leak_dispatch2,
+    "robots_admission": q_robots_admission,
     "stream_dedup": q_stream_dedup,
 }
 
@@ -1019,6 +1070,7 @@ ORACLES = {
     "dispatch_join": ORACLE_DISPATCH_JOIN,
     "leak_dispatch": ORACLE_LEAK_DISPATCH,
     "leak_dispatch2": ORACLE_LEAK_DISPATCH2,
+    "robots_admission": ORACLE_ROBOTS_ADMISSION,
     "stream_dedup": ORACLE_STREAM_DEDUP,
 }
 

@@ -152,3 +152,32 @@ def test_frontier_sink_delta_appends_no_rewrite(spark, tmp_path):
     assert read_streaming_frontier(spark, store).count() == n_frontier
     for m in store.snapshots()[3:]:
         assert m["tables"] == ["frontier_adds"]
+
+
+def _make_png(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + chunk
+            + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+            + b"rest-of-file-not-needed")
+
+
+def test_png_header_decode_real_bytes(spark):
+    """decode_png_header parses genuine PNG bytes (stdlib-built, spec CRC)
+    and rejects corrupt/truncated/non-PNG blobs without raising."""
+    good = _make_png(640, 360)
+    bad_crc = bytearray(good)
+    bad_crc[30] ^= 0xFF
+    rows = [("ok", good), ("crc", bytes(bad_crc)), ("trunc", good[:20]),
+            ("fixture", MM.encode_fake_media(32, 16, "jpg")), ("none", None)]
+    df = spark.createDataFrame(rows, "doc_id string, media_blob binary")
+    out = {r.doc_id: r.media_meta for r in
+           MM.extract_media_meta(df, decode_fn=MM.decode_auto).collect()}
+    assert out["ok"].ok and (out["ok"].width, out["ok"].height) == (640, 360)
+    assert out["ok"].format == "png"
+    assert not out["crc"].ok          # CRC mismatch caught
+    assert not out["trunc"].ok
+    assert out["fixture"].ok and out["fixture"].format == "jpg"
+    assert not out["none"].ok and out["none"].n_bytes == 0
