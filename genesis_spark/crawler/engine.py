@@ -309,7 +309,9 @@ def read_frontier_delta(spark: SparkSession, store) -> DataFrame:
 def run_rounds(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
                store, host_budget: int = conf.WAVE_HOST_BUDGET,
                stop_after_round: int | None = None,
-               delta_state: bool = False) -> None:
+               delta_state: bool = False,
+               bucketed: bool = False,
+               use_bloom: bool = False) -> None:
     """Production shape: one frontier round per iteration, one snapshot per
     round (ST2/ST4). Crash-resume = rerun with the same store; the last
     committed snapshot defines the restart point, uncommitted work is
@@ -323,10 +325,16 @@ def run_rounds(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
     round (O(frontier) rewrite amplification: at 10^10 rows a full
     rewrite per round dwarfs the crawl itself). Reads reconstruct via
     ``read_frontier_delta``; resume semantics are identical (pinned by
-    tests/test_resume.py::test_delta_state_resume_and_no_rewrite)."""
+    tests/test_resume.py::test_delta_state_resume_and_no_rewrite).
+
+    ``bucketed``/``use_bloom`` select the production-scale install (no
+    global-rank barrier) and the sharded Bloom seen-prefilter — the same
+    flags as ``run``/``crawl_frontier``; the three 10^10-row paths
+    compose (pinned at t3 scale by tests/test_crawl_t3.py)."""
     latest = store.latest()
+    install = install_seeds_scaled if bucketed else install_seeds
     if latest is None:
-        frontier = install_seeds(seeds, host_budget).persist()
+        frontier = install(seeds, host_budget).persist()
         base_name = "frontier_base" if delta_state else "frontier"
         store.commit({base_name: frontier}, {"round": -1, "seq_offset": 0})
         next_round, seq_offset = 0, 0
@@ -342,7 +350,8 @@ def run_rounds(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
     for r in range(next_round, max_round + 1):
         todo = frontier.filter((F.col("round") == r) &
                                (F.col("state") == "pending"))
-        res = crawl_frontier(spark, todo, pages, seq_offset=seq_offset)
+        res = crawl_frontier(spark, todo, pages, seq_offset=seq_offset,
+                             use_bloom=use_bloom)
         seq_offset += res["crawl_order"].count()
         upd = res["frontier_done"].select(
             "url_hash", F.col("state").alias("_new_state"),

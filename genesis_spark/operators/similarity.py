@@ -151,3 +151,51 @@ def lsh_topk(base: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id"))
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.85,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             n_planes: int = 8, n_tables: int = 4,
+                             dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-family variant of
+    ``lsh_topk``): emit (id_a, id_b, cos) for every pair sharing a
+    hyperplane-LSH bucket in ANY table whose exact cosine >= threshold,
+    with id_a < id_b. Candidate generation is a per-table SELF equi-join
+    on the signature — the table shuffles by bucket, never cross-joins —
+    so at 10^9 rows the cost is sum of bucket^2, controlled by
+    ``auto_n_planes`` exactly like ``lsh_topk``. Recall < 1 by design
+    (a near-dup pair split across all tables' buckets is missed);
+    per-table miss probability for cosine c is 1-(1-(1-theta/pi)^p)^T.
+
+    The signature columns are pure row-local codegen (no aggregate
+    subplan), so both join sides recompute them instead of persisting —
+    nothing leaks cached blocks (ADVICE r2: dedup.py:179)."""
+    if dim is None:
+        raise TypeError("embedding_near_dup_pairs requires dim= "
+                        "(see lsh_topk)")
+
+    def _checked(col: Column) -> Column:
+        return F.when(F.size(col) == dim, col).otherwise(F.raise_error(
+            F.concat(F.lit(f"near_dup: vector length != dim={dim}, got "),
+                     F.size(col).cast("string"))))
+
+    sig = df.select(
+        F.col(id_col).alias("_id"), _checked(F.col(vec_col)).alias("_v"),
+        *[hyperplane_signature_expr(_checked(F.col(vec_col)), t, n_planes,
+                                    dim).alias(f"_b{t}")
+          for t in range(n_tables)])
+    cand = None
+    for t in range(n_tables):
+        a = sig.select(F.col("_id").alias("id_a"), F.col(f"_b{t}").alias("_bk"))
+        b = sig.select(F.col("_id").alias("id_b"), F.col(f"_b{t}").alias("_bk"))
+        p = (a.join(b, "_bk").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    va = sig.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = sig.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cos", cosine_expr(F.col("_va"), F.col("_vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))

@@ -512,6 +512,85 @@ def q_ann_lsh_topk(spark, sf_dir):
                         dim=_LSH_DIM)
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup (the dedup-family ANN variant): the
+    fixture embeddings are near-random (all pairwise cosines < 0.7), so
+    the query synthesizes near-duplicates deterministically — each
+    vec_id < 200 gains a +100000 twin d[i] = e[i] + 0.4*e[(i+1) % dim]
+    (cosine ~0.93) — then finds all pairs sharing a hyperplane-LSH
+    bucket in any table with exact cosine >= 0.85. The oracle replays
+    the same perturbation, plane literals, bucket joins, and threshold,
+    so the approximate operator is checked EXACTLY."""
+    dim = _LSH_DIM
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    dup = emb.filter(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(idx, lambda i: (
+            F.element_at("embedding", (i + 1).cast("int")).cast("double")
+            + F.lit(0.4) * F.element_at(
+                "embedding",
+                ((i + 1) % dim + 1).cast("int")).cast("double")))
+        .alias("embedding"))
+    allv = base.unionByName(dup)
+    return SIM.embedding_near_dup_pairs(
+        allv, threshold=0.85, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES,
+        dim=dim).select("id_a", "id_b")
+
+
+def _near_dup_oracle() -> str:
+    dim = _LSH_DIM
+    sig_cols = []
+    for t in range(_LSH_TABLES):
+        terms = []
+        for p, signs in enumerate(
+                SIM.hyperplane_signs(t, _LSH_PLANES, dim)):
+            lit = "[" + ", ".join(f"{s:.1f}" for s in signs) + "]"
+            terms.append(
+                f"(CASE WHEN list_sum(list_transform(range({dim}), "
+                f"i -> v[i+1] * ({lit})[i+1])) > 0 "
+                f"THEN {1 << p} ELSE 0 END)")
+        sig_cols.append(" + ".join(terms) + f" AS bucket{t}")
+    sig_sql = ",\n  ".join(sig_cols)
+    cand = "\nUNION\n".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        f"FROM sig a JOIN sig b ON a.bucket{t} = b.bucket{t} "
+        f"AND a.vec_id < b.vec_id"
+        for t in range(_LSH_TABLES))
+    return f"""
+WITH allv AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range({dim}),
+           i -> embedding[i+1]::DOUBLE
+                + 0.4 * embedding[((i+1) % {dim}) + 1]::DOUBLE) AS v
+  FROM embeddings WHERE vec_id < 200
+), sig AS (
+  SELECT vec_id, v,
+  {sig_sql}
+  FROM allv
+), cand AS (
+{cand}
+)
+SELECT c.id_a, c.id_b
+FROM cand c
+JOIN sig a ON a.vec_id = c.id_a
+JOIN sig b ON b.vec_id = c.id_b
+WHERE list_sum(list_transform(range({dim}), i -> a.v[i+1] * b.v[i+1]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.85
+"""
+
+
+ORACLE_DEDUP_EMBEDDING = _near_dup_oracle()
+
+
 def _lsh_oracle() -> str:
     sig_cols = []
     for t in range(_LSH_TABLES):
@@ -849,6 +928,118 @@ UNION ALL SELECT * FROM grid
 """
 
 
+def q_leak_dispatch3(spark, sf_dir):
+    """M4 completion (18/18 sites): three of the round-3 batch's nine
+    shapes with oracle-expressible structure — advert blocks (data_size
+    string assembly + 'Leak of' title), sales table (empty-popup fallback
+    to the 'year | db | site | records | price' string), posts article
+    (revenue '$'-prefix gate and data-size digit gate). The other six are
+    golden-tested; their fallback sentinels / whole-page-text quirks add
+    no oracle-expressible arithmetic."""
+    from genesis_spark import leaks as L
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    advert_url = F.concat(F.lit("http://advert-board.onion/leaks/"), ks)
+    sales_url = F.concat(F.lit("http://sales-table.onion/list/"), ks)
+    posts_url = F.concat(F.lit("http://posts-board.onion/posts/"), ks)
+    advert_html = F.concat(
+        F.lit('<html><body><div class="advert_col">'
+              '<div class="advert_info_title">A'), ks,
+        F.lit('</div><div class="advert_info_p">'), F.col("text"),
+        F.lit('<a href="http://w'), ks,
+        F.lit('.example">s</a></div><div class="advert_info_code">'
+              '<span>Size: '), ks,
+        F.lit('GB</span><span>Files: '), (k * 2).cast("string"),
+        F.lit('</span><span>Folders: 7</span></div>'
+              '<div class="advert_action"><a href="/dl/'), ks,
+        F.lit('.7z">get</a></div></div></body></html>'))
+    sales_html = F.concat(
+        F.lit('<html><body><table class="list"><tbody><tr><td>Y'), ks,
+        F.lit("</td><td>D"), ks, F.lit("</td><td>s"), ks,
+        F.lit(".io</td><td>R"), ks, F.lit("</td><td>$"), ks,
+        F.lit('</td><td><button>Buy</button>'
+              '<table class="order-details"><tr><td>h</td></tr>'
+              '<tr><td>h</td></tr><tr><td>h</td></tr><tr><td></td></tr>'
+              "</table></td></tr></tbody></table></body></html>"))
+    posts_html = F.concat(
+        F.lit('<html><body><p class="text-center text-4xl font-bold">P'),
+        ks, F.lit('</p><div class="text-sm"><span>11 Aug, 2024</span>'
+                  "</div><article><h3>H</h3><p>"), F.col("text"),
+        F.lit("</p><p>Revenue: "),
+        F.when(k % 2 == 0, F.concat(F.lit("$"), ks, F.lit("M")))
+        .otherwise(F.lit("n/a")),
+        F.lit("</p><p>Data: "),
+        F.when(k % 4 < 2, F.concat(ks, F.lit(" GB")))
+        .otherwise(F.lit("lots")),
+        F.lit('</p><a href="http://z'), ks,
+        F.lit('.example">z</a></article></body></html>'))
+    pages = d.select(
+        F.when(k % 3 == 0, advert_url).when(k % 3 == 1, sales_url)
+        .otherwise(posts_url).alias("url"),
+        F.when(k % 3 == 0, advert_html).when(k % 3 == 1, sales_html)
+        .otherwise(posts_html).alias("html"))
+    cards = L.dispatch_leak_parse(pages)
+    return cards.select(
+        "host_key", "m_url", "card_pos", "batch_id", "m_title",
+        "m_content", "m_data_size", "m_leak_date", "m_revenue",
+        F.array_join("m_weblink", ",").alias("web_csv"),
+        F.array_join("m_dumplink", ",").alias("dump_csv"))
+
+
+ORACLE_LEAK_DISPATCH3 = r"""
+WITH advert AS (
+  SELECT 'advert-board' AS host_key,
+         'http://advert-board.onion/leaks/' || doc_id AS m_url,
+         0 AS card_pos, 0 AS batch_id,
+         'Leak of A' || doc_id AS m_title,
+         text || chr(10) || 's' AS m_content,
+         'Size: ' || doc_id || 'GB, Files: ' || (doc_id * 2) ||
+           ', Folders: 7' AS m_data_size,
+         CAST(NULL AS VARCHAR) AS m_leak_date,
+         CAST(NULL AS VARCHAR) AS m_revenue,
+         'http://w' || doc_id || '.example' AS web_csv,
+         '/dl/' || doc_id || '.7z' AS dump_csv
+  FROM documents WHERE doc_id % 3 = 0
+), sales AS (
+  SELECT 'sales-table' AS host_key,
+         'http://sales-table.onion/list/' || doc_id AS m_url,
+         0 AS card_pos, 0 AS batch_id,
+         'D' || doc_id AS m_title,
+         'Y' || doc_id || ' | D' || doc_id || ' | s' || doc_id ||
+           '.io | R' || doc_id || ' | $' || doc_id AS m_content,
+         CAST(NULL AS VARCHAR) AS m_data_size,
+         'Y' || doc_id AS m_leak_date,
+         CAST(NULL AS VARCHAR) AS m_revenue,
+         's' || doc_id || '.io' AS web_csv,
+         '' AS dump_csv
+  FROM documents WHERE doc_id % 3 = 1
+), posts AS (
+  SELECT 'posts-board' AS host_key,
+         'http://posts-board.onion/posts/' || doc_id AS m_url,
+         0 AS card_pos, 0 AS batch_id,
+         'P' || doc_id AS m_title,
+         'H' || text || 'Revenue: ' ||
+           CASE WHEN doc_id % 2 = 0 THEN '$' || doc_id || 'M'
+                ELSE 'n/a' END ||
+           'Data: ' ||
+           CASE WHEN doc_id % 4 < 2 THEN doc_id || ' GB'
+                ELSE 'lots' END || 'z' AS m_content,
+         CASE WHEN doc_id % 4 < 2 THEN doc_id || ' GB'
+              ELSE '' END AS m_data_size,
+         '11 Aug, 2024' AS m_leak_date,
+         CASE WHEN doc_id % 2 = 0 THEN '$' || doc_id || 'M'
+              ELSE '' END AS m_revenue,
+         'http://z' || doc_id || '.example' AS web_csv,
+         '' AS dump_csv
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT * FROM advert UNION ALL SELECT * FROM sales
+UNION ALL SELECT * FROM posts
+"""
+
+
 def q_robots_admission(spark, sf_dir):
     """ST3 robots admission as a driver CORRECTNESS row (VERDICT r2 #9):
     candidates synthesized from orders (4 path shapes incl. a pathless
@@ -907,7 +1098,15 @@ def q_stream_dedup(spark, sf_dir):
     (applyInPandasWithState) run as a real Structured Streaming query —
     4 parquet files, one micro-batch each, duplicates spanning batches
     suppressed by the state store. The final emitted set is exactly the
-    distinct (host, url) set, which is what the DuckDB oracle checks."""
+    distinct (host, url) set, which is what the DuckDB oracle checks.
+
+    Scale caveat (ADVICE r2): the operator is a lossy PREFILTER by
+    construction — an xxh64 collision between distinct URLs of one host
+    drops a URL (~n^2/2^65 per host), and ``max_state_per_host``
+    insertion-order eviction re-admits old URLs once a host exceeds the
+    cap. The oracle match holds because the fixture sits far below both
+    bounds; at scale the exact frontier anti-join downstream remains the
+    source of truth (streaming/pipeline.py:125-136)."""
     import os
     import tempfile
 
@@ -1028,6 +1227,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash64": q_dedup_simhash64,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "text_lang_id": q_text_lang_id,
@@ -1039,6 +1239,7 @@ QUERIES = {
     "dispatch_join": q_dispatch_join,
     "leak_dispatch": q_leak_dispatch,
     "leak_dispatch2": q_leak_dispatch2,
+    "leak_dispatch3": q_leak_dispatch3,
     "robots_admission": q_robots_admission,
     "stream_dedup": q_stream_dedup,
 }
@@ -1059,6 +1260,7 @@ ORACLES = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash64": ORACLE_DEDUP_SIMHASH64,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
+    "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
     "ann_cosine_topk": ORACLE_ANN_COSINE,
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "text_lang_id": ORACLE_TEXT_LANG_ID,
@@ -1070,6 +1272,7 @@ ORACLES = {
     "dispatch_join": ORACLE_DISPATCH_JOIN,
     "leak_dispatch": ORACLE_LEAK_DISPATCH,
     "leak_dispatch2": ORACLE_LEAK_DISPATCH2,
+    "leak_dispatch3": ORACLE_LEAK_DISPATCH3,
     "robots_admission": ORACLE_ROBOTS_ADMISSION,
     "stream_dedup": ORACLE_STREAM_DEDUP,
 }

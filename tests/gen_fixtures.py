@@ -25,6 +25,12 @@ TIERS = {
     # and a 28-round Spark loop is pure test wall-clock)
     "t1": (16, 2, 2, 8),
     "t2": (160, 20, 20, 64),
+    # t3: 1000 hosts (VERDICT r2 #8) — the oracle budget 320 keeps the
+    # golden at ~4 global rounds; the engine side runs the BUCKETED
+    # install (per-bucket budget, tests/test_crawl_t3.py), whose round
+    # split differs by design while seen/documents/per-host order/final
+    # frontier states stay golden-exact
+    "t3": (800, 100, 100, 320),
 }
 FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 

@@ -298,3 +298,246 @@ def test_new_parsers_registered_and_dispatchable(spark):
            if r.card_pos == 0}
     assert set(got) == {"feed-site", "leak-archive", "hack-blog",
                         "ransom-board", "post-board", "card-grid"}
+
+
+# ---- round-3 batch: the remaining nine site shapes (18/18) ----
+
+from genesis_spark.leaks.parsers import (  # noqa: E402
+    parse_advert_blocks, parse_blog_listing, parse_card_inner,
+    parse_detail_card, parse_leak_cards, parse_modal_cards,
+    parse_posts_article, parse_ransom_live, parse_sales_table)
+
+MODAL_URL = "http://modal-board.onion/"
+MODAL_HTML = """<html><body>
+<div class="modal-content">
+  <h5 id="full-card-title">  Acme   Corp </h5>
+  <p id="full-card-text">dump of acme mail admin@acme.com
+     call +12025550123</p>
+  <p id="full-card-links"><a href="http://dl.onion/a">a</a>
+     <a href="http://dl.onion/b">b</a></p></div>
+<div class="modal-content">
+  <h5 id="full-card-title">Beta</h5>
+  <p id="full-card-text">beta body</p></div>
+</body></html>"""
+
+
+def test_modal_cards_clean_and_links():
+    cards = parse_modal_cards(MODAL_URL, MODAL_HTML)
+    assert [c["m_title"] for c in cards] == ["Acme Corp", "Beta"]
+    c1 = cards[0]
+    assert c1["m_dumplink"] == ["http://dl.onion/a", "http://dl.onion/b"]
+    assert c1["m_weblink"] == [MODAL_URL] and c1["m_url"] == MODAL_URL
+    assert c1["m_email_addresses"] == ["admin@acme.com"]
+    assert "+12025550123" in c1["m_phone_numbers"]
+    assert cards[1]["m_dumplink"] == []
+
+
+ADVERT_URL = "http://advert-board.onion/leaks.php"
+ADVERT_HTML = """<html><body>
+<div class="advert_col">
+  <div class="advert_info_title">MegaCo</div>
+  <div class="advert_info_p">line one
+    <a href="http://megaco.com">site</a> line two</div>
+  <div class="advert_info_code"><span>Size: 20GB</span>
+    <span>Files: 12000</span><span>Folders: 300</span></div>
+  <div class="advert_imgs_block"><img src="/i/1.png"><img src="/i/2.png">
+  </div>
+  <div class="advert_action"><a href="/dl/mega.7z">get</a></div></div>
+<div class="advert_col">
+  <div class="advert_info_p">orphan block, no title</div></div>
+<div class="advert_col">
+  <div class="advert_info_title">NeverReached</div>
+  <div class="advert_info_p">after the abort</div></div>
+</body></html>"""
+
+
+def test_advert_blocks_fields_and_abort_on_malformed():
+    cards = parse_advert_blocks(ADVERT_URL, ADVERT_HTML)
+    # block 2 lacks a title -> reference's single try/except aborts the
+    # remaining blocks, keeping only block 1
+    assert [c["m_title"] for c in cards] == ["Leak of MegaCo"]
+    c = cards[0]
+    assert c["m_weblink"] == ["http://megaco.com"]
+    assert c["m_dumplink"] == ["/dl/mega.7z"]
+    assert c["m_data_size"] == "Size: 20GB, Files: 12000, Folders: 300"
+    assert c["m_logo_or_images"] == ["http://advert-board.onion/i/1.png",
+                                     "http://advert-board.onion/i/2.png"]
+    assert c["m_content"].startswith("line one")
+
+
+BLOGL_URL = "http://blog-board.onion/"
+BLOGL_HTML = """<html><body>
+<article class="post">
+  <h2 class="entry-title"><a href="http://blog-board.onion/p/1">Hit One
+  </a></h2><span class="published">2024-03-01</span>
+  <div class="entry-content"><p>intro text</p><p></p>
+    <p>download at <a href="http://x.onion/d1">http://x.onion/d1</a> now
+    </p></div></article>
+<article class="post">
+  <h2 class="entry-title"><a href="http://blog-board.onion/p/1">dup href
+  </a></h2><span class="published">x</span></article>
+<article class="post"><h2 class="entry-title">no anchor</h2></article>
+</body></html>"""
+
+
+def test_blog_listing_dedup_and_link_strip():
+    cards = parse_blog_listing(BLOGL_URL, BLOGL_HTML)
+    assert len(cards) == 1   # dup href + anchor-less both skipped
+    c = cards[0]
+    assert c["m_title"] == "Hit One"
+    assert c["m_url"] == "http://blog-board.onion/p/1"
+    assert c["m_leak_date"] == "2024-03-01"
+    assert c["m_dumplink"] == ["http://x.onion/d1"]
+    # the href TEXT is stripped out of the content (reference replace loop)
+    assert "http://x.onion/d1" not in c["m_content"]
+    assert c["m_content"].startswith("intro text")
+
+
+SALES_URL = "http://sales-table.onion/"
+SALES_HTML = """<html><body><table class="list"><tbody>
+<tr><td>2023</td><td>db_alpha</td><td>alpha.com</td><td>9M</td>
+  <td>$500</td><td><button>Buy</button>
+  <table class="order-details"><tr><td>h</td></tr><tr><td>h</td></tr>
+    <tr><td>h</td></tr><tr><td>full creds mail bob@alpha.com</td></tr>
+  </table></td></tr>
+<tr><td>2024</td><td>db_beta</td><td>beta.io</td><td>2M</td>
+  <td>$90</td><td><button>Buy</button></td></tr>
+<tr><td>2025</td><td>db_nobuy</td><td>x.io</td><td>1</td><td>$1</td>
+  <td>sold out</td></tr>
+</tbody></table></body></html>"""
+
+
+def test_sales_table_rows_popup_and_fallback():
+    cards = parse_sales_table(SALES_URL, SALES_HTML)
+    assert [c["m_title"] for c in cards] == ["db_alpha", "db_beta"]
+    c1, c2 = cards
+    assert c1["m_content"] == "full creds mail bob@alpha.com"
+    assert c1["m_email_addresses"] == ["bob@alpha.com"]
+    assert c1["m_weblink"] == ["alpha.com"] and c1["m_leak_date"] == "2023"
+    # no popup stand-in -> reference's 'No description' sentinel
+    assert c2["m_content"] == "No description"
+
+
+LEAKCARDS_URL = "http://leak-cards.onion/"
+LEAKCARDS_HTML = """<html><body>
+<a class="leak-card" href="/post/1"><h5>Gamma</h5><p>gamma spill</p>
+  <span class="published">2024-05-05 09:00</span>
+  <div class="download-links"><a href=" http://g.onion/z ">z</a></div></a>
+<div class="leak-card"><p>no title one</p></div>
+<div class="leak-card"><h5>DupPageUrl</h5></div>
+</body></html>"""
+
+
+def test_leak_cards_fallbacks_and_page_url_dedup():
+    cards = parse_leak_cards(LEAKCARDS_URL, LEAKCARDS_HTML)
+    # card 2 has no href -> uses page url; card 3 same -> deduped away
+    assert [c["m_title"] for c in cards] == ["Gamma", "Unknown"]
+    c1, c2 = cards
+    assert c1["m_dumplink"] == ["http://g.onion/z"]   # stripped
+    assert c1["m_leak_date"] == "2024-05-05 09:00"
+    assert c2["m_content"] == "no title one"
+    assert c2["m_leak_date"] == "Unknown Date/Time"
+
+
+DETAIL_URL = "http://detail-card.onion/victim/7"
+DETAIL_HTML = """<html><body><div class="text-block">
+<div class="title">Delta Inc</div>
+<div class="desc">breached logistics firm
+  <a href="https://delta.example">delta.example</a>
+  <div>Phone Number: +14155550188</div>
+  <div>Revenue: $10M</div>
+  <div>Industry: Logistics</div>
+  <div>Address: 1 Dock St</div>
+  mail ops@delta.example</div>
+<div class="images"><img src="/logo.png"></div>
+<div class="date">2024-07-07</div>
+<a href="http://dump.onion/delta">mirror</a>
+</div></body></html>"""
+
+
+def test_detail_card_key_values_and_onion_dumplinks():
+    cards = parse_detail_card(DETAIL_URL, DETAIL_HTML)
+    assert len(cards) == 1
+    c = cards[0]
+    assert c["m_title"] == "Delta Inc" == c["m_company_name"]
+    assert c["m_weblink"] == ["https://delta.example"]
+    assert c["m_phone_numbers"] == ["+14155550188"]
+    assert c["m_revenue"] == "$10M" and c["m_industry"] == "Logistics"
+    assert c["m_addresses"] == ["1 Dock St"]
+    assert c["m_logo_or_images"] == ["/logo.png"]
+    assert c["m_leak_date"] == "2024-07-07"
+    assert c["m_dumplink"] == ["http://dump.onion/delta"]
+    # emails come from the WHOLE page text (reference detail_soup.text)
+    assert c["m_email_addresses"] == ["ops@delta.example"]
+    assert parse_detail_card(DETAIL_URL, "<html></html>") == []
+
+
+ORCA_URL = "http://orca-blog.onion/card/3"
+ORCA_HTML = """<html><body><div class="card__inner">
+<h1 class="card__title">Epsilon GmbH</h1>
+<div class="card__description-content">books and ledgers</div>
+<a class="card__info-text --card__info-text-link"
+   href="https://epsilon.de">epsilon.de</a>
+<a class="card__download --button" href="/files/eps.tar">dl</a>
+<img class="card__photos-img" src="/p/1.jpg">
+<div class="card__info-item">
+  <h2 class="card__info-item-title --small-title">Number of files</h2>
+  <div class="card__info-text">84121</div></div>
+<div class="card__info-item">
+  <h2 class="card__info-item-title --small-title">Files size</h2>
+  <div class="card__info-text">77GB</div></div>
+<div class="card__info-item">
+  <h2 class="card__info-item-title --small-title">Date of publication</h2>
+  <div class="card__info-text">2024-08-01</div></div>
+</div></body></html>"""
+
+
+def test_card_inner_info_items_and_base_url_quirk():
+    cards = parse_card_inner(ORCA_URL, ORCA_HTML)
+    assert len(cards) == 1
+    c = cards[0]
+    assert c["m_title"] == "Epsilon GmbH" == c["m_company_name"]
+    # reference stores m_url = base_url, not the card page
+    assert c["m_url"] == "http://orca-blog.onion"
+    assert c["m_weblink"] == ["https://epsilon.de"]
+    assert c["m_dumplink"] == ["/files/eps.tar"]
+    assert c["m_logo_or_images"] == ["http://orca-blog.onion/p/1.jpg"]
+    # 'Files size' is read but never stored (preserved quirk)
+    assert c["m_data_size"] == "84121"
+    assert c["m_leak_date"] == "2024-08-01"
+    assert parse_card_inner(ORCA_URL, "<html></html>") == []
+
+
+def test_ransom_live_faithful_noop():
+    assert parse_ransom_live("https://ransom.wiki/", "<html><body>"
+                             "<div>anything</div></body></html>") == []
+
+
+POSTS_URL = "http://posts-board.onion/posts/42/"
+POSTS_HTML = """<html><body>
+<p class="text-center text-4xl font-bold">Zeta Leak</p>
+<div class="text-sm"><span>11 Aug, 2024</span><span>tag</span></div>
+<article><h3>head</h3><p>intro para</p>
+  <p>Revenue: $25M</p><p>Data: 120 GB</p>
+  <a href="https://zeta.example">zeta</a></article>
+</body></html>"""
+
+
+def test_posts_article_revenue_and_size_gates():
+    cards = parse_posts_article(POSTS_URL, POSTS_HTML)
+    assert len(cards) == 1
+    c = cards[0]
+    assert c["m_title"] == "Zeta Leak"
+    assert c["m_leak_date"] == "11 Aug, 2024"
+    assert c["m_revenue"] == "$25M" and c["m_data_size"] == "120 GB"
+    assert c["m_weblink"] == ["https://zeta.example"]
+    # gates: revenue must start with '$', data must contain a digit
+    bad = POSTS_HTML.replace("Revenue: $25M", "Revenue: n/a") \
+                    .replace("Data: 120 GB", "Data: lots")
+    c2 = parse_posts_article(POSTS_URL, bad)[0]
+    assert c2["m_revenue"] == "" and c2["m_data_size"] == ""
+    assert parse_posts_article(POSTS_URL, "<html></html>") == []
+
+
+def test_registry_covers_all_18_reference_sites():
+    assert len(REGISTRY) == 18

@@ -6,6 +6,8 @@ from __future__ import annotations
 import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.slow   # multi-round Spark crawls (t1 x2 stores)
+
 from genesis_spark.crawler import engine
 from genesis_spark.sources.tables import SnapshotStore
 from tests.gen_fixtures import ensure
