@@ -86,15 +86,77 @@ def decode_png_header(blob: bytes | None) -> tuple:
     return (int(w), int(h), "png", n, True)
 
 
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}  # SOF0-15 minus DHT/JPG/DAC
+
+
+def decode_jpeg_header(blob: bytes | None) -> tuple:
+    """REAL JPEG dimensions: walk the marker-segment stream from SOI to the
+    first SOF frame header (ITU T.81 §B.2.2 — height/width are big-endian
+    at offsets 3/5 of the SOF payload). Stdlib-only, bounded by the blob
+    length; any structural violation (bad marker sync, truncated segment,
+    zero dimension) yields ok=False, never an exception."""
+    if blob is None:
+        return (None, None, None, 0, False)
+    blob = bytes(blob)
+    n = len(blob)
+    if n < 4 or blob[:2] != b"\xff\xd8":
+        return (None, None, None, n, False)
+    i = 2
+    while i + 4 <= n:
+        if blob[i] != 0xFF:
+            return (None, None, None, n, False)
+        marker = blob[i + 1]
+        if marker == 0xFF:           # fill bytes before a marker
+            i += 1
+            continue
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn/TEM: no length
+            i += 2
+            continue
+        (seg_len,) = struct.unpack(">H", blob[i + 2:i + 4])
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return (None, None, None, n, False)
+        if marker in _JPEG_SOF_MARKERS:
+            if seg_len < 7:
+                return (None, None, None, n, False)
+            h, w = struct.unpack(">HH", blob[i + 5:i + 9])
+            if w == 0 or h == 0:
+                return (None, None, None, n, False)
+            return (int(w), int(h), "jpeg", n, True)
+        if marker == 0xDA:           # SOS: entropy data follows, no SOF seen
+            return (None, None, None, n, False)
+        i += 2 + seg_len
+    return (None, None, None, n, False)
+
+
+def decode_gif_header(blob: bytes | None) -> tuple:
+    """REAL GIF dimensions: GIF87a/89a signature + the logical screen
+    descriptor's little-endian width/height (GIF89a spec §18)."""
+    if blob is None:
+        return (None, None, None, 0, False)
+    blob = bytes(blob)
+    n = len(blob)
+    if n < 10 or blob[:6] not in (b"GIF87a", b"GIF89a"):
+        return (None, None, None, n, False)
+    w, h = struct.unpack("<HH", blob[6:10])
+    if w == 0 or h == 0:
+        return (None, None, None, n, False)
+    return (int(w), int(h), "gif", n, True)
+
+
 def decode_auto(blob: bytes | None) -> tuple:
-    """Dispatch on magic bytes: real PNG -> IHDR parse, fixture GSIM ->
-    header parse, anything else ok=False. The production ``decode_fn``
-    shape: per-format branches, poison-safe."""
+    """Dispatch on magic bytes: real PNG/JPEG/GIF header parses, fixture
+    GSIM -> header parse, anything else ok=False. The production
+    ``decode_fn`` shape: per-format branches, poison-safe."""
     if blob is None:
         return (None, None, None, 0, False)
     head = bytes(blob)[:8]
     if head == _PNG_SIG:
         return decode_png_header(blob)
+    if head[:2] == b"\xff\xd8":
+        return decode_jpeg_header(blob)
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_header(blob)
     if head[:4] == MAGIC:
         return decode_header(blob)
     return (None, None, None, len(blob), False)

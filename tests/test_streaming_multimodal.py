@@ -181,3 +181,42 @@ def test_png_header_decode_real_bytes(spark):
     assert not out["trunc"].ok
     assert out["fixture"].ok and out["fixture"].format == "jpg"
     assert not out["none"].ok and out["none"].n_bytes == 0
+
+
+def _make_jpeg(w: int, h: int) -> bytes:
+    """Genuine JPEG structure: SOI, APP0/JFIF, a DQT, SOF0 with the dims
+    (ITU T.81 B.2.2), then SOS onwards omitted (decode stops at SOF)."""
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00\x48\x00\x48\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x03"
+            + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    return b"\xff\xd8" + app0 + dqt + sof0
+
+
+def test_jpeg_gif_header_decode_real_bytes():
+    """decode_jpeg_header walks marker segments to SOF0; decode_gif_header
+    reads the little-endian logical screen descriptor; both reject
+    malformed bytes without raising. Pure functions — no Spark needed
+    (the mapInPandas plumbing is pinned by the PNG test above)."""
+    import struct
+    j = MM.decode_jpeg_header(_make_jpeg(1920, 1080))
+    assert j == (1920, 1080, "jpeg", len(_make_jpeg(1920, 1080)), True)
+    # truncated mid-segment / zero dim / marker desync / no SOF before SOS
+    assert not MM.decode_jpeg_header(_make_jpeg(64, 64)[:10])[4]
+    assert not MM.decode_jpeg_header(_make_jpeg(0, 8))[4]
+    assert not MM.decode_jpeg_header(b"\xff\xd8\x00\x00\x00\x00")[4]
+    assert not MM.decode_jpeg_header(
+        b"\xff\xd8" + b"\xff\xda" + struct.pack(">H", 4) + b"\x01\x00")[4]
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    assert MM.decode_gif_header(gif) == (320, 200, "gif", len(gif), True)
+    assert not MM.decode_gif_header(b"GIF89a" + struct.pack("<HH", 0, 5) + b"\x00\x00\x00")[4]
+    assert not MM.decode_gif_header(b"GIF88a" + bytes(6))[4]
+
+    # decode_auto dispatch covers all four magics
+    assert MM.decode_auto(_make_jpeg(8, 4))[2] == "jpeg"
+    assert MM.decode_auto(gif)[2] == "gif"
+    assert MM.decode_auto(MM.encode_fake_media(2, 2, "mp4"))[2] == "mp4"
+    assert not MM.decode_auto(b"PK\x03\x04not-an-image")[4]
