@@ -20,9 +20,11 @@ _bench_data/; set SPARK_GRAFT_SKIP_SCALING=1 to skip part 2.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -92,12 +94,18 @@ def run_queries(sf_dir: str, cores: str) -> tuple[dict[str, float], float]:
     spark = get_spark(app_name="bench-queries", cores=cores)
     timings: dict[str, float] = {}
     total = 0.0
+    suite_repeats = int(os.environ.get("SPARK_GRAFT_SUITE_REPEATS", "2"))
     for name in HEADLINE:
         fn = Q.QUERIES[name]
         fn(spark, sf_dir).count()          # warm: plan compile + codegen
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()      # steady-state measurement
-        dt = time.perf_counter() - t0
+        # min-of-K steady-state runs: a burst-throttle spike inflates a
+        # single run 3-4x (observed leak_dispatch 19.8 s vs 5.5 s clean)
+        dt, n = None, 0
+        for _ in range(max(1, suite_repeats)):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt_i = time.perf_counter() - t0
+            dt = dt_i if dt is None else min(dt, dt_i)
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
@@ -139,8 +147,49 @@ def _synthetic_seed_urls(spark, n: int):
         F.col("id").alias("seed_id"))
 
 
+_WD_IDS = itertools.count()
+
+
+def _watchdog_count(spark, df, cap_s: float | None):
+    """df.count() with a wall-clock cap: a daemon timer cancels the job
+    group after cap_s so a burst-throttle episode costs at most cap_s, not
+    the 20+ minutes a 15-20x-throttled run otherwise burns (observed:
+    local[2] run of 1404 s on a job whose clean wall is ~78 s). Returns
+    (count|None, elapsed_s, aborted)."""
+    t0 = time.perf_counter()
+    if not cap_s or cap_s <= 0:
+        return df.count(), time.perf_counter() - t0, False
+    sc = spark.sparkContext
+    group = f"bench-wd-{next(_WD_IDS)}"
+    done = threading.Event()
+
+    def _cancel():
+        if not done.wait(cap_s):
+            try:
+                sc.cancelJobGroup(group)
+                # group tagging can miss under thread pinning; the bench
+                # session runs exactly one job at a time, so the global
+                # cancel is the reliable backstop (verified: raises
+                # SPARK_JOB_CANCELLED in the blocked action)
+                sc.cancelAllJobs()
+            except Exception:
+                pass
+
+    sc.setJobGroup(group, "bench watchdog", interruptOnCancel=True)
+    threading.Thread(target=_cancel, daemon=True).start()
+    try:
+        n = df.count()
+        return n, time.perf_counter() - t0, False
+    except Exception:
+        return None, time.perf_counter() - t0, True
+    finally:
+        done.set()
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
 def bench_frontier(cores: int, n_urls: int, repeats: int = 4,
-                   shuffle_partitions: int = 32) -> dict:
+                   shuffle_partitions: int = 32,
+                   run_cap_s: float | None = None) -> dict:
     """The north-rule throughput job: install (validate -> canonicalize ->
     MERGE-dedup -> priority rank -> round assignment) + a URL-seen anti-join
     wave over n_urls candidate links. Same input, same shuffle config at
@@ -156,10 +205,24 @@ def bench_frontier(cores: int, n_urls: int, repeats: int = 4,
 
     spark = get_spark(app_name=f"bench-frontier-{cores}", cores=cores,
                       shuffle_partitions=shuffle_partitions)
+    off_cap = 4 * run_cap_s if run_cap_s else None   # generous off-clock cap
+
+    def _abort_result(runs: list[float], n_installed: int = 0) -> dict:
+        spark.stop()
+        wall = min(runs) if runs else round(run_cap_s, 2)
+        total_ = n_urls * 2
+        return {"cores": cores, "wall_s": wall,
+                "runs_s": runs or [round(run_cap_s, 2)],
+                "urls_in": total_, "installed": n_installed, "admitted": 0,
+                "urls_per_sec": round(total_ / max(wall, 1e-9), 1),
+                "aborted": True}
+
     # warm JVM codegen off the clock (fixed session cost, not throughput)
     warm = engine.install_seeds_bucketed(
         _synthetic_seed_urls(spark, 10_000), bucket_budget=1000)
-    warm.count()
+    _, _, aborted = _watchdog_count(spark, warm, off_cap)
+    if aborted:
+        return _abort_result([])
 
     def job():
         frontier = engine.install_seeds_bucketed(
@@ -179,18 +242,27 @@ def bench_frontier(cores: int, n_urls: int, repeats: int = 4,
     # materialization adds only a row-store write (allocation/GC cost that
     # does not scale with executor threads; see tools/diag_scaling.py)
     frontier, _ = job()
-    n_installed = frontier.count()
+    n_installed, _, aborted = _watchdog_count(spark, frontier, off_cap)
+    if aborted:
+        return _abort_result([])
 
     runs = []
     n_admitted = 0
+    hit_cap = False
     for _ in range(repeats):
-        t0 = time.perf_counter()
         _, admitted = job()
         # single action drives install + dedup + rank + anti-join; extra
         # driver barriers would serialize the measurement (Amdahl)
-        n_admitted = admitted.count()
-        runs.append(round(time.perf_counter() - t0, 2))
+        n, dt, aborted = _watchdog_count(spark, admitted, run_cap_s)
+        runs.append(round(dt, 2))
+        if aborted:
+            # this session is throttle-doomed: stop burning repeats on it
+            hit_cap = True
+            break
+        n_admitted = n
     spark.stop()
+    if hit_cap:
+        return _abort_result(runs, n_installed)
     best = min(runs)
     total = n_urls * 2  # URLs pushed through install + dedup stages
     return {"cores": cores, "wall_s": best, "runs_s": runs,
@@ -244,6 +316,11 @@ def run_scaling() -> dict:
     need_clean = int(os.environ.get("SPARK_GRAFT_SCALE_CLEAN", "2"))
     budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "2400"))
     max_waits = int(os.environ.get("SPARK_GRAFT_SCALE_WAITS", "8"))
+    # per-run wall caps (watchdog cancel): clean walls are ~50-80 s at
+    # local[2] and ~15-21 s at local[8] for 12M URLs, so these are 4-6x
+    # headroom — only a genuinely throttled run hits them
+    cap_lo = float(os.environ.get("SPARK_GRAFT_SCALE_CAP_LO_S", "300"))
+    cap_hi = float(os.environ.get("SPARK_GRAFT_SCALE_CAP_HI_S", "120"))
     clean_ratio = 0.85
     t_start = time.monotonic()
     best = {}            # level -> {"clean": result, "any": result}
@@ -269,14 +346,18 @@ def run_scaling() -> dict:
             time.sleep(60)
             p = cpu_probe()
         probes.append(p)
-        a = bench_frontier(n_low, N_FRONTIER_URLS, repeats=repeats)
+        a = bench_frontier(n_low, N_FRONTIER_URLS, repeats=repeats,
+                           run_cap_s=cap_lo)
         p_mid = cpu_probe()
         probes.append(p_mid)
-        b = bench_frontier(n_high, N_FRONTIER_URLS, repeats=repeats)
+        b = bench_frontier(n_high, N_FRONTIER_URLS, repeats=repeats,
+                           run_cap_s=cap_hi)
         p_end = cpu_probe()
         probes.append(p_end)
-        a_clean = session_clean(p, p_mid, a["runs_s"], clean_ratio)
-        b_clean = session_clean(p_mid, p_end, b["runs_s"], clean_ratio)
+        a_clean = (not a.get("aborted")
+                   and session_clean(p, p_mid, a["runs_s"], clean_ratio))
+        b_clean = (not b.get("aborted")
+                   and session_clean(p_mid, p_end, b["runs_s"], clean_ratio))
         n_clean[n_low] += a_clean
         n_clean[n_high] += b_clean
         _merge(n_low, a, a_clean)

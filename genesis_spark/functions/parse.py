@@ -57,11 +57,13 @@ class _EventPass(HTMLParser):
     (html_parse_manager.py:113-191). States: none/title/heading/para/br/
     span/div; <a>/unknown tags reset to none, img/meta leave state intact."""
 
-    def __init__(self, page_url: str, dictionary=TX.DICTIONARY):
+    def __init__(self, page_url: str, dictionary=TX.DICTIONARY,
+                 stopwords=TX.STOPWORDS):
         super().__init__(convert_charrefs=True)
         self.page_url = page_url
         self.base_url = U.base_url_one(page_url)
         self.dictionary = dictionary
+        self.stopwords = stopwords
         self.state = "none"
         self.para_depth = 0
         self.title_raw = ""
@@ -165,7 +167,8 @@ class _EventPass(HTMLParser):
         self.spans.append((kind, norm, None))
         scrubbed = _CHARSET_SCRUB.sub("", norm)
         scrubbed = re.sub(" +", " ", scrubbed).strip()
-        self.important += " " + TX.clean_paragraph(scrubbed.lower(), self.dictionary)
+        self.important += " " + TX.clean_paragraph(
+            scrubbed.lower(), self.dictionary, self.stopwords)
         max_len = (conf.IMPORTANT_CONTENT_MAX_LONG
                    if len(self.title_raw) < 50 or len(self.meta_description) < 50
                    else conf.IMPORTANT_CONTENT_MAX_SHORT)
@@ -400,10 +403,10 @@ def validity_score(*, content_p1: str, sections: list[str], sub_url_full: list[s
 # ---------------------------------------------------------------------------
 
 def parse_page(url: str, html: str, network: str | None = None,
-               dictionary=TX.DICTIONARY) -> dict:
+               dictionary=TX.DICTIONARY, stopwords=TX.STOPWORDS) -> dict:
     """parse_html_files (:430-464) end-to-end for one page; returns a plain
     dict matching schemas.PARSED_PAGE. ``url`` must already be canonical."""
-    ev = _EventPass(url, dictionary)
+    ev = _EventPass(url, dictionary, stopwords)
     ev.feed(html)
     dom = _DomPass()
     dom.feed(html)
@@ -423,7 +426,10 @@ def parse_page(url: str, html: str, network: str | None = None,
                     el.attrs["content"], ev.important_raw)
             break
 
-    # __get_important_content (:289-301)
+    # __get_important_content (:289-301). The reference's second fuzz gate
+    # (:294-297, m_non_important_text merge) is faithfully-dead: that field
+    # is only ever set to "" (html_parse_manager.py:49,496), so its
+    # len(...) > 10 guard never fires — omitted here, like O7.
     ic = ev.important
     if len(ic) < 150 and TX.fuzz_ratio(ic, ev.meta_description) < 85 \
             and len(ev.meta_description) > 10:
@@ -490,7 +496,7 @@ def parse_page(url: str, html: str, network: str | None = None,
 def parse_pages(df, url_col: str = "url", html_col: str = "html",
                 network_col: str | None = None,
                 passthrough: list[str] | None = None,
-                dictionary=None):
+                dictionary=None, stopwords=None):
     """Distributed parse: ``mapInPandas`` over Arrow batches — one
     ``parse_page`` call per row inside the batch, zero driver-side work.
     Input partitioning is preserved (no shuffle); pair with a host-bucket
@@ -504,6 +510,7 @@ def parse_pages(df, url_col: str = "url", html_col: str = "html",
     (T9/T10), or a ``sparkContext.broadcast`` of one (preferred for big
     wordlists — ships once per executor instead of once per task); None ->
     the built-in stand-in. Load from a file with text.load_dictionary().
+    ``stopwords`` mirrors it for the stopword set (text.load_stopwords).
     """
     import pandas as pd  # noqa: F401  (executor-side import)
 
@@ -519,11 +526,15 @@ def parse_pages(df, url_col: str = "url", html_col: str = "html",
     out_names = [f.name for f in out_schema]
 
     def _run(batches):
-        dic = dictionary
+        dic, stop = dictionary, stopwords
         if dic is not None and hasattr(dic, "value"):   # Broadcast
             dic = dic.value
         if dic is None:
             dic = TX.DICTIONARY
+        if stop is not None and hasattr(stop, "value"):
+            stop = stop.value
+        if stop is None:
+            stop = TX.STOPWORDS
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
@@ -532,7 +543,8 @@ def parse_pages(df, url_col: str = "url", html_col: str = "html",
                 if html is None:
                     continue
                 net = d.get(network_col) if network_col else None
-                parsed = parse_page(d[url_col], html, net, dictionary=dic)
+                parsed = parse_page(d[url_col], html, net,
+                                    dictionary=dic, stopwords=stop)
                 for c in passthrough:
                     parsed[c] = d[c]
                 rows.append(parsed)

@@ -12,7 +12,6 @@ api/nlp_manager/nlp_controller.py:13-34.
 from __future__ import annotations
 
 import re
-from difflib import SequenceMatcher
 
 # --- stopwords (stand-in for gensim.parsing.preprocessing.STOPWORDS;
 #     helper_method.is_stop_word :22-26). Fixed set, frozen for determinism. ---
@@ -144,11 +143,38 @@ def extract_phone_numbers(text: str) -> list[str]:
     return sorted(out)
 
 
+def _lcs_len(a: str, b: str) -> int:
+    """Exact longest-common-subsequence length, bit-parallel (Hyyrö 2004,
+    'Bit-parallel LCS-length computation revisited' — public algorithm):
+    O(|a|·|b|/w) on Python bigints. Used to get true indel similarity
+    rather than difflib's greedy (autojunk-prone, M <= LCS) approximation."""
+    if not a or not b:
+        return 0
+    if len(a) > len(b):          # pattern = shorter string
+        a, b = b, a
+    masks: dict[str, int] = {}
+    for i, ch in enumerate(a):
+        masks[ch] = masks.get(ch, 0) | (1 << i)
+    n = len(a)
+    full = (1 << n) - 1
+    v = full
+    for ch in b:
+        u = v & masks.get(ch, 0)
+        v = ((v + u) | (v - u)) & full
+    return n - bin(v).count("1")
+
+
 def fuzz_ratio(a: str, b: str) -> int:
-    """thefuzz.fuzz.ratio stand-in (html_parse_manager.py:291-295):
-    difflib ratio scaled to 0..100 (thefuzz's pure-python backend does the
-    same int(round(...)))."""
-    return int(round(100 * SequenceMatcher(None, a, b).ratio()))
+    """thefuzz.fuzz.ratio parity (html_parse_manager.py:291-295): thefuzz
+    delegates to rapidfuzz, whose ratio is the normalized indel similarity
+    (lensum - indel_dist) / lensum = 2·LCS / lensum, scaled to 0..100 and
+    int-rounded by the thefuzz wrapper. Exact LCS via ``_lcs_len`` (the
+    round-2 difflib stand-in could undercount matches on junk-heavy
+    strings; T13 is now full parity, not a stand-in)."""
+    lensum = len(a) + len(b)
+    if lensum == 0:
+        return 100
+    return int(round(200 * _lcs_len(a, b) / lensum))
 
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
@@ -161,7 +187,22 @@ def split_sentences(text: str) -> list[str]:
     return [s for s in _SENT_SPLIT.split(text) if s]
 
 
-def clean_paragraph(text: str, dictionary: frozenset[str] = DICTIONARY) -> str:
+def load_stopwords(path: str | None = None) -> frozenset[str]:
+    """File-backed stopword set (T10 injection point, same shape as
+    ``load_dictionary``): one whitespace-separated list. ``path=None``
+    falls back to the frozen stand-in above; deployments that need exact
+    gensim ``STOPWORDS`` parity dump that public frozenset to a file
+    (``" ".join(sorted(STOPWORDS))``) and pass its path here — the set is
+    data, not logic, so parity is a file swap. A missing explicit path
+    raises rather than silently changing parse goldens."""
+    if path is None:
+        return STOPWORDS
+    with open(path) as f:
+        return frozenset(f.read().split())
+
+
+def clean_paragraph(text: str, dictionary: frozenset[str] = DICTIONARY,
+                    stopwords: frozenset[str] = STOPWORDS) -> str:
     """spell_check_handler.clean_paragraph (:63-83): keep sentences where
     >=60% of whitespace tokens are stopwords or dictionary words; join
     survivors with ' - '."""
@@ -170,7 +211,7 @@ def clean_paragraph(text: str, dictionary: frozenset[str] = DICTIONARY) -> str:
         tokens = sentence.lower().split()
         if not tokens:
             continue
-        valid = sum(1 for t in tokens if t in STOPWORDS or t in dictionary)
+        valid = sum(1 for t in tokens if t in stopwords or t in dictionary)
         if valid > 0 and valid / len(tokens) >= 0.60:
             kept = sentence if not kept else kept + " - " + sentence
     return kept

@@ -219,3 +219,58 @@ def test_clean_paragraph_sentence_gate():
     assert kept == good
     both = TX.clean_paragraph(f"{good} {good}")
     assert both == f"{good} - {good}"
+
+
+def _lcs_dp(a: str, b: str) -> int:
+    """Classic O(n*m) DP oracle for LCS length."""
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if ca == cb
+                       else max(prev[j], cur[-1]))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzz_ratio_is_exact_indel_similarity():
+    """T13 parity: fuzz_ratio = round(200*LCS/lensum), thefuzz/rapidfuzz's
+    normalized indel similarity — not difflib's greedy approximation."""
+    # the canonical thefuzz README pair: 2*14/29 -> 96.55 -> 97
+    assert TX.fuzz_ratio("this is a test", "this is a test!") == 97
+    assert TX.fuzz_ratio("", "") == 100
+    assert TX.fuzz_ratio("abc", "") == 0
+    assert TX.fuzz_ratio("abc", "abc") == 100
+    # difflib divergence case: greedy matching undercounts ("q" junk-ish
+    # prefix splits the match); exact LCS("qabxcd","abycdf") = 4
+    assert TX._lcs_len("qabxcd", "abycdf") == 4
+    assert TX.fuzz_ratio("qabxcd", "abycdf") == round(200 * 4 / 12)
+
+
+def test_lcs_bitparallel_matches_dp():
+    from hypothesis import given, settings, strategies as st
+    alphabet = st.sampled_from("ab cde")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet, max_size=40), st.text(alphabet, max_size=40))
+    def check(a, b):
+        assert TX._lcs_len(a, b) == _lcs_dp(a, b)
+
+    check()
+    # long-string sanity (bigint path past one machine word)
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown cat leaps over a lazy dog! " * 5
+    assert TX._lcs_len(a, b) == _lcs_dp(a, b)
+
+
+def test_stopwords_injectable(tmp_path):
+    """T10 injection point: a file-backed stopword set threads through
+    clean_paragraph exactly like the T9 dictionary."""
+    assert TX.load_stopwords(None) is TX.STOPWORDS
+    p = tmp_path / "stop.txt"
+    p.write_text("zzqx wvut kjhg plmn\n")
+    custom = TX.load_stopwords(str(p))
+    assert custom == {"zzqx", "wvut", "kjhg", "plmn"}
+    gibberish = "zzqx wvut kjhg plmn."
+    assert TX.clean_paragraph(gibberish) == ""                   # default: rejected
+    assert TX.clean_paragraph(gibberish, stopwords=custom) == gibberish
