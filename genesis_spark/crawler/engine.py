@@ -306,12 +306,28 @@ def read_frontier_delta(spark: SparkSession, store) -> DataFrame:
             .drop("_u_state", "_u_fails"))
 
 
+def compact_frontier(spark: SparkSession, store) -> int:
+    """The Iceberg ``MERGE INTO`` + rewrite shape for the delta-state
+    layout: fold the accumulated ``frontier_updates`` into a fresh
+    ``frontier_base`` and cut the update log. Keeps ``read_frontier_delta``
+    reconstruction O(1)-deep instead of O(rounds): without compaction the
+    update union grows one file set per round, and at 10^6 rounds the join
+    plan itself becomes the bottleneck. Resume metadata (round/seq_offset)
+    is carried forward, so crash-resume across a compaction is unchanged."""
+    prev = store.latest()
+    merged = read_frontier_delta(spark, store)
+    meta = {k: prev[k] for k in ("round", "seq_offset") if k in prev}
+    meta["compacts"] = {"frontier_updates": prev["snapshot_id"]}
+    return store.commit({"frontier_base": merged}, meta)
+
+
 def run_rounds(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
                store, host_budget: int = conf.WAVE_HOST_BUDGET,
                stop_after_round: int | None = None,
                delta_state: bool = False,
                bucketed: bool = False,
-               use_bloom: bool = False) -> None:
+               use_bloom: bool = False,
+               compact_every: int | None = None) -> None:
     """Production shape: one frontier round per iteration, one snapshot per
     round (ST2/ST4). Crash-resume = rerun with the same store; the last
     committed snapshot defines the restart point, uncommitted work is
@@ -392,6 +408,8 @@ def run_rounds(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
         else:
             tables["frontier"] = new_frontier
         store.commit(tables, {"round": r, "seq_offset": seq_offset})
+        if delta_state and compact_every and (r + 1) % compact_every == 0:
+            compact_frontier(spark, store)          # bounded update-log depth
         for df in res["_cached"]:
             df.unpersist()
         frontier.unpersist()

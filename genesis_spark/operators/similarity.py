@@ -1,6 +1,6 @@
 """Embedding similarity search (ANN) over an array<float> column.
 
-Two paths:
+Three paths:
   * ``cosine_topk``  — brute-force: broadcast the (small) query set against
     the base table, JVM-side dot product via zip_with/aggregate, window
     top-k. The correctness baseline; O(|Q| * |base|) but embarrassingly
@@ -10,6 +10,11 @@ Two paths:
     within buckets. The 100TB path: candidate generation is an equi-join on
     the signature, so the base table shuffles once by bucket instead of
     cross-joining.
+  * ``ivf_topk``    — coarse-quantizer inverted file (FAISS IVF-flat
+    shape): one nearest-centroid cell per base vector, queries probe their
+    n_probe nearest cells, ONE cell equi-join + exact rescoring. The
+    bucketed-at-rest path: base can be written bucketed by cell so probe
+    queries prune n_probe/n_centroids of the files.
 
 Scores are rounded before emission; ranking ties break on neighbor id so
 results are engine-portable (DuckDB oracle parity).
@@ -199,3 +204,107 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.85,
             .withColumn("cos", cosine_expr(F.col("_va"), F.col("_vb")))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def seeded_centroids(n_centroids: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random coarse-quantizer centroids, computed
+    ONCE on the driver: component i of centroid c is in [-1, 1), derived
+    from md5(f"ivf|{c}|{i}") (same engine-portable recipe as
+    ``hyperplane_signs`` — an oracle can bake identical literals). These
+    stand in for KMeans-trained centroids in tests/oracles; production
+    passes trained centroids (e.g. pyspark.ml KMeans clusterCenters_) to
+    ``ivf_topk`` for better cell balance — the operator shape is the same.
+    """
+    import hashlib
+
+    return [[int(hashlib.md5(f"ivf|{c}|{i}".encode()).hexdigest()[:8], 16)
+             / float(1 << 31) - 1.0
+             for i in range(dim)]
+            for c in range(n_centroids)]
+
+
+def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of cosine-proportional scores dot(vec, c)/|c| — |vec|
+    is constant across centroids so argmax matches cosine argmax. Norms are
+    driver-side literals; the whole thing is codegen'd arithmetic."""
+    import math
+
+    scores = []
+    for c in centroids:
+        norm = math.sqrt(sum(x * x for x in c)) or 1.0
+        scores.append(_dot(vec, F.array(*[F.lit(x) for x in c]))
+                      / F.lit(norm))
+    return F.array(*scores)
+
+
+def assign_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (ties -> lowest cell id, matching the
+    oracle's ORDER BY s DESC, cell ASC): array_position returns the FIRST
+    occurrence of the max."""
+    scores = _centroid_scores(vec, centroids)
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def probe_cells_expr(vec: Column, centroids: list[list[float]],
+                     n_probe: int) -> Column:
+    """The ``n_probe`` nearest cell ids for a query vector, as an
+    array<int>: sort (score desc, cell asc) via a struct array (structs
+    sort lexicographically, so negate the score)."""
+    scores = _centroid_scores(vec, centroids)
+    ranked = F.array_sort(F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct((-F.element_at(scores, i + 1)).alias("negs"),
+                           i.cast("int").alias("cell"))))
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
+
+
+def ivf_topk(base: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list[list[float]] | None = None,
+             n_centroids: int = 8, n_probe: int = 3,
+             dim: int | None = None) -> DataFrame:
+    """IVF approximate top-k (the FAISS IVF-flat shape, re-expressed as
+    DataFrame ops): every base vector is assigned to its nearest coarse
+    centroid's cell ONCE; a query scans only its ``n_probe`` nearest
+    cells. Candidate generation is a single equi-join on cell id — the
+    base shuffles once by cell (or is bucketed by cell at rest) and a
+    query touches n_probe/n_centroids of the data, vs LSH's per-table
+    bucket joins. Exact cosine rescoring + top-k within candidates only.
+    Recall < 1 by design (a true neighbor outside the probed cells is
+    missed); measured vs ``cosine_topk`` in tests/test_operators.py.
+
+    At 10^9 rows: size ``n_centroids`` ~ sqrt(n) (IVF rule of thumb) and
+    train real centroids with KMeans on a sample; pass them in — the
+    default ``seeded_centroids`` is the deterministic stand-in that keeps
+    the operator oracle-checkable."""
+    if dim is None:
+        raise TypeError("ivf_topk requires dim= (see lsh_topk)")
+    cents = centroids if centroids is not None \
+        else seeded_centroids(n_centroids, dim)
+
+    def _checked(col: Column) -> Column:
+        return F.when(F.size(col) == dim, col).otherwise(F.raise_error(
+            F.concat(F.lit(f"ivf_topk: vector length != dim={dim}, got "),
+                     F.size(col).cast("string"))))
+
+    b = base.select(F.col(id_col).alias("neighbor_id"),
+                    _checked(F.col(vec_col)).alias("b_vec"))
+    b = b.withColumn("cell", assign_cell_expr(F.col("b_vec"), cents))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _checked(F.col(vec_col)).alias("q_vec"))
+    q = (q.withColumn("cell", F.explode(
+            probe_cells_expr(F.col("q_vec"), cents, n_probe))))
+    # each base row lives in exactly ONE cell, so (query, neighbor) pairs
+    # are already unique — no distinct needed after the cell equi-join
+    scored = (b.join(q, "cell")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cos", cosine_expr(F.col("q_vec"), F.col("b_vec"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id"))

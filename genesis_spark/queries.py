@@ -635,6 +635,78 @@ SELECT query_id, rnk AS rank, neighbor_id FROM (
 ORACLE_ANN_LSH = _lsh_oracle()
 
 
+_IVF_CENTROIDS, _IVF_PROBE, _IVF_DIM = 8, 3, 64
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """The coarse-quantizer ANN scale path (FAISS IVF-flat shape): assign
+    every base vector to its nearest centroid cell once, probe the
+    query's n_probe nearest cells, exact-rescore candidates only. ONE
+    equi-join on cell id — at 10^9 rows the base is bucketed by cell at
+    rest and a query touches n_probe/n_centroids of the data. Centroids
+    here are the deterministic seeded stand-in so DuckDB can bake the
+    same literals; production trains them (KMeans) and passes them in."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                        n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+                        dim=_IVF_DIM)
+
+
+def _ivf_oracle() -> str:
+    import math
+
+    cents = SIM.seeded_centroids(_IVF_CENTROIDS, _IVF_DIM)
+    rows = []
+    for c, vec in enumerate(cents):
+        lit = "[" + ", ".join(repr(x) for x in vec) + "]"
+        norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        rows.append(f"({c}, {lit}::DOUBLE[], {norm!r})")
+    values = ",\n   ".join(rows)
+    return f"""
+WITH cents(cell, cvec, cnorm) AS (VALUES
+   {values}),
+dots AS (
+  SELECT e.vec_id, c.cell,
+         list_sum(list_transform(range({_IVF_DIM}),
+             i -> e.embedding[i+1]::DOUBLE * c.cvec[i+1])) / c.cnorm AS s
+  FROM embeddings e CROSS JOIN cents c),
+base_cells AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cell ASC) AS rn
+    FROM dots) WHERE rn = 1),
+q_probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cell ASC) AS rn
+    FROM dots WHERE vec_id < 10) WHERE rn <= {_IVF_PROBE}),
+scored AS (
+  SELECT p.query_id, bc.neighbor_id,
+         list_sum(list_transform(range(len(q.embedding)),
+             i -> q.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(len(q.embedding)),
+             i -> q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(len(b.embedding)),
+             i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))))
+         AS cos
+  FROM q_probes p
+  JOIN base_cells bc USING (cell)
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings b ON b.vec_id = bc.neighbor_id
+  WHERE bc.neighbor_id != p.query_id)
+SELECT query_id, rnk AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
+
+
+ORACLE_ANN_IVF = _ivf_oracle()
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1230,6 +1302,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,
@@ -1263,6 +1336,7 @@ ORACLES = {
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
     "ann_cosine_topk": ORACLE_ANN_COSINE,
     "ann_lsh_topk": ORACLE_ANN_LSH,
+    "ann_ivf_topk": ORACLE_ANN_IVF,
     "text_lang_id": ORACLE_TEXT_LANG_ID,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_token_count": ORACLE_TEXT_TOKEN_COUNT,

@@ -85,12 +85,24 @@ class SnapshotStore:
     # -- read ----------------------------------------------------------------
     def read(self, spark: SparkSession, table: str,
              as_of: int | None = None) -> DataFrame | None:
+        snaps = [m for m in self.snapshots()
+                 if as_of is None or m["snapshot_id"] <= as_of]
+        # compaction cut: a snapshot carrying {"compacts": {table: through}}
+        # holds the consolidated rewrite of every contribution with
+        # snapshot_id <= through (Iceberg rewrite_data_files semantics) —
+        # readers skip the superseded delta paths
+        cut = -1
+        for m in snaps:
+            cut = max(cut, (m.get("compacts") or {}).get(table, -1))
         paths = []
         latest_path = None
-        for m in self.snapshots():
-            if as_of is not None and m["snapshot_id"] > as_of:
-                break
+        for m in snaps:
             if table in m["tables"]:
+                # a compacting snapshot's own id is always > its through-id,
+                # so `sid <= cut` correctly also drops an OLDER consolidated
+                # rewrite once a later compaction folds it in
+                if m["snapshot_id"] <= cut:
+                    continue
                 p = os.path.join(self._snap_dir(m["snapshot_id"]), table)
                 paths.append(p)
                 latest_path = p
@@ -99,3 +111,57 @@ class SnapshotStore:
         if table in STATE_TABLES:
             return spark.read.parquet(latest_path)
         return spark.read.parquet(*paths)
+
+    # -- maintenance (the Iceberg compaction/expiry shape) --------------------
+    def compact(self, spark: SparkSession, table: str,
+                df: DataFrame | None = None, extra_meta: dict | None = None) -> int:
+        """Fold every committed contribution of ``table`` into ONE
+        consolidated rewrite committed as a new snapshot carrying the
+        compaction cut. At 10^10 rows this is what keeps an append-delta
+        read from unioning O(rounds) file sets (and the frontier
+        reconstruction join from deepening): reads after the cut touch one
+        path. ``df`` overrides the consolidated content (used by the
+        frontier MERGE, which folds updates INTO base instead of unioning
+        them). Resume metadata (round/seq_offset) is carried forward from
+        the latest manifest so a compaction never disturbs restart."""
+        prev = self.latest()
+        if prev is None:
+            raise ValueError("compact() on an empty store")
+        cur = df if df is not None else self.read(spark, table)
+        meta = {k: prev[k] for k in ("round", "seq_offset") if k in prev}
+        meta.update(extra_meta or {})
+        meta["compacts"] = {table: prev["snapshot_id"]}
+        return self.commit({table: cur}, meta)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Physically delete snapshots that no current read touches
+        (Iceberg expire_snapshots): a snapshot is dead iff every table in
+        it is either an append table compacted past it or a state table
+        with a newer version. The newest ``keep_last`` snapshots are always
+        kept. Time travel (``as_of``) older than the expired ids is gone —
+        same contract as Iceberg."""
+        snaps = self.snapshots()
+        cuts: dict[str, int] = {}
+        latest_state: dict[str, int] = {}
+        for m in snaps:
+            for t, thr in (m.get("compacts") or {}).items():
+                cuts[t] = max(cuts.get(t, -1), thr)
+            for t in m["tables"]:
+                if t in STATE_TABLES:
+                    latest_state[t] = m["snapshot_id"]
+        removed = []
+        for m in snaps[:-keep_last] if keep_last > 0 else snaps:
+            sid = m["snapshot_id"]
+            live = False
+            for t in m["tables"]:
+                if t in STATE_TABLES:
+                    live = live or latest_state[t] == sid
+                else:
+                    # contributing delta, or the consolidated rewrite itself
+                    # (its id is > its own through-cut unless a later
+                    # compaction superseded it)
+                    live = live or sid > cuts.get(t, -1)
+            if not live:
+                shutil.rmtree(self._snap_dir(sid))
+                removed.append(sid)
+        return removed
