@@ -32,3 +32,16 @@ def test_mild_decay_within_noise_passes():
 def test_non_monotone_spread_passes():
     # a single slow outlier is not the decay signature; min is still valid
     assert session_clean(0.95, 0.95, [80.0, 52.0, 53.0])
+
+
+def test_first_run_warmup_exempt_from_decay():
+    # observed round-3 shape: first timed run carries residual warmup;
+    # the settled tail (19.79 -> 17.77, ratio 1.11) is clean
+    assert session_clean(0.95, 0.95, [36.96, 19.79, 17.77])
+
+
+def test_throttle_ending_mid_session_still_rejected():
+    # decay persists ACROSS the tail -> still the throttle signature,
+    # even with the first-run exemption (r2: 98 -> 79 -> 64 = 1.53x)
+    assert not session_clean(0.95, 0.95, [110.02, 97.79, 79.18, 63.83])
+    assert not session_clean(0.95, 0.95, [73.46, 21.87, 16.51])
