@@ -220,3 +220,54 @@ def test_jpeg_gif_header_decode_real_bytes():
     assert MM.decode_auto(gif)[2] == "gif"
     assert MM.decode_auto(MM.encode_fake_media(2, 2, "mp4"))[2] == "mp4"
     assert not MM.decode_auto(b"PK\x03\x04not-an-image")[4]
+
+
+def test_metrics_stream_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data contract of the windowed metrics agg: once the watermark
+    (30 min) has passed a 10-min window, a late row inside that window is
+    DROPPED — the finalized (append-mode) window emits without it."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+    from genesis_spark.streaming.pipeline import metrics_stream
+
+    schema = ("fetched_at timestamp, base_url string, "
+              "sub_url array<string>, validity_score double")
+    src = str(tmp_path / "mx_src")
+
+    def emit(rows):
+        (spark.createDataFrame(
+            [(datetime.fromisoformat(t), h, s, v) for t, h, s, v in rows],
+            schema).coalesce(1).write.mode("append").parquet(src))
+
+    T0 = "2026-01-01 00:"
+    # batch 1: two on-time rows in window [00:00, 00:10) + one at 01:00
+    # that advances the watermark to 00:30 (> window end)
+    emit([(f"{T0}05:00", "http://h1.onion", ["a"], 4.0),
+          (f"{T0}07:00", "http://h1.onion", ["b", "c"], 6.0),
+          ("2026-01-01 01:00:00", "http://h1.onion", [], 1.0)])
+
+    stream = (spark.readStream.schema(schema).parquet(src)
+              .withColumn("fetched_at", F.col("fetched_at")))
+    q = (metrics_stream(stream).writeStream.format("memory")
+         .queryName("mx_late").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "mx_ckpt"))
+         .start())
+    q.processAllAvailable()
+
+    # batch 2: a LATE row inside the finalized window (behind the
+    # watermark) plus a far-future row that flushes remaining windows
+    emit([(f"{T0}06:00", "http://h1.onion", ["late1", "late2"], 0.0),
+          ("2026-01-01 02:00:00", "http://h1.onion", [], 1.0)])
+    q.processAllAvailable()
+    # batch 3: advance once more so [01:00, 01:10) also finalizes
+    emit([("2026-01-01 03:00:00", "http://h1.onion", [], 1.0)])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {str(r.window_start): (r.n_pages, r.n_links, r.avg_score)
+            for r in spark.sql("SELECT * FROM mx_late").collect()}
+    # the finalized 00:00 window counts ONLY the two on-time rows: the
+    # late row (00:06, behind the 00:30 watermark) was dropped
+    assert rows["2026-01-01 00:00:00"] == (2, 3, 5.0), rows
+    assert rows["2026-01-01 01:00:00"][0] == 1
