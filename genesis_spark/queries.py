@@ -1283,6 +1283,47 @@ GROUP BY r_name
 # registry
 # ---------------------------------------------------------------------------
 
+def q_spans_interleave(spark, sf_dir):
+    """The input_hint table itself: synthesize the interleaved text+media
+    span table deterministically from ``documents`` and emit the exploded
+    span sequence — the driver's value hash over (doc_id, offset, kind,
+    text, media_ref) IS a span-sequence-equality check per doc_id."""
+    from genesis_spark.sources.interleaved import (explode_spans,
+                                                   interleaved_docs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return explode_spans(interleaved_docs(docs))
+
+
+ORACLE_SPANS_INTERLEAVE = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE text IS NOT NULL
+), ch AS (
+  SELECT doc_id, list_transform(
+      range(0, greatest(CAST(ceil(len(words) / 8.0) AS INT), 1)),
+      i -> array_to_string(words[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ')
+  ) AS chunks FROM base
+), il AS (
+  SELECT doc_id, flatten(list_transform(chunks, (c, j) ->
+      CASE WHEN j % 3 = 0 THEN
+        [{'kind': 'section', 'text': c, 'media_ref': CAST(NULL AS VARCHAR)},
+         {'kind': 'image', 'text': CAST(NULL AS VARCHAR),
+          'media_ref': doc_id || '/img/' || CAST(j // 3 AS VARCHAR)}]
+      ELSE
+        [{'kind': 'section', 'text': c, 'media_ref': CAST(NULL AS VARCHAR)}]
+      END)) AS spans
+  FROM ch
+), ex AS (
+  SELECT doc_id, unnest(spans) AS s,
+         generate_subscripts(spans, 1) - 1 AS off
+  FROM il
+)
+SELECT doc_id, CAST(off AS INT) AS offset, s.kind AS kind,
+       s.text AS text, s.media_ref AS media_ref
+FROM ex
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -1314,6 +1355,7 @@ QUERIES = {
     "leak_dispatch2": q_leak_dispatch2,
     "leak_dispatch3": q_leak_dispatch3,
     "robots_admission": q_robots_admission,
+    "spans_interleave": q_spans_interleave,
     "stream_dedup": q_stream_dedup,
 }
 
@@ -1348,6 +1390,7 @@ ORACLES = {
     "leak_dispatch2": ORACLE_LEAK_DISPATCH2,
     "leak_dispatch3": ORACLE_LEAK_DISPATCH3,
     "robots_admission": ORACLE_ROBOTS_ADMISSION,
+    "spans_interleave": ORACLE_SPANS_INTERLEAVE,
     "stream_dedup": ORACLE_STREAM_DEDUP,
 }
 

@@ -1,0 +1,90 @@
+"""Deterministic synthesis of the interleaved text+media document table.
+
+The engine's canonical input (north rule / input_hint) is an Iceberg-style
+table of interleaved documents::
+
+    (doc_id: string,
+     spans:  array<struct<kind:string, text:string,
+                          media_ref:string, offset:int>>)
+
+which is exactly the shape ``functions.parse.parse_pages`` emits for crawled
+HTML (reference parity: the reference parser's span stream,
+``/root/reference/app/raw/parsers/shared/main_content_parser.py`` — title /
+section / image / link events in document order). Real crawls produce it
+from pages; tests and benchmarks need the SAME shape synthesized
+deterministically from the driver's ``documents`` parquet with no external
+data and no randomness, so the synthesis must be expressible both in Spark
+(pure codegen — no UDF) and in ANSI SQL for the DuckDB oracle.
+
+Synthesis rule (pure function of (doc_id, text)):
+
+* split ``text`` on single spaces; group into chunks of ``words_per_span``
+  words → one ``section`` span per chunk, in order;
+* after every ``media_every``-th section, insert one ``image`` span whose
+  ``media_ref`` is ``{doc_id}/img/{k}`` (k = 1-based media ordinal) —
+  the interleaving;
+* ``offset`` is the 0-based position in the final interleaved sequence.
+
+Everything runs JVM-side (split / transform / flatten / slice in
+whole-stage codegen); there is no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interleaved_docs(docs: DataFrame, words_per_span: int = 8,
+                     media_every: int = 3) -> DataFrame:
+    """Synthesize the interleaved span table from a ``(doc_id, text)``
+    DataFrame. Returns ``(doc_id, spans)`` in the input_hint schema; span
+    structs carry (kind, text, media_ref, offset) in that field order."""
+    w, m = words_per_span, media_every
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        (F.ceil(F.size(words) / F.lit(w))).cast("int"), F.lit(1))
+
+    def section(c):
+        return F.struct(F.lit("section").alias("kind"), c.alias("text"),
+                        F.lit(None).cast("string").alias("media_ref"))
+
+    def image(i):
+        ref = F.concat(F.col("doc_id").cast("string"), F.lit("/img/"),
+                       F.floor((i + 1) / F.lit(m)).cast("int").cast("string"))
+        return F.struct(F.lit("image").alias("kind"),
+                        F.lit(None).cast("string").alias("text"),
+                        ref.alias("media_ref"))
+
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * w + 1, w), " "))
+    interleaved = F.flatten(F.transform(
+        chunks,
+        lambda c, i: F.when((i + 1) % m == 0,
+                            F.array(section(c), image(i)))
+                      .otherwise(F.array(section(c)))))
+    spans = F.transform(
+        interleaved,
+        lambda s, i: F.struct(s["kind"].alias("kind"),
+                              s["text"].alias("text"),
+                              s["media_ref"].alias("media_ref"),
+                              i.cast("int").alias("offset")))
+    return (docs.filter(F.col("text").isNotNull())
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    spans.alias("spans")))
+
+
+def explode_spans(df: DataFrame) -> DataFrame:
+    """Per-span rows ``(doc_id, offset, kind, text, media_ref)`` from the
+    interleaved table — the row form the span-sequence-equality checks hash.
+    ``explode_outer`` preserves array order within each doc; the _outer
+    variant (identical here: spans is never empty) keeps Catalyst's
+    InferFiltersFromGenerate from injecting a ``size(spans) > 0`` filter
+    that would re-evaluate the whole span-construction expression."""
+    return (df.select("doc_id", F.explode_outer("spans").alias("s"))
+            .select("doc_id",
+                    F.col("s.offset").alias("offset"),
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref")))

@@ -352,3 +352,48 @@ def test_ivf_cell_assignment_and_probe_order(spark):
     from genesis_spark.operators.similarity import ivf_topk
     with _pt.raises(TypeError):
         ivf_topk(df, df, k=2)           # dim is required
+
+
+# ---------------------------------------------------------------------------
+# interleaved span synthesis (input_hint table shape)
+# ---------------------------------------------------------------------------
+
+def test_interleaved_docs_shape_and_roundtrip(spark):
+    from genesis_spark.sources.interleaved import (explode_spans,
+                                                   interleaved_docs)
+    texts = [
+        ("d1", "the quick brown fox jumps over the lazy dog and then "
+               "runs far away across nine hills before resting at "
+               "dawn near a river"),
+        ("d2", "short"),
+        ("d3", " ".join(f"w{i}" for i in range(24))),   # exactly 3 chunks
+    ]
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+    il = interleaved_docs(docs)
+    # exact input_hint schema
+    assert il.schema.simpleString() == (
+        "struct<doc_id:string,spans:array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>>")
+    rows = {r.doc_id: r.spans for r in il.collect()}
+    for doc_id, text in texts:
+        spans = rows[doc_id]
+        # offsets are the contiguous 0..n-1 interleaved sequence
+        assert [s.offset for s in spans] == list(range(len(spans)))
+        secs = [s for s in spans if s.kind == "section"]
+        imgs = [s for s in spans if s.kind == "image"]
+        # round-trip: section spans joined by ' ' restore the text exactly
+        assert " ".join(s.text for s in secs) == text
+        # an image follows every 3rd section, with 1-based ordinal refs
+        assert len(imgs) == len(secs) // 3
+        assert [s.media_ref for s in imgs] == \
+            [f"{doc_id}/img/{k + 1}" for k in range(len(imgs))]
+        for s in imgs:
+            assert s.text is None
+        for s in secs:
+            assert s.media_ref is None
+    # d3: 24 words -> 3 sections + 1 image after the last
+    assert [s.kind for s in rows["d3"]] == \
+        ["section", "section", "section", "image"]
+    # exploded row form matches the flattened spans
+    ex = explode_spans(il).collect()
+    assert len(ex) == sum(len(v) for v in rows.values())
