@@ -142,7 +142,8 @@ _PASSTHROUGH = ["task_id", "host_rank", "round", "host_key", "depth", "pos"]
 def crawl_frontier(spark: SparkSession, frontier: DataFrame, pages: DataFrame,
                    max_depth: int = conf.MAX_ALLOWED_DEPTH,
                    seq_offset: int = 0,
-                   use_bloom: bool = False) -> dict[str, DataFrame]:
+                   use_bloom: bool = False,
+                   use_cuckoo: bool = False) -> dict[str, DataFrame]:
     """Crawl every frontier host to completion; returns crawl_order / seen /
     documents / frontier_done DataFrames matching the oracle goldens.
 
@@ -151,7 +152,12 @@ def crawl_frontier(spark: SparkSession, frontier: DataFrame, pages: DataFrame,
     of the exact URL-seen anti-join: candidates the filter proves unseen
     skip the shuffle; possible-positives still go through the join, so
     results are identical either way (no false negatives by construction).
+    ``use_cuckoo`` selects the cuckoo-filter variant of the same contract
+    (D1 names "Bloom/cuckoo"; cuckoo additionally supports fingerprint
+    deletion for dead-removal — ``operators.cuckoo``). Mutually exclusive.
     """
+    if use_bloom and use_cuckoo:
+        raise ValueError("use_bloom and use_cuckoo are mutually exclusive")
     pages_j = pages.select(
         F.col("url_hash").alias("p_hash"), F.col("url").alias("p_url"),
         "status", "redirect_url", "html")
@@ -163,10 +169,21 @@ def crawl_frontier(spark: SparkSession, frontier: DataFrame, pages: DataFrame,
     order_waves: list[DataFrame] = []
     doc_waves: list[DataFrame] = []
     cached: list[DataFrame] = []
-    bloom = None
+    # seen-prefilter adapter: (empty filter, build fn, probe fn) — the two
+    # variants share the incremental grow-by-union / probe-then-anti-join
+    # shape, so the wave loop below is written against the adapter
+    seen_filt = _build = _probe = None
     if use_bloom:
-        from genesis_spark.operators.bloom import ShardedBloom
-        bloom = ShardedBloom.empty()   # grown incrementally, wave by wave
+        from genesis_spark.operators.bloom import (ShardedBloom, build_bloom,
+                                                   filter_not_seen)
+        seen_filt, _build, _probe = ShardedBloom.empty(), build_bloom, \
+            filter_not_seen
+    elif use_cuckoo:
+        from genesis_spark.operators.cuckoo import (ShardedCuckoo,
+                                                    build_cuckoo,
+                                                    filter_not_seen_cuckoo)
+        seen_filt, _build, _probe = ShardedCuckoo.empty(), build_cuckoo, \
+            filter_not_seen_cuckoo
 
     for d in range(max_depth + 1):
         fetched = wave.join(
@@ -200,11 +217,10 @@ def crawl_frontier(spark: SparkSession, frontier: DataFrame, pages: DataFrame,
             F.posexplode("sub_url").alias("link_pos", "url"))
         # per-task URL-seen: exact left_anti (J2/D1) + first-occurrence in
         # (parent_pos, link_pos) order — identical to insert-on-admission
-        if use_bloom:
-            from genesis_spark.operators.bloom import filter_not_seen
+        if seen_filt is not None:
             key = F.concat_ws("\x1f", F.col("task_id").cast("string"), "url")
-            flagged = filter_not_seen(
-                kids.withColumn("_k", key), "_k", bloom).drop("_k")
+            flagged = _probe(
+                kids.withColumn("_k", key), "_k", seen_filt).drop("_k")
             surely_new = flagged.filter(~F.col("_maybe_seen")) \
                 .drop("_maybe_seen")
             maybe = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
@@ -226,14 +242,13 @@ def crawl_frontier(spark: SparkSession, frontier: DataFrame, pages: DataFrame,
                 .persist())
         cached.append(wave)
         seen = seen.unionByName(wave.select("task_id", "url", "host_key"))
-        if use_bloom:
+        if seen_filt is not None:
             # incremental: hash only THIS wave's admissions into the filter
             # (a from-scratch rebuild would re-hash the whole seen set every
             # wave — O(total rows) per wave instead of O(new rows))
-            from genesis_spark.operators.bloom import build_bloom
             key = F.concat_ws("\x1f", F.col("task_id").cast("string"), "url")
-            bloom = bloom.union(
-                build_bloom(wave.select(key.alias("_k")), "_k"))
+            seen_filt = seen_filt.union(
+                _build(wave.select(key.alias("_k")), "_k"))
 
     all_rows = order_waves[0]
     for w in order_waves[1:]:
@@ -327,6 +342,7 @@ def run_rounds(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
                delta_state: bool = False,
                bucketed: bool = False,
                use_bloom: bool = False,
+               use_cuckoo: bool = False,
                compact_every: int | None = None) -> None:
     """Production shape: one frontier round per iteration, one snapshot per
     round (ST2/ST4). Crash-resume = rerun with the same store; the last
@@ -367,7 +383,7 @@ def run_rounds(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
         todo = frontier.filter((F.col("round") == r) &
                                (F.col("state") == "pending"))
         res = crawl_frontier(spark, todo, pages, seq_offset=seq_offset,
-                             use_bloom=use_bloom)
+                             use_bloom=use_bloom, use_cuckoo=use_cuckoo)
         seq_offset += res["crawl_order"].count()
         upd = res["frontier_done"].select(
             "url_hash", F.col("state").alias("_new_state"),

@@ -85,6 +85,25 @@ def test_bloom_prefilter_path_identical(spark, fixture_dir):
     assert {r.url for r in res["seen"].collect()} == g_seen
 
 
+def test_cuckoo_prefilter_path_identical(spark, fixture_dir):
+    """With use_cuckoo=True the cuckoo-filter prefilter fronts the exact
+    anti-join (the D1 'Bloom/cuckoo' second variant); no false negatives ->
+    identical crawl order and seen set."""
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    pages = spark.read.parquet(f"{fixture_dir}/web_pages.parquet")
+    frontier = engine.install_seeds(seeds, 8)
+    res = engine.crawl_frontier(spark, frontier, pages, use_cuckoo=True)
+    golden = pq.read_table(f"{fixture_dir}/crawl_order_golden.parquet") \
+        .to_pylist()
+    got = [r.asDict() for r in res["crawl_order"]
+           .select("crawl_seq", "round", "host_key", "url", "depth",
+                   "attempts", "ok").orderBy("crawl_seq").collect()]
+    assert got == golden
+    g_seen = {r["url"] for r in
+              pq.read_table(f"{fixture_dir}/seen_golden.parquet").to_pylist()}
+    assert {r.url for r in res["seen"].collect()} == g_seen
+
+
 def test_score_coverage(result):
     # fixture pages must exercise both zero and positive score branches
     scores = [r.validity_score for r in
