@@ -328,7 +328,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_corpus(spark, sf_dir), threshold=0.5)
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_cte() -> str:
+    """CTE chain ending in ``mpairs`` = the >=0.5-jaccard candidate pairs —
+    shared by the pair query's oracle and the cluster query's oracle."""
     mh_cols = ",\n  ".join(
         f"min(substr(md5('{i}|' || shingle), 1, 16)) AS mh{i}"
         for i in range(D.N_MINHASH))
@@ -343,22 +345,65 @@ def _minhash_oracle() -> str:
     matches = " + ".join(
         f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
         for i in range(D.N_MINHASH))
-    return f"""
-WITH {_CORPUS_SQL},
+    return f"""{_CORPUS_SQL},
 {_shingle_sql(3)},
 sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
 sigb AS (SELECT *, {bands} FROM sig),
-cand AS ({cand})
-SELECT cand.doc_a, cand.doc_b,
-       round(({matches}) / 16.0, 4) AS est_jaccard
-FROM cand
-JOIN sig sa ON sa.doc_id = cand.doc_a
-JOIN sig sb ON sb.doc_id = cand.doc_b
-WHERE round(({matches}) / 16.0, 4) >= 0.5
+cand AS ({cand}),
+mpairs AS (
+  SELECT cand.doc_a, cand.doc_b,
+         round(({matches}) / 16.0, 4) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b
+  WHERE round(({matches}) / 16.0, 4) >= 0.5
+)"""
+
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH {_minhash_pairs_cte()}
+SELECT doc_a, doc_b, est_jaccard FROM mpairs
 """
 
 
-ORACLE_DEDUP_MINHASH = _minhash_oracle()
+def q_dedup_cluster_reps(spark, sf_dir):
+    """Cluster-level dedup: MinHash-LSH near-dup pairs -> connected
+    components (hash-to-min label propagation) -> one surviving
+    representative (min doc_id) per cluster, singletons included. The
+    oracle computes the same closure with a recursive CTE."""
+    from genesis_spark.operators.cc import connected_components
+    corpus = _corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(corpus, threshold=0.5) \
+        .select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    wc = (corpus.join(comp.withColumnRenamed("node", "doc_id"),
+                      "doc_id", "left")
+          .withColumn("cluster_id", F.coalesce("component", F.col("doc_id"))))
+    return (wc.groupBy("cluster_id")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count("*").alias("cluster_size")))
+
+
+ORACLE_DEDUP_CLUSTER_REPS = f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM mpairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM mpairs
+),
+reach AS (
+  SELECT a AS node, a AS comp FROM sym
+  UNION
+  SELECT s.a AS node, r.comp FROM sym s JOIN reach r ON r.node = s.b
+),
+comp AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+wc AS (
+  SELECT c.doc_id, coalesce(k.component, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN comp k ON k.node = c.doc_id
+)
+SELECT cluster_id, min(doc_id) AS doc_id, count(*) AS cluster_size
+FROM wc GROUP BY cluster_id
+"""
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -1337,6 +1382,7 @@ QUERIES = {
     "validity_rubric": q_validity_rubric,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_cluster_reps": q_dedup_cluster_reps,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash64": q_dedup_simhash64,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1372,6 +1418,7 @@ ORACLES = {
     "validity_rubric": ORACLE_VALIDITY_RUBRIC,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_cluster_reps": ORACLE_DEDUP_CLUSTER_REPS,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash64": ORACLE_DEDUP_SIMHASH64,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,

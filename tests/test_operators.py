@@ -397,3 +397,42 @@ def test_interleaved_docs_shape_and_roundtrip(spark):
     # exploded row form matches the flattened spans
     ex = explode_spans(il).collect()
     assert len(ex) == sum(len(v) for v in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# connected components / cluster-level dedup
+# ---------------------------------------------------------------------------
+
+def test_connected_components_basic(spark):
+    from genesis_spark.operators.cc import connected_components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src long, dst long")
+    got = {r.node: r.component
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_chain_converges(spark):
+    """A 12-node path graph (worst-case diameter for min-propagation) must
+    still converge within the iteration cap."""
+    from genesis_spark.operators.cc import connected_components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long")
+    got = {r.node: r.component
+           for r in connected_components(edges, max_iter=15).collect()}
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_keep_one_per_cluster(spark):
+    from genesis_spark.operators.cc import keep_one_per_cluster
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 9)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (6, 7)], "doc_a long, doc_b long")
+    out = keep_one_per_cluster(docs, pairs).collect()
+    # clusters {2,3,4} and {6,7} keep their min; singletons survive
+    assert {r.doc_id for r in out} == {1, 2, 5, 6, 8}
+    by_id = {r.doc_id: r.cluster_id for r in out}
+    assert by_id[2] == 2 and by_id[6] == 6 and by_id[1] == 1
+    # doc columns survive the round trip
+    assert {r.text for r in out} == {"t1", "t2", "t5", "t6", "t8"}
