@@ -33,9 +33,10 @@ HEADLINE = [
     "url_canonicalize", "frontier_install", "frontier_install_bucketed",
     "frontier_host_agg", "seen_anti_join", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash64",
-    "dedup_ngram_jaccard", "ann_cosine_topk", "ann_lsh_topk",
-    "ann_ivf_topk", "text_quality", "text_token_count", "leak_dispatch",
-    "events_windowed", "pricing_summary",
+    "dedup_ngram_jaccard", "dedup_cluster_reps", "ann_cosine_topk",
+    "ann_lsh_topk", "ann_ivf_topk", "text_quality", "text_token_count",
+    "leak_dispatch", "spans_interleave", "events_windowed",
+    "pricing_summary",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "300"))
