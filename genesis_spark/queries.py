@@ -1276,6 +1276,94 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (6-h inactivity closes a session): the
+    classic event-analytics operator — one shuffle on user_id, per-user
+    window lag + running sum, then per-session rollup. No driver loop, no
+    UDF; at 10^10 events this is a single hash-partitioned window pass."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ won't cast straight to long on Spark 4; go through
+    # timestamp (session tz is pinned UTC) — differences cancel any shift
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    sess = (ev.withColumn("_new",
+                          F.when(gap.isNull() | (gap > 21600), 1).otherwise(0))
+            .withColumn("session_no", F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
+
+
+ORACLE_EVENTS_SESSIONIZE = """
+WITH o AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 21600
+            THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, session_no
+"""
+
+
+def q_text_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF terms per document: tokenize (the token-count regex's
+    word class), term frequency per (doc, term), document frequency per
+    term, idf = ln(N/df), rank by (tfidf DESC, term ASC). Two shuffles
+    (doc-term agg, term df) + a broadcast-sized join back — no UDF."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    terms = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+"))
+        .alias("term"))
+        .filter(F.length("term") >= 3))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf.join(df, "term")
+              .withColumn("tfidf",
+                          F.round(F.col("tf") *
+                                  F.log(F.lit(float(n_docs)) / F.col("df")),
+                                  4)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "term", "tfidf", "rank"))
+
+
+ORACLE_TEXT_TFIDF_TOPK = """
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents,
+       UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE len(t.term) >= 3
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.df AS BIGINT) AS df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored) WHERE rank <= 3
+"""
+
+
 def q_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -1394,7 +1482,9 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,
+    "text_tfidf_topk": q_text_tfidf_topk,
     "events_windowed": q_events_windowed,
+    "events_sessionize": q_events_sessionize,
     "pricing_summary": q_pricing_summary,
     "dispatch_join": q_dispatch_join,
     "leak_dispatch": q_leak_dispatch,
@@ -1430,7 +1520,9 @@ ORACLES = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_token_count": ORACLE_TEXT_TOKEN_COUNT,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "text_tfidf_topk": ORACLE_TEXT_TFIDF_TOPK,
     "events_windowed": ORACLE_EVENTS_WINDOWED,
+    "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "dispatch_join": ORACLE_DISPATCH_JOIN,
     "leak_dispatch": ORACLE_LEAK_DISPATCH,
