@@ -1364,6 +1364,51 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_events_quantiles(spark, sf_dir):
+    """Exact per-type value percentiles (linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the definition)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+                 F.count("*").alias("n_events")))
+
+
+ORACLE_EVENTS_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """ROLLUP (day, event_type): per-day-per-type, per-day subtotal, and
+    grand total in one pass — Spark's partial-aggregate rollup matches the
+    ANSI GROUPING SETS semantics DuckDB executes."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    agg = (ev.rollup("day", "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value")))
+    # rollup NULL keys -> sentinel so the hash compare never sees mixed
+    # None/str sort keys (no real day/type can collide with '<all>')
+    return agg.select(
+        F.coalesce(F.col("day").cast("string"), F.lit("<all>")).alias("day"),
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        "n_events", "total_value")
+
+
+ORACLE_EVENTS_ROLLUP = """
+SELECT coalesce(CAST(day AS VARCHAR), '<all>') AS day,
+       coalesce(event_type, '<all>') AS event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events)
+GROUP BY ROLLUP (day, event_type)
+"""
+
+
 def q_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -1485,6 +1530,8 @@ QUERIES = {
     "text_tfidf_topk": q_text_tfidf_topk,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
+    "events_quantiles": q_events_quantiles,
+    "events_rollup": q_events_rollup,
     "pricing_summary": q_pricing_summary,
     "dispatch_join": q_dispatch_join,
     "leak_dispatch": q_leak_dispatch,
@@ -1523,6 +1570,8 @@ ORACLES = {
     "text_tfidf_topk": ORACLE_TEXT_TFIDF_TOPK,
     "events_windowed": ORACLE_EVENTS_WINDOWED,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "events_quantiles": ORACLE_EVENTS_QUANTILES,
+    "events_rollup": ORACLE_EVENTS_ROLLUP,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "dispatch_join": ORACLE_DISPATCH_JOIN,
     "leak_dispatch": ORACLE_LEAK_DISPATCH,
