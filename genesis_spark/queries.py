@@ -1250,6 +1250,47 @@ def q_stream_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_windowed(spark, sf_dir):
+    """Stream==batch equivalence for the windowed metrics aggregation:
+    the events table replayed as 4 micro-batches through a Structured
+    Streaming 1-hour tumbling-window agg (state store accumulates windows
+    across batches, complete output); the oracle is the plain batch GROUP
+    BY — the streaming state machinery must reproduce it exactly. The
+    watermark *drop* semantic is covered separately by
+    test_metrics_stream_watermark_drops_late_rows (append mode needs
+    event-time progress, which a finite replay can't finalize)."""
+    import os
+    import tempfile
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_win_{_STREAM_SEQ}"
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="gs_streamw_")
+    src, ck = os.path.join(tmp, "events"), os.path.join(tmp, "ckpt")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("ts timestamp_ntz, event_type string, value double")
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    agg = (stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"))
+           .select(F.col("w.start").alias("window_start"), "event_type",
+                   "n_events", "total_value"))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 ORACLE_STREAM_DEDUP = """
 SELECT DISTINCT 'h' || (doc_id % 20) AS host_key,
        'http://h' || (doc_id % 20) || '.onion/p' || (doc_id % 100) AS url
@@ -1540,6 +1581,7 @@ QUERIES = {
     "robots_admission": q_robots_admission,
     "spans_interleave": q_spans_interleave,
     "stream_dedup": q_stream_dedup,
+    "stream_windowed": q_stream_windowed,
 }
 
 ORACLES = {
@@ -1580,6 +1622,7 @@ ORACLES = {
     "robots_admission": ORACLE_ROBOTS_ADMISSION,
     "spans_interleave": ORACLE_SPANS_INTERLEAVE,
     "stream_dedup": ORACLE_STREAM_DEDUP,
+    "stream_windowed": ORACLE_STREAM_WINDOWED,
 }
 
 
