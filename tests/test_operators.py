@@ -436,3 +436,34 @@ def test_keep_one_per_cluster(spark):
     assert by_id[2] == 2 and by_id[6] == 6 and by_id[1] == 1
     # doc columns survive the round trip
     assert {r.text for r in out} == {"t1", "t2", "t5", "t6", "t8"}
+
+
+def test_connected_components_random_graph_vs_union_find(spark):
+    """Seeded pseudo-random graph (60 nodes, 70 edges) vs a pure-Python
+    union-find oracle — labels must agree exactly (component = min id)."""
+    from genesis_spark.operators.cc import connected_components
+
+    # deterministic LCG so the graph is identical on every run
+    state = 42
+    def rnd(n):
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return state % n
+
+    edges = [(rnd(60), rnd(60)) for _ in range(70)]
+    parent = list(range(60))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for e in edges for n in e if e[0] != e[1]}
+    want = {n: find(n) for n in touched}
+    # min-id canonical form (union-find roots are min-joined above)
+    got = {r.node: r.component for r in connected_components(
+        spark.createDataFrame(edges, "src long, dst long")).collect()}
+    assert got == want
