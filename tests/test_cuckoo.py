@@ -129,3 +129,33 @@ def test_cuckoo_shard_roundtrip_serialization():
     removed = back.delete_many(i1[:1], fp[:1])
     assert removed.all()
     assert back.might_contain(i1[1:2], fp[1:2]).all()
+
+
+def test_cuckoo_kernel_properties_hypothesis():
+    """Kernel-level invariants under arbitrary insert/delete interleavings
+    (no Spark): every currently-inserted key probes True (no false
+    negatives, ever), and deletes only ever remove one stored copy."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 63),            # bucket i1
+                              st.integers(1, 65535),         # fingerprint
+                              st.booleans()),                # delete later?
+                    min_size=1, max_size=120))
+    def prop(ops):
+        shard = C.CuckooShard(n_buckets=64, slots=4)
+        i1 = np.array([o[0] for o in ops], dtype=np.int64)
+        fp = np.array([o[1] for o in ops], dtype=np.uint16)
+        shard.insert_many(i1, fp, max_kicks=100, stash_cap=16)
+        assert shard.might_contain(i1, fp).all()
+        dels = [j for j, o in enumerate(ops) if o[2]]
+        if dels and not shard.saturated:
+            d = np.array(dels)
+            removed = shard.delete_many(i1[d], fp[d])
+            assert removed.all()          # each inserted copy is deletable
+        keep = [j for j, o in enumerate(ops) if not o[2]]
+        if keep and not shard.saturated:
+            k = np.array(keep)
+            assert shard.might_contain(i1[k], fp[k]).all()
+
+    prop()
