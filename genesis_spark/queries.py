@@ -68,6 +68,34 @@ def _shingle_sql(n: int) -> str:
     return _SHINGLE_SQL.format(n=n, n_1=n - 1, gram=gram)
 
 
+def _quality_cte(key: str, table: str) -> str:
+    """``qm``/``qs`` CTE pair scoring ``table``'s text with the exact
+    quality rubric (mirrors TS.quality_score_expr), keyed by ``key`` —
+    shared by the per-source rollup and the corpus_clean pipeline."""
+    all_markers = (TS.LANG_MARKERS["en"] + TS.LANG_MARKERS["fr"] +
+                   TS.LANG_MARKERS["es"] + TS.LANG_MARKERS["de"])
+    lst = ", ".join(f"'{m}'" for m in all_markers)
+    return f"""qm AS (
+  SELECT {key},
+         length(text) AS n,
+         len(string_split(text, ' ')) AS n_tok,
+         length(regexp_replace(text, '[^A-Za-z一-鿿]', '', 'g')) AS alpha,
+         len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN ({lst}))) AS stop_hits
+  FROM {table}),
+qs AS (
+  SELECT {key},
+      (CASE WHEN n > 500 THEN 30 WHEN n > 100 THEN 20
+            WHEN n > 20 THEN 10 ELSE 0 END)
+    + (CASE WHEN alpha / greatest(n, 1) > 0.7 THEN 30
+            WHEN alpha / greatest(n, 1) > 0.4 THEN 15 ELSE 0 END)
+    + (CASE WHEN stop_hits / greatest(n_tok, 1) > 0.05 THEN 20 ELSE 0 END)
+    + (CASE WHEN n / greatest(n_tok, 1) BETWEEN 3 AND 12
+            THEN 20 ELSE 0 END) AS q
+  FROM qm)"""
+
+
+
 # ---------------------------------------------------------------------------
 # URL kernel queries (P1-P6, T16 — SURVEY.md §2.2/2.7)
 # ---------------------------------------------------------------------------
@@ -403,6 +431,58 @@ wc AS (
 )
 SELECT cluster_id, min(doc_id) AS doc_id, count(*) AS cluster_size
 FROM wc GROUP BY cluster_id
+"""
+
+
+def q_corpus_clean(spark, sf_dir):
+    """END-TO-END training-corpus cleaning pipeline in one plan: MinHash
+    near-dup pairs -> connected components -> keep the min-id
+    representative per cluster (subsumes exact dedup: byte-identical twins
+    share every band) -> quality-score gate (>= 80). Output = the cleaned
+    corpus manifest (doc_id, quality). This is the composition a 100 TB
+    pretraining pipeline runs nightly; each stage was oracle-verified
+    separately, this row verifies the composition."""
+    from genesis_spark.operators.cc import connected_components
+    corpus = _corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(corpus, threshold=0.5) \
+        .select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    wc = (corpus.join(comp.withColumnRenamed("node", "doc_id"),
+                      "doc_id", "left")
+          .withColumn("cluster_id", F.coalesce("component", F.col("doc_id"))))
+    reps = wc.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
+    survivors = wc.join(reps, ["doc_id", "cluster_id"]) \
+        .select("doc_id", "text")
+    return (survivors
+            .withColumn("quality", TS.quality_score_expr(F.col("text")))
+            .filter(F.col("quality") >= 80)
+            .select("doc_id", "quality"))
+
+
+ORACLE_CORPUS_CLEAN = f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM mpairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM mpairs
+),
+reach AS (
+  SELECT a AS node, a AS comp FROM sym
+  UNION
+  SELECT s.a AS node, r.comp FROM sym s JOIN reach r ON r.node = s.b
+),
+comp AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+wc AS (
+  SELECT c.doc_id, c.text, coalesce(k.component, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN comp k ON k.node = c.doc_id
+),
+reps AS (SELECT cluster_id, min(doc_id) AS doc_id FROM wc
+         GROUP BY cluster_id),
+surv AS (SELECT wc.doc_id, wc.text FROM wc
+         JOIN reps ON reps.doc_id = wc.doc_id
+                  AND reps.cluster_id = wc.cluster_id),
+{_quality_cte("doc_id", "surv")}
+SELECT doc_id, q AS quality FROM qs WHERE q >= 80
 """
 
 
@@ -801,36 +881,12 @@ def q_text_quality(spark, sf_dir):
                  F.count("*").alias("n_docs")))
 
 
-def _quality_oracle() -> str:
-    all_markers = (TS.LANG_MARKERS["en"] + TS.LANG_MARKERS["fr"] +
-                   TS.LANG_MARKERS["es"] + TS.LANG_MARKERS["de"])
-    lst = ", ".join(f"'{m}'" for m in all_markers)
-    return f"""
-WITH m AS (
-  SELECT source,
-         length(text) AS n,
-         len(string_split(text, ' ')) AS n_tok,
-         length(regexp_replace(text, '[^A-Za-z一-鿿]', '', 'g')) AS alpha,
-         len(list_filter(string_split(lower(text), ' '),
-                         t -> t IN ({lst}))) AS stop_hits
-  FROM documents),
-s AS (
-  SELECT source,
-      (CASE WHEN n > 500 THEN 30 WHEN n > 100 THEN 20
-            WHEN n > 20 THEN 10 ELSE 0 END)
-    + (CASE WHEN alpha / greatest(n, 1) > 0.7 THEN 30
-            WHEN alpha / greatest(n, 1) > 0.4 THEN 15 ELSE 0 END)
-    + (CASE WHEN stop_hits / greatest(n_tok, 1) > 0.05 THEN 20 ELSE 0 END)
-    + (CASE WHEN n / greatest(n_tok, 1) BETWEEN 3 AND 12
-            THEN 20 ELSE 0 END) AS q
-  FROM m)
+ORACLE_TEXT_QUALITY = f"""
+WITH {_quality_cte("source", "documents")}
 SELECT source, round(avg(q), 2) AS avg_quality, min(q) AS min_quality,
        max(q) AS max_quality, count(*) AS n_docs
-FROM s GROUP BY source
+FROM qs GROUP BY source
 """
-
-
-ORACLE_TEXT_QUALITY = _quality_oracle()
 
 
 def q_text_token_count(spark, sf_dir):
@@ -1557,6 +1613,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_cluster_reps": q_dedup_cluster_reps,
+    "corpus_clean": q_corpus_clean,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash64": q_dedup_simhash64,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1598,6 +1655,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_cluster_reps": ORACLE_DEDUP_CLUSTER_REPS,
+    "corpus_clean": ORACLE_CORPUS_CLEAN,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash64": ORACLE_DEDUP_SIMHASH64,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
