@@ -33,7 +33,8 @@ HEADLINE = [
     "url_canonicalize", "frontier_install", "frontier_install_bucketed",
     "frontier_host_agg", "seen_anti_join", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash64",
-    "dedup_ngram_jaccard", "dedup_cluster_reps", "ann_cosine_topk",
+    "dedup_ngram_jaccard", "dedup_cluster_reps", "corpus_clean",
+    "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_topk", "text_quality", "text_token_count",
     "leak_dispatch", "spans_interleave", "events_windowed",
     "pricing_summary",
