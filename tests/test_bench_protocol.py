@@ -45,3 +45,15 @@ def test_throttle_ending_mid_session_still_rejected():
     # even with the first-run exemption (r2: 98 -> 79 -> 64 = 1.53x)
     assert not session_clean(0.95, 0.95, [110.02, 97.79, 79.18, 63.83])
     assert not session_clean(0.95, 0.95, [73.46, 21.87, 16.51])
+
+
+def test_headline_names_resolve_and_have_oracles():
+    """Every bench HEADLINE entry must exist in the query registry (a typo
+    would crash the driver's per-round bench), and every registry query
+    must have an oracle — the driver contract."""
+    import bench
+    from genesis_spark import queries as Q
+    missing = [n for n in bench.HEADLINE if n not in Q.QUERIES]
+    assert not missing, missing
+    no_oracle = sorted(set(Q.QUERIES) - set(Q.ORACLES))
+    assert not no_oracle, no_oracle
