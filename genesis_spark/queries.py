@@ -1461,6 +1461,40 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (brief's custom-operator list): attach to each purchase
+    the user's most recent signup at-or-before it. Spark lacks a native
+    ASOF JOIN; the scalable form is the union + carry-forward window —
+    tag both streams, one shuffle on user_id, sort by (ts, side) so an
+    equal-timestamp signup lands before the purchase (inclusive >=,
+    matching DuckDB ASOF semantics), then last(ignorenulls) carries the
+    latest signup_id forward. No range join, no broadcast, no per-row
+    Python; at 10^10 events this is one hash-partitioned sort pass."""
+    ev = _t(spark, sf_dir, "events")
+    sig = (ev.filter(F.col("event_type") == "signup")
+           .select("user_id", "ts", F.col("event_id").alias("signup_id"),
+                   F.lit(None).cast("long").alias("event_id"),
+                   F.lit(0).alias("_is_p")))
+    pur = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", "ts",
+                   F.lit(None).cast("long").alias("signup_id"),
+                   "event_id", F.lit(1).alias("_is_p")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "_is_p")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = sig.unionByName(pur).withColumn(
+        "signup_id", F.last("signup_id", ignorenulls=True).over(w))
+    return (carried.filter(F.col("_is_p") == 1)
+            .select("event_id", "user_id", "ts", "signup_id"))
+
+
+ORACLE_EVENTS_ASOF = """
+SELECT p.event_id, p.user_id, p.ts, s.event_id AS signup_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
 def q_events_quantiles(spark, sf_dir):
     """Exact per-type value percentiles (linear interpolation — Spark
     ``percentile`` and DuckDB ``quantile_cont`` share the definition)."""
@@ -1630,6 +1664,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_quantiles": q_events_quantiles,
     "events_rollup": q_events_rollup,
+    "events_asof_join": q_events_asof_join,
     "pricing_summary": q_pricing_summary,
     "dispatch_join": q_dispatch_join,
     "leak_dispatch": q_leak_dispatch,
@@ -1672,6 +1707,7 @@ ORACLES = {
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
+    "events_asof_join": ORACLE_EVENTS_ASOF,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "dispatch_join": ORACLE_DISPATCH_JOIN,
     "leak_dispatch": ORACLE_LEAK_DISPATCH,
