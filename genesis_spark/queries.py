@@ -1495,6 +1495,46 @@ ON p.user_id = s.user_id AND p.ts >= s.ts
 """
 
 
+def q_events_range_join(spark, sf_dir):
+    """Range join (brief's custom-operator list): purchases falling in the
+    7-day window after each signup of the same user. A naive theta join
+    (``p.ts BETWEEN s.ts AND s.ts+7d``) is a cross-product per user; the
+    scale form BINS both sides to day buckets — each signup explodes to
+    its 8 covered days, purchases key by their day — so the join is a
+    plain (user_id, day) equi-join (hash-shuffled, AQE-skew-splittable)
+    followed by the exact range filter. Bucket fan-out is the window
+    length in days, a constant. Output: per-signup purchase count and
+    value within the window."""
+    ev = _t(spark, sf_dir, "events")
+    sig = (ev.filter(F.col("event_type") == "signup")
+           .select("user_id", F.col("event_id").alias("signup_id"),
+                   F.col("ts").alias("s_ts")))
+    pur = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", F.col("ts").alias("p_ts"), "value",
+                   F.to_date("ts").alias("day")))
+    sig_days = sig.withColumn(
+        "day", F.explode(F.sequence(
+            F.to_date("s_ts"), F.date_add(F.to_date("s_ts"), 7))))
+    hits = (sig_days.join(pur, ["user_id", "day"])
+            .filter((F.col("p_ts") >= F.col("s_ts")) &
+                    (F.col("p_ts") <= F.col("s_ts") +
+                     F.expr("INTERVAL 7 DAYS"))))
+    return (hits.groupBy("signup_id")
+            .agg(F.count("*").alias("n_purchases"),
+                 F.round(F.sum("value"), 2).alias("window_value")))
+
+
+ORACLE_EVENTS_RANGE_JOIN = """
+SELECT s.event_id AS signup_id, count(*) AS n_purchases,
+       round(sum(p.value), 2) AS window_value
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = s.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+GROUP BY s.event_id
+"""
+
+
 def q_events_quantiles(spark, sf_dir):
     """Exact per-type value percentiles (linear interpolation — Spark
     ``percentile`` and DuckDB ``quantile_cont`` share the definition)."""
@@ -1665,6 +1705,7 @@ QUERIES = {
     "events_quantiles": q_events_quantiles,
     "events_rollup": q_events_rollup,
     "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
     "pricing_summary": q_pricing_summary,
     "dispatch_join": q_dispatch_join,
     "leak_dispatch": q_leak_dispatch,
@@ -1708,6 +1749,7 @@ ORACLES = {
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "events_asof_join": ORACLE_EVENTS_ASOF,
+    "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "dispatch_join": ORACLE_DISPATCH_JOIN,
     "leak_dispatch": ORACLE_LEAK_DISPATCH,
