@@ -1461,6 +1461,56 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_url_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch per host — the
+    mergeable cardinality sketch a 10^10-URL frontier uses where exact
+    COUNT(DISTINCT) per host would shuffle every URL: keep each host's k
+    smallest 60-bit hashes; estimate = (k-1) / normalized kth-min.
+    Deterministic by construction (md5 prefix as the hash), so the oracle
+    compares the ESTIMATE bit-for-bit, alongside the exact count. k=32
+    here; the estimate is mergeable across partitions/waves (union the
+    min-sets, re-take k smallest)."""
+    k = 32
+    key = F.col("o_orderkey")
+    urls = (_t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (key % 50).cast("string")).alias("host_key"),
+        F.concat(F.lit("http://h"), (key % 50).cast("string"),
+                 F.lit(".onion/p"), (key % 997).cast("string")).alias("url"))
+        .distinct())
+    hashed = urls.withColumn(
+        "h", F.conv(F.substring(F.md5("url"), 1, 15), 16, 10).cast("long"))
+    w = Window.partitionBy("host_key").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    stats = ranked.groupBy("host_key").agg(
+        F.count("*").alias("n_exact"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"))
+    est = F.when(F.col("hk").isNull(), F.col("n_exact").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("hk"))
+    return stats.select("host_key", "n_exact",
+                        F.round(est, 2).alias("kmv_estimate"))
+
+
+ORACLE_URL_KMV = """
+WITH u AS (
+  SELECT DISTINCT 'h' || (o_orderkey % 50) AS host_key,
+         'http://h' || (o_orderkey % 50) || '.onion/p' || (o_orderkey % 997)
+           AS url
+  FROM orders),
+h AS (SELECT host_key,
+             ('0x' || substr(md5(url), 1, 15))::BIGINT AS h FROM u),
+r AS (SELECT host_key, h,
+             row_number() OVER (PARTITION BY host_key ORDER BY h) AS rn
+      FROM h),
+s AS (SELECT host_key, count(*) AS n_exact,
+             max(CASE WHEN rn = 32 THEN h END) AS hk
+      FROM r GROUP BY host_key)
+SELECT host_key, n_exact,
+       round(CASE WHEN hk IS NULL THEN CAST(n_exact AS DOUBLE)
+             ELSE 31.0 * 1152921504606846976.0 / hk END, 2) AS kmv_estimate
+FROM s
+"""
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join (brief's custom-operator list): attach to each purchase
     the user's most recent signup at-or-before it. Spark lacks a native
@@ -1706,6 +1756,7 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
+    "url_kmv_distinct": q_url_kmv_distinct,
     "pricing_summary": q_pricing_summary,
     "dispatch_join": q_dispatch_join,
     "leak_dispatch": q_leak_dispatch,
@@ -1750,6 +1801,7 @@ ORACLES = {
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "events_asof_join": ORACLE_EVENTS_ASOF,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
+    "url_kmv_distinct": ORACLE_URL_KMV,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "dispatch_join": ORACLE_DISPATCH_JOIN,
     "leak_dispatch": ORACLE_LEAK_DISPATCH,
