@@ -1461,6 +1461,80 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Host-graph PageRank — the classic frontier-prioritization signal
+    (which hosts deserve crawl budget) — 3 unrolled power iterations over
+    the orders-derived host link graph. All arithmetic is EXACT integer
+    (rank in 1e-9 units, ``DIV`` for every division) so Spark and DuckDB
+    agree bit-for-bit: float summation order would differ between engines.
+    Dangling hosts keep the 0.15 base mass (simplified variant, mirrored
+    in the oracle). 3 iterations unroll as 6 joins + 3 aggs — small
+    enough that no lineage cut is needed; the iterative-loop form with
+    localCheckpoint lives in operators/cc.py's pattern."""
+    S, BASE = 1_000_000_000, 150_000_000
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    edges = (_t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (k % 50).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (c % 50).cast("string")).alias("dst"))
+        .filter(F.col("src") != F.col("dst")).distinct().persist())
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    ranks = nodes.withColumn("rank", F.lit(S).cast("long"))
+    for _ in range(3):
+        contrib = (edges
+                   .join(ranks.withColumnRenamed("node", "src"), "src")
+                   .join(deg, "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("rank DIV outdeg").alias("share"))
+                   .groupBy("node")
+                   .agg(F.sum("share").alias("c")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select("node",
+                         (F.lit(BASE) +
+                          F.expr("(85 * coalesce(c, 0)) DIV 100"))
+                         .cast("long").alias("rank")))
+    out = ranks.select(F.col("node").alias("host_key"),
+                       F.col("rank").alias("pagerank"))
+    edges.unpersist()
+    return out
+
+
+ORACLE_HOST_PAGERANK = """
+WITH e AS (
+  SELECT DISTINCT 'h' || (o_orderkey % 50) AS src,
+                  'h' || (o_custkey % 50) AS dst
+  FROM orders
+  WHERE 'h' || (o_orderkey % 50) <> 'h' || (o_custkey % 50)),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM n),
+c1 AS (SELECT e.dst AS node, sum(r0.rank // deg.outdeg) AS c
+       FROM e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT n.node,
+              CAST(150000000 + (85 * coalesce(c1.c, 0)) // 100 AS BIGINT)
+                AS rank
+       FROM n LEFT JOIN c1 ON c1.node = n.node),
+c2 AS (SELECT e.dst AS node, sum(r1.rank // deg.outdeg) AS c
+       FROM e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT n.node,
+              CAST(150000000 + (85 * coalesce(c2.c, 0)) // 100 AS BIGINT)
+                AS rank
+       FROM n LEFT JOIN c2 ON c2.node = n.node),
+c3 AS (SELECT e.dst AS node, sum(r2.rank // deg.outdeg) AS c
+       FROM e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
+       GROUP BY e.dst),
+r3 AS (SELECT n.node,
+              CAST(150000000 + (85 * coalesce(c3.c, 0)) // 100 AS BIGINT)
+                AS rank
+       FROM n LEFT JOIN c3 ON c3.node = n.node)
+SELECT node AS host_key, rank AS pagerank FROM r3
+"""
+
+
 def q_url_kmv_distinct(spark, sf_dir):
     """KMV (k-minimum-values) distinct-count sketch per host — the
     mergeable cardinality sketch a 10^10-URL frontier uses where exact
@@ -1757,6 +1831,7 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "url_kmv_distinct": q_url_kmv_distinct,
+    "host_pagerank": q_host_pagerank,
     "pricing_summary": q_pricing_summary,
     "dispatch_join": q_dispatch_join,
     "leak_dispatch": q_leak_dispatch,
@@ -1802,6 +1877,7 @@ ORACLES = {
     "events_asof_join": ORACLE_EVENTS_ASOF,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "url_kmv_distinct": ORACLE_URL_KMV,
+    "host_pagerank": ORACLE_HOST_PAGERANK,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "dispatch_join": ORACLE_DISPATCH_JOIN,
     "leak_dispatch": ORACLE_LEAK_DISPATCH,
