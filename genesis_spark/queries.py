@@ -1473,10 +1473,14 @@ def q_host_pagerank(spark, sf_dir):
     localCheckpoint lives in operators/cc.py's pattern."""
     S, BASE = 1_000_000_000, 150_000_000
     k, c = F.col("o_orderkey"), F.col("o_custkey")
+    # no persist: the unrolled plan repeats the edges subplan, and
+    # whole-plan execution dedupes it via ReusedExchange — a persist here
+    # would either leak cache blocks or (if unpersisted at build time)
+    # never exist during execution
     edges = (_t(spark, sf_dir, "orders").select(
         F.concat(F.lit("h"), (k % 50).cast("string")).alias("src"),
         F.concat(F.lit("h"), (c % 50).cast("string")).alias("dst"))
-        .filter(F.col("src") != F.col("dst")).distinct().persist())
+        .filter(F.col("src") != F.col("dst")).distinct())
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
@@ -1495,10 +1499,8 @@ def q_host_pagerank(spark, sf_dir):
                          (F.lit(BASE) +
                           F.expr("(85 * coalesce(c, 0)) DIV 100"))
                          .cast("long").alias("rank")))
-    out = ranks.select(F.col("node").alias("host_key"),
-                       F.col("rank").alias("pagerank"))
-    edges.unpersist()
-    return out
+    return ranks.select(F.col("node").alias("host_key"),
+                        F.col("rank").alias("pagerank"))
 
 
 ORACLE_HOST_PAGERANK = """
