@@ -96,7 +96,10 @@ def run_queries(sf_dir: str, cores: str) -> tuple[dict[str, float], float]:
     spark = get_spark(app_name="bench-queries", cores=cores)
     timings: dict[str, float] = {}
     total = 0.0
-    suite_repeats = int(os.environ.get("SPARK_GRAFT_SUITE_REPEATS", "2"))
+    # min-of-3: two repeats proved insufficient under burst throttle (a
+    # 2-run min still recorded 8.9 s for a 1.3 s-clean query in the r3
+    # rehearsal); the third run costs ~30 s across the suite
+    suite_repeats = int(os.environ.get("SPARK_GRAFT_SUITE_REPEATS", "3"))
     for name in HEADLINE:
         fn = Q.QUERIES[name]
         fn(spark, sf_dir).count()          # warm: plan compile + codegen
