@@ -70,6 +70,11 @@ BLOOM_BROADCAST_MAX_BYTES = 1 << 26   # 64 MB: above this the filter is not
                                       # broadcast (flag-all-maybe fallback →
                                       # exact anti-join); use the shard-routed
                                       # probe (filter_not_seen_routed) instead
+# Sizing at 10^10 keys: slots_total ~= keys/0.95 -> ~2^34 slots = ~21 GB
+# of fingerprint tables; keep shards at 128 KiB-16 MB each and scale
+# CUCKOO_SHARDS (e.g. 2^12 shards x 2^19 buckets x 4 slots ~= 2^33 slots
+# per ~4 GB tier). The shard-routed build/probe never holds more than one
+# shard per task, so only per-shard size matters for executor memory.
 CUCKOO_SHARDS = 64              # URL-seen cuckoo shard count (power of two)
 CUCKOO_BUCKETS_PER_SHARD = 1 << 14   # x4 slots x2 bytes = 128 KiB/shard
 CUCKOO_SLOTS = 4                # fingerprints per bucket (Fan et al. 2014)
