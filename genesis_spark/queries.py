@@ -1461,6 +1461,43 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_corpus_split(spark, sf_dir):
+    """Reproducible train/val/test assignment — the hash-split protocol a
+    training pipeline needs instead of RNG sampling (re-runs and late-
+    arriving shards must land in the SAME split): bucket = md5 of a salted
+    doc key mod 100 -> 90/5/5. Pure function of doc_id, so the oracle
+    reproduces the exact assignment; output is the (lang, split) census
+    plus a membership checksum (sum of doc_ids) so a single swapped doc
+    flips the hash compare."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit("split-v1|"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 100
+    split = (F.when(bucket < 90, "train")
+             .when(bucket < 95, "val").otherwise("test"))
+    return (d.withColumn("split", split)
+            .groupBy("lang", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
+ORACLE_CORPUS_SPLIT = """
+WITH b AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5('split-v1|' || doc_id), 1, 8))::BIGINT % 100
+           AS bucket
+  FROM documents),
+s AS (
+  SELECT lang, doc_id,
+         CASE WHEN bucket < 90 THEN 'train'
+              WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+  FROM b)
+SELECT lang, split, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM s GROUP BY lang, split
+"""
+
+
 def q_host_pagerank(spark, sf_dir):
     """Host-graph PageRank — the classic frontier-prioritization signal
     (which hosts deserve crawl budget) — 3 unrolled power iterations over
@@ -1834,6 +1871,7 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "url_kmv_distinct": q_url_kmv_distinct,
     "host_pagerank": q_host_pagerank,
+    "corpus_split": q_corpus_split,
     "pricing_summary": q_pricing_summary,
     "dispatch_join": q_dispatch_join,
     "leak_dispatch": q_leak_dispatch,
@@ -1880,6 +1918,7 @@ ORACLES = {
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "url_kmv_distinct": ORACLE_URL_KMV,
     "host_pagerank": ORACLE_HOST_PAGERANK,
+    "corpus_split": ORACLE_CORPUS_SPLIT,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "dispatch_join": ORACLE_DISPATCH_JOIN,
     "leak_dispatch": ORACLE_LEAK_DISPATCH,
