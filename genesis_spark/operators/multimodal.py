@@ -144,19 +144,55 @@ def decode_gif_header(blob: bytes | None) -> tuple:
     return (int(w), int(h), "gif", n, True)
 
 
+def decode_webp_header(blob: bytes | None) -> tuple:
+    """REAL WebP dimensions from the RIFF container's first chunk
+    (container spec): 'VP8X' extended header carries 24-bit
+    canvas-size-minus-one fields; 'VP8L' (lossless) packs 14-bit
+    dims-minus-one after the 0x2F signature; 'VP8 ' (lossy) keyframes
+    carry 14-bit dims at offset 6 of the frame payload."""
+    if blob is None:
+        return (None, None, None, 0, False)
+    blob = bytes(blob)
+    n = len(blob)
+    if n < 30 or blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        return (None, None, None, n, False)
+    chunk = blob[12:16]
+    p = blob[20:]
+    try:
+        if chunk == b"VP8X":
+            w = 1 + int.from_bytes(p[4:7], "little")
+            h = 1 + int.from_bytes(p[7:10], "little")
+        elif chunk == b"VP8L" and p[0] == 0x2F:
+            bits = int.from_bytes(p[1:5], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+        elif chunk == b"VP8 " and p[3:6] == b"\x9d\x01\x2a":
+            w = int.from_bytes(p[6:8], "little") & 0x3FFF
+            h = int.from_bytes(p[8:10], "little") & 0x3FFF
+        else:
+            return (None, None, None, n, False)
+    except IndexError:
+        return (None, None, None, n, False)
+    if w == 0 or h == 0:
+        return (None, None, None, n, False)
+    return (int(w), int(h), "webp", n, True)
+
+
 def decode_auto(blob: bytes | None) -> tuple:
-    """Dispatch on magic bytes: real PNG/JPEG/GIF header parses, fixture
-    GSIM -> header parse, anything else ok=False. The production
+    """Dispatch on magic bytes: real PNG/JPEG/GIF/WebP header parses,
+    fixture GSIM -> header parse, anything else ok=False. The production
     ``decode_fn`` shape: per-format branches, poison-safe."""
     if blob is None:
         return (None, None, None, 0, False)
-    head = bytes(blob)[:8]
-    if head == _PNG_SIG:
+    head = bytes(blob)[:12]
+    if head[:8] == _PNG_SIG:
         return decode_png_header(blob)
     if head[:2] == b"\xff\xd8":
         return decode_jpeg_header(blob)
     if head[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_header(blob)
+    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        return decode_webp_header(blob)
     if head[:4] == MAGIC:
         return decode_header(blob)
     return (None, None, None, len(blob), False)

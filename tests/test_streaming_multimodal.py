@@ -271,3 +271,30 @@ def test_metrics_stream_watermark_drops_late_rows(spark, tmp_path):
     # late row (00:06, behind the 00:30 watermark) was dropped
     assert rows["2026-01-01 00:00:00"] == (2, 3, 5.0), rows
     assert rows["2026-01-01 01:00:00"][0] == 1
+
+
+def test_webp_header_decode_real_bytes():
+    """Hand-built spec-conformant WebP containers for all three first-chunk
+    variants (VP8X extended, VP8L lossless, VP8 lossy keyframe)."""
+    import struct as _s
+
+    def riff(fourcc, payload):
+        chunk = fourcc + _s.pack("<I", len(payload)) + payload
+        return b"RIFF" + _s.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    vp8x = riff(b"VP8X", bytes([0x10, 0, 0, 0]) +
+                (639).to_bytes(3, "little") + (479).to_bytes(3, "little") +
+                b"\x00" * 8)
+    assert MM.decode_auto(vp8x)[:3] == (640, 480, "webp")
+
+    bits = (99) | (49 << 14)           # w-1=99, h-1=49
+    vp8l = riff(b"VP8L", bytes([0x2F]) + _s.pack("<I", bits) + b"\x00" * 8)
+    assert MM.decode_auto(vp8l)[:3] == (100, 50, "webp")
+
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a" +
+               _s.pack("<H", 320) + _s.pack("<H", 240) + b"\x00" * 8)
+    assert MM.decode_auto(vp8)[:3] == (320, 240, "webp")
+
+    # poison: RIFF but not WEBP, and truncated container
+    assert not MM.decode_auto(b"RIFF\x04\x00\x00\x00WAVE" + b"\x00" * 20)[4]
+    assert not MM.decode_auto(vp8x[:16])[4]
