@@ -75,3 +75,115 @@ def fingerprint_expr(text: Column, n_gram: int = 4) -> Column:
     return F.array_min(F.transform(
         shingles_expr(text, n_gram),
         lambda s: F.substring(F.md5(s), 1, 16)))
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality filters, Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(docs, top_bigram_max: float = 0.20,
+                     dup_word_max: float = 0.60):
+    """Per-document repetition metrics over ``(doc_id, text)``:
+
+    * ``dup_word_frac`` — 1 - distinct_words/total_words (Gopher's
+      duplicate-*-fraction family applied at word granularity);
+    * ``top_bigram_frac`` — occurrences of the most frequent word 2-gram
+      over total 2-grams (Gopher's top-n-gram fraction, n=2);
+    * ``repetitive`` — either fraction above its threshold.
+
+    Distributed shape: explode bigrams -> count per (doc_id, gram) ->
+    max+sum per doc. Two map-side-combinable aggregations keyed by doc_id;
+    word distinctness rides the same pass via the tokens array (pure
+    codegen — ``array_distinct`` never shuffles). At 100 TB the group key
+    (doc_id, gram) is near-unique so the first agg is almost a no-op
+    combine; nothing is ever collected per-doc except two longs."""
+    tokens = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens).alias("n_words"),
+        F.size(F.array_distinct(tokens)).alias("n_distinct"),
+        F.when(F.size(tokens) >= 2,
+               F.transform(F.slice(tokens, 1, F.size(tokens) - 1),
+                           lambda w, i: F.concat(w, F.lit(" "),
+                                                 F.element_at(tokens, i + 2))))
+         .otherwise(F.array().cast("array<string>")).alias("bigrams"))
+    counts = (base.select("doc_id", "n_words", "n_distinct",
+                          F.explode_outer("bigrams").alias("gram"))
+              .groupBy("doc_id", "n_words", "n_distinct", "gram")
+              .agg(F.count("*").alias("c")))
+    stats = (counts.groupBy("doc_id", "n_words", "n_distinct")
+             .agg(F.max(F.when(F.col("gram").isNotNull(), F.col("c"))
+                        .otherwise(0)).alias("top_c"),
+                  F.sum(F.when(F.col("gram").isNotNull(), F.col("c"))
+                        .otherwise(0)).alias("total_c")))
+    dup = F.round(1 - F.col("n_distinct") / F.greatest("n_words", F.lit(1)), 4)
+    top = F.round(F.col("top_c") / F.greatest("total_c", F.lit(1)), 4)
+    return stats.select(
+        "doc_id", "n_words",
+        dup.alias("dup_word_frac"),
+        top.alias("top_bigram_frac"),
+        ((dup > dup_word_max) | (top > top_bigram_max)).alias("repetitive"))
+
+
+# ---------------------------------------------------------------------------
+# C4-style line cleaning (Raffel et al. 2020 §2.2, re-expressed per line)
+# ---------------------------------------------------------------------------
+
+def c4_line_clean(docs, words_per_line: int = 6, min_words: int = 5):
+    """C4's line-level cleaning over ``(doc_id, text)`` where lines are the
+    deterministic ``words_per_line``-word chunks of the text (the driver's
+    documents carry no newlines, so line structure is synthesized exactly
+    like the interleave chunking — same rule in the DuckDB oracle):
+
+    * keep a line only if it ends in terminal punctuation AND has at least
+      ``min_words`` words and no '{' (the code filter);
+    * drop the whole document if it contains 'lorem ipsum';
+    * emit ``(doc_id, n_lines, n_kept, clean_text)`` for surviving docs.
+
+    Pure codegen (split/transform/filter/array_join): zero shuffles, zero
+    UDFs — at 100 TB this is a straight map over the scan."""
+    w = words_per_line
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.greatest((F.ceil(F.size(words) / F.lit(w))).cast("int"),
+                          F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * w + 1, w), " "))
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike("[.!?]$")
+        & (F.size(F.split(ln, " ")) >= min_words)
+        & ~ln.contains("{"))
+    return (docs
+            .filter(~F.lower(F.col("text")).contains("lorem ipsum"))
+            .select("doc_id",
+                    F.size(lines).alias("n_lines"),
+                    F.size(kept).alias("n_kept"),
+                    F.array_join(kept, " ").alias("clean_text"))
+            .filter(F.col("n_kept") > 0))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (email/phone regexes shared with functions.text T3/T4)
+# ---------------------------------------------------------------------------
+
+# Same email alphabet as functions.text.EMAIL_RE; the phone pattern is the
+# fixed-format international shape the redaction fixtures inject (a general
+# free-form phone matcher can't be made byte-identical across Java-regex and
+# RE2 longest-match semantics, so redaction pins the format and the
+# extraction-grade matcher stays in functions.text.PHONE_RE).
+EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_PAT = "\\+[0-9]{1,3} [0-9]{3} [0-9]{3,4}"
+
+
+def redact_pii_exprs(text: Column) -> dict[str, Column]:
+    """Redacted text plus match counts. Order matters: emails first (an
+    email never contains '+d d' so phone redaction can't corrupt one).
+    Counts are computed on the ORIGINAL text. All engine-portable regex
+    (no lookaround/backrefs — valid in both Java regex and RE2)."""
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_PAT), 0))
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(PHONE_PAT), 0))
+    red = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PAT, "<EMAIL>"),
+        PHONE_PAT, "<PHONE>")
+    return {"redacted": red, "n_emails": n_emails, "n_phones": n_phones}

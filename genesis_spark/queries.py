@@ -932,6 +932,168 @@ FROM fp GROUP BY fp HAVING count(*) > 1
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1) over the
+    dedup corpus: duplicate-word fraction + top-2-gram fraction per doc.
+    Shape: explode bigrams -> two map-side-combinable aggs on doc keys."""
+    return TS.repetition_stats(_corpus(spark, sf_dir))
+
+
+ORACLE_TEXT_REPETITION = f"""
+WITH {_CORPUS_SQL},
+base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+),
+bi AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(len(w) - 1),
+                                    i -> w[i+1] || ' ' || w[i+2])
+                ELSE [CAST(NULL AS VARCHAR)] END) AS gram
+  FROM base
+),
+c AS (
+  SELECT doc_id, n_words, n_distinct, gram, count(*) AS c
+  FROM bi GROUP BY ALL
+),
+s AS (
+  SELECT doc_id, n_words, n_distinct,
+         max(CASE WHEN gram IS NOT NULL THEN c ELSE 0 END) AS top_c,
+         sum(CASE WHEN gram IS NOT NULL THEN c ELSE 0 END) AS total_c
+  FROM c GROUP BY ALL
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       round(1 - n_distinct / greatest(n_words, 1), 4) AS dup_word_frac,
+       round(top_c / greatest(total_c, 1), 4) AS top_bigram_frac,
+       (1 - n_distinct / greatest(n_words, 1) > 0.60
+        OR top_c / greatest(total_c, 1) > 0.20) AS repetitive
+FROM s
+"""
+
+
+def _c4_synth(spark, sf_dir):
+    """Deterministic line-structured corpus for the C4 cleaner: 6-word
+    chunks of each document, terminal '.' on chunks where (doc_id+j)%3 != 0,
+    a '{' prefix on chunk 0 of every 11th doc (code filter bait), and a
+    trailing ' lorem ipsum.' on every 13th doc (doc-level drop bait)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.greatest((F.ceil(F.size(words) / F.lit(6))).cast("int"),
+                          F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.concat(
+            F.when((F.col("doc_id") % 11 == 0) & (j == 0), F.lit("{"))
+             .otherwise(F.lit("")),
+            F.array_join(F.slice(words, j * 6 + 1, 6), " "),
+            F.when((F.col("doc_id") + j) % 3 != 0, F.lit("."))
+             .otherwise(F.lit(""))))
+    text_syn = F.concat(
+        F.array_join(lines, " "),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" lorem ipsum."))
+         .otherwise(F.lit("")))
+    return d.select("doc_id", text_syn.alias("text"))
+
+
+_C4_SYNTH_SQL = """raw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+ln AS (
+  SELECT doc_id, list_transform(
+    range(0, greatest(CAST(ceil(len(w) / 6.0) AS INT), 1)),
+    j -> (CASE WHEN doc_id % 11 = 0 AND j = 0 THEN '{' ELSE '' END)
+         || array_to_string(w[CAST(j*6+1 AS INT):CAST(j*6+6 AS INT)], ' ')
+         || (CASE WHEN (doc_id + j) % 3 <> 0 THEN '.' ELSE '' END)) AS lines
+  FROM raw
+),
+syn AS (
+  SELECT doc_id, array_to_string(lines, ' ')
+         || (CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum.' ELSE '' END)
+         AS text
+  FROM ln
+)"""
+
+
+def q_text_c4_clean(spark, sf_dir):
+    """C4 cleaning (Raffel et al. 2020 §2.2): line-level punctuation /
+    length / code filters + doc-level 'lorem ipsum' drop, over a
+    deterministically line-structured synthesis of ``documents``. Pure
+    codegen — zero shuffles; at 100 TB this is a map over the scan."""
+    return TS.c4_line_clean(_c4_synth(spark, sf_dir))
+
+
+ORACLE_TEXT_C4_CLEAN = f"""
+WITH {_C4_SYNTH_SQL},
+chunked AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM syn
+  WHERE NOT contains(lower(text), 'lorem ipsum')
+),
+cl AS (
+  SELECT doc_id, list_transform(
+    range(0, greatest(CAST(ceil(len(w) / 6.0) AS INT), 1)),
+    j -> array_to_string(w[CAST(j*6+1 AS INT):CAST(j*6+6 AS INT)], ' '))
+    AS lines
+  FROM chunked
+),
+kept AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         list_filter(lines, l -> regexp_matches(l, '[.!?]$')
+                     AND len(string_split(l, ' ')) >= 5
+                     AND NOT contains(l, '{{')) AS keep
+  FROM cl
+)
+SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+       CAST(len(keep) AS INT) AS n_kept,
+       array_to_string(keep, ' ') AS clean_text
+FROM kept WHERE len(keep) > 0
+"""
+
+
+def q_text_pii_redact(spark, sf_dir):
+    """PII redaction over a corpus with deterministically injected
+    emails + E.164-shaped phones; emits redacted text + match counts.
+    Single regexp pass, engine-portable patterns (no lookaround) —
+    pure codegen, zero shuffles."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), (F.col("doc_id") % 97).cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com or call +"),
+        (1 + F.col("doc_id") % 9).cast("string"), F.lit(" "),
+        F.lpad((100 + F.col("doc_id") % 900).cast("string"), 3, "0"),
+        F.lit(" "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    src = d.select("doc_id", pii.alias("text"))
+    ex = TS.redact_pii_exprs(F.col("text"))
+    return src.select("doc_id", ex["redacted"].alias("redacted"),
+                      ex["n_emails"].alias("n_emails"),
+                      ex["n_phones"].alias("n_phones"))
+
+
+ORACLE_TEXT_PII_REDACT = rf"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id % 97 AS VARCHAR)
+              || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com or call +'
+              || CAST(1 + doc_id % 9 AS VARCHAR) || ' '
+              || lpad(CAST(100 + doc_id % 900 AS VARCHAR), 3, '0') || ' '
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '{TS.EMAIL_PAT}', '<EMAIL>', 'g'),
+         '{TS.PHONE_PAT}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{TS.EMAIL_PAT}')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{TS.PHONE_PAT}')) AS INT)
+         AS n_phones
+FROM pii
+"""
+
+
 def q_leak_dispatch(spark, sf_dir):
     """M4/S7: leak-site registry dispatch + per-site extraction. Pages are
     synthesized from the documents table (two registered site shapes + one
@@ -1836,6 +1998,94 @@ FROM ex
 """
 
 
+def q_spans_reconstruct(spark, sf_dir):
+    """Round-trip over the interleaved table: rebuild each doc's text from
+    its section spans, collect the media manifest, and verify losslessness
+    against the source — the invariant that makes the span table a storage
+    format, not a view. Pure codegen + one broadcast-able join back."""
+    from genesis_spark.sources.interleaved import (interleaved_docs,
+                                                   reconstruct_docs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rt = reconstruct_docs(interleaved_docs(docs))
+    src = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("text").alias("src_text"))
+    return (rt.join(src, "doc_id")
+            .select("doc_id", "n_sections", "n_media",
+                    (F.col("text_rt") == F.col("src_text"))
+                    .alias("roundtrip_ok"),
+                    F.array_join("media_refs", ",").alias("media_csv")))
+
+
+ORACLE_SPANS_RECONSTRUCT = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         string_split(text, ' ') AS words
+  FROM documents WHERE text IS NOT NULL
+), ch AS (
+  SELECT doc_id, text, list_transform(
+      range(0, greatest(CAST(ceil(len(words) / 8.0) AS INT), 1)),
+      i -> array_to_string(words[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ')
+  ) AS chunks FROM base
+)
+SELECT doc_id,
+       CAST(len(chunks) AS INT) AS n_sections,
+       CAST(len(chunks) // 3 AS INT) AS n_media,
+       array_to_string(chunks, ' ') = text AS roundtrip_ok,
+       coalesce(array_to_string(list_transform(range(1, len(chunks) // 3 + 1),
+                                               k -> doc_id || '/img/' ||
+                                                    CAST(k AS VARCHAR)), ','),
+                '') AS media_csv
+FROM ch
+"""
+
+
+def q_spans_media_context(spark, sf_dir):
+    """Image-caption pairing: every media span with the text of its nearest
+    preceding section span (the caption candidate a multimodal training
+    pipeline attaches to the image). One window pass per doc."""
+    from genesis_spark.sources.interleaved import (interleaved_docs,
+                                                   media_with_context)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return media_with_context(interleaved_docs(docs))
+
+
+ORACLE_SPANS_MEDIA_CONTEXT = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE text IS NOT NULL
+), ch AS (
+  SELECT doc_id, list_transform(
+      range(0, greatest(CAST(ceil(len(words) / 8.0) AS INT), 1)),
+      i -> array_to_string(words[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ')
+  ) AS chunks FROM base
+), il AS (
+  SELECT doc_id, flatten(list_transform(chunks, (c, j) ->
+      CASE WHEN j % 3 = 0 THEN
+        [{'kind': 'section', 'text': c, 'media_ref': CAST(NULL AS VARCHAR)},
+         {'kind': 'image', 'text': CAST(NULL AS VARCHAR),
+          'media_ref': doc_id || '/img/' || CAST(j // 3 AS VARCHAR)}]
+      ELSE
+        [{'kind': 'section', 'text': c, 'media_ref': CAST(NULL AS VARCHAR)}]
+      END)) AS spans
+  FROM ch
+), ex AS (
+  SELECT doc_id, unnest(spans) AS s,
+         generate_subscripts(spans, 1) - 1 AS off
+  FROM il
+), ctx AS (
+  SELECT doc_id, CAST(off AS INT) AS offset, s.kind AS kind,
+         s.media_ref AS media_ref,
+         last_value(s.text IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY off
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS context
+  FROM ex
+)
+SELECT doc_id, "offset", media_ref, context
+FROM ctx WHERE kind <> 'section'
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -1863,6 +2113,9 @@ QUERIES = {
     "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,
     "text_tfidf_topk": q_text_tfidf_topk,
+    "text_repetition": q_text_repetition,
+    "text_c4_clean": q_text_c4_clean,
+    "text_pii_redact": q_text_pii_redact,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "events_quantiles": q_events_quantiles,
@@ -1879,6 +2132,8 @@ QUERIES = {
     "leak_dispatch3": q_leak_dispatch3,
     "robots_admission": q_robots_admission,
     "spans_interleave": q_spans_interleave,
+    "spans_reconstruct": q_spans_reconstruct,
+    "spans_media_context": q_spans_media_context,
     "stream_dedup": q_stream_dedup,
     "stream_windowed": q_stream_windowed,
 }
@@ -1910,6 +2165,9 @@ ORACLES = {
     "text_token_count": ORACLE_TEXT_TOKEN_COUNT,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "text_tfidf_topk": ORACLE_TEXT_TFIDF_TOPK,
+    "text_repetition": ORACLE_TEXT_REPETITION,
+    "text_c4_clean": ORACLE_TEXT_C4_CLEAN,
+    "text_pii_redact": ORACLE_TEXT_PII_REDACT,
     "events_windowed": ORACLE_EVENTS_WINDOWED,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
@@ -1926,6 +2184,8 @@ ORACLES = {
     "leak_dispatch3": ORACLE_LEAK_DISPATCH3,
     "robots_admission": ORACLE_ROBOTS_ADMISSION,
     "spans_interleave": ORACLE_SPANS_INTERLEAVE,
+    "spans_reconstruct": ORACLE_SPANS_RECONSTRUCT,
+    "spans_media_context": ORACLE_SPANS_MEDIA_CONTEXT,
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "stream_windowed": ORACLE_STREAM_WINDOWED,
 }

@@ -75,6 +75,48 @@ def interleaved_docs(docs: DataFrame, words_per_span: int = 8,
                     spans.alias("spans")))
 
 
+def reconstruct_docs(df: DataFrame) -> DataFrame:
+    """Inverse of the interleave: rebuild each document's text from its
+    ``section`` spans (array order IS offset order — ``F.filter`` preserves
+    it) and collect the ``media_ref`` manifest from its media spans.
+
+    Returns ``(doc_id, text_rt, media_refs, n_sections, n_media)``. The
+    round-trip invariant — ``text_rt`` equals the source text the table was
+    interleaved from — is what makes the span table a lossless storage
+    format for interleaved text+media documents (north-rule payload). Pure
+    codegen: filter/transform/array_join, no shuffle, no UDF."""
+    secs = F.filter("spans", lambda s: s["kind"] == "section")
+    media = F.filter("spans", lambda s: s["kind"] != "section")
+    return df.select(
+        "doc_id",
+        F.array_join(F.transform(secs, lambda s: s["text"]), " ")
+         .alias("text_rt"),
+        F.transform(media, lambda s: s["media_ref"]).alias("media_refs"),
+        F.size(secs).alias("n_sections"),
+        F.size(media).alias("n_media"))
+
+
+def media_with_context(df: DataFrame) -> DataFrame:
+    """Image-caption pairing over the interleaved table: for every media
+    span, the text of the nearest PRECEDING section span (the caption
+    candidate a multimodal training pipeline pairs with the image).
+
+    Shape: explode to per-span rows, then one window per doc —
+    ``last(text, ignorenulls=True)`` ordered by offset gives each row the
+    latest section text at-or-before it; media rows then carry their
+    context. One shuffle on doc_id; at 100 TB the partition key is the
+    document, so context never crosses executors and skew is bounded by
+    max spans-per-doc, not corpus size."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("doc_id").orderBy("offset")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rows = explode_spans(df)
+    return (rows
+            .withColumn("context", F.last("text", ignorenulls=True).over(w))
+            .filter(F.col("kind") != "section")
+            .select("doc_id", "offset", "media_ref", "context"))
+
+
 def explode_spans(df: DataFrame) -> DataFrame:
     """Per-span rows ``(doc_id, offset, kind, text, media_ref)`` from the
     interleaved table — the row form the span-sequence-equality checks hash.

@@ -1,0 +1,148 @@
+"""Unit tests for the round-3 training-pipeline text operators
+(repetition metrics, C4 line cleaning, PII redaction) and the
+interleaved-span round-trip / media-context operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genesis_spark.operators import textstats as TS
+from genesis_spark.sources.interleaved import (explode_spans,
+                                               interleaved_docs,
+                                               media_with_context,
+                                               reconstruct_docs)
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+# ---------------------------------------------------------------------------
+
+def test_repetition_flags_degenerate_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),
+         (2, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in TS.repetition_stats(docs).collect()}
+    # doc 1: 5 words, 1 distinct -> dup 0.8; all 4 bigrams identical -> 1.0
+    assert rows[1].dup_word_frac == 0.8
+    assert rows[1].top_bigram_frac == 1.0
+    assert rows[1].repetitive
+    # doc 2: 10 words, 9 distinct ('the' twice) -> dup 0.1; bigrams unique
+    assert rows[2].dup_word_frac == 0.1
+    assert abs(rows[2].top_bigram_frac - round(1 / 9, 4)) < 1e-9
+    assert not rows[2].repetitive
+
+
+def test_repetition_single_word_doc(spark):
+    docs = spark.createDataFrame([(1, "word")], ["doc_id", "text"])
+    r = TS.repetition_stats(docs).collect()[0]
+    assert r.n_words == 1 and r.top_bigram_frac == 0.0
+    assert r.dup_word_frac == 0.0 and not r.repetitive
+
+
+# ---------------------------------------------------------------------------
+# C4 line cleaning
+# ---------------------------------------------------------------------------
+
+def test_c4_keeps_punctuated_long_lines_only(spark):
+    # lines are 6-word chunks; craft 3 chunks:
+    #   chunk0: 6 words ending '.'  -> kept
+    #   chunk1: 6 words, no punct   -> dropped
+    #   chunk2: 2-word tail with '.' -> dropped (min_words)
+    text = ("one two three four five six. "
+            "seven eight nine ten eleven twelve "
+            "tail end.")
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = TS.c4_line_clean(docs).collect()[0]
+    assert r.n_lines == 3 and r.n_kept == 1
+    assert r.clean_text == "one two three four five six."
+
+
+def test_c4_drops_brace_lines_and_lorem_docs(spark):
+    brace = "{var} a b c d e. alpha beta gamma delta eps zeta."
+    lorem = "a b c d e f. lorem ipsum x y z w."
+    docs = spark.createDataFrame(
+        [(1, brace), (2, lorem)], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in TS.c4_line_clean(docs).collect()}
+    assert 2 not in rows                       # lorem doc dropped wholesale
+    assert rows[1].n_kept == 1                 # brace line filtered
+    assert "{" not in rows[1].clean_text
+
+
+def test_c4_all_lines_dropped_doc_excluded(spark):
+    docs = spark.createDataFrame([(1, "no punct here at all ok")],
+                                 ["doc_id", "text"])
+    assert TS.c4_line_clean(docs).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def test_pii_redaction_counts_and_markers(spark):
+    docs = spark.createDataFrame(
+        [(1, "write to alice.smith+x@mail.example.org or +44 207 9460"),
+         (2, "no pii here")],
+        ["doc_id", "text"])
+    ex = TS.redact_pii_exprs(F.col("text"))
+    rows = {r.doc_id: r for r in docs.select(
+        "doc_id", ex["redacted"].alias("redacted"),
+        ex["n_emails"].alias("n_emails"),
+        ex["n_phones"].alias("n_phones")).collect()}
+    assert rows[1].n_emails == 1 and rows[1].n_phones == 1
+    assert "<EMAIL>" in rows[1].redacted and "<PHONE>" in rows[1].redacted
+    assert "alice" not in rows[1].redacted and "207" not in rows[1].redacted
+    assert rows[2].redacted == "no pii here"
+    assert rows[2].n_emails == 0 and rows[2].n_phones == 0
+
+
+def test_pii_redaction_multiple_matches(spark):
+    docs = spark.createDataFrame(
+        [(1, "a@b.io then c@d.io and +1 555 0100 also +33 612 3456")],
+        ["doc_id", "text"])
+    ex = TS.redact_pii_exprs(F.col("text"))
+    r = docs.select(ex["redacted"].alias("redacted"),
+                    ex["n_emails"].alias("n"),
+                    ex["n_phones"].alias("p")).collect()[0]
+    assert r.n == 2 and r.p == 2
+    assert r.redacted == ("<EMAIL> then <EMAIL> and <PHONE> also <PHONE>")
+
+
+# ---------------------------------------------------------------------------
+# interleaved round-trip + media context
+# ---------------------------------------------------------------------------
+
+def test_reconstruct_roundtrip_and_manifest(spark):
+    words = " ".join(f"w{i}" for i in range(60))   # 8 chunks, 2 images
+    docs = spark.createDataFrame([(7, words)], ["doc_id", "text"])
+    r = reconstruct_docs(interleaved_docs(docs)).collect()[0]
+    assert r.text_rt == words
+    assert r.n_sections == 8 and r.n_media == 2
+    assert r.media_refs == ["7/img/1", "7/img/2"]
+
+
+def test_media_context_is_nearest_preceding_section(spark):
+    words = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame([(7, words)], ["doc_id", "text"])
+    il = interleaved_docs(docs)
+    ctx = {r.media_ref: r for r in media_with_context(il).collect()}
+    spans = {r.offset: r for r in explode_spans(il).collect()}
+    # each image's context is the section text immediately before it
+    for ref, row in ctx.items():
+        prev = spans[row.offset - 1]
+        assert prev.kind == "section" and row.context == prev.text
+
+
+def test_media_context_null_before_any_section(spark):
+    rows = [("d", [{"kind": "image", "text": None,
+                    "media_ref": "d/img/1", "offset": 0},
+                   {"kind": "section", "text": "hello world",
+                    "media_ref": None, "offset": 1},
+                   {"kind": "image", "text": None,
+                    "media_ref": "d/img/2", "offset": 2}])]
+    df = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    got = {r.media_ref: r.context for r in media_with_context(df).collect()}
+    assert got["d/img/1"] is None
+    assert got["d/img/2"] == "hello world"
