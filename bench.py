@@ -36,7 +36,8 @@ HEADLINE = [
     "dedup_ngram_jaccard", "dedup_cluster_reps", "corpus_clean",
     "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_topk", "text_quality", "text_token_count",
-    "leak_dispatch", "spans_interleave", "events_windowed",
+    "leak_dispatch", "spans_interleave", "spans_media_context",
+    "text_c4_clean", "events_windowed",
     "pricing_summary",
 ]
 

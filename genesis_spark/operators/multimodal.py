@@ -198,6 +198,50 @@ def decode_auto(blob: bytes | None) -> tuple:
     return (None, None, None, len(blob), False)
 
 
+def encode_png(w: int, h: int) -> bytes:
+    """Minimal REAL PNG: signature + CRC-valid IHDR (inverse of
+    ``decode_png_header``; same bytes the unit fixtures build)."""
+    import zlib
+    chunk = b"IHDR" + struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + struct.pack(">I", 13) + chunk
+            + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF))
+
+
+def encode_jpeg(w: int, h: int) -> bytes:
+    """Minimal REAL JPEG marker stream: SOI + SOF0 frame header (inverse
+    of ``decode_jpeg_header``'s marker walk)."""
+    return (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 8)
+            + b"\x08" + struct.pack(">HH", h, w) + b"\x01")
+
+
+def encode_gif(w: int, h: int) -> bytes:
+    """Minimal REAL GIF89a: signature + logical screen descriptor."""
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def encode_webp(w: int, h: int) -> bytes:
+    """Minimal REAL WebP: RIFF container with a VP8L chunk (14-bit
+    dims-minus-one after the 0x2F signature); padded so the container
+    passes ``decode_webp_header``'s 30-byte floor."""
+    bits = (w - 1) | ((h - 1) << 14)
+    payload = bytes([0x2F]) + struct.pack("<I", bits) + b"\x00" * 8
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+_ENCODERS = (("png", encode_png), ("jpeg", encode_jpeg),
+             ("gif", encode_gif), ("webp", encode_webp))
+
+
+def encode_by_doc_id(doc_id: int) -> bytes:
+    """Deterministic real-format blob from the doc id: format cycles
+    png/jpeg/gif/webp, dims are pure doc_id arithmetic — so an oracle can
+    state the expected decode output in plain SQL while Spark actually
+    round-trips real bytes through Arrow and the header parsers."""
+    _, enc = _ENCODERS[doc_id % 4]
+    return enc(16 + doc_id % 64, 16 + (doc_id // 7) % 64)
+
+
 def library_decode(blob: bytes | None) -> tuple:
     """Real-codec path — inject when PIL/ffmpeg are available."""
     raise NotImplementedError(

@@ -2086,6 +2086,47 @@ FROM ctx WHERE kind <> 'section'
 """
 
 
+def q_media_decode(spark, sf_dir):
+    """End-to-end multimodal decode through the driver gate: one
+    mapInPandas encodes a REAL format header (png/jpeg/gif/webp cycling on
+    doc_id, dims pure doc_id arithmetic) per document; a second
+    (``extract_media_meta`` + ``decode_auto``) parses the bytes back.
+    The oracle states the expected (width, height, format) in plain SQL —
+    so a value-hash match proves the Arrow binary plumbing and all four
+    real header parsers round-trip exactly. Two Arrow-batched passes, no
+    shuffle; at 100 TB this is the decode stage's production shape."""
+    import pandas as pd
+
+    from genesis_spark.operators import multimodal as MM
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_blob": [MM.encode_by_doc_id(int(i))
+                               for i in pdf["doc_id"]]})
+
+    blobs = d.mapInPandas(encode, "doc_id long, media_blob binary")
+    meta = MM.extract_media_meta(blobs, decode_fn=MM.decode_auto)
+    return meta.select("doc_id",
+                       F.col("media_meta.width").alias("width"),
+                       F.col("media_meta.height").alias("height"),
+                       F.col("media_meta.format").alias("format"),
+                       F.col("media_meta.ok").alias("ok"))
+
+
+ORACLE_MEDIA_DECODE = """
+SELECT doc_id,
+       CAST(16 + doc_id % 64 AS INT) AS width,
+       CAST(16 + (doc_id // 7) % 64 AS INT) AS height,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'gif' ELSE 'webp' END AS format,
+       TRUE AS ok
+FROM documents
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -2134,6 +2175,7 @@ QUERIES = {
     "spans_interleave": q_spans_interleave,
     "spans_reconstruct": q_spans_reconstruct,
     "spans_media_context": q_spans_media_context,
+    "media_decode": q_media_decode,
     "stream_dedup": q_stream_dedup,
     "stream_windowed": q_stream_windowed,
 }
@@ -2186,6 +2228,7 @@ ORACLES = {
     "spans_interleave": ORACLE_SPANS_INTERLEAVE,
     "spans_reconstruct": ORACLE_SPANS_RECONSTRUCT,
     "spans_media_context": ORACLE_SPANS_MEDIA_CONTEXT,
+    "media_decode": ORACLE_MEDIA_DECODE,
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "stream_windowed": ORACLE_STREAM_WINDOWED,
 }

@@ -298,3 +298,18 @@ def test_webp_header_decode_real_bytes():
     # poison: RIFF but not WEBP, and truncated container
     assert not MM.decode_auto(b"RIFF\x04\x00\x00\x00WAVE" + b"\x00" * 20)[4]
     assert not MM.decode_auto(vp8x[:16])[4]
+
+
+def test_encoders_roundtrip_all_formats():
+    """Every promoted real-format encoder must parse back exactly through
+    decode_auto — the invariant the media_decode oracle row rests on."""
+    from genesis_spark.operators import multimodal as MM
+    for fmt, enc in MM._ENCODERS:
+        w, h = 79, 31
+        got_w, got_h, got_fmt, _, ok = MM.decode_auto(enc(w, h))
+        assert (got_w, got_h, got_fmt, ok) == (w, h, fmt, True), fmt
+    # doc_id arithmetic path
+    for doc_id in (0, 1, 2, 3, 6, 7, 447, 10000):
+        w, h, fmt, _, ok = MM.decode_auto(MM.encode_by_doc_id(doc_id))
+        assert ok and w == 16 + doc_id % 64 and h == 16 + (doc_id // 7) % 64
+        assert fmt == ("png", "jpeg", "gif", "webp")[doc_id % 4]
