@@ -95,6 +95,49 @@ qs AS (
   FROM qm)"""
 
 
+def _c4_synth(spark, sf_dir):
+    """Deterministic line-structured corpus for the C4 cleaner: 6-word
+    chunks of each document, terminal '.' on chunks where (doc_id+j)%3 != 0,
+    a '{' prefix on chunk 0 of every 11th doc (code filter bait), and a
+    trailing ' lorem ipsum.' on every 13th doc (doc-level drop bait)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.greatest((F.ceil(F.size(words) / F.lit(6))).cast("int"),
+                          F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.concat(
+            F.when((F.col("doc_id") % 11 == 0) & (j == 0), F.lit("{"))
+             .otherwise(F.lit("")),
+            F.array_join(F.slice(words, j * 6 + 1, 6), " "),
+            F.when((F.col("doc_id") + j) % 3 != 0, F.lit("."))
+             .otherwise(F.lit(""))))
+    text_syn = F.concat(
+        F.array_join(lines, " "),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" lorem ipsum."))
+         .otherwise(F.lit("")))
+    return d.select("doc_id", text_syn.alias("text"))
+
+
+_C4_SYNTH_SQL = """raw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+ln AS (
+  SELECT doc_id, list_transform(
+    range(0, greatest(CAST(ceil(len(w) / 6.0) AS INT), 1)),
+    j -> (CASE WHEN doc_id % 11 = 0 AND j = 0 THEN '{' ELSE '' END)
+         || array_to_string(w[CAST(j*6+1 AS INT):CAST(j*6+6 AS INT)], ' ')
+         || (CASE WHEN (doc_id + j) % 3 <> 0 THEN '.' ELSE '' END)) AS lines
+  FROM raw
+),
+syn AS (
+  SELECT doc_id, array_to_string(lines, ' ')
+         || (CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum.' ELSE '' END)
+         AS text
+  FROM ln
+)"""
+
+
 
 # ---------------------------------------------------------------------------
 # URL kernel queries (P1-P6, T16 — SURVEY.md §2.2/2.7)
@@ -483,6 +526,96 @@ surv AS (SELECT wc.doc_id, wc.text FROM wc
                   AND reps.cluster_id = wc.cluster_id),
 {_quality_cte("doc_id", "surv")}
 SELECT doc_id, q AS quality FROM qs WHERE q >= 80
+"""
+
+
+def q_corpus_clean_full(spark, sf_dir):
+    """The OTHER end-to-end training-corpus recipe (corpus_clean covers
+    near-dup clustering; this covers the filter-chain): C4 line cleaning ->
+    Gopher repetition gate (thresholds sized to the fixture vocabulary:
+    dup_word 0.68 / top_bigram 0.08 drop a visible minority) -> exact
+    dedup on the CLEANED text (injected +500000 twins prove the stage) ->
+    quality gate >= 80. Each stage is oracle-verified alone; this row
+    verifies the composition. Shuffle budget: repetition's two aggs + the
+    dedup groupBy — the C4/quality stages stay map-side."""
+    cleaned0 = TS.c4_line_clean(_c4_synth(spark, sf_dir)) \
+        .select("doc_id", "n_kept", "clean_text")
+    twins = cleaned0.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "n_kept", "clean_text")
+    cleaned = cleaned0.unionByName(twins)
+    rep = TS.repetition_stats(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")),
+        top_bigram_max=0.08, dup_word_max=0.68)
+    gated = cleaned.join(
+        rep.filter(~F.col("repetitive")).select("doc_id"), "doc_id")
+    reps = (gated.groupBy(F.md5("clean_text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id")))
+    surv = gated.join(reps.select("doc_id"), "doc_id")
+    return (surv
+            .withColumn("quality", TS.quality_score_expr(F.col("clean_text")))
+            .filter(F.col("quality") >= 80)
+            .select("doc_id", "n_kept", "quality"))
+
+
+ORACLE_CORPUS_CLEAN_FULL = f"""
+WITH {_C4_SYNTH_SQL},
+chunked AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM syn
+  WHERE NOT contains(lower(text), 'lorem ipsum')
+),
+cl AS (
+  SELECT doc_id, list_transform(
+    range(0, greatest(CAST(ceil(len(w) / 6.0) AS INT), 1)),
+    j -> array_to_string(w[CAST(j*6+1 AS INT):CAST(j*6+6 AS INT)], ' '))
+    AS lines
+  FROM chunked
+),
+kept AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         list_filter(lines, l -> regexp_matches(l, '[.!?]$')
+                     AND len(string_split(l, ' ')) >= 5
+                     AND NOT contains(l, '{{')) AS keep
+  FROM cl
+),
+cleaned0 AS (
+  SELECT doc_id, CAST(len(keep) AS INT) AS n_kept,
+         array_to_string(keep, ' ') AS clean_text
+  FROM kept WHERE len(keep) > 0
+),
+cleaned AS (
+  SELECT * FROM cleaned0
+  UNION ALL
+  SELECT doc_id + 500000, n_kept, clean_text FROM cleaned0
+  WHERE doc_id % 2 = 0
+),
+rb AS (SELECT doc_id, string_split(clean_text, ' ') AS w FROM cleaned),
+rbi AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(len(w) - 1),
+                                    i -> w[i+1] || ' ' || w[i+2])
+                ELSE [CAST(NULL AS VARCHAR)] END) AS gram
+  FROM rb),
+rc AS (SELECT doc_id, n_words, n_distinct, gram, count(*) AS c
+       FROM rbi GROUP BY ALL),
+rs AS (SELECT doc_id, n_words, n_distinct,
+              max(CASE WHEN gram IS NOT NULL THEN c ELSE 0 END) AS top_c,
+              sum(CASE WHEN gram IS NOT NULL THEN c ELSE 0 END) AS total_c
+       FROM rc GROUP BY ALL),
+nonrep AS (
+  SELECT doc_id FROM rs
+  WHERE NOT (round(1 - n_distinct / greatest(n_words, 1), 4) > 0.68
+             OR round(top_c / greatest(total_c, 1), 4) > 0.08)
+),
+gated AS (SELECT c.* FROM cleaned c JOIN nonrep USING (doc_id)),
+reps AS (SELECT md5(clean_text) AS h, min(doc_id) AS doc_id
+         FROM gated GROUP BY 1),
+surv AS (SELECT g.doc_id, g.n_kept, g.clean_text AS text
+         FROM gated g JOIN reps r ON r.doc_id = g.doc_id),
+{_quality_cte("doc_id", "surv")}
+SELECT s.doc_id, s.n_kept, qs.q AS quality
+FROM surv s JOIN qs ON qs.doc_id = s.doc_id
+WHERE qs.q >= 80
 """
 
 
@@ -965,53 +1098,10 @@ s AS (
 SELECT doc_id, CAST(n_words AS INT) AS n_words,
        round(1 - n_distinct / greatest(n_words, 1), 4) AS dup_word_frac,
        round(top_c / greatest(total_c, 1), 4) AS top_bigram_frac,
-       (1 - n_distinct / greatest(n_words, 1) > 0.60
-        OR top_c / greatest(total_c, 1) > 0.20) AS repetitive
+       (round(1 - n_distinct / greatest(n_words, 1), 4) > 0.60
+        OR round(top_c / greatest(total_c, 1), 4) > 0.20) AS repetitive
 FROM s
 """
-
-
-def _c4_synth(spark, sf_dir):
-    """Deterministic line-structured corpus for the C4 cleaner: 6-word
-    chunks of each document, terminal '.' on chunks where (doc_id+j)%3 != 0,
-    a '{' prefix on chunk 0 of every 11th doc (code filter bait), and a
-    trailing ' lorem ipsum.' on every 13th doc (doc-level drop bait)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.col("text"), " ")
-    n_chunks = F.greatest((F.ceil(F.size(words) / F.lit(6))).cast("int"),
-                          F.lit(1))
-    lines = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda j: F.concat(
-            F.when((F.col("doc_id") % 11 == 0) & (j == 0), F.lit("{"))
-             .otherwise(F.lit("")),
-            F.array_join(F.slice(words, j * 6 + 1, 6), " "),
-            F.when((F.col("doc_id") + j) % 3 != 0, F.lit("."))
-             .otherwise(F.lit(""))))
-    text_syn = F.concat(
-        F.array_join(lines, " "),
-        F.when(F.col("doc_id") % 13 == 0, F.lit(" lorem ipsum."))
-         .otherwise(F.lit("")))
-    return d.select("doc_id", text_syn.alias("text"))
-
-
-_C4_SYNTH_SQL = """raw AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-),
-ln AS (
-  SELECT doc_id, list_transform(
-    range(0, greatest(CAST(ceil(len(w) / 6.0) AS INT), 1)),
-    j -> (CASE WHEN doc_id % 11 = 0 AND j = 0 THEN '{' ELSE '' END)
-         || array_to_string(w[CAST(j*6+1 AS INT):CAST(j*6+6 AS INT)], ' ')
-         || (CASE WHEN (doc_id + j) % 3 <> 0 THEN '.' ELSE '' END)) AS lines
-  FROM raw
-),
-syn AS (
-  SELECT doc_id, array_to_string(lines, ' ')
-         || (CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum.' ELSE '' END)
-         AS text
-  FROM ln
-)"""
 
 
 def q_text_c4_clean(spark, sf_dir):
@@ -2142,6 +2232,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_cluster_reps": q_dedup_cluster_reps,
     "corpus_clean": q_corpus_clean,
+    "corpus_clean_full": q_corpus_clean_full,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash64": q_dedup_simhash64,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2195,6 +2286,7 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_cluster_reps": ORACLE_DEDUP_CLUSTER_REPS,
     "corpus_clean": ORACLE_CORPUS_CLEAN,
+    "corpus_clean_full": ORACLE_CORPUS_CLEAN_FULL,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash64": ORACLE_DEDUP_SIMHASH64,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
