@@ -436,9 +436,15 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    probe_before = cpu_probe()
     timings, total = run_queries(sf_dir, cpus)
+    probe_after = cpu_probe()
     out = {"metric": "headline_suite_seconds", "value": round(total, 3),
            "unit": "sec", "queries": timings,
+           # ~1.0 = full CFS quota during the suite window; well below 1.0 =
+           # a burst-throttle episode inflated the per-query times (the
+           # min-of-K already absorbs short bursts; these flag long ones)
+           "suite_cpu_probes": [probe_before, probe_after],
            "sf": float(sf) if sf.replace(".", "").isdigit() else sf}
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
