@@ -619,6 +619,104 @@ WHERE qs.q >= 80
 """
 
 
+def q_dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 §C / The Pile style): flag every
+    training doc sharing ANY 8-gram with the held-out benchmark set
+    (every 50th doc). Shape: explode 8-gram shingles on both sides, hash
+    them, distinct, and equi-join benchmark grams against train grams —
+    the join key is the gram hash, so at 100 TB it is one shuffled
+    equi-join on near-unique keys (no theta join, no broadcast of the
+    corpus); the small benchmark side IS broadcastable and Catalyst picks
+    that up from AQE stats. Output: flagged train docs + how many distinct
+    benchmark grams they collide with."""
+    corpus = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = corpus.select(
+        "doc_id", F.explode(D.shingles_expr(F.col("text"), 8)).alias("g")) \
+        .select("doc_id", F.substring(F.md5("g"), 1, 16).alias("h")) \
+        .distinct()
+    bench = grams.filter(F.col("doc_id") % 50 == 0) \
+        .select(F.col("h").alias("bh")).distinct()
+    train = grams.filter(F.col("doc_id") % 50 != 0)
+    return (train.join(bench, train.h == bench.bh)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_contaminated_grams")))
+
+
+ORACLE_DEDUP_DECONTAMINATE = f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(md5(unnest(CASE WHEN len(w) >= 8
+           THEN list_transform(range(len(w) - 7),
+                i -> {" || ' ' || ".join(f"w[i+{k + 1}]" for k in range(8))})
+           ELSE [text] END)), 1, 16) AS h
+  FROM base
+),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+train AS (SELECT doc_id, h FROM sh WHERE doc_id % 50 <> 0)
+SELECT t.doc_id, count(*) AS n_contaminated_grams
+FROM train t JOIN bench b ON t.h = b.h
+GROUP BY t.doc_id
+"""
+
+
+def q_corpus_vocab_topk(spark, sf_dir):
+    """Global vocabulary statistics: top-50 words by total count with doc
+    frequency — the corpus-level profile a tokenizer-training / mixture
+    pipeline computes first. Two-level agg: (word, doc) distinct rides the
+    same explode, then one groupBy(word); ties break on the word for a
+    deterministic top-k."""
+    corpus = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+    stats = (words.groupBy("word")
+             .agg(F.count("*").alias("n_total"),
+                  F.countDistinct("doc_id").alias("n_docs")))
+    return (stats.orderBy(F.desc("n_total"), "word").limit(50))
+
+
+ORACLE_CORPUS_VOCAB_TOPK = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT word, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM w GROUP BY word
+ORDER BY n_total DESC, word
+LIMIT 50
+"""
+
+
+def q_corpus_mixture(spark, sf_dir):
+    """Domain-mixture profile: per-source document/token counts and token
+    share (the numbers a Pile-style mixture-weighting step feeds on).
+    One map-side-combinable agg over the scan + a broadcast of the single
+    global-total row."""
+    d = _t(spark, sf_dir, "documents")
+    per = (d.groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.size(F.split("text", " "))).alias("n_tokens")))
+    total = per.agg(F.sum("n_tokens").alias("t")).select("t")
+    return (per.crossJoin(F.broadcast(total))
+            .select("source", "n_docs", "n_tokens",
+                    F.round(F.col("n_tokens") / F.col("t"), 6)
+                    .alias("token_share")))
+
+
+ORACLE_CORPUS_MIXTURE = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE)
+             / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM per), 6)
+         AS token_share
+FROM per
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     b = D.simhash_buckets(_corpus(spark, sf_dir))
     return b.select(
@@ -2237,6 +2335,9 @@ QUERIES = {
     "dedup_simhash64": q_dedup_simhash64,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_decontaminate": q_dedup_decontaminate,
+    "corpus_vocab_topk": q_corpus_vocab_topk,
+    "corpus_mixture": q_corpus_mixture,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2291,6 +2392,9 @@ ORACLES = {
     "dedup_simhash64": ORACLE_DEDUP_SIMHASH64,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
+    "dedup_decontaminate": ORACLE_DEDUP_DECONTAMINATE,
+    "corpus_vocab_topk": ORACLE_CORPUS_VOCAB_TOPK,
+    "corpus_mixture": ORACLE_CORPUS_MIXTURE,
     "ann_cosine_topk": ORACLE_ANN_COSINE,
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
