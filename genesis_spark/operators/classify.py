@@ -63,6 +63,54 @@ def stub_model_factory() -> Callable[[str], list[str]]:
     return predict
 
 
+# Bag-of-words topic centroids for the REAL (library-free) classifier:
+# obvious public marker words per category from the reference's vocabulary
+# (constants/enums.py:14-48 names the categories; the keyword lists are
+# this repo's own). Categories without a list fall through to 'general'.
+TOPIC_KEYWORDS: dict[str, tuple[str, ...]] = {
+    "forums": ("forum", "thread", "reply", "post", "member", "board"),
+    "news": ("news", "article", "report", "journalist", "headline"),
+    "drugs": ("drug", "cannabis", "pills", "gram", "vendor", "shipping"),
+    "hacking": ("hack", "exploit", "vulnerability", "payload", "shell"),
+    "marketplaces": ("market", "listing", "escrow", "vendor", "order"),
+    "cryptocurrency": ("bitcoin", "wallet", "monero", "crypto", "exchange"),
+    "leaks": ("leak", "dump", "breach", "database", "records"),
+    "ransomware": ("ransom", "encrypted", "victim", "deadline", "payment"),
+    "carding": ("card", "cvv", "dumps", "bank", "fullz"),
+    "malware": ("malware", "trojan", "stealer", "loader", "botnet"),
+}
+
+
+def keyword_centroid_model_factory(
+        topics: dict[str, tuple[str, ...]] = None,
+        threshold: float = SCORE_THRESHOLD) -> Callable[[str], list[str]]:
+    """REAL nearest-centroid classifier (binary bag-of-words): score each
+    topic as |tokens ∩ keywords| / |keywords| (fraction of the topic
+    centroid present), argmax with lexicographic tie-break, and the
+    reference's decision shape on top — empty input or sub-threshold top
+    score -> 'general' (topic_classifier_model.py:15-31). Deterministic,
+    library-free; a transformers pipeline drops in via ``model_factory``
+    with no harness change."""
+    import re
+    topics = TOPIC_KEYWORDS if topics is None else topics
+    kw = {t: frozenset(ws) for t, ws in topics.items()}
+
+    def predict(input_text: str) -> list[str]:
+        if not input_text:
+            return [conf.CONTENT_TYPE_GENERAL]
+        tokens = frozenset(re.findall(r"[a-z0-9]+", input_text.lower()))
+        best_label, best_score = conf.CONTENT_TYPE_GENERAL, 0.0
+        for label in sorted(kw):
+            score = len(tokens & kw[label]) / len(kw[label])
+            if score > best_score:
+                best_label, best_score = label, score
+        if best_score > threshold:
+            return [best_label]
+        return [conf.CONTENT_TYPE_GENERAL]
+
+    return predict
+
+
 def classify_hosts(pages: DataFrame,
                    model_factory: Callable = stub_model_factory,
                    model_key: str = "topic-stub",

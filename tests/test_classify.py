@@ -87,3 +87,44 @@ def test_label_joinback_onto_real_parse_output(spark):
     # the classifier label, not the parser stub, wins on every page
     assert all(tuple(r.content_type) == label_by_host[r.base_url]
                for r in got)
+
+
+def test_keyword_centroid_model_real_predictions():
+    """A5's real (library-free) model: nearest-centroid over binary
+    bag-of-words with the reference decision shape."""
+    from genesis_spark.operators.classify import (
+        keyword_centroid_model_factory)
+    model = keyword_centroid_model_factory()
+    assert model("buy bitcoin with your monero wallet on our exchange") \
+        == ["cryptocurrency"]
+    assert model("fresh database leak dump with 3M breach records") \
+        == ["leaks"]
+    # sub-threshold (one marker out of six) and off-topic -> general
+    assert model("a forum of cats") == ["general"]
+    assert model("sunny weather gardening tips") == ["general"]
+    assert model("") == ["general"]
+    # deterministic tie-break: equal scores resolve to the lexicographically
+    # first label (carding before leaks)
+    tie = keyword_centroid_model_factory(
+        {"leaks": ("alpha", "beta"), "carding": ("alpha", "gamma")},
+        threshold=0.1)
+    assert tie("alpha") == ["carding"]
+
+
+def test_classify_hosts_with_centroid_model(spark):
+    from genesis_spark.operators.classify import (
+        keyword_centroid_model_factory)
+    rows = [
+        ("http://coins.onion", "crypto hub",
+         "bitcoin monero wallet exchange daily", "crypto talk", 0, 0),
+        ("http://cats.onion", "cat pictures",
+         "fluffy cats doing cat things", "meow", 0, 0),
+    ]
+    pages = spark.createDataFrame(
+        rows, "base_url string, title string, important_content string, "
+              "content string, depth int, pos int")
+    labels = {r.base_url: r.content_type for r in classify_hosts(
+        pages, model_factory=keyword_centroid_model_factory,
+        model_key="topic-centroid").collect()}
+    assert labels["http://coins.onion"] == ["cryptocurrency"]
+    assert labels["http://cats.onion"] == ["general"]
