@@ -116,17 +116,50 @@ _CC3 = {"211", "212", "213", "216", "218", "220", "221", "222", "223",
         "992", "993", "994", "995", "996", "998"}
 
 
+# National-significant-number length ranges (min, max digits after the
+# country code) for the most common calling codes, from the published ITU
+# national numbering plan summaries (public). Ranges are conservative —
+# they cover every service type in the plan — so a number a full
+# phonenumbers library would accept is never rejected here; codes without
+# an entry fall back to the length-agnostic 8..15-total check.
+_NSN_LEN: dict[str, tuple[int, int]] = {
+    "1": (10, 10), "7": (10, 10),
+    "27": (9, 9), "31": (9, 9), "32": (8, 9), "33": (9, 9), "34": (9, 9),
+    "39": (6, 11), "41": (9, 9), "44": (7, 10), "45": (8, 8), "46": (7, 9),
+    "47": (8, 8), "48": (9, 9), "49": (6, 11), "52": (10, 10),
+    "55": (10, 11), "60": (7, 10), "61": (5, 15), "62": (8, 12),
+    "63": (8, 10), "64": (8, 10), "65": (8, 8), "66": (8, 9),
+    "81": (9, 10), "82": (8, 11), "84": (9, 10), "86": (10, 12),
+    "90": (10, 10), "91": (10, 10), "92": (9, 10), "98": (10, 10),
+    "212": (9, 9), "234": (8, 10), "254": (9, 9), "852": (8, 8),
+    "853": (8, 8), "880": (8, 10), "886": (8, 9), "966": (8, 9),
+    "971": (8, 9), "972": (8, 9),
+}
+
+
 def valid_e164(digits: str) -> bool:
-    """Library-free E.164 plausibility: 8..15 digits total AND the leading
-    1-3 digits are an ITU-assigned country calling code (longest match).
-    Strictly tighter than round-1's any-8-to-15-digits stand-in; still a
-    stand-in for phonenumbers' per-country numbering plans (documented
-    divergence: a syntactically valid but unassigned national number
-    passes here)."""
+    """Library-free E.164 plausibility: 8..15 digits total, the leading
+    1-3 digits are an ITU-assigned country calling code (longest match),
+    AND — when the code has a published national-plan length range in
+    ``_NSN_LEN`` — the national number's length falls inside it. Tighter
+    than round-2's prefix-only check; remaining divergence from the
+    phonenumbers library: within-range but unassigned national numbers
+    pass, and codes outside ``_NSN_LEN`` skip the length check."""
     if not (digits.isdigit() and 8 <= len(digits) <= 15):
         return False
-    return (digits[:1] in _CC1 or digits[:2] in _CC2
-            or digits[:3] in _CC3)
+    cc = None
+    if digits[:3] in _CC3:
+        cc = digits[:3]
+    elif digits[:2] in _CC2:
+        cc = digits[:2]
+    elif digits[:1] in _CC1:
+        cc = digits[:1]
+    if cc is None:
+        return False
+    rng = _NSN_LEN.get(cc)
+    if rng is None:
+        return True
+    return rng[0] <= len(digits) - len(cc) <= rng[1]
 
 
 def extract_phone_numbers(text: str) -> list[str]:

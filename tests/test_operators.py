@@ -467,3 +467,17 @@ def test_connected_components_random_graph_vs_union_find(spark):
     got = {r.node: r.component for r in connected_components(
         spark.createDataFrame(edges, "src long, dst long")).collect()}
     assert got == want
+
+
+def test_valid_e164_national_plan_lengths():
+    """T5 round-3 tightening: national-significant-number length ranges
+    from the published ITU plan summaries, on top of the CC-prefix check."""
+    from genesis_spark.functions.text import valid_e164
+    assert valid_e164("12025550123")           # NANP NSN exactly 10
+    assert not valid_e164("120255012")         # NANP NSN 8 -> rejected
+    assert not valid_e164("3361234567")        # FR NSN 7 -> rejected
+    assert valid_e164("33612345678")           # FR NSN 9
+    assert not valid_e164("861391234567890")   # CN NSN 13 > 12
+    assert valid_e164("49301234")              # DE floor NSN 6
+    assert valid_e164("212612345678")          # 3-digit CC (MA), NSN 9
+    assert not valid_e164("21261234567")       # MA NSN 8 -> rejected
