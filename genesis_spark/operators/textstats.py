@@ -167,23 +167,31 @@ def c4_line_clean(docs, words_per_line: int = 6, min_words: int = 5):
 # PII redaction (email/phone regexes shared with functions.text T3/T4)
 # ---------------------------------------------------------------------------
 
-# Same email alphabet as functions.text.EMAIL_RE; the phone pattern is the
-# fixed-format international shape the redaction fixtures inject (a general
-# free-form phone matcher can't be made byte-identical across Java-regex and
-# RE2 longest-match semantics, so redaction pins the format and the
-# extraction-grade matcher stays in functions.text.PHONE_RE).
-EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+# EMAIL_PAT is the extraction regex from functions.text (T3) verbatim —
+# one source of truth for what an email looks like. The phone pattern is
+# the fixed-format international shape the redaction fixtures inject (a
+# general free-form phone matcher can't be made byte-identical across
+# Java-regex and RE2 longest-match semantics, so redaction pins the format
+# and the extraction-grade matcher stays in functions.text.PHONE_RE).
+from genesis_spark.functions.text import EMAIL_RE as _EMAIL_RE  # noqa: E402
+
+EMAIL_PAT = _EMAIL_RE.pattern
 PHONE_PAT = "\\+[0-9]{1,3} [0-9]{3} [0-9]{3,4}"
 
 
 def redact_pii_exprs(text: Column) -> dict[str, Column]:
-    """Redacted text plus match counts. Order matters: emails first (an
-    email never contains '+d d' so phone redaction can't corrupt one).
-    Counts are computed on the ORIGINAL text. All engine-portable regex
-    (no lookaround/backrefs — valid in both Java regex and RE2)."""
+    """Redacted text plus match counts. Order matters: phones first —
+    a phone needs internal spaces so it can never match inside an email,
+    and the '>' of an inserted '<PHONE>' marker blocks the email regex
+    from eating the marker; the reverse order would let an email match
+    consume a phone's trailing digits and leave '+d ddd' digits
+    unredacted. Overlap caveat: counts are match counts on the ORIGINAL
+    text, so text where a phone and an email share characters redacts the
+    overlap once (as the phone). All engine-portable regex (no
+    lookaround/backrefs — valid in both Java regex and RE2)."""
     n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_PAT), 0))
     n_phones = F.size(F.regexp_extract_all(text, F.lit(PHONE_PAT), 0))
     red = F.regexp_replace(
-        F.regexp_replace(text, EMAIL_PAT, "<EMAIL>"),
-        PHONE_PAT, "<PHONE>")
+        F.regexp_replace(text, PHONE_PAT, "<PHONE>"),
+        EMAIL_PAT, "<EMAIL>")
     return {"redacted": red, "n_emails": n_emails, "n_phones": n_phones}

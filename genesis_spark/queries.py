@@ -137,6 +137,49 @@ syn AS (
   FROM ln
 )"""
 
+# C4 cleaning rules over the `syn` table (mirrors TS.c4_line_clean) —
+# shared by text_c4_clean and corpus_clean_full so the oracles can't drift
+_C4_KEPT_SQL = """chunked AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM syn
+  WHERE NOT contains(lower(text), 'lorem ipsum')
+),
+cl AS (
+  SELECT doc_id, list_transform(
+    range(0, greatest(CAST(ceil(len(w) / 6.0) AS INT), 1)),
+    j -> array_to_string(w[CAST(j*6+1 AS INT):CAST(j*6+6 AS INT)], ' '))
+    AS lines
+  FROM chunked
+),
+kept AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         list_filter(lines, l -> regexp_matches(l, '[.!?]$')
+                     AND len(string_split(l, ' ')) >= 5
+                     AND NOT contains(l, '{')) AS keep
+  FROM cl
+)"""
+
+
+def _rep_cte(table: str, text_col: str = "text") -> str:
+    """rb/rbi/rc/rs CTE chain: per-doc repetition counters (word dup +
+    top-bigram) over ``table (doc_id, text_col)``. Mirrors
+    TS.repetition_stats; shared by text_repetition and corpus_clean_full
+    so the two oracles cannot drift."""
+    return f"""rb AS (
+  SELECT doc_id, string_split({text_col}, ' ') AS w FROM {table}),
+rbi AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(len(w) - 1),
+                                    i -> w[i+1] || ' ' || w[i+2])
+                ELSE [CAST(NULL AS VARCHAR)] END) AS gram
+  FROM rb),
+rc AS (SELECT doc_id, n_words, n_distinct, gram, count(*) AS c
+       FROM rbi GROUP BY ALL),
+rs AS (SELECT doc_id, n_words, n_distinct,
+              max(CASE WHEN gram IS NOT NULL THEN c ELSE 0 END) AS top_c,
+              sum(CASE WHEN gram IS NOT NULL THEN c ELSE 0 END) AS total_c
+       FROM rc GROUP BY ALL)"""
+
 
 
 # ---------------------------------------------------------------------------
@@ -559,24 +602,7 @@ def q_corpus_clean_full(spark, sf_dir):
 
 ORACLE_CORPUS_CLEAN_FULL = f"""
 WITH {_C4_SYNTH_SQL},
-chunked AS (
-  SELECT doc_id, text, string_split(text, ' ') AS w FROM syn
-  WHERE NOT contains(lower(text), 'lorem ipsum')
-),
-cl AS (
-  SELECT doc_id, list_transform(
-    range(0, greatest(CAST(ceil(len(w) / 6.0) AS INT), 1)),
-    j -> array_to_string(w[CAST(j*6+1 AS INT):CAST(j*6+6 AS INT)], ' '))
-    AS lines
-  FROM chunked
-),
-kept AS (
-  SELECT doc_id, len(lines) AS n_lines,
-         list_filter(lines, l -> regexp_matches(l, '[.!?]$')
-                     AND len(string_split(l, ' ')) >= 5
-                     AND NOT contains(l, '{{')) AS keep
-  FROM cl
-),
+{_C4_KEPT_SQL},
 cleaned0 AS (
   SELECT doc_id, CAST(len(keep) AS INT) AS n_kept,
          array_to_string(keep, ' ') AS clean_text
@@ -588,20 +614,7 @@ cleaned AS (
   SELECT doc_id + 500000, n_kept, clean_text FROM cleaned0
   WHERE doc_id % 2 = 0
 ),
-rb AS (SELECT doc_id, string_split(clean_text, ' ') AS w FROM cleaned),
-rbi AS (
-  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
-         unnest(CASE WHEN len(w) >= 2
-                THEN list_transform(range(len(w) - 1),
-                                    i -> w[i+1] || ' ' || w[i+2])
-                ELSE [CAST(NULL AS VARCHAR)] END) AS gram
-  FROM rb),
-rc AS (SELECT doc_id, n_words, n_distinct, gram, count(*) AS c
-       FROM rbi GROUP BY ALL),
-rs AS (SELECT doc_id, n_words, n_distinct,
-              max(CASE WHEN gram IS NOT NULL THEN c ELSE 0 END) AS top_c,
-              sum(CASE WHEN gram IS NOT NULL THEN c ELSE 0 END) AS total_c
-       FROM rc GROUP BY ALL),
+{_rep_cte("cleaned", "clean_text")},
 nonrep AS (
   SELECT doc_id FROM rs
   WHERE NOT (round(1 - n_distinct / greatest(n_words, 1), 4) > 0.68
@@ -691,8 +704,10 @@ def q_corpus_mixture(spark, sf_dir):
     """Domain-mixture profile: per-source document/token counts and token
     share (the numbers a Pile-style mixture-weighting step feeds on).
     One map-side-combinable agg over the scan + a broadcast of the single
-    global-total row."""
-    d = _t(spark, sf_dir, "documents")
+    global-total row. Null texts are excluded on both sides (Spark's
+    legacy size(NULL) = -1 would otherwise desync from DuckDB's
+    NULL-skipping sum)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     per = (d.groupBy("source")
            .agg(F.count("*").alias("n_docs"),
                 F.sum(F.size(F.split("text", " "))).alias("n_tokens")))
@@ -707,7 +722,7 @@ ORACLE_CORPUS_MIXTURE = """
 WITH per AS (
   SELECT source, count(*) AS n_docs,
          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source
+  FROM documents WHERE text IS NOT NULL GROUP BY source
 )
 SELECT source, n_docs, n_tokens,
        round(CAST(n_tokens AS DOUBLE)
@@ -1172,33 +1187,13 @@ def q_text_repetition(spark, sf_dir):
 
 ORACLE_TEXT_REPETITION = f"""
 WITH {_CORPUS_SQL},
-base AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
-),
-bi AS (
-  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
-         unnest(CASE WHEN len(w) >= 2
-                THEN list_transform(range(len(w) - 1),
-                                    i -> w[i+1] || ' ' || w[i+2])
-                ELSE [CAST(NULL AS VARCHAR)] END) AS gram
-  FROM base
-),
-c AS (
-  SELECT doc_id, n_words, n_distinct, gram, count(*) AS c
-  FROM bi GROUP BY ALL
-),
-s AS (
-  SELECT doc_id, n_words, n_distinct,
-         max(CASE WHEN gram IS NOT NULL THEN c ELSE 0 END) AS top_c,
-         sum(CASE WHEN gram IS NOT NULL THEN c ELSE 0 END) AS total_c
-  FROM c GROUP BY ALL
-)
+{_rep_cte("corpus")}
 SELECT doc_id, CAST(n_words AS INT) AS n_words,
        round(1 - n_distinct / greatest(n_words, 1), 4) AS dup_word_frac,
        round(top_c / greatest(total_c, 1), 4) AS top_bigram_frac,
        (round(1 - n_distinct / greatest(n_words, 1), 4) > 0.60
         OR round(top_c / greatest(total_c, 1), 4) > 0.20) AS repetitive
-FROM s
+FROM rs
 """
 
 
@@ -1212,24 +1207,7 @@ def q_text_c4_clean(spark, sf_dir):
 
 ORACLE_TEXT_C4_CLEAN = f"""
 WITH {_C4_SYNTH_SQL},
-chunked AS (
-  SELECT doc_id, text, string_split(text, ' ') AS w FROM syn
-  WHERE NOT contains(lower(text), 'lorem ipsum')
-),
-cl AS (
-  SELECT doc_id, list_transform(
-    range(0, greatest(CAST(ceil(len(w) / 6.0) AS INT), 1)),
-    j -> array_to_string(w[CAST(j*6+1 AS INT):CAST(j*6+6 AS INT)], ' '))
-    AS lines
-  FROM chunked
-),
-kept AS (
-  SELECT doc_id, len(lines) AS n_lines,
-         list_filter(lines, l -> regexp_matches(l, '[.!?]$')
-                     AND len(string_split(l, ' ')) >= 5
-                     AND NOT contains(l, '{{')) AS keep
-  FROM cl
-)
+{_C4_KEPT_SQL}
 SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
        CAST(len(keep) AS INT) AS n_kept,
        array_to_string(keep, ' ') AS clean_text
@@ -1242,7 +1220,8 @@ def q_text_pii_redact(spark, sf_dir):
     emails + E.164-shaped phones; emits redacted text + match counts.
     Single regexp pass, engine-portable patterns (no lookaround) —
     pure codegen, zero shuffles."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("doc_id", "text"))
     pii = F.concat(
         F.col("text"),
         F.lit(" contact user"), (F.col("doc_id") % 97).cast("string"),
@@ -1268,12 +1247,12 @@ WITH pii AS (
               || CAST(1 + doc_id % 9 AS VARCHAR) || ' '
               || lpad(CAST(100 + doc_id % 900 AS VARCHAR), 3, '0') || ' '
               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
        regexp_replace(
-         regexp_replace(text, '{TS.EMAIL_PAT}', '<EMAIL>', 'g'),
-         '{TS.PHONE_PAT}', '<PHONE>', 'g') AS redacted,
+         regexp_replace(text, '{TS.PHONE_PAT}', '<PHONE>', 'g'),
+         '{TS.EMAIL_PAT}', '<EMAIL>', 'g') AS redacted,
        CAST(len(regexp_extract_all(text, '{TS.EMAIL_PAT}')) AS INT)
          AS n_emails,
        CAST(len(regexp_extract_all(text, '{TS.PHONE_PAT}')) AS INT)

@@ -75,18 +75,33 @@ def interleaved_docs(docs: DataFrame, words_per_span: int = 8,
                     spans.alias("spans")))
 
 
+def _is_text(s):
+    # schemas.SPAN contract: text spans (title|heading|text|section) carry
+    # media_ref = NULL; media and link spans carry text = NULL.
+    return s["media_ref"].isNull()
+
+
+def _is_media(s):
+    # link spans also carry a media_ref (the resolved URL) but are not
+    # media — exclude them from manifests and caption pairing.
+    return s["media_ref"].isNotNull() & (s["kind"] != "link")
+
+
 def reconstruct_docs(df: DataFrame) -> DataFrame:
     """Inverse of the interleave: rebuild each document's text from its
-    ``section`` spans (array order IS offset order — ``F.filter`` preserves
-    it) and collect the ``media_ref`` manifest from its media spans.
+    text spans (array order IS offset order — ``F.filter`` preserves it)
+    and collect the ``media_ref`` manifest from its media spans. Span
+    classes follow the schemas.SPAN nullability contract, so title/
+    heading/text spans from real parse output reconstruct too, and link
+    spans are neither text nor media.
 
     Returns ``(doc_id, text_rt, media_refs, n_sections, n_media)``. The
     round-trip invariant — ``text_rt`` equals the source text the table was
     interleaved from — is what makes the span table a lossless storage
     format for interleaved text+media documents (north-rule payload). Pure
     codegen: filter/transform/array_join, no shuffle, no UDF."""
-    secs = F.filter("spans", lambda s: s["kind"] == "section")
-    media = F.filter("spans", lambda s: s["kind"] != "section")
+    secs = F.filter("spans", _is_text)
+    media = F.filter("spans", _is_media)
     return df.select(
         "doc_id",
         F.array_join(F.transform(secs, lambda s: s["text"]), " ")
@@ -98,12 +113,14 @@ def reconstruct_docs(df: DataFrame) -> DataFrame:
 
 def media_with_context(df: DataFrame) -> DataFrame:
     """Image-caption pairing over the interleaved table: for every media
-    span, the text of the nearest PRECEDING section span (the caption
-    candidate a multimodal training pipeline pairs with the image).
+    span, the text of the nearest PRECEDING text span (the caption
+    candidate a multimodal training pipeline pairs with the image). Link
+    spans are neither media nor context (schemas.SPAN kinds).
 
     Shape: explode to per-span rows, then one window per doc —
     ``last(text, ignorenulls=True)`` ordered by offset gives each row the
-    latest section text at-or-before it; media rows then carry their
+    latest text-span content at-or-before it (media/link spans carry text
+    = NULL so they never become context); media rows then carry their
     context. One shuffle on doc_id; at 100 TB the partition key is the
     document, so context never crosses executors and skew is bounded by
     max spans-per-doc, not corpus size."""
@@ -113,7 +130,8 @@ def media_with_context(df: DataFrame) -> DataFrame:
     rows = explode_spans(df)
     return (rows
             .withColumn("context", F.last("text", ignorenulls=True).over(w))
-            .filter(F.col("kind") != "section")
+            .filter(F.col("media_ref").isNotNull()
+                    & (F.col("kind") != "link"))
             .select("doc_id", "offset", "media_ref", "context"))
 
 

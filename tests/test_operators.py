@@ -475,7 +475,7 @@ def test_valid_e164_national_plan_lengths():
     from genesis_spark.functions.text import valid_e164
     assert valid_e164("12025550123")           # NANP NSN exactly 10
     assert not valid_e164("120255012")         # NANP NSN 8 -> rejected
-    assert not valid_e164("3361234567")        # FR NSN 7 -> rejected
+    assert not valid_e164("3361234567")        # FR NSN 8 -> rejected
     assert valid_e164("33612345678")           # FR NSN 9
     assert not valid_e164("861391234567890")   # CN NSN 13 > 12
     assert valid_e164("49301234")              # DE floor NSN 6

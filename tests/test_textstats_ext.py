@@ -96,6 +96,21 @@ def test_pii_redaction_counts_and_markers(spark):
     assert rows[2].n_emails == 0 and rows[2].n_phones == 0
 
 
+def test_pii_redaction_overlap_phone_wins(spark):
+    """Phone-first ordering: when a phone's tail doubles as an email's
+    local part, the phone is redacted (digits gone) and the '>' of the
+    marker stops the email regex from eating it; the dangling '@domain'
+    carries no PII digits. Counts reflect the original text."""
+    docs = spark.createDataFrame([(1, "+1 234 5678@x.io")],
+                                 ["doc_id", "text"])
+    ex = TS.redact_pii_exprs(F.col("text"))
+    r = docs.select(ex["redacted"].alias("redacted"),
+                    ex["n_emails"].alias("n"),
+                    ex["n_phones"].alias("p")).collect()[0]
+    assert r.redacted == "<PHONE>@x.io"
+    assert r.p == 1 and r.n == 1
+
+
 def test_pii_redaction_multiple_matches(spark):
     docs = spark.createDataFrame(
         [(1, "a@b.io then c@d.io and +1 555 0100 also +33 612 3456")],
