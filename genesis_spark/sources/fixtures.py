@@ -56,8 +56,13 @@ def _page_html(rng: random.Random, base: str, title: str,
         parts.append(f"<p>{_paragraph(rng)}</p>")
     if with_contact:
         user = rng.choice(_WORDS)
+        # NANP-shaped phone: +1 then 10 digits with a 2-9 lead, so the
+        # number sits inside the published national-plan length range the
+        # T5 validator enforces (a fully random digit string would be
+        # rejected by a real phonenumbers library too)
+        phone = f"+1{rng.randint(2, 9)}{rng.randint(0, 10**9 - 1):09d}"
         parts.append(f"<p>contact {user}@{_label(rng, 8)}.com for more "
-                     f"information or call +{rng.randint(10**10, 10**11 - 1)} now</p>")
+                     f"information or call {phone} now</p>")
     # media links via <a> — the four extension families
     for ext, _kind in (('.png', 'image'), ('.mp4', 'video'),
                        ('.pdf', 'document'), ('.zip', 'archive')):
