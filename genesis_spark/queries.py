@@ -732,6 +732,50 @@ FROM per
 """
 
 
+def q_corpus_pack(spark, sf_dir):
+    """Sequence packing (the GPT-style concat-and-chunk training prep):
+    within each source stream, documents are concatenated in doc_id order
+    and cut into fixed 2048-token blocks; each doc reports its starting
+    token offset and the block range it lands in. One window per source —
+    the partition key is the source/shard, so at 100 TB the running sum
+    never crosses executors and no global sort exists (a truly global
+    pack would instead run per-partition offsets + a tiny per-partition
+    prefix-sum broadcast, same arithmetic)."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("doc_id", "source",
+                 F.size(F.split("text", " ")).alias("n_tokens")))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_offset")
+    d = d.select("doc_id", "source", "n_tokens", off)
+    return d.select(
+        "doc_id", "source", "n_tokens", "tok_offset",
+        (F.col("tok_offset") / 2048).cast("bigint").alias("block_first"),
+        ((F.col("tok_offset") + F.col("n_tokens") - 1) / 2048)
+        .cast("bigint").alias("block_last"))
+
+
+ORACLE_CORPUS_PACK = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+o AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS BIGINT) AS tok_offset
+  FROM d
+)
+SELECT doc_id, source, n_tokens, tok_offset,
+       tok_offset // 2048 AS block_first,
+       (tok_offset + n_tokens - 1) // 2048 AS block_last
+FROM o
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     b = D.simhash_buckets(_corpus(spark, sf_dir))
     return b.select(
@@ -2317,6 +2361,7 @@ QUERIES = {
     "dedup_decontaminate": q_dedup_decontaminate,
     "corpus_vocab_topk": q_corpus_vocab_topk,
     "corpus_mixture": q_corpus_mixture,
+    "corpus_pack": q_corpus_pack,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2374,6 +2419,7 @@ ORACLES = {
     "dedup_decontaminate": ORACLE_DEDUP_DECONTAMINATE,
     "corpus_vocab_topk": ORACLE_CORPUS_VOCAB_TOPK,
     "corpus_mixture": ORACLE_CORPUS_MIXTURE,
+    "corpus_pack": ORACLE_CORPUS_PACK,
     "ann_cosine_topk": ORACLE_ANN_COSINE,
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
