@@ -1,0 +1,79 @@
+"""Sequence packing (GPT-style concat-and-chunk training prep).
+
+Within each source stream, documents are concatenated in doc_id order and
+cut into fixed ``seq_len``-token blocks; each doc reports its starting
+token offset and the block range it spans.
+
+Two physically different plans, one result:
+
+* ``shard_width=None`` — ONE window per source. Correct, and fine while a
+  source fits a task; at 100 TB a 5 TB source becomes a single window
+  partition = one straggler task.
+* ``shard_width=K`` — the scale path: documents are range-sharded
+  deterministically (``shard = doc_id // K``, so shards are contiguous in
+  pack order), stage 1 computes per-(source, shard) token sums (a
+  map-side-combinable agg), stage 2 prefix-sums those on the TINY
+  (sources x shards) table (one window over O(|sources|*|shards|) rows),
+  stage 3 broadcast-joins each shard's base offset back and runs the
+  window WITHIN (source, shard) — partitions are bounded by K documents
+  regardless of corpus size. This is the classic two-level scan
+  (per-partition sums + small prefix + local offsets).
+
+Both paths are deterministic (no sampling-based range partitioning), so
+they agree bit-for-bit — ``test_pack_sharded_equals_flat`` asserts it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _with_tokens(docs: DataFrame) -> DataFrame:
+    return (docs.filter(F.col("text").isNotNull())
+            .select("doc_id", "source",
+                    F.size(F.split("text", " ")).alias("n_tokens")))
+
+
+def _finish(d: DataFrame, seq_len: int) -> DataFrame:
+    return d.select(
+        "doc_id", "source", "n_tokens", "tok_offset",
+        (F.col("tok_offset") / seq_len).cast("bigint").alias("block_first"),
+        ((F.col("tok_offset") + F.col("n_tokens") - 1) / seq_len)
+        .cast("bigint").alias("block_last"))
+
+
+def pack_blocks(docs: DataFrame, seq_len: int = 2048,
+                shard_width: int | None = None) -> DataFrame:
+    """(doc_id, source, n_tokens, tok_offset, block_first, block_last).
+
+    ``docs`` needs (doc_id, source, text). See module docstring for the
+    flat-vs-sharded plan choice."""
+    d = _with_tokens(docs)
+    if shard_width is None:
+        w = (Window.partitionBy("source").orderBy("doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        off = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        return _finish(d.select("doc_id", "source", "n_tokens",
+                                off.alias("tok_offset")), seq_len)
+
+    d = d.withColumn("_shard", (F.col("doc_id") / shard_width)
+                     .cast("bigint"))
+    # stage 1: per-shard totals (tiny)
+    sums = (d.groupBy("source", "_shard")
+            .agg(F.sum("n_tokens").alias("_shard_tokens")))
+    # stage 2: exclusive prefix over shards, per source — O(shards) rows
+    pw = (Window.partitionBy("source").orderBy("_shard")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = sums.select(
+        "source", "_shard",
+        (F.sum("_shard_tokens").over(pw) - F.col("_shard_tokens"))
+        .alias("_base"))
+    # stage 3: local window within the bounded (source, shard) partition
+    lw = (Window.partitionBy("source", "_shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = (F.sum("n_tokens").over(lw) - F.col("n_tokens"))
+    out = (d.join(F.broadcast(base), ["source", "_shard"])
+           .select("doc_id", "source", "n_tokens",
+                   (local + F.col("_base")).alias("tok_offset")))
+    return _finish(out, seq_len)

@@ -736,24 +736,13 @@ def q_corpus_pack(spark, sf_dir):
     """Sequence packing (the GPT-style concat-and-chunk training prep):
     within each source stream, documents are concatenated in doc_id order
     and cut into fixed 2048-token blocks; each doc reports its starting
-    token offset and the block range it lands in. One window per source —
-    the partition key is the source/shard, so at 100 TB the running sum
-    never crosses executors and no global sort exists (a truly global
-    pack would instead run per-partition offsets + a tiny per-partition
-    prefix-sum broadcast, same arithmetic)."""
-    d = (_t(spark, sf_dir, "documents")
-         .filter(F.col("text").isNotNull())
-         .select("doc_id", "source",
-                 F.size(F.split("text", " ")).alias("n_tokens")))
-    w = (Window.partitionBy("source").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_offset")
-    d = d.select("doc_id", "source", "n_tokens", off)
-    return d.select(
-        "doc_id", "source", "n_tokens", "tok_offset",
-        (F.col("tok_offset") / 2048).cast("bigint").alias("block_first"),
-        ((F.col("tok_offset") + F.col("n_tokens") - 1) / 2048)
-        .cast("bigint").alias("block_last"))
+    token offset and the block range it lands in. The oracle row runs the
+    flat one-window-per-source plan; ``operators.pack.pack_blocks`` also
+    implements the 100 TB scale path (deterministic doc_id range shards,
+    per-shard sums, tiny prefix window, broadcast base offsets) proved
+    bit-identical in ``test_pack_sharded_equals_flat``."""
+    from genesis_spark.operators.pack import pack_blocks
+    return pack_blocks(_t(spark, sf_dir, "documents"), seq_len=2048)
 
 
 ORACLE_CORPUS_PACK = """

@@ -161,3 +161,43 @@ def test_media_context_null_before_any_section(spark):
     got = {r.media_ref: r.context for r in media_with_context(df).collect()}
     assert got["d/img/1"] is None
     assert got["d/img/2"] == "hello world"
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_blocks_offsets_and_blocks(spark):
+    from genesis_spark.operators.pack import pack_blocks
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c"), (2, "s", "d e"), (3, "s", "f g h i"),
+         (10, "t", "x y z w")],
+        ["doc_id", "source", "text"])
+    rows = {r.doc_id: r for r in pack_blocks(docs, seq_len=4).collect()}
+    # source s: doc1 off 0 (3 tok), doc2 off 3 (2 tok), doc3 off 5 (4 tok)
+    assert rows[1].tok_offset == 0 and rows[1].block_first == 0 \
+        and rows[1].block_last == 0
+    assert rows[2].tok_offset == 3 and rows[2].block_first == 0 \
+        and rows[2].block_last == 1          # spans the 4-token boundary
+    assert rows[3].tok_offset == 5 and rows[3].block_first == 1 \
+        and rows[3].block_last == 2
+    # source t packs independently from offset 0
+    assert rows[10].tok_offset == 0
+
+
+def test_pack_sharded_equals_flat(spark):
+    """The hierarchical scale path (range shards + prefix broadcast) must
+    agree bit-for-bit with the flat one-window-per-source plan."""
+    from genesis_spark.operators.pack import pack_blocks
+    rows = [(i, f"src{i % 3}", " ".join("w" * 1 for _ in range(1 + i % 7)))
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    flat = {(r.doc_id): r for r in
+            pack_blocks(docs, seq_len=16).collect()}
+    for width in (1, 7, 64, 1000):
+        sharded = pack_blocks(docs, seq_len=16, shard_width=width).collect()
+        assert len(sharded) == len(flat)
+        for r in sharded:
+            f = flat[r.doc_id]
+            assert (r.tok_offset, r.block_first, r.block_last) == \
+                (f.tok_offset, f.block_first, f.block_last), (width, r)
