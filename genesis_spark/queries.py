@@ -765,6 +765,35 @@ FROM o
 """
 
 
+def q_corpus_sample_weighted(spark, sf_dir):
+    """Quality-proportional deterministic sampling: keep a doc with
+    probability quality/100, decided by a uniform hash of the doc id
+    (md5-prefix over 2^60 — the same engine-portable construction as the
+    KMV sketch). The importance-sampling step a mixture pipeline applies
+    after scoring; deterministic, so re-runs and the oracle agree exactly,
+    and at 100 TB it is a pure map over the scan (no shuffle, no RNG
+    state)."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    scored = d.select(
+        "doc_id", TS.quality_score_expr(F.col("text")).alias("quality"))
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("long") / F.lit(float(1 << 60)))
+    return scored.filter(u < F.col("quality") / F.lit(100.0)) \
+        .select("doc_id", "quality")
+
+
+ORACLE_CORPUS_SAMPLE_WEIGHTED = f"""
+WITH docsnn AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+{_quality_cte("doc_id", "docsnn")}
+SELECT doc_id, q AS quality FROM qs
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      / CAST(1152921504606846976 AS DOUBLE) < q / 100.0
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     b = D.simhash_buckets(_corpus(spark, sf_dir))
     return b.select(
@@ -2351,6 +2380,7 @@ QUERIES = {
     "corpus_vocab_topk": q_corpus_vocab_topk,
     "corpus_mixture": q_corpus_mixture,
     "corpus_pack": q_corpus_pack,
+    "corpus_sample_weighted": q_corpus_sample_weighted,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2409,6 +2439,7 @@ ORACLES = {
     "corpus_vocab_topk": ORACLE_CORPUS_VOCAB_TOPK,
     "corpus_mixture": ORACLE_CORPUS_MIXTURE,
     "corpus_pack": ORACLE_CORPUS_PACK,
+    "corpus_sample_weighted": ORACLE_CORPUS_SAMPLE_WEIGHTED,
     "ann_cosine_topk": ORACLE_ANN_COSINE,
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
