@@ -201,3 +201,45 @@ def test_pack_sharded_equals_flat(spark):
             f = flat[r.doc_id]
             assert (r.tok_offset, r.block_first, r.block_last) == \
                 (f.tok_offset, f.block_first, f.block_last), (width, r)
+
+
+def test_reconstruct_and_context_over_real_parse_output(spark):
+    """The span operators must work on REAL parse_pages output (title/
+    heading/text/section kinds, link spans excluded from both text and
+    media) — not only the synthesized section/image table."""
+    from genesis_spark.functions.parse import parse_pages
+    html = ("<html><head><title>My Onion Page</title></head><body>"
+            "<h1>market service data heading words here</h1>"
+            "<p>the fast key order sort table scan merge part window "
+            "small hash scan join order batch stream value</p>"
+            "<img src='/img/a.png'>"
+            "<p>spark group query row data slow small filter customer "
+            "line the batch value merge line table data here</p>"
+            "<a href='http://h1.onion/next'>next</a>"
+            "</body></html>")
+    pages = spark.createDataFrame(
+        [("http://h1.onion/p", html)], ["url", "html"])
+    parsed = parse_pages(pages).select(
+        F.col("url").alias("doc_id"), "spans")
+    spans = parsed.collect()[0].spans
+    kinds = [s.kind for s in spans]
+    assert "link" in kinds and "image" in kinds   # both non-text present
+
+    r = reconstruct_docs(parsed).collect()[0]
+    # text_rt = all text spans in document order, no media/link residue
+    texts = [s.text for s in spans if s.media_ref is None]
+    assert r.text_rt == " ".join(texts)
+    assert r.n_sections == len(texts)
+    # the link is NOT media; the image is
+    assert all("/next" not in m for m in r.media_refs)
+    assert any(m.endswith("/img/a.png") for m in r.media_refs)
+    assert r.n_media == len(r.media_refs)
+
+    ctx = media_with_context(parsed).collect()
+    refs = {c.media_ref for c in ctx}
+    assert all("/next" not in m for m in refs)    # link rows excluded
+    img = [c for c in ctx if c.media_ref.endswith("/img/a.png")][0]
+    # context = nearest preceding text span
+    prev_texts = [s.text for s in spans
+                  if s.media_ref is None and s.offset < img.offset]
+    assert img.context == prev_texts[-1]
