@@ -77,3 +77,55 @@ def pack_blocks(docs: DataFrame, seq_len: int = 2048,
            .select("doc_id", "source", "n_tokens",
                    (local + F.col("_base")).alias("tok_offset")))
     return _finish(out, seq_len)
+
+
+def pack_spans(rows: DataFrame, seq_len: int = 2048,
+               media_tokens: int = 64) -> DataFrame:
+    """Multimodal sequence packing over the interleaved span table — the
+    Flamingo/MM1-style training prep where text spans cost their token
+    count and each media span costs a fixed placeholder budget
+    (``media_tokens`` image tokens).
+
+    ``rows`` is the exploded span-row form ``(doc_id, offset, kind, text,
+    media_ref, source)`` — spans of one source stream are concatenated in
+    (doc_id, offset) order and cut into ``seq_len``-token blocks. Returns
+    per-span ``(doc_id, offset, kind, cost, tok_offset, block_first,
+    block_last)``.
+
+    Plan is the two-level prefix scan from ``pack_blocks``'s sharded path,
+    with the document as the natural shard: stage 1 sums span costs per
+    doc (map-side combinable), stage 2 prefix-sums the per-doc totals in a
+    window over the doc-level table (corpus/10^3 smaller than the span
+    table), stage 3 broadcast-joins each doc's base offset back and runs
+    the intra-doc window partitioned by doc_id — every window partition is
+    bounded by spans-per-doc, never by corpus size. Link spans (text AND
+    media_ref null on the text side / non-media) cost is their text token
+    count or the media budget by the schemas.SPAN nullability contract:
+    media = non-link rows with a media_ref."""
+    is_media = F.col("media_ref").isNotNull() & (F.col("kind") != "link")
+    cost = F.when(is_media, F.lit(media_tokens)).otherwise(
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")))
+    d = rows.select("source", "doc_id", "offset", "kind",
+                    cost.cast("bigint").alias("cost"),
+                    F.col("doc_id").cast("bigint").alias("_doc_ord"))
+    # stage 1: per-doc cost totals (tiny relative to span rows)
+    sums = (d.groupBy("source", "doc_id", "_doc_ord")
+            .agg(F.sum("cost").alias("_doc_cost")))
+    # stage 2: exclusive prefix over docs within the source stream
+    pw = (Window.partitionBy("source").orderBy("_doc_ord")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = sums.select(
+        "source", "doc_id",
+        (F.sum("_doc_cost").over(pw) - F.col("_doc_cost")).alias("_base"))
+    # stage 3: intra-doc prefix, bounded by spans-per-doc
+    lw = (Window.partitionBy("doc_id").orderBy("offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = F.sum("cost").over(lw) - F.col("cost")
+    out = (d.join(F.broadcast(base), ["source", "doc_id"])
+           .select("doc_id", "offset", "kind", "cost",
+                   (local + F.col("_base")).alias("tok_offset")))
+    return out.select(
+        "doc_id", "offset", "kind", "cost", "tok_offset",
+        (F.col("tok_offset") / seq_len).cast("bigint").alias("block_first"),
+        ((F.col("tok_offset") + F.col("cost") - 1) / seq_len)
+        .cast("bigint").alias("block_last"))

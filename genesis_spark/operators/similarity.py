@@ -308,3 +308,50 @@ def ivf_topk(base: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id"))
+
+
+def quantize_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension (min, max) over the corpus — the scalar-quantizer
+    training pass. ``posexplode`` then groupBy(pos) with min/max plans as
+    a map-side-combinable partial agg: each task reduces its rows to
+    ``dim`` partials before the shuffle, so the exchange carries
+    O(dim x n_partitions) rows regardless of corpus size."""
+    return (df.select(F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.min(F.col("x").cast("double")).alias("mn"),
+                 F.max(F.col("x").cast("double")).alias("mx")))
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Int8 scalar quantization of an embedding column (the SQ8 storage
+    path every large ANN index uses: 4x smaller vectors, distance on
+    codes). Per-dim code = floor((x - mn) * 255 / (mx - mn)) - 128
+    (floor, not round — identical in IEEE double on every engine; a
+    constant dimension maps to code -128).
+
+    The (min, max) stats job reduces to ``dim`` rows which are collected
+    and folded into the quantization expression as array literals (the
+    same driver-side-literal pattern as the LSH hyperplanes) — the
+    quantize pass itself is then a pure zero-shuffle map over the scan.
+
+    Returns ``(id_col, n_dims, code_sum, code_min, code_max)`` — integer
+    summaries per vector, exact under any row or summation order."""
+    stats = sorted(quantize_stats(df, vec_col).collect(),
+                   key=lambda r: r["pos"])
+    mins = F.array(*[F.lit(r["mn"]) for r in stats])
+    spans = F.array(*[F.lit(r["mx"] - r["mn"]) for r in stats])
+    codes = F.zip_with(
+        F.zip_with(F.col(vec_col), mins,
+                   lambda x, mn: x.cast("double") - mn),
+        spans,
+        lambda d, s: F.when(s > 0.0, F.floor(d * 255.0 / s) - 128)
+                      .otherwise(F.lit(-128)).cast("int"))
+    c = codes.alias("codes")
+    return df.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).alias("n_dims"),
+        F.aggregate(c, F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v).alias("code_sum"),
+        F.array_min(c).alias("code_min"),
+        F.array_max(c).alias("code_max"))

@@ -195,3 +195,34 @@ def redact_pii_exprs(text: Column) -> dict[str, Column]:
         F.regexp_replace(text, PHONE_PAT, "<PHONE>"),
         EMAIL_PAT, "<EMAIL>")
     return {"redacted": red, "n_emails": n_emails, "n_phones": n_phones}
+
+
+def unigram_lm_score(docs, round_dp: int = 4):
+    """Corpus-trained unigram language-model surprisal per document — the
+    CCNet-style LM quality filter (docs whose tokens are improbable under
+    the corpus distribution are outliers: gibberish, wrong language,
+    boilerplate soup), with the corpus itself as the training set so no
+    external model ships.
+
+    ``docs`` needs (doc_id, text). Returns ``(doc_id, n_tokens, nll)``
+    where ``nll`` is the mean negative log-probability (nats/token,
+    rounded to ``round_dp`` so double summation order can't flip a value
+    hash).
+
+    Plan: tokenize → one groupBy(token) for term frequencies (map-side
+    combinable; the vocabulary is Heaps-law sublinear in corpus size) →
+    the single global-total row broadcast onto the vocab → token-level
+    equi-join back and one groupBy(doc_id) mean. Two corpus-sized
+    shuffles (token tf, per-doc agg); the vocab side of the join is the
+    small side and broadcasts while it fits."""
+    from pyspark.sql import functions as F
+    tok = (docs.filter(F.col("text").isNotNull())
+           .select("doc_id", F.explode(F.split("text", " ")).alias("tok")))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("t"))
+    logp = (vocab.crossJoin(F.broadcast(total))
+            .select("tok", F.log(F.col("tf") / F.col("t")).alias("lp")))
+    return (tok.join(F.broadcast(logp), "tok")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg(-F.col("lp")), round_dp).alias("nll")))

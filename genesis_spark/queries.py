@@ -2356,6 +2356,307 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# round-3 block-4 additions: span-level corpus ops, LM filter, quantization,
+# recrawl scheduling, funnel analytics
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB fragment: the interleaved span table exploded to per-span
+# rows (doc_id, off, kind + struct s) — the same synthesis rule as
+# ORACLE_SPANS_INTERLEAVE (8-word sections, image after every 3rd).
+_SPANS_EX_SQL = """base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE text IS NOT NULL
+), ch AS (
+  SELECT doc_id, list_transform(
+      range(0, greatest(CAST(ceil(len(words) / 8.0) AS INT), 1)),
+      i -> array_to_string(words[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ')
+  ) AS chunks FROM base
+), il AS (
+  SELECT doc_id, flatten(list_transform(chunks, (c, j) ->
+      CASE WHEN j % 3 = 0 THEN
+        [{'kind': 'section', 'text': c, 'media_ref': CAST(NULL AS VARCHAR)},
+         {'kind': 'image', 'text': CAST(NULL AS VARCHAR),
+          'media_ref': doc_id || '/img/' || CAST(j // 3 AS VARCHAR)}]
+      ELSE
+        [{'kind': 'section', 'text': c, 'media_ref': CAST(NULL AS VARCHAR)}]
+      END)) AS spans
+  FROM ch
+), ex AS (
+  SELECT doc_id, unnest(spans) AS s,
+         generate_subscripts(spans, 1) - 1 AS off
+  FROM il
+)"""
+
+
+def q_spans_boilerplate(spark, sf_dir):
+    """CCNet/RefinedWeb-style cross-document boilerplate removal over the
+    interleaved span table: a section text recurring in >= 2 distinct docs
+    is site boilerplate and is dropped from every doc; docs are rebuilt
+    from surviving sections. df-count keyed on md5 digests (wide text
+    never shuffles), boilerplate set broadcast (high-df tail is tiny),
+    flag-then-aggregate so fully-boilerplate docs still emit a row."""
+    from genesis_spark.operators.lines import drop_boilerplate
+    from genesis_spark.sources.interleaved import (explode_spans,
+                                                   interleaved_docs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = explode_spans(interleaved_docs(docs))
+    return drop_boilerplate(rows, min_df=2)
+
+
+ORACLE_SPANS_BOILERPLATE = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE text IS NOT NULL
+), ch AS (
+  SELECT doc_id, list_transform(
+      range(0, greatest(CAST(ceil(len(words) / 8.0) AS INT), 1)),
+      i -> array_to_string(words[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ')
+  ) AS chunks FROM base
+), sec AS (
+  SELECT doc_id, unnest(chunks) AS chunk,
+         generate_subscripts(chunks, 1) - 1 AS off
+  FROM ch
+), bp AS (
+  SELECT chunk FROM sec GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+), fl AS (
+  SELECT s.doc_id, s.chunk, s.off, b.chunk IS NOT NULL AS is_bp
+  FROM sec s LEFT JOIN bp b ON s.chunk = b.chunk
+)
+SELECT doc_id, count(*) AS n_sections,
+       CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       coalesce(array_to_string(
+         list(chunk ORDER BY off) FILTER (WHERE NOT is_bp), ' '), '')
+         AS text_clean
+FROM fl GROUP BY doc_id
+"""
+
+
+def q_spans_pack_multimodal(spark, sf_dir):
+    """Multimodal sequence packing over the interleaved table: spans of a
+    source stream concatenated in (doc_id, offset) order and cut into
+    512-token blocks, text spans costing their token count and each image
+    span a fixed 64-token placeholder (the Flamingo/MM1 packing recipe).
+    Two-level prefix scan — per-doc sums, tiny doc-level prefix window,
+    broadcast base offsets, intra-doc window — so no window partition ever
+    exceeds one document's spans (operators.pack.pack_spans)."""
+    from genesis_spark.operators.pack import pack_spans
+    from genesis_spark.sources.interleaved import (explode_spans,
+                                                   interleaved_docs)
+    d = _t(spark, sf_dir, "documents")
+    rows = (explode_spans(interleaved_docs(d.select("doc_id", "text")))
+            .join(d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                           "source"), "doc_id"))
+    return pack_spans(rows, seq_len=512, media_tokens=64)
+
+
+ORACLE_SPANS_PACK_MULTIMODAL = f"""
+WITH {_SPANS_EX_SQL},
+cost AS (
+  SELECT e.doc_id, e.off, e.s.kind AS kind,
+         CAST(CASE WHEN e.s.media_ref IS NOT NULL THEN 64
+              ELSE len(string_split(e.s.text, ' ')) END AS BIGINT) AS cost,
+         d.source AS source
+  FROM ex e JOIN documents d ON e.doc_id = CAST(d.doc_id AS VARCHAR)
+), o AS (
+  SELECT *, CAST(sum(cost) OVER (
+      PARTITION BY source
+      ORDER BY CAST(doc_id AS BIGINT), off
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cost AS BIGINT)
+    AS tok_offset
+  FROM cost
+)
+SELECT doc_id, CAST(off AS INT) AS offset, kind, cost, tok_offset,
+       tok_offset // 512 AS block_first,
+       (tok_offset + cost - 1) // 512 AS block_last
+FROM o
+"""
+
+
+def q_spans_media_dedup(spark, sf_dir):
+    """Cross-document media dedup keyed by caption context (nearest
+    preceding section text): the multimodal analogue of exact dedup —
+    site-wide repeated assets collapse to one canonical copy per context
+    cluster, earliest (doc_id, offset) wins. Wide captions reduced to md5
+    digests before the groupBy; min-of-struct canonical pick is map-side
+    combinable (sources.interleaved.dedup_media_by_context)."""
+    from genesis_spark.sources.interleaved import (dedup_media_by_context,
+                                                   interleaved_docs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_media_by_context(interleaved_docs(docs))
+
+
+ORACLE_SPANS_MEDIA_DEDUP = f"""
+WITH {_SPANS_EX_SQL},
+ctx AS (
+  SELECT doc_id, CAST(off AS INT) AS offset, s.kind AS kind,
+         s.media_ref AS media_ref,
+         last_value(s.text IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY off
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS context
+  FROM ex
+), med AS (
+  SELECT md5(coalesce(context, '')) AS content_key,
+         CAST(doc_id AS BIGINT) AS d, "offset" AS o, media_ref AS r
+  FROM ctx WHERE media_ref IS NOT NULL AND kind <> 'link'
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY content_key ORDER BY d, o) AS rn,
+         count(*) OVER (PARTITION BY content_key) AS n
+  FROM med
+)
+SELECT content_key, n AS n_copies, CAST(d AS VARCHAR) AS canonical_doc,
+       o AS canonical_offset, r AS canonical_ref
+FROM rk WHERE rn = 1
+"""
+
+
+def q_text_unigram_lm(spark, sf_dir):
+    """Corpus-trained unigram LM surprisal per doc — the CCNet-style LM
+    quality filter with the corpus itself as the training set. Mean
+    negative log-prob in nats/token, rounded 4dp (summation-order-proof);
+    vocab tf is one map-side-combinable groupBy, the global total is one
+    broadcast row, the log-prob join-back broadcasts the Heaps-law-small
+    vocab side (operators.textstats.unigram_lm_score)."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    return TS.unigram_lm_score(d, round_dp=4)
+
+
+ORACLE_TEXT_UNIGRAM_LM = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), v AS (
+  SELECT tok, count(*) AS tf FROM tok GROUP BY tok
+), lp AS (
+  SELECT tok, ln(CAST(tf AS DOUBLE)
+                 / (SELECT CAST(sum(tf) AS DOUBLE) FROM v)) AS lp
+  FROM v
+)
+SELECT t.doc_id, count(*) AS n_tokens, round(avg(-lp), 4) AS nll
+FROM tok t JOIN lp USING (tok) GROUP BY t.doc_id
+"""
+
+
+def q_embeddings_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column (the SQ8 storage
+    path of large ANN indexes): per-dim (min, max) from one
+    posexplode+groupBy pass (partial-agg shuffle of dim x partitions
+    rows), folded back as array literals so the quantize pass is a pure
+    zero-shuffle map. floor-based code assignment is bit-identical across
+    engines; emits exact integer per-vector summaries
+    (operators.similarity.quantize_int8)."""
+    return SIM.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_EMBEDDINGS_QUANTIZE = """
+WITH st AS (
+  SELECT pos, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+  FROM (SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY pos
+), mm AS (
+  SELECT list(mn ORDER BY pos) AS m, list(mx - mn ORDER BY pos) AS s
+  FROM st
+), q AS (
+  SELECT vec_id, list_transform(
+    range(1, len(embedding) + 1),
+    i -> CASE WHEN mm.s[i] > 0
+         THEN CAST(floor((CAST(embedding[i] AS DOUBLE) - mm.m[i])
+                         * 255.0 / mm.s[i]) AS INT) - 128
+         ELSE -128 END) AS codes
+  FROM embeddings, mm
+)
+SELECT vec_id, CAST(len(codes) AS INT) AS n_dims,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_min(codes) AS INT) AS code_min,
+       CAST(list_max(codes) AS INT) AS code_max
+FROM q
+"""
+
+
+def q_frontier_recrawl(spark, sf_dir):
+    """Recrawl scheduling (the freshness loop over a crawled frontier):
+    priority = staleness in days minus a 20/level depth penalty, top-3
+    per host by (score DESC, seq) — one window per host partition, the
+    same bounded-partition shape as the wave select. At 10^10 URLs the
+    per-host partitions stay politeness-budget sized."""
+    k = F.col("o_orderkey")
+    fr = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (k % 120).cast("string")).alias("host_key"),
+        k.alias("seq"),
+        (k % 4).cast("int").alias("depth"),
+        F.col("o_orderdate").alias("last_crawl"))
+    score = (F.datediff(F.lit("1998-12-01").cast("date"),
+                        F.col("last_crawl"))
+             - 20 * F.col("depth")).cast("int")
+    w = Window.partitionBy("host_key").orderBy(F.col("score").desc(), "seq")
+    return (fr.withColumn("score", score)
+            .withColumn("recrawl_rank", F.row_number().over(w))
+            .filter(F.col("recrawl_rank") <= 3)
+            .select("host_key", "seq", "depth", "score", "recrawl_rank"))
+
+
+ORACLE_FRONTIER_RECRAWL = """
+WITH fr AS (
+  SELECT 'h' || (o_orderkey % 120) AS host_key, o_orderkey AS seq,
+         CAST(o_orderkey % 4 AS INT) AS depth,
+         CAST(date_diff('day', o_orderdate, DATE '1998-12-01')
+              - 20 * (o_orderkey % 4) AS INT) AS score
+  FROM orders
+)
+SELECT host_key, seq, depth, score,
+       CAST(rn AS BIGINT) AS recrawl_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY host_key
+                                   ORDER BY score DESC, seq) AS rn
+      FROM fr)
+WHERE rn <= 3
+"""
+
+
+def q_events_funnel(spark, sf_dir):
+    """Sequential funnel (signup -> purchase -> error, each strictly after
+    the previous stage's first hit): per-user earliest stage timestamps +
+    the stage reached. Three min-aggs, each map-side combinable on
+    user_id; stage joins shrink monotonically so the later joins broadcast
+    at any realistic funnel selectivity."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (ev.filter(F.col("event_type") == "purchase")
+          .join(s1, "user_id").filter(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (ev.filter(F.col("event_type") == "error")
+          .join(s2, "user_id").filter(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+            .select("user_id", "t1", "t2", "t3",
+                    (F.lit(1) + F.col("t2").isNotNull().cast("int")
+                     + F.col("t3").isNotNull().cast("int")).alias("stage")))
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'error' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, t1, t2, t3,
+       1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) AS stage
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -2411,6 +2712,13 @@ QUERIES = {
     "spans_reconstruct": q_spans_reconstruct,
     "spans_media_context": q_spans_media_context,
     "media_decode": q_media_decode,
+    "spans_boilerplate": q_spans_boilerplate,
+    "spans_pack_multimodal": q_spans_pack_multimodal,
+    "spans_media_dedup": q_spans_media_dedup,
+    "text_unigram_lm": q_text_unigram_lm,
+    "embeddings_quantize": q_embeddings_quantize,
+    "frontier_recrawl": q_frontier_recrawl,
+    "events_funnel": q_events_funnel,
     "stream_dedup": q_stream_dedup,
     "stream_windowed": q_stream_windowed,
 }
@@ -2470,6 +2778,13 @@ ORACLES = {
     "spans_reconstruct": ORACLE_SPANS_RECONSTRUCT,
     "spans_media_context": ORACLE_SPANS_MEDIA_CONTEXT,
     "media_decode": ORACLE_MEDIA_DECODE,
+    "spans_boilerplate": ORACLE_SPANS_BOILERPLATE,
+    "spans_pack_multimodal": ORACLE_SPANS_PACK_MULTIMODAL,
+    "spans_media_dedup": ORACLE_SPANS_MEDIA_DEDUP,
+    "text_unigram_lm": ORACLE_TEXT_UNIGRAM_LM,
+    "embeddings_quantize": ORACLE_EMBEDDINGS_QUANTIZE,
+    "frontier_recrawl": ORACLE_FRONTIER_RECRAWL,
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "stream_windowed": ORACLE_STREAM_WINDOWED,
 }

@@ -135,6 +135,38 @@ def media_with_context(df: DataFrame) -> DataFrame:
             .select("doc_id", "offset", "media_ref", "context"))
 
 
+def dedup_media_by_context(df: DataFrame) -> DataFrame:
+    """Cross-document media dedup keyed by caption context — the
+    multimodal analogue of exact text dedup: two images that appear under
+    the same caption text (the nearest preceding section span) are treated
+    as the same asset (site-wide logos, shared illustrations), and one
+    canonical copy is kept per context cluster.
+
+    Returns one row per distinct context cluster: ``(content_key,
+    n_copies, canonical_doc, canonical_offset, canonical_ref)`` — the
+    canonical copy is the earliest by (doc_id, offset), deterministic.
+
+    Plan: the ``media_with_context`` window pass (one shuffle on doc_id),
+    then one groupBy on the 32-byte ``md5(context)`` digest — the wide
+    caption text never shuffles; min-of-struct gives the canonical pick
+    and plans as a map-side-combinable agg, so the shuffle after partial
+    aggregation carries one row per (partition, key)."""
+    ctx = media_with_context(df)
+    keyed = ctx.select(
+        F.md5(F.coalesce("context", F.lit(""))).alias("content_key"),
+        F.struct(F.col("doc_id").cast("bigint").alias("d"),
+                 F.col("offset").alias("o"),
+                 F.col("media_ref").alias("r")).alias("pick"))
+    agg = (keyed.groupBy("content_key")
+           .agg(F.count("*").alias("n_copies"),
+                F.min("pick").alias("c")))
+    return agg.select(
+        "content_key", "n_copies",
+        F.col("c.d").cast("string").alias("canonical_doc"),
+        F.col("c.o").alias("canonical_offset"),
+        F.col("c.r").alias("canonical_ref"))
+
+
 def explode_spans(df: DataFrame) -> DataFrame:
     """Per-span rows ``(doc_id, offset, kind, text, media_ref)`` from the
     interleaved table — the row form the span-sequence-equality checks hash.

@@ -1,0 +1,216 @@
+"""Unit tests for the round-3 block-4 operators: cross-doc boilerplate
+removal, multimodal span packing, media dedup by context, unigram LM
+scoring, int8 quantization, and the funnel/recrawl query kernels."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+
+def _span_rows(spark, docs):
+    from genesis_spark.sources.interleaved import (explode_spans,
+                                                   interleaved_docs)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return explode_spans(interleaved_docs(df))
+
+
+# ---------------------------------------------------------------------------
+# boilerplate removal
+# ---------------------------------------------------------------------------
+
+def test_drop_boilerplate_drops_shared_sections_keeps_docs(spark):
+    from genesis_spark.operators.lines import drop_boilerplate
+    nav = "home about contact terms privacy cart login help"  # 8 words
+    docs = [
+        (1, nav + " " + "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, nav + " " + "one two three four five six seven eight"),
+        (3, "unique body text only here nothing shared words"),
+        (4, nav),  # fully boilerplate -> must still emit a row
+    ]
+    out = {r["doc_id"]: r for r in
+           drop_boilerplate(_span_rows(spark, docs), min_df=2).collect()}
+    assert set(out) == {"1", "2", "3", "4"}
+    assert out["1"]["n_dropped"] == 1
+    assert out["1"]["text_clean"] == \
+        "alpha beta gamma delta epsilon zeta eta theta"
+    assert out["3"]["n_dropped"] == 0
+    assert out["3"]["text_clean"].startswith("unique body")
+    assert out["4"]["n_sections"] == 1
+    assert out["4"]["n_dropped"] == 1
+    assert out["4"]["text_clean"] == ""
+
+
+def test_drop_boilerplate_min_df_threshold(spark):
+    from genesis_spark.operators.lines import drop_boilerplate
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = [(1, shared), (2, shared), (3, shared)]
+    # min_df=4 > actual df=3: nothing is boilerplate
+    out = drop_boilerplate(_span_rows(spark, docs), min_df=4).collect()
+    assert all(r["n_dropped"] == 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# multimodal span packing
+# ---------------------------------------------------------------------------
+
+def test_pack_spans_matches_flat_global_window(spark):
+    """The two-level (per-doc base + intra-doc) plan must equal a single
+    global window ordered (doc_id, offset) per source — same invariant as
+    test_pack_sharded_equals_flat, at span granularity."""
+    from genesis_spark.operators.pack import pack_spans
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(i % 40 + 5)))
+            for i in range(1, 31)]
+    rows = _span_rows(spark, docs).withColumn(
+        "source", (F.col("doc_id").cast("bigint") % 3).cast("string"))
+    got = pack_spans(rows, seq_len=64, media_tokens=16)
+
+    is_media = F.col("media_ref").isNotNull() & (F.col("kind") != "link")
+    cost = F.when(is_media, F.lit(16)).otherwise(
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")))
+    w = (Window.partitionBy("source")
+         .orderBy(F.col("doc_id").cast("bigint"), "offset")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ref = (rows.withColumn("cost", cost.cast("bigint"))
+           .withColumn("tok_offset", F.sum("cost").over(w) - F.col("cost"))
+           .select("doc_id", "offset", "kind", "cost", "tok_offset",
+                   (F.col("tok_offset") / 64).cast("bigint")
+                   .alias("block_first"),
+                   ((F.col("tok_offset") + F.col("cost") - 1) / 64)
+                   .cast("bigint").alias("block_last")))
+    key = lambda r: (r["doc_id"], r["offset"])  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(ref.collect(), key=key)
+
+
+def test_pack_spans_media_cost_and_block_math(spark):
+    from genesis_spark.operators.pack import pack_spans
+    # one doc, 4 sections of 8 words -> image after section 3
+    docs = [(7, " ".join(f"t{j}" for j in range(32)))]
+    rows = _span_rows(spark, docs).withColumn("source", F.lit("s"))
+    out = {r["offset"]: r for r in
+           pack_spans(rows, seq_len=16, media_tokens=100).collect()}
+    # offsets: 0,1,2 sections; 3 image; 4 section
+    assert out[3]["kind"] == "image" and out[3]["cost"] == 100
+    assert out[0]["tok_offset"] == 0 and out[0]["block_first"] == 0
+    assert out[3]["tok_offset"] == 24  # 3 sections x 8 words
+    assert out[3]["block_first"] == 1 and out[3]["block_last"] == 7
+    assert out[4]["tok_offset"] == 124
+
+
+# ---------------------------------------------------------------------------
+# media dedup by caption context
+# ---------------------------------------------------------------------------
+
+def test_dedup_media_by_context_clusters_and_canonical(spark):
+    from genesis_spark.sources.interleaved import (dedup_media_by_context,
+                                                   interleaved_docs)
+    cap = "shared caption text for the site logo here"  # 8-word context
+    tail = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 x16"
+    # docs 5 and 9: first image (after 3rd section) gets context = 3rd
+    # section; craft texts so that 3rd section is identical across both
+    text = tail + " " + cap  # sections: tail(2x8) + cap -> image after cap
+    df = spark.createDataFrame([(5, text), (9, text)],
+                               "doc_id long, text string")
+    out = dedup_media_by_context(interleaved_docs(df)).collect()
+    clusters = {r["content_key"]: r for r in out}
+    multi = [r for r in out if r["n_copies"] == 2]
+    assert len(multi) == 1
+    assert multi[0]["canonical_doc"] == "5"  # earliest doc wins
+    assert multi[0]["canonical_ref"] == "5/img/1"
+    assert all(r["n_copies"] >= 1 for r in clusters.values())
+
+
+# ---------------------------------------------------------------------------
+# unigram LM
+# ---------------------------------------------------------------------------
+
+def test_unigram_lm_score_exact_tiny_corpus(spark):
+    from genesis_spark.operators.textstats import unigram_lm_score
+    # corpus: "a a b" + "a c" -> total 5 tokens; p(a)=3/5, p(b)=p(c)=1/5
+    df = spark.createDataFrame([(1, "a a b"), (2, "a c")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_lm_score(df).collect()}
+    nll1 = -(2 * math.log(3 / 5) + math.log(1 / 5)) / 3
+    nll2 = -(math.log(3 / 5) + math.log(1 / 5)) / 2
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert abs(out[1]["nll"] - round(nll1, 4)) < 1e-9
+    assert abs(out[2]["nll"] - round(nll2, 4)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+def test_quantize_int8_exact_codes(spark):
+    from genesis_spark.operators.similarity import quantize_int8
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0, 10.0, 5.0]),
+         Row(vec_id=2, embedding=[4.0, 10.0, 5.0]),
+         Row(vec_id=3, embedding=[2.0, 10.0, 5.0])])
+    # dim0: mn=0 mx=4 -> codes floor(x*255/4)-128; dim1/dim2 constant -> -128
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    c = lambda x: math.floor(x * 255.0 / 4.0) - 128  # noqa: E731
+    assert out[1]["code_sum"] == c(0.0) - 128 - 128
+    assert out[2]["code_sum"] == c(4.0) - 128 - 128
+    assert out[3]["code_sum"] == c(2.0) - 128 - 128
+    assert out[2]["code_max"] == 127  # x=mx maps to exactly 127
+    assert out[1]["code_min"] == -128 and out[1]["n_dims"] == 3
+
+
+def test_quantize_stats_per_dim(spark):
+    from genesis_spark.operators.similarity import quantize_stats
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, -2.0]),
+         Row(vec_id=2, embedding=[3.0, 7.0])])
+    st = {r["pos"]: (r["mn"], r["mx"]) for r in quantize_stats(df).collect()}
+    assert st == {0: (1.0, 3.0), 1: (-2.0, 7.0)}
+
+
+# ---------------------------------------------------------------------------
+# funnel semantics (strictly-after ordering)
+# ---------------------------------------------------------------------------
+
+def test_events_funnel_strictly_after(spark, tmp_path):
+    import pandas as pd
+
+    from genesis_spark.queries import q_events_funnel
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: full funnel in order
+        (1, 1, "signup", t0), (2, 1, "purchase", t0 + pd.Timedelta("1h")),
+        (3, 1, "error", t0 + pd.Timedelta("2h")),
+        # user 2: purchase BEFORE signup -> stage stops at 1
+        (4, 2, "purchase", t0), (5, 2, "signup", t0 + pd.Timedelta("1h")),
+        # user 3: signup + purchase, error before purchase -> stage 2
+        (6, 3, "signup", t0), (7, 3, "error", t0 + pd.Timedelta("30min")),
+        (8, 3, "purchase", t0 + pd.Timedelta("1h")),
+        # user 4: never signed up -> absent
+        (9, 4, "purchase", t0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+                                      "ts"])
+    pdf["value"] = 0.0
+    pdf["props"] = "{}"
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/events.parquet")
+    out = {r["user_id"]: r["stage"]
+           for r in q_events_funnel(spark, sf).collect()}
+    assert out == {1: 3, 2: 1, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# plan hygiene: the new queries stay JVM-side
+# ---------------------------------------------------------------------------
+
+def test_block4_queries_no_python_in_plan(spark):
+    from genesis_spark import queries as Q
+    sf = "/root/testdata/sf0.001"
+    for name in ["spans_boilerplate", "spans_pack_multimodal",
+                 "spans_media_dedup", "text_unigram_lm",
+                 "embeddings_quantize", "frontier_recrawl", "events_funnel"]:
+        plan = Q.QUERIES[name](spark, sf)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
