@@ -2576,6 +2576,57 @@ FROM q
 """
 
 
+_PQ_M, _PQ_K, _PQ_DIM = 8, 16, 64
+
+
+def q_embeddings_pq(spark, sf_dir):
+    """Product quantization (FAISS PQ): each 64-dim float32 vector becomes
+    8 subspace codes against seeded 16-centroid codebooks, packed into one
+    bigint — the 16x-compressed at-rest form a 10^10-vector index scans
+    instead of raw floats. Pure zero-shuffle map (codebooks are driver
+    literals); ``pq_adc_topk`` is the matching asymmetric-distance search
+    path (operators.similarity). Codebooks here are the deterministic
+    seeded stand-in so DuckDB bakes identical literals; production trains
+    per-subspace KMeans and passes them in."""
+    return SIM.pq_encode(_t(spark, sf_dir, "embeddings"),
+                         m=_PQ_M, k=_PQ_K, dim=_PQ_DIM) \
+        .select("vec_id", "pq_code")
+
+
+def _pq_oracle() -> str:
+    sub = _PQ_DIM // _PQ_M
+    cents = SIM.pq_centroids(_PQ_M, _PQ_K, sub)
+    rows = []
+    for j, codebook in enumerate(cents):
+        for c, vec in enumerate(codebook):
+            lit = "[" + ", ".join(repr(x) for x in vec) + "]"
+            cnorm2 = float(sum(x * x for x in vec))
+            rows.append(f"({j}, {c}, {lit}::DOUBLE[], {cnorm2!r})")
+    values = ",\n   ".join(rows)
+    return f"""
+WITH cb(j, c, cvec, cnorm2) AS (VALUES
+   {values}),
+dots AS (
+  SELECT e.vec_id, cb.j, cb.c,
+         cb.cnorm2 - 2 * list_sum(list_transform(range({sub}),
+             i -> e.embedding[{sub} * cb.j + i + 1]::DOUBLE * cb.cvec[i+1]))
+           AS d
+  FROM embeddings e CROSS JOIN cb),
+best AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d ASC, c ASC) AS rn
+    FROM dots) WHERE rn = 1)
+SELECT vec_id,
+       CAST(sum(c * power({_PQ_K}, j)) AS BIGINT) AS pq_code
+FROM best GROUP BY vec_id
+"""
+
+
+ORACLE_EMBEDDINGS_PQ = _pq_oracle()
+
+
 def q_frontier_recrawl(spark, sf_dir):
     """Recrawl scheduling (the freshness loop over a crawled frontier):
     priority = staleness in days minus a 20/level depth penalty, top-3
@@ -2612,6 +2663,96 @@ FROM (SELECT *, row_number() OVER (PARTITION BY host_key
                                    ORDER BY score DESC, seq) AS rn
       FROM fr)
 WHERE rn <= 3
+"""
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """Stream==batch equivalence for CUSTOM STATEFUL sessionization: the
+    events table replayed as 4 event-time-ordered micro-batches through
+    ``sessionize_stream`` (applyInPandasWithState, two scalars of state
+    per user); the oracle is the plain batch lag+running-sum query — the
+    state machinery must reproduce every per-event session id, not just
+    aggregates. Files are global time ranges with strictly increasing
+    mtimes (FileStreamSource replays in (modTime, path) order), modelling
+    a per-user time-ordered ingestion partition."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from genesis_spark.streaming.pipeline import sessionize_stream
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_sess_{_STREAM_SEQ}"
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    b = ev.withColumn("_b", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    tmp = tempfile.mkdtemp(prefix="gs_sess_")
+    src, ck = os.path.join(tmp, "events"), os.path.join(tmp, "ckpt")
+    os.makedirs(src)
+    t0 = time.time() - 100
+    for i in range(1, 5):
+        part = os.path.join(tmp, f"part{i}")
+        (b.filter(F.col("_b") == i).select("user_id", "ts")
+         .coalesce(1).write.mode("overwrite").parquet(part))
+        f = glob.glob(os.path.join(part, "*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    stream = (spark.readStream.schema("user_id bigint, ts timestamp_ntz")
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    q = (sessionize_stream(stream).writeStream.format("memory")
+         .queryName(name).option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 21600
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, ts,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS INT)
+         AS session_n
+FROM o
+"""
+
+
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix: users cohorted by the day of their first
+    event; for each (cohort_day, day_n) the count of distinct users active
+    day_n days later — the standard growth-analytics triangle. Two
+    map-side-combinable aggs (first-event min, then the matrix) and one
+    broadcast-able join of the per-user cohort row back onto activity."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = (ev.groupBy("user_id")
+             .agg(F.min(F.to_date("ts")).alias("cohort_day")))
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (act.join(first, "user_id")
+            .groupBy("cohort_day",
+                     F.datediff("day", "cohort_day").alias("day_n"))
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS INT) AS day_n,
+       count(DISTINCT user_id) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY cohort_day, day_n
 """
 
 
@@ -2717,8 +2858,11 @@ QUERIES = {
     "spans_media_dedup": q_spans_media_dedup,
     "text_unigram_lm": q_text_unigram_lm,
     "embeddings_quantize": q_embeddings_quantize,
+    "embeddings_pq": q_embeddings_pq,
     "frontier_recrawl": q_frontier_recrawl,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "stream_sessionize": q_stream_sessionize,
     "stream_dedup": q_stream_dedup,
     "stream_windowed": q_stream_windowed,
 }
@@ -2783,8 +2927,11 @@ ORACLES = {
     "spans_media_dedup": ORACLE_SPANS_MEDIA_DEDUP,
     "text_unigram_lm": ORACLE_TEXT_UNIGRAM_LM,
     "embeddings_quantize": ORACLE_EMBEDDINGS_QUANTIZE,
+    "embeddings_pq": ORACLE_EMBEDDINGS_PQ,
     "frontier_recrawl": ORACLE_FRONTIER_RECRAWL,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
+    "events_retention": ORACLE_EVENTS_RETENTION,
+    "stream_sessionize": ORACLE_STREAM_SESSIONIZE,
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "stream_windowed": ORACLE_STREAM_WINDOWED,
 }

@@ -165,3 +165,48 @@ def dedup_stream(links: DataFrame, max_state_per_host: int = 1 << 20):
     return links.groupBy("host_key").applyInPandasWithState(
         fn, "host_key string, url string", "hashes array<long>",
         "append", GroupStateTimeout.NoTimeout)
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 21600):
+    """Streaming gap-based sessionization as a CUSTOM STATEFUL operator
+    (``applyInPandasWithState``): per user, an event more than
+    ``gap_seconds`` after the previous one opens a new session; the
+    (last-event-time, session-counter) pair lives in the state store, so
+    session numbering is continuous across micro-batches and restarts —
+    the streaming twin of the batch ``events_sessionize`` window query,
+    which is exactly what its oracle asserts (per-event session ids equal,
+    not just aggregates).
+
+    Contract: ingestion must be event-time ordered across batches per user
+    (the Kafka/file-source arrangement where a user's events land in one
+    time-ordered partition); within a batch the operator sorts. State is
+    two scalars per user — O(users), not O(events)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            last_sec, n_sessions = state.get
+        else:
+            last_sec, n_sessions = None, 0
+        user = key[0]
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(pdf["ts"])
+        ts_all.sort()
+        rows = []
+        for ts in ts_all:
+            # floor to whole epoch seconds — the exact gap rule of the
+            # batch query (ts.cast(long)) and of date_diff('second', ...)
+            sec = ts.value // 1_000_000_000
+            if last_sec is None or sec - last_sec > gap_seconds:
+                n_sessions += 1
+            rows.append((user, ts, n_sessions))
+            last_sec = sec
+        state.update((last_sec, n_sessions))
+        yield pd.DataFrame(rows, columns=["user_id", "ts", "session_n"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, "user_id bigint, ts timestamp_ntz, session_n int",
+        "last_sec bigint, n_sessions int",
+        "append", GroupStateTimeout.NoTimeout)

@@ -214,3 +214,123 @@ def test_block4_queries_no_python_in_plan(spark):
             .executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+# ---------------------------------------------------------------------------
+# product quantization: codes + ADC search vs a pure-Python oracle
+# ---------------------------------------------------------------------------
+
+def _py_pq_codes(vec, cents, sub_dim):
+    """Independent reimplementation with the same fold order as the Spark
+    expressions (sequential i-ascending dot, argmin first-min)."""
+    codes = []
+    for j, codebook in enumerate(cents):
+        sub = vec[j * sub_dim:(j + 1) * sub_dim]
+        dists = []
+        for c in codebook:
+            cnorm2 = float(sum(x * x for x in c))
+            dot = 0.0
+            for x, y in zip(sub, c):
+                dot = dot + float(x) * y
+            dists.append(cnorm2 - 2.0 * dot)
+        codes.append(dists.index(min(dists)))
+    return codes
+
+
+def test_pq_encode_matches_python_oracle(spark):
+    from genesis_spark.operators.similarity import pq_centroids, pq_encode
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter(F.col("vec_id") < 20))
+    cents = pq_centroids(8, 16, 8)
+    got = {r["vec_id"]: (list(r["codes"]), r["pq_code"])
+           for r in pq_encode(emb, m=8, k=16, dim=64).collect()}
+    raw = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    for vid, vec in raw.items():
+        codes = _py_pq_codes(vec, cents, 8)
+        assert got[vid][0] == codes, vid
+        assert got[vid][1] == sum(c * 16 ** j for j, c in enumerate(codes))
+
+
+def test_pq_adc_topk_matches_python_oracle(spark):
+    from genesis_spark.operators.similarity import pq_adc_topk, pq_centroids
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter(F.col("vec_id") < 60))
+    q = emb.filter(F.col("vec_id") < 3)
+    got = [(r["query_id"], r["rank"], r["neighbor_id"])
+           for r in pq_adc_topk(emb, q, k_top=5).collect()]
+
+    cents = pq_centroids(8, 16, 8)
+    raw = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    codes = {v: _py_pq_codes(vec, cents, 8) for v, vec in raw.items()}
+    expect = []
+    for qid in (0, 1, 2):
+        luts = []
+        for j, codebook in enumerate(cents):
+            sub = raw[qid][j * 8:(j + 1) * 8]
+            row = []
+            for c in codebook:
+                cnorm2 = float(sum(x * x for x in c))
+                dot = 0.0
+                for x, y in zip(sub, c):
+                    dot = dot + float(x) * y
+                row.append(cnorm2 - 2.0 * dot)
+            luts.append(row)
+        scored = []
+        for nid, cs in codes.items():
+            if nid == qid:
+                continue
+            adc = 0.0
+            for j, c in enumerate(cs):
+                adc = adc + luts[j][c]
+            scored.append((adc, nid))
+        scored.sort()
+        expect += [(qid, rk + 1, nid)
+                   for rk, (_, nid) in enumerate(scored[:5])]
+    assert sorted(got) == sorted(expect)
+
+
+def test_pq_adc_plan_is_broadcast_no_python(spark):
+    from genesis_spark.operators.similarity import pq_adc_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = pq_adc_topk(emb, emb.filter(F.col("vec_id") < 3), k_top=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionize: state must carry sessions across micro-batches
+# ---------------------------------------------------------------------------
+
+def test_sessionize_stream_state_spans_batches(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from genesis_spark.streaming.pipeline import sessionize_stream
+
+    t0 = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta("1h")
+    # batch 1: user 1 events at 0h,1h (one session)
+    # batch 2: user 1 at 2h (same session — state must remember 1h),
+    #          then at 10h (> 6h gap -> session 2)
+    b1 = pd.DataFrame({"user_id": [1, 1], "ts": [t0, t0 + h]})
+    b2 = pd.DataFrame({"user_id": [1, 1], "ts": [t0 + 2 * h, t0 + 10 * h]})
+    src = tmp_path / "ev"
+    os.makedirs(src)
+    for i, pdf in enumerate([b1, b2], 1):
+        p = str(src / f"b{i}.parquet")
+        pdf.to_parquet(p, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(p, (1000 + i, 1000 + i))
+    stream = (spark.readStream.schema("user_id bigint, ts timestamp_ntz")
+              .option("maxFilesPerTrigger", 1).format("parquet")
+              .load(str(src)))
+    q = (sessionize_stream(stream).writeStream.format("memory")
+         .queryName("sess_span_test")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r["ts"], r["session_n"])
+                 for r in spark.table("sess_span_test").collect())
+    assert [s for _, s in got] == [1, 1, 1, 2]
