@@ -39,6 +39,7 @@ HEADLINE = [
     "leak_dispatch", "spans_interleave", "spans_media_context",
     "text_c4_clean", "events_windowed",
     "pricing_summary",
+    "spans_boilerplate", "text_unigram_lm", "embeddings_pq",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "300"))
