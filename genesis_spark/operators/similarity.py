@@ -462,11 +462,14 @@ def pq_adc_topk(base: DataFrame, queries: DataFrame, k_top: int = 5,
                    lambda c, j: F.element_at(
                        F.element_at("luts", j.cast("int") + 1), c + 1)),
         F.lit(0.0), lambda acc, v: acc + v)
+    # rank on the 6dp-rounded score with an id tie-break (module
+    # convention): the m-term double sum is fold-order sensitive, so raw
+    # last-bit differences must not decide a ranking
     w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id").asc())
+        F.col("adc_r").asc(), F.col("neighbor_id").asc())
     return (F.broadcast(q).crossJoin(coded)
             .filter(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn("adc", adc)
+            .withColumn("adc_r", F.round(adc, 6))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k_top)
             .select("query_id", "rank", "neighbor_id"))

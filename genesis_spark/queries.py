@@ -2627,6 +2627,62 @@ FROM best GROUP BY vec_id
 ORACLE_EMBEDDINGS_PQ = _pq_oracle()
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k (FAISS IVFADC inner loop): base
+    vectors live only as their 8 packed 4-bit codes; each query builds an
+    8x16 LUT of exact subvector-to-centroid distances and candidates are
+    scored by m table lookups — the raw floats of the base side are never
+    touched after encoding. Broadcast query side, window top-5
+    (operators.similarity.pq_adc_topk; codes verified independently by
+    the embeddings_pq row and a pure-Python oracle in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), k_top=5,
+                           m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+
+
+def _pq_adc_oracle() -> str:
+    sub = _PQ_DIM // _PQ_M
+    cents = SIM.pq_centroids(_PQ_M, _PQ_K, sub)
+    rows = []
+    for j, codebook in enumerate(cents):
+        for c, vec in enumerate(codebook):
+            lit = "[" + ", ".join(repr(x) for x in vec) + "]"
+            cnorm2 = float(sum(x * x for x in vec))
+            rows.append(f"({j}, {c}, {lit}::DOUBLE[], {cnorm2!r})")
+    values = ",\n   ".join(rows)
+    return f"""
+WITH cb(j, c, cvec, cnorm2) AS (VALUES
+   {values}),
+dists AS (
+  SELECT e.vec_id, cb.j, cb.c,
+         cb.cnorm2 - 2 * list_sum(list_transform(range({sub}),
+             i -> e.embedding[{sub} * cb.j + i + 1]::DOUBLE * cb.cvec[i+1]))
+           AS d
+  FROM embeddings e CROSS JOIN cb),
+codes AS (
+  SELECT vec_id AS neighbor_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d ASC, c ASC) AS rn
+    FROM dists) WHERE rn = 1),
+adc AS (
+  SELECT l.vec_id AS query_id, co.neighbor_id, sum(l.d) AS adc
+  FROM codes co
+  JOIN dists l ON l.j = co.j AND l.c = co.c
+  WHERE l.vec_id < 5 AND co.neighbor_id <> l.vec_id
+  GROUP BY l.vec_id, co.neighbor_id)
+SELECT query_id, rnk AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(adc, 6) ASC, neighbor_id ASC)
+           AS rnk
+  FROM adc) WHERE rnk <= 5
+"""
+
+
+ORACLE_ANN_PQ = _pq_adc_oracle()
+
+
 def q_frontier_recrawl(spark, sf_dir):
     """Recrawl scheduling (the freshness loop over a crawled frontier):
     priority = staleness in days minus a 20/level depth penalty, top-3
@@ -2859,6 +2915,7 @@ QUERIES = {
     "text_unigram_lm": q_text_unigram_lm,
     "embeddings_quantize": q_embeddings_quantize,
     "embeddings_pq": q_embeddings_pq,
+    "ann_pq_topk": q_ann_pq_topk,
     "frontier_recrawl": q_frontier_recrawl,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
@@ -2928,6 +2985,7 @@ ORACLES = {
     "text_unigram_lm": ORACLE_TEXT_UNIGRAM_LM,
     "embeddings_quantize": ORACLE_EMBEDDINGS_QUANTIZE,
     "embeddings_pq": ORACLE_EMBEDDINGS_PQ,
+    "ann_pq_topk": ORACLE_ANN_PQ,
     "frontier_recrawl": ORACLE_FRONTIER_RECRAWL,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "events_retention": ORACLE_EVENTS_RETENTION,

@@ -282,7 +282,7 @@ def test_pq_adc_topk_matches_python_oracle(spark):
             adc = 0.0
             for j, c in enumerate(cs):
                 adc = adc + luts[j][c]
-            scored.append((adc, nid))
+            scored.append((round(adc, 6), nid))
         scored.sort()
         expect += [(qid, rk + 1, nid)
                    for rk, (_, nid) in enumerate(scored[:5])]
