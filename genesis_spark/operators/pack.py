@@ -80,7 +80,8 @@ def pack_blocks(docs: DataFrame, seq_len: int = 2048,
 
 
 def pack_spans(rows: DataFrame, seq_len: int = 2048,
-               media_tokens: int = 64) -> DataFrame:
+               media_tokens: int = 64,
+               doc_ord: Column | None = None) -> DataFrame:
     """Multimodal sequence packing over the interleaved span table — the
     Flamingo/MM1-style training prep where text spans cost their token
     count and each media span costs a fixed placeholder budget
@@ -97,17 +98,26 @@ def pack_spans(rows: DataFrame, seq_len: int = 2048,
     doc (map-side combinable), stage 2 prefix-sums the per-doc totals in a
     window over the doc-level table (corpus/10^3 smaller than the span
     table), stage 3 broadcast-joins each doc's base offset back and runs
-    the intra-doc window partitioned by doc_id — every window partition is
-    bounded by spans-per-doc, never by corpus size. Link spans (text AND
+    the intra-doc window partitioned by (source, doc_id) — every window
+    partition is bounded by spans-per-doc, never by corpus size, and a
+    doc_id reused across sources never mixes streams. Link spans (text AND
     media_ref null on the text side / non-media) cost is their text token
     count or the media budget by the schemas.SPAN nullability contract:
-    media = non-link rows with a media_ref."""
+    media = non-link rows with a media_ref.
+
+    ``doc_ord`` is the document pack-order expression within a source
+    stream; default is the doc_id itself (deterministic for any id type —
+    string keys sort lexicographically). Pass e.g.
+    ``F.col("doc_id").cast("bigint")`` for numeric order over numeric
+    string ids."""
+    if doc_ord is None:
+        doc_ord = F.col("doc_id")
     is_media = F.col("media_ref").isNotNull() & (F.col("kind") != "link")
     cost = F.when(is_media, F.lit(media_tokens)).otherwise(
         F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")))
     d = rows.select("source", "doc_id", "offset", "kind",
                     cost.cast("bigint").alias("cost"),
-                    F.col("doc_id").cast("bigint").alias("_doc_ord"))
+                    doc_ord.alias("_doc_ord"))
     # stage 1: per-doc cost totals (tiny relative to span rows)
     sums = (d.groupBy("source", "doc_id", "_doc_ord")
             .agg(F.sum("cost").alias("_doc_cost")))
@@ -118,7 +128,7 @@ def pack_spans(rows: DataFrame, seq_len: int = 2048,
         "source", "doc_id",
         (F.sum("_doc_cost").over(pw) - F.col("_doc_cost")).alias("_base"))
     # stage 3: intra-doc prefix, bounded by spans-per-doc
-    lw = (Window.partitionBy("doc_id").orderBy("offset")
+    lw = (Window.partitionBy("source", "doc_id").orderBy("offset")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = F.sum("cost").over(lw) - F.col("cost")
     out = (d.join(F.broadcast(base), ["source", "doc_id"])

@@ -443,15 +443,18 @@ def pq_adc_topk(base: DataFrame, queries: DataFrame, k_top: int = 5,
     query (ties -> lowest neighbor id). The base's raw vectors are never
     read after encoding — at 10^10 rows the scan touches 4-bit codes, not
     float32 vectors."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
     cents = pq_centroids(m, k, sub_dim)
-    coded = pq_encode(base, vec_col, id_col, m=m, k=k, dim=dim) \
-        .withColumnRenamed(id_col, "neighbor_id")
+    # codes only — the packed pq_code is a storage concern; computing it
+    # here would pay the base-k fold per base row just to drop it
+    coded = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_codes_expr(F.col(vec_col), cents, sub_dim).alias("codes"))
     luts = F.array(*[
-        F.transform(
-            _sub_dists(F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim),
-                       cents[j]),
-            lambda d: d)
+        _sub_dists(F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim),
+                   cents[j])
         for j in range(m)])
     q = queries.select(F.col(id_col).alias("query_id"),
                        luts.alias("luts"))

@@ -215,7 +215,6 @@ def unigram_lm_score(docs, round_dp: int = 4):
     equi-join back and one groupBy(doc_id) mean. Two corpus-sized
     shuffles (token tf, per-doc agg); the vocab side of the join is the
     small side and broadcasts while it fits."""
-    from pyspark.sql import functions as F
     tok = (docs.filter(F.col("text").isNotNull())
            .select("doc_id", F.explode(F.split("text", " ")).alias("tok")))
     vocab = tok.groupBy("tok").agg(F.count("*").alias("tf"))

@@ -2447,7 +2447,8 @@ def q_spans_pack_multimodal(spark, sf_dir):
     rows = (explode_spans(interleaved_docs(d.select("doc_id", "text")))
             .join(d.select(F.col("doc_id").cast("string").alias("doc_id"),
                            "source"), "doc_id"))
-    return pack_spans(rows, seq_len=512, media_tokens=64)
+    return pack_spans(rows, seq_len=512, media_tokens=64,
+                      doc_ord=F.col("doc_id").cast("bigint"))
 
 
 ORACLE_SPANS_PACK_MULTIMODAL = f"""
@@ -2483,7 +2484,8 @@ def q_spans_media_dedup(spark, sf_dir):
     from genesis_spark.sources.interleaved import (dedup_media_by_context,
                                                    interleaved_docs)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup_media_by_context(interleaved_docs(docs))
+    return dedup_media_by_context(
+        interleaved_docs(docs), doc_ord=F.col("doc_id").cast("bigint"))
 
 
 ORACLE_SPANS_MEDIA_DEDUP = f"""
@@ -2767,14 +2769,14 @@ def q_stream_sessionize(spark, sf_dir):
 
 ORACLE_STREAM_SESSIONIZE = """
 WITH o AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR date_diff('second', lag(ts) OVER w, ts) > 21600
          THEN 1 ELSE 0 END AS new_sess
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id, ts,
-       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS INT)
          AS session_n
 FROM o

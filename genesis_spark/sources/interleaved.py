@@ -135,7 +135,7 @@ def media_with_context(df: DataFrame) -> DataFrame:
             .select("doc_id", "offset", "media_ref", "context"))
 
 
-def dedup_media_by_context(df: DataFrame) -> DataFrame:
+def dedup_media_by_context(df: DataFrame, doc_ord=None) -> DataFrame:
     """Cross-document media dedup keyed by caption context — the
     multimodal analogue of exact text dedup: two images that appear under
     the same caption text (the nearest preceding section span) are treated
@@ -150,11 +150,19 @@ def dedup_media_by_context(df: DataFrame) -> DataFrame:
     then one groupBy on the 32-byte ``md5(context)`` digest — the wide
     caption text never shuffles; min-of-struct gives the canonical pick
     and plans as a map-side-combinable agg, so the shuffle after partial
-    aggregation carries one row per (partition, key)."""
+    aggregation carries one row per (partition, key).
+
+    ``doc_ord`` orders documents for the canonical pick; default is the
+    doc_id itself (deterministic for any id type). Pass e.g.
+    ``F.col("doc_id").cast("bigint")`` for numeric order when ids are
+    numeric strings."""
+    if doc_ord is None:
+        doc_ord = F.col("doc_id")
     ctx = media_with_context(df)
     keyed = ctx.select(
         F.md5(F.coalesce("context", F.lit(""))).alias("content_key"),
-        F.struct(F.col("doc_id").cast("bigint").alias("d"),
+        F.struct(doc_ord.alias("ord"),
+                 F.col("doc_id").alias("d"),
                  F.col("offset").alias("o"),
                  F.col("media_ref").alias("r")).alias("pick"))
     agg = (keyed.groupBy("content_key")
@@ -162,7 +170,7 @@ def dedup_media_by_context(df: DataFrame) -> DataFrame:
                 F.min("pick").alias("c")))
     return agg.select(
         "content_key", "n_copies",
-        F.col("c.d").cast("string").alias("canonical_doc"),
+        F.col("c.d").alias("canonical_doc"),
         F.col("c.o").alias("canonical_offset"),
         F.col("c.r").alias("canonical_ref"))
 

@@ -65,7 +65,8 @@ def test_pack_spans_matches_flat_global_window(spark):
             for i in range(1, 31)]
     rows = _span_rows(spark, docs).withColumn(
         "source", (F.col("doc_id").cast("bigint") % 3).cast("string"))
-    got = pack_spans(rows, seq_len=64, media_tokens=16)
+    got = pack_spans(rows, seq_len=64, media_tokens=16,
+                     doc_ord=F.col("doc_id").cast("bigint"))
 
     is_media = F.col("media_ref").isNotNull() & (F.col("kind") != "link")
     cost = F.when(is_media, F.lit(16)).otherwise(
@@ -113,13 +114,15 @@ def test_dedup_media_by_context_clusters_and_canonical(spark):
     text = tail + " " + cap  # sections: tail(2x8) + cap -> image after cap
     df = spark.createDataFrame([(5, text), (9, text)],
                                "doc_id long, text string")
-    out = dedup_media_by_context(interleaved_docs(df)).collect()
-    clusters = {r["content_key"]: r for r in out}
-    multi = [r for r in out if r["n_copies"] == 2]
-    assert len(multi) == 1
-    assert multi[0]["canonical_doc"] == "5"  # earliest doc wins
-    assert multi[0]["canonical_ref"] == "5/img/1"
-    assert all(r["n_copies"] >= 1 for r in clusters.values())
+    out = dedup_media_by_context(
+        interleaved_docs(df),
+        doc_ord=F.col("doc_id").cast("bigint")).collect()
+    # each doc has exactly one image (context = the shared 3rd section),
+    # and the contexts are identical -> exactly ONE cluster of size 2
+    assert len(out) == 1
+    assert out[0]["n_copies"] == 2
+    assert out[0]["canonical_doc"] == "5"  # earliest doc wins
+    assert out[0]["canonical_ref"] == "5/img/1"
 
 
 # ---------------------------------------------------------------------------
