@@ -301,3 +301,91 @@ def sample_frames(df: DataFrame, blob_col: str = "media_blob",
                  frame_col: frames})
 
     return df.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# gray8 raw bitmaps: real pixel math without a codec
+# ---------------------------------------------------------------------------
+# The container has no image libraries, so the compressed-format path stops
+# at header parsing (decode_* above). The gray8 path is the complement: a
+# trivial RAW format (8-byte '>II' w,h header + w*h grayscale bytes) whose
+# DECODE, RESIZE and FEATURE-EXTRACT are real array math (numpy over Arrow
+# batches) — the exact production shape of a Pillow/ffmpeg-backed kernel,
+# with the codec swapped for a header read.
+
+def encode_gray8(width: int, height: int, pixels: bytes) -> bytes:
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    return struct.pack(">II", width, height) + pixels
+
+
+def gray8_by_doc_id(doc_id: int) -> bytes:
+    """Deterministic synthetic bitmap for doc_id: w = 8 + doc_id % 16,
+    h = 8 + (doc_id // 3) % 16, pixel[i] = (doc_id * 31 + i * 7) % 256 —
+    pure integer arithmetic an ANSI-SQL oracle can restate exactly."""
+    w, h = 8 + doc_id % 16, 8 + (doc_id // 3) % 16
+    px = bytes((doc_id * 31 + i * 7) % 256 for i in range(w * h))
+    return encode_gray8(w, h, px)
+
+
+def decode_gray8(blob: bytes):
+    """(width, height, np.uint8[h, w]) from a gray8 blob; raises on a
+    malformed buffer (callers decide whether to poison-guard)."""
+    import numpy as np
+
+    w, h = struct.unpack(">II", bytes(blob[:8]))
+    arr = np.frombuffer(bytes(blob[8:]), dtype=np.uint8)
+    if arr.size != w * h:
+        raise ValueError("truncated gray8 payload")
+    return w, h, arr.reshape(h, w)
+
+
+def resize_media(df: DataFrame, blob_col: str = "media_blob",
+                 target_w: int = 8, target_h: int = 8) -> DataFrame:
+    """Nearest-neighbor resize + feature extraction over gray8 blobs —
+    the real multimodal preprocessing kernel (decode -> resample ->
+    features) as ONE Arrow-batched pass. Per row:
+    (doc_id, src_w, src_h, out_sum, out_min, out_max) where out_* are
+    exact integer statistics of the target_w x target_h resample
+    (source index floor(t*src/target), the standard NN mapping).
+
+    numpy does the resample via index gather per image; the binary column
+    crosses the JVM/Python boundary once per batch. At 100 TB this stage
+    is compute-bound per row and embarrassingly parallel — no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType([
+        df.schema["doc_id"],
+        T.StructField("src_w", T.IntegerType(), False),
+        T.StructField("src_h", T.IntegerType(), False),
+        T.StructField("out_sum", T.LongType(), False),
+        T.StructField("out_min", T.IntegerType(), False),
+        T.StructField("out_max", T.IntegerType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            ids, ws, hs, sums, mins, maxs = [], [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None:
+                    continue
+                w, h, arr = decode_gray8(blob)
+                iy = (np.arange(target_h) * h) // target_h
+                ix = (np.arange(target_w) * w) // target_w
+                out = arr[np.ix_(iy, ix)]
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(out.sum()))
+                mins.append(int(out.min()))
+                maxs.append(int(out.max()))
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "src_w": pd.Series(ws, dtype="int32"),
+                "src_h": pd.Series(hs, dtype="int32"),
+                "out_sum": pd.Series(sums, dtype="int64"),
+                "out_min": pd.Series(mins, dtype="int32"),
+                "out_max": pd.Series(maxs, dtype="int32")})
+
+    return df.mapInPandas(run, out_schema)

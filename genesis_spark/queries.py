@@ -2856,6 +2856,52 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
 
 
+def q_media_resize(spark, sf_dir):
+    """The multimodal preprocessing kernel with REAL pixel math: gray8
+    raw bitmaps (dims + pixels pure doc_id arithmetic) are encoded in one
+    mapInPandas pass, then decode -> nearest-neighbor resample to 8x8 ->
+    integer feature extraction runs as a second Arrow-batched pass
+    (numpy index gather — the exact production shape of a Pillow-backed
+    resize, codec swapped for a header read). The oracle restates the NN
+    index mapping floor(t*src/8) in plain integer SQL, so a value-hash
+    match proves the resample arithmetic itself, not just plumbing."""
+    import pandas as pd
+
+    from genesis_spark.operators import multimodal as MM
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_blob": [MM.gray8_by_doc_id(int(i))
+                               for i in pdf["doc_id"]]})
+
+    blobs = d.mapInPandas(encode, "doc_id long, media_blob binary")
+    return MM.resize_media(blobs, target_w=8, target_h=8)
+
+
+ORACLE_MEDIA_RESIZE = """
+WITH d AS (
+  SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS w,
+         CAST(8 + (doc_id // 3) % 16 AS INT) AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         list_transform(range(64),
+           t -> CAST((doc_id * 31
+                      + (((t // 8) * h // 8) * w
+                         + ((t % 8) * w // 8)) * 7) % 256 AS INT)) AS o
+  FROM d
+)
+SELECT doc_id, w AS src_w, h AS src_h,
+       CAST(list_sum(o) AS BIGINT) AS out_sum,
+       CAST(list_min(o) AS INT) AS out_min,
+       CAST(list_max(o) AS INT) AS out_max
+FROM px
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -2911,6 +2957,7 @@ QUERIES = {
     "spans_reconstruct": q_spans_reconstruct,
     "spans_media_context": q_spans_media_context,
     "media_decode": q_media_decode,
+    "media_resize": q_media_resize,
     "spans_boilerplate": q_spans_boilerplate,
     "spans_pack_multimodal": q_spans_pack_multimodal,
     "spans_media_dedup": q_spans_media_dedup,
@@ -2981,6 +3028,7 @@ ORACLES = {
     "spans_reconstruct": ORACLE_SPANS_RECONSTRUCT,
     "spans_media_context": ORACLE_SPANS_MEDIA_CONTEXT,
     "media_decode": ORACLE_MEDIA_DECODE,
+    "media_resize": ORACLE_MEDIA_RESIZE,
     "spans_boilerplate": ORACLE_SPANS_BOILERPLATE,
     "spans_pack_multimodal": ORACLE_SPANS_PACK_MULTIMODAL,
     "spans_media_dedup": ORACLE_SPANS_MEDIA_DEDUP,

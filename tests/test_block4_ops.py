@@ -337,3 +337,34 @@ def test_sessionize_stream_state_spans_batches(spark, tmp_path):
     got = sorted((r["ts"], r["session_n"])
                  for r in spark.table("sess_span_test").collect())
     assert [s for _, s in got] == [1, 1, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# gray8 resize kernel
+# ---------------------------------------------------------------------------
+
+def test_resize_media_nearest_neighbor_exact(spark):
+    from genesis_spark.operators.multimodal import encode_gray8, resize_media
+    # 2x2 source [[10, 20], [30, 40]] -> 4x4 NN: iy/ix = [0,0,1,1]
+    blob = encode_gray8(2, 2, bytes([10, 20, 30, 40]))
+    df = spark.createDataFrame([(1, blob), (2, None)],
+                               "doc_id long, media_blob binary")
+    out = resize_media(df, target_w=4, target_h=4).collect()
+    assert len(out) == 1  # None blob skipped
+    r = out[0]
+    # each source pixel appears 4x: sum = 4 * (10+20+30+40)
+    assert (r["src_w"], r["src_h"]) == (2, 2)
+    assert r["out_sum"] == 4 * 100
+    assert r["out_min"] == 10 and r["out_max"] == 40
+
+
+def test_gray8_roundtrip_and_truncation_raises(spark):
+    import pytest as _pt
+
+    from genesis_spark.operators.multimodal import (decode_gray8,
+                                                    gray8_by_doc_id)
+    w, h, arr = decode_gray8(gray8_by_doc_id(7))
+    assert (w, h) == (8 + 7 % 16, 8 + (7 // 3) % 16)
+    assert int(arr[0, 1]) == (7 * 31 + 7) % 256
+    with _pt.raises(ValueError):
+        decode_gray8(gray8_by_doc_id(7)[:-1])
