@@ -438,6 +438,45 @@ FROM corpus GROUP BY md5(text), text
 """
 
 
+def q_dedup_exact_substr(spark, sf_dir):
+    """ExactSubstr duplicated spans (Lee et al. 2021) over the twin corpus:
+    maximal char spans whose every 40-gram occurs >= 2 times corpus-wide
+    (the twins guarantee cross-doc duplicates; the word-salad fixture text
+    adds intra-corpus repeats)."""
+    return D.duplicated_spans(_corpus(spark, sf_dir), k=40)
+
+
+ORACLE_DEDUP_EXACT_SUBSTR = f"""
+WITH {_CORPUS_SQL},
+pos AS (
+  SELECT doc_id, text, unnest(range(length(text) - 39)) AS pos
+  FROM corpus WHERE length(text) >= 40
+),
+grams AS (
+  SELECT doc_id, pos, substr(md5(substr(text, pos + 1, 40)), 1, 16) AS h
+  FROM pos
+),
+dups AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dups USING (h)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 40) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS b
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
+       max(pos) + 40 - min(pos) AS span_len
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_corpus(spark, sf_dir), threshold=0.5)
 
@@ -2916,6 +2955,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_cluster_reps": q_dedup_cluster_reps,
+    "dedup_exact_substr": q_dedup_exact_substr,
     "corpus_clean": q_corpus_clean,
     "corpus_clean_full": q_corpus_clean_full,
     "dedup_simhash": q_dedup_simhash,
@@ -2987,6 +3027,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_cluster_reps": ORACLE_DEDUP_CLUSTER_REPS,
+    "dedup_exact_substr": ORACLE_DEDUP_EXACT_SUBSTR,
     "corpus_clean": ORACLE_CORPUS_CLEAN,
     "corpus_clean_full": ORACLE_CORPUS_CLEAN_FULL,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,

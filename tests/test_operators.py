@@ -481,3 +481,47 @@ def test_valid_e164_national_plan_lengths():
     assert valid_e164("49301234")              # DE floor NSN 6
     assert valid_e164("212612345678")          # 3-digit CC (MA), NSN 9
     assert not valid_e164("21261234567")       # MA NSN 8 -> rejected
+
+
+def test_duplicated_spans_exact_substr(spark):
+    """duplicated_spans == brute-force pure-Python oracle (mark every pos
+    whose 40-gram occurs >= 2 times corpus-wide, merge intervals)."""
+    from genesis_spark.operators.dedup import duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog again and onward"
+    rep = "abcdefghij" * 5  # 50 chars, self-similar
+    docs = [
+        (1, shared + " unique tail one 11111"),
+        (2, shared + " other ending two 2222"),
+        (3, rep + rep),            # intra-doc repeat
+        (4, "entirely distinct text with no forty char twin anywhere x"),
+        (5, "short"),              # below k, ignored
+    ]
+    k = 40
+    from collections import Counter
+    cnt = Counter()
+    for _, t in docs:
+        for p in range(len(t) - k + 1):
+            cnt[t[p:p + k]] += 1
+    expect = []
+    for i, t in docs:
+        marked = [p for p in range(max(0, len(t) - k + 1))
+                  if len(t) >= k and cnt[t[p:p + k]] >= 2]
+        spans, cur = [], None
+        for p in marked:
+            if cur is not None and p <= cur[1]:
+                cur = (cur[0], p + k)
+            else:
+                if cur:
+                    spans.append(cur)
+                cur = (p, p + k)
+        if cur:
+            spans.append(cur)
+        expect += [(i, s, e, e - s) for s, e in spans]
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in duplicated_spans(df, k=k).collect())
+    assert got == sorted(expect)
+    assert any(r[0] == 3 for r in got)          # intra-doc repeat found
+    assert {r[0] for r in got} >= {1, 2, 3}
+    assert all(r[0] != 4 for r in got) and all(r[0] != 5 for r in got)
