@@ -28,7 +28,7 @@ from __future__ import annotations
 import time
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from genesis_spark import conf
@@ -116,3 +116,114 @@ def apply_robots(candidates: DataFrame, robots: DataFrame,
         "disallow", lambda p: F.col("_path").startswith(p))
     return (joined.filter(~F.coalesce(blocked, F.lit(False)))
             .drop("_path", "disallow"))
+
+
+def parse_robots_rules(robots_txt: DataFrame, agent: str,
+                       host_col: str = "host_key",
+                       txt_col: str = "robots_txt") -> DataFrame:
+    """RFC 9309 robots.txt parser, fully in codegen (no Python UDF):
+    raw per-host robots.txt text -> the rule set that applies to ``agent``.
+
+    Semantics implemented (RFC 9309 / the Google robots.txt spec):
+      * lines split on CRLF or LF; ``#`` comments stripped; fields are
+        case-insensitive with optional space before the colon;
+      * consecutive ``User-agent`` lines open ONE group (multi-agent
+        groups); a ``User-agent`` line after a rule line starts a new one;
+      * group selection: groups naming ``agent`` (case-insensitive exact
+        token) if any exist for the host, else the ``*`` groups; rules
+        before any User-agent line are ignored;
+      * empty Allow/Disallow values are no-ops (empty Disallow = allow all).
+
+    Output: (host_col, allow boolean, rpath string, plen int) — one row per
+    applicable rule. ``plen`` is the raw rule-path length, the RFC's
+    longest-match specificity key. The robots cache is tiny relative to a
+    frontier (one row set per host), so downstream admission broadcasts it.
+    """
+    agent_lc = agent.lower()
+    lines = (robots_txt
+             .select(host_col, F.posexplode(F.split(F.col(txt_col),
+                                                    r"\r?\n"))
+                     .alias("ln", "raw"))
+             .select(host_col, "ln",
+                     F.trim(F.regexp_replace("raw", "#.*", ""))
+                     .alias("line"))
+             .filter(F.instr("line", ":") > 0)
+             .select(host_col, "ln",
+                     F.lower(F.trim(F.regexp_extract("line", "^([^:]+):", 1)))
+                     .alias("field"),
+                     F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1))
+                     .alias("value"))
+             .filter(F.col("field").isin("user-agent", "allow", "disallow")))
+    w_ord = Window.partitionBy(host_col).orderBy("ln")
+    grp = (lines
+           .withColumn("_is_new", F.when(
+               (F.col("field") == "user-agent") &
+               (F.coalesce(F.lag("field").over(w_ord), F.lit("x"))
+                != "user-agent"), 1).otherwise(0))
+           .withColumn("grp_id", F.sum("_is_new").over(
+               w_ord.rowsBetween(Window.unboundedPreceding, 0))))
+    gflag = (grp.filter(F.col("grp_id") >= 1)
+             .groupBy(host_col, "grp_id")
+             .agg(F.max(F.when((F.col("field") == "user-agent") &
+                               (F.lower("value") == agent_lc), 1)
+                        .otherwise(0)).alias("m_specific"),
+                  F.max(F.when((F.col("field") == "user-agent") &
+                               (F.col("value") == "*"), 1)
+                        .otherwise(0)).alias("m_star")))
+    hflag = (gflag.groupBy(host_col)
+             .agg(F.max("m_specific").alias("has_specific")))
+    return (grp
+            .filter(F.col("field").isin("allow", "disallow") &
+                    (F.col("value") != "") & (F.col("grp_id") >= 1))
+            .join(gflag, [host_col, "grp_id"])
+            .join(hflag, host_col)
+            .filter(((F.col("has_specific") == 1) &
+                     (F.col("m_specific") == 1)) |
+                    ((F.col("has_specific") == 0) & (F.col("m_star") == 1)))
+            .select(host_col,
+                    (F.col("field") == "allow").alias("allow"),
+                    F.col("value").alias("rpath"),
+                    F.length("value").alias("plen")))
+
+
+def robots_rule_regex(rpath: F.Column) -> F.Column:
+    """Translate one robots rule path into an anchored regex: ``*`` is a
+    wildcard, a TRAILING ``$`` anchors the end, everything else literal."""
+    anchored = rpath.endswith("$")
+    core = F.when(anchored, F.substring(rpath, 1, F.length(rpath) - 1)) \
+            .otherwise(rpath)
+    esc = F.regexp_replace(core, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    wild = F.replace(esc, F.lit("*"), F.lit(".*"))
+    return F.concat(F.lit("^"), wild, F.when(anchored, F.lit("$"))
+                    .otherwise(F.lit("")))
+
+
+def admit_rfc(candidates: DataFrame, rules: DataFrame,
+              key_cols: list[str],
+              path_col: str = "path",
+              host_col: str = "host_key") -> DataFrame:
+    """Longest-match robots admission (RFC 9309 §2.2.2): among the agent's
+    rules whose path pattern matches the candidate path, the longest rule
+    path wins; on a length tie Allow wins; no matching rule = allowed.
+
+    ``rules`` is ``parse_robots_rules`` output, broadcast (a robots cache
+    is O(hosts), tiny next to the frontier). The join is an equi-join on
+    host with the regex match as a post-condition — never a cross join.
+    Adds an ``admitted`` boolean; ``key_cols`` must uniquely identify a
+    candidate row.
+    """
+    rx = rules.select(host_col, "allow", "plen",
+                      robots_rule_regex(F.col("rpath")).alias("pat"))
+    sel = [*key_cols, host_col, path_col]
+    m = (candidates.select(*sel)
+         .join(F.broadcast(rx),
+               (candidates[host_col] == rx[host_col]) &
+               F.regexp_like(F.col(path_col), F.col("pat")))
+         .drop(rx[host_col])
+         .groupBy(*sel)
+         .agg(F.max(F.struct("plen", "allow")).alias("_best")))
+    return (candidates
+            .join(m.select(*sel, F.col("_best.allow").alias("_adm")),
+                  sel, "left")
+            .withColumn("admitted", F.coalesce("_adm", F.lit(True)))
+            .drop("_adm"))

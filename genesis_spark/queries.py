@@ -1693,6 +1693,158 @@ WHERE NOT coalesce(
 """
 
 
+# Five robots.txt shapes shared verbatim by the Spark query and the DuckDB
+# oracle (single source, no drift). They exercise: longest-match
+# allow-over-disallow, specific-group-over-star precedence, multi-agent
+# groups + CRLF + comments + '*'/'$' wildcards, space-before-colon +
+# empty-Disallow no-op, and a missing robots.txt.
+_ROBOTS_SHAPES = [
+    "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n",
+    "User-agent: genesis\nDisallow: /admin/\n\nUser-agent: *\nDisallow: /\n",
+    "# blanket\r\nUser-agent: foo\r\nUser-agent: genesis\r\n"
+    "Disallow: /*.zip$\r\nAllow: /\r\n",
+    "User-agent: *\nDisallow :\nDisallow: /files/\n",
+    "",
+]
+
+
+def _sql_textlit(s: str) -> str:
+    """Robots text as a DuckDB expression (newlines via chr() so the oracle
+    string survives any whitespace normalization)."""
+    return ("'" + s.replace("'", "''")
+            .replace("\r", "' || chr(13) || '")
+            .replace("\n", "' || chr(10) || '") + "'")
+
+
+def q_robots_rfc(spark, sf_dir):
+    """RFC 9309 robots.txt end-to-end: raw per-host robots.txt TEXT (five
+    shapes, comments/CRLF/multi-agent groups/wildcards) -> codegen parser
+    (group assembly via windows, agent-specific > '*' selection) ->
+    longest-match admission (longest rule path wins, Allow wins ties).
+    All five shapes and both outcomes land in the value hash."""
+    from genesis_spark.crawler.politeness import admit_rfc, parse_robots_rules
+
+    r = F.col("id")
+    shape = F.when(r % 5 == 0, F.lit(_ROBOTS_SHAPES[0]))
+    for i in range(1, 5):
+        shape = shape.when(r % 5 == i, F.lit(_ROBOTS_SHAPES[i]))
+    robots = spark.range(30).select(
+        F.concat(F.lit("h"), r.cast("string")).alias("host_key"),
+        shape.alias("robots_txt"))
+    rules = parse_robots_rules(robots, agent="genesis")
+
+    k = F.col("o_orderkey")
+    path = (F.when(k % 5 == 0, F.concat(F.lit("/private/pub/a"),
+                                        k.cast("string")))
+            .when(k % 5 == 1, F.concat(F.lit("/private/x"), k.cast("string")))
+            .when(k % 5 == 2, F.concat(F.lit("/admin/y"), k.cast("string")))
+            .when(k % 5 == 3, F.concat(F.lit("/files/f"), k.cast("string"),
+                                       F.lit(".zip")))
+            .otherwise(F.concat(F.lit("/files/f"), k.cast("string"),
+                                F.lit(".zipx"))))
+    cand = _t(spark, sf_dir, "orders").select(
+        k.alias("o_orderkey"),
+        F.concat(F.lit("h"), (k % 30).cast("string")).alias("host_key"),
+        path.alias("path"))
+    return (admit_rfc(cand, rules, key_cols=["o_orderkey"])
+            .select("o_orderkey", "host_key", "path", "admitted"))
+
+
+_ROBOTS_SHAPE_SQL = " ".join(
+    f"WHEN {i} THEN {_sql_textlit(s)}" for i, s in enumerate(_ROBOTS_SHAPES))
+
+ORACLE_ROBOTS_RFC = f"""
+WITH robots AS (
+  SELECT 'h' || r AS host_key,
+         CASE r % 5 {_ROBOTS_SHAPE_SQL} END AS robots_txt
+  FROM range(30) t(r)
+),
+lines0 AS (
+  SELECT host_key,
+         string_split_regex(robots_txt, chr(13) || '?' || chr(10)) AS ls
+  FROM robots
+),
+lines AS (
+  SELECT host_key, i AS ln,
+         trim(regexp_replace(ls[i + 1], '#.*', '')) AS line
+  FROM lines0, unnest(range(len(ls))) u(i)
+),
+fields AS (
+  SELECT host_key, ln,
+         lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS field,
+         trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS value
+  FROM lines WHERE line LIKE '%:%'
+),
+rel AS (
+  SELECT * FROM fields WHERE field IN ('user-agent', 'allow', 'disallow')
+),
+newg AS (
+  SELECT host_key, ln, field, value,
+         CASE WHEN field = 'user-agent' AND coalesce(lag(field) OVER
+               (PARTITION BY host_key ORDER BY ln), 'x') <> 'user-agent'
+              THEN 1 ELSE 0 END AS is_new
+  FROM rel
+),
+grp AS (
+  SELECT host_key, ln, field, value,
+         sum(is_new) OVER (PARTITION BY host_key ORDER BY ln) AS grp_id
+  FROM newg
+),
+gflag AS (
+  SELECT host_key, grp_id,
+         max(CASE WHEN field = 'user-agent' AND lower(value) = 'genesis'
+                  THEN 1 ELSE 0 END) AS m_specific,
+         max(CASE WHEN field = 'user-agent' AND value = '*'
+                  THEN 1 ELSE 0 END) AS m_star
+  FROM grp WHERE grp_id >= 1 GROUP BY host_key, grp_id
+),
+hflag AS (
+  SELECT host_key, max(m_specific) AS has_specific FROM gflag
+  GROUP BY host_key
+),
+rules AS (
+  SELECT g.host_key, (g.field = 'allow') AS allow, g.value AS rpath,
+         length(g.value) AS plen
+  FROM grp g JOIN gflag f USING (host_key, grp_id)
+       JOIN hflag h USING (host_key)
+  WHERE g.field IN ('allow', 'disallow') AND g.value <> ''
+    AND g.grp_id >= 1
+    AND ((h.has_specific = 1 AND f.m_specific = 1)
+         OR (h.has_specific = 0 AND f.m_star = 1))
+),
+rx AS (
+  SELECT host_key, allow, plen,
+         '^' ||
+         replace(regexp_replace(
+            CASE WHEN rpath LIKE '%$' THEN substr(rpath, 1, plen - 1)
+                 ELSE rpath END,
+            '([.^$+?(){{}}\\[\\]|\\\\])', '\\\\\\1', 'g'), '*', '.*')
+         || CASE WHEN rpath LIKE '%$' THEN '$' ELSE '' END AS pat
+  FROM rules
+),
+cand AS (
+  SELECT o_orderkey, 'h' || (o_orderkey % 30) AS host_key,
+         CASE o_orderkey % 5
+           WHEN 0 THEN '/private/pub/a' || o_orderkey
+           WHEN 1 THEN '/private/x' || o_orderkey
+           WHEN 2 THEN '/admin/y' || o_orderkey
+           WHEN 3 THEN '/files/f' || o_orderkey || '.zip'
+           ELSE '/files/f' || o_orderkey || '.zipx' END AS path
+  FROM orders
+),
+m AS (
+  SELECT c.o_orderkey, c.host_key, c.path,
+         max(struct_pack(plen := r.plen, allow := r.allow)) AS best
+  FROM cand c JOIN rx r ON c.host_key = r.host_key
+   AND regexp_matches(c.path, r.pat)
+  GROUP BY c.o_orderkey, c.host_key, c.path
+)
+SELECT c.o_orderkey, c.host_key, c.path,
+       coalesce(m.best.allow, TRUE) AS admitted
+FROM cand c LEFT JOIN m USING (o_orderkey, host_key, path)
+"""
+
+
 _STREAM_SEQ = 0
 
 
@@ -2993,6 +3145,7 @@ QUERIES = {
     "leak_dispatch2": q_leak_dispatch2,
     "leak_dispatch3": q_leak_dispatch3,
     "robots_admission": q_robots_admission,
+    "robots_rfc": q_robots_rfc,
     "spans_interleave": q_spans_interleave,
     "spans_reconstruct": q_spans_reconstruct,
     "spans_media_context": q_spans_media_context,
@@ -3065,6 +3218,7 @@ ORACLES = {
     "leak_dispatch2": ORACLE_LEAK_DISPATCH2,
     "leak_dispatch3": ORACLE_LEAK_DISPATCH3,
     "robots_admission": ORACLE_ROBOTS_ADMISSION,
+    "robots_rfc": ORACLE_ROBOTS_RFC,
     "spans_interleave": ORACLE_SPANS_INTERLEAVE,
     "spans_reconstruct": ORACLE_SPANS_RECONSTRUCT,
     "spans_media_context": ORACLE_SPANS_MEDIA_CONTEXT,

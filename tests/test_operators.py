@@ -525,3 +525,75 @@ def test_duplicated_spans_exact_substr(spark):
     assert any(r[0] == 3 for r in got)          # intra-doc repeat found
     assert {r[0] for r in got} >= {1, 2, 3}
     assert all(r[0] != 4 for r in got) and all(r[0] != 5 for r in got)
+
+
+def test_robots_rfc_parser_and_longest_match(spark):
+    """parse_robots_rules + admit_rfc vs a pure-Python RFC 9309 reference
+    on edge cases beyond the oracle fixtures: equal-length allow/disallow
+    tie (allow wins), rules before any User-agent line (ignored),
+    unmatched-agent group (excluded), case-insensitive agent token."""
+    import re
+    from genesis_spark.crawler.politeness import admit_rfc, parse_robots_rules
+
+    shapes = {
+        "t1": "Disallow: /orphan/\nUser-agent: GENESIS\n"
+              "Disallow: /a/\nAllow: /b/\n",           # orphan rule ignored
+        "t2": "User-agent: *\nDisallow: /x/\nAllow: /y/\n"
+              "User-agent: other\nDisallow: /\n",      # 'other' group n/a
+        "t3": "User-agent: genesis\nDisallow: /tie/\nAllow: /tie/\n",  # tie
+        "t4": "User-agent: genesis\nDisallow: /*/secret\n",  # mid wildcard
+    }
+    paths = ["/orphan/p", "/a/p", "/b/p", "/x/p", "/y/p", "/tie/p",
+             "/any/secret", "/plain"]
+
+    def ref(shape, path):
+        groups, cur, last_ua = [], None, False
+        for raw in re.split(r"\r?\n", shape):
+            line = re.sub(r"#.*", "", raw).strip()
+            if ":" not in line:
+                last_ua = False
+                continue
+            f, v = line.split(":", 1)
+            f, v = f.strip().lower(), v.strip()
+            if f == "user-agent":
+                if not last_ua:
+                    cur = {"agents": [], "rules": []}
+                    groups.append(cur)
+                cur["agents"].append(v.lower())
+                last_ua = True
+            else:
+                if f in ("allow", "disallow") and cur is not None and v:
+                    cur["rules"].append((f == "allow", v))
+                last_ua = False
+        has = any("genesis" in g["agents"] for g in groups)
+        if has:
+            sel = [g for g in groups if "genesis" in g["agents"]]
+        else:
+            sel = [g for g in groups if "*" in g["agents"]]
+        best = None
+        for g in sel:
+            for allow, rp in g["rules"]:
+                anchor = rp.endswith("$")
+                core = rp[:-1] if anchor else rp
+                pat = ("^" + re.escape(core).replace(r"\*", ".*")
+                       + ("$" if anchor else ""))
+                if re.search(pat, path):
+                    key = (len(rp), allow)
+                    if best is None or key > best[0]:
+                        best = (key, allow)
+        return True if best is None else best[1]
+
+    robots = spark.createDataFrame(list(shapes.items()),
+                                   "host_key string, robots_txt string")
+    cand = spark.createDataFrame(
+        [(f"{h}:{p}", h, p) for h in shapes for p in paths],
+        "cid string, host_key string, path string")
+    rules = parse_robots_rules(robots, agent="genesis")
+    got = {r.cid: r.admitted
+           for r in admit_rfc(cand, rules, key_cols=["cid"]).collect()}
+    for h, s in shapes.items():
+        for p in paths:
+            assert got[f"{h}:{p}"] == ref(s, p), (h, p)
+    assert got["t3:/tie/p"] is True          # tie -> allow
+    assert got["t1:/orphan/p"] is True       # orphan rule ignored
+    assert got["t4:/any/secret"] is False    # mid-string wildcard
