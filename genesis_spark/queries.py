@@ -438,6 +438,37 @@ FROM corpus GROUP BY md5(text), text
 """
 
 
+def q_join_salted(spark, sf_dir):
+    """J-family skew mitigation: lineitem joined to a 3-row returnflag dim
+    — the canonical hot-key join (3 keys over the whole fact table) — via
+    explicit salting (salt by l_orderkey, dim replicated x8) instead of
+    broadcast. The salted result must equal the plain join bit-for-bit;
+    the per-flag rollup keeps the hash compact."""
+    from genesis_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_quantity")
+    dim = spark.createDataFrame(
+        [("A", "acknowledged"), ("N", "new"), ("R", "returned")],
+        "l_returnflag string, flag_label string")
+    j = salted_join(li, dim, key="l_returnflag", salt_src="l_orderkey",
+                    n_salt=8)
+    return (j.groupBy("l_returnflag", "flag_label")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+ORACLE_JOIN_SALTED = """
+WITH dim(l_returnflag, flag_label) AS (
+  VALUES ('A', 'acknowledged'), ('N', 'new'), ('R', 'returned')
+)
+SELECT l.l_returnflag, d.flag_label,
+       count(*) AS n_items, round(sum(l.l_quantity), 2) AS sum_qty
+FROM lineitem l JOIN dim d USING (l_returnflag)
+GROUP BY l.l_returnflag, d.flag_label
+"""
+
+
 def q_dedup_exact_substr(spark, sf_dir):
     """ExactSubstr duplicated spans (Lee et al. 2021) over the twin corpus:
     maximal char spans whose every 40-gram occurs >= 2 times corpus-wide
@@ -3108,6 +3139,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_cluster_reps": q_dedup_cluster_reps,
     "dedup_exact_substr": q_dedup_exact_substr,
+    "join_salted": q_join_salted,
     "corpus_clean": q_corpus_clean,
     "corpus_clean_full": q_corpus_clean_full,
     "dedup_simhash": q_dedup_simhash,
@@ -3181,6 +3213,7 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_cluster_reps": ORACLE_DEDUP_CLUSTER_REPS,
     "dedup_exact_substr": ORACLE_DEDUP_EXACT_SUBSTR,
+    "join_salted": ORACLE_JOIN_SALTED,
     "corpus_clean": ORACLE_CORPUS_CLEAN,
     "corpus_clean_full": ORACLE_CORPUS_CLEAN_FULL,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,

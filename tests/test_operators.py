@@ -597,3 +597,70 @@ def test_robots_rfc_parser_and_longest_match(spark):
     assert got["t3:/tie/p"] is True          # tie -> allow
     assert got["t1:/orphan/p"] is True       # orphan rule ignored
     assert got["t4:/any/secret"] is False    # mid-string wildcard
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join == plain join (inner + left), with the salt visible in
+    the join keys and no broadcast of the salted dim."""
+    from genesis_spark.operators.joins import salted_join
+
+    big = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.col("id").alias("rid"))
+    small = spark.createDataFrame(
+        [("0", "x"), ("1", "y")], "k string, v string")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for how in ("inner", "left"):
+            got = sorted(tuple(r) for r in
+                         salted_join(big, small, "k", salt_src="rid",
+                                     n_salt=4, how=how).collect())
+            exp = sorted(tuple(r) for r in
+                         big.join(small, "k", how).collect())
+            assert got == exp, how
+        j = salted_join(big, small, "k", salt_src="rid", n_salt=4)
+        import io, contextlib
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "_salt" in p and "BroadcastHashJoin" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        salted_join(big, small, "k", salt_src="k")
+    with _pt.raises(ValueError):
+        salted_join(big, small, "k", salt_src="rid", how="full")
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed+sorted on the key join with NO Exchange and no
+    Sort in the plan — the co-located-join layout the 100 TB frontier
+    joins rely on (bucket scan IS the shuffle, paid at write time)."""
+    from genesis_spark.operators.joins import bucketed_join, write_bucketed
+
+    a = spark.range(1000).select(F.col("id").alias("k"),
+                                 (F.col("id") * 2).alias("va"))
+    b = spark.range(500).select(F.col("id").alias("k"),
+                                (F.col("id") * 3).alias("vb"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(a, "tb_a", "k", 8, path=str(tmp_path / "a"))
+        write_bucketed(b, "tb_b", "k", 8, path=str(tmp_path / "b"))
+        j = bucketed_join(spark, "tb_a", "tb_b", "k")
+        import io, contextlib
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "Exchange" not in p, p
+        assert "SelectedBucketsCount" in p or "Bucketed: true" in p
+        got = sorted((r.k, r.va, r.vb) for r in j.collect())
+        assert got == [(i, 2 * i, 3 * i) for i in range(500)]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS tb_a")
+        spark.sql("DROP TABLE IF EXISTS tb_b")
