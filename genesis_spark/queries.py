@@ -1960,6 +1960,49 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_enrich(spark, sf_dir):
+    """Stream-STATIC join (the 4th streaming capability after stateful
+    dedup, windowed agg, and stateful sessionization): the events stream
+    replayed as 4 micro-batches is enriched per micro-batch against the
+    static customer dim (broadcast — the static side is re-planned into
+    each incremental batch), then windowed per market segment. Must equal
+    the plain batch join+GROUP BY."""
+    import os
+    import tempfile
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_enrich_{_STREAM_SEQ}"
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment")
+    tmp = tempfile.mkdtemp(prefix="gs_streame_")
+    src, ck = os.path.join(tmp, "events"), os.path.join(tmp, "ckpt")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("ts timestamp_ntz, user_id long, value double")
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    agg = (stream.join(F.broadcast(cust), "user_id")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"))
+           .select(F.col("w.start").alias("window_start"), "c_mktsegment",
+                   "n_events", "total_value"))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_ENRICH = """
+SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment,
+       count(*) AS n_events, round(sum(e.value), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey - 1
+GROUP BY 1, 2
+"""
+
+
 ORACLE_STREAM_DEDUP = """
 SELECT DISTINCT 'h' || (doc_id % 20) AS host_key,
        'http://h' || (doc_id % 20) || '.onion/p' || (doc_id % 100) AS url
@@ -3196,6 +3239,7 @@ QUERIES = {
     "stream_sessionize": q_stream_sessionize,
     "stream_dedup": q_stream_dedup,
     "stream_windowed": q_stream_windowed,
+    "stream_enrich": q_stream_enrich,
 }
 
 ORACLES = {
@@ -3270,6 +3314,7 @@ ORACLES = {
     "stream_sessionize": ORACLE_STREAM_SESSIONIZE,
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "stream_windowed": ORACLE_STREAM_WINDOWED,
+    "stream_enrich": ORACLE_STREAM_ENRICH,
 }
 
 
