@@ -40,6 +40,7 @@ HEADLINE = [
     "text_c4_clean", "events_windowed",
     "pricing_summary",
     "spans_boilerplate", "text_unigram_lm", "embeddings_pq",
+    "dedup_exact_substr", "robots_rfc", "join_salted",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "300"))

@@ -527,12 +527,52 @@ def test_duplicated_spans_exact_substr(spark):
     assert all(r[0] != 4 for r in got) and all(r[0] != 5 for r in got)
 
 
+def _robots_ref_admit(shape: str, path: str, agent: str = "genesis") -> bool:
+    """Pure-Python RFC 9309 reference: group assembly, specific-over-star
+    selection, longest-match with allow tie-break, '*'/'$' wildcards."""
+    import re
+    groups, cur, last_ua = [], None, False
+    for raw in re.split(r"\r?\n", shape):
+        line = re.sub(r"#.*", "", raw).strip()
+        if ":" not in line:
+            last_ua = False
+            continue
+        f, v = line.split(":", 1)
+        f, v = f.strip().lower(), v.strip()
+        if f == "user-agent":
+            if not last_ua:
+                cur = {"agents": [], "rules": []}
+                groups.append(cur)
+            cur["agents"].append(v.lower())
+            last_ua = True
+        else:
+            if f in ("allow", "disallow") and cur is not None and v:
+                cur["rules"].append((f == "allow", v))
+            last_ua = False
+    has = any(agent in g["agents"] for g in groups)
+    if has:
+        sel = [g for g in groups if agent in g["agents"]]
+    else:
+        sel = [g for g in groups if "*" in g["agents"]]
+    best = None
+    for g in sel:
+        for allow, rp in g["rules"]:
+            anchor = rp.endswith("$")
+            core = rp[:-1] if anchor else rp
+            pat = ("^" + re.escape(core).replace(r"\*", ".*")
+                   + ("$" if anchor else ""))
+            if re.search(pat, path):
+                key = (len(rp), allow)
+                if best is None or key > best[0]:
+                    best = (key, allow)
+    return True if best is None else best[1]
+
+
 def test_robots_rfc_parser_and_longest_match(spark):
     """parse_robots_rules + admit_rfc vs a pure-Python RFC 9309 reference
     on edge cases beyond the oracle fixtures: equal-length allow/disallow
     tie (allow wins), rules before any User-agent line (ignored),
     unmatched-agent group (excluded), case-insensitive agent token."""
-    import re
     from genesis_spark.crawler.politeness import admit_rfc, parse_robots_rules
 
     shapes = {
@@ -545,43 +585,7 @@ def test_robots_rfc_parser_and_longest_match(spark):
     }
     paths = ["/orphan/p", "/a/p", "/b/p", "/x/p", "/y/p", "/tie/p",
              "/any/secret", "/plain"]
-
-    def ref(shape, path):
-        groups, cur, last_ua = [], None, False
-        for raw in re.split(r"\r?\n", shape):
-            line = re.sub(r"#.*", "", raw).strip()
-            if ":" not in line:
-                last_ua = False
-                continue
-            f, v = line.split(":", 1)
-            f, v = f.strip().lower(), v.strip()
-            if f == "user-agent":
-                if not last_ua:
-                    cur = {"agents": [], "rules": []}
-                    groups.append(cur)
-                cur["agents"].append(v.lower())
-                last_ua = True
-            else:
-                if f in ("allow", "disallow") and cur is not None and v:
-                    cur["rules"].append((f == "allow", v))
-                last_ua = False
-        has = any("genesis" in g["agents"] for g in groups)
-        if has:
-            sel = [g for g in groups if "genesis" in g["agents"]]
-        else:
-            sel = [g for g in groups if "*" in g["agents"]]
-        best = None
-        for g in sel:
-            for allow, rp in g["rules"]:
-                anchor = rp.endswith("$")
-                core = rp[:-1] if anchor else rp
-                pat = ("^" + re.escape(core).replace(r"\*", ".*")
-                       + ("$" if anchor else ""))
-                if re.search(pat, path):
-                    key = (len(rp), allow)
-                    if best is None or key > best[0]:
-                        best = (key, allow)
-        return True if best is None else best[1]
+    ref = _robots_ref_admit
 
     robots = spark.createDataFrame(list(shapes.items()),
                                    "host_key string, robots_txt string")
@@ -664,3 +668,55 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS tb_a")
         spark.sql("DROP TABLE IF EXISTS tb_b")
+
+def test_robots_rfc_randomized_vs_reference(spark):
+    """30 pseudo-random robots.txt files (seeded grammar: UA lines for
+    genesis/*/other, allow/disallow over a path pool with wildcards and
+    anchors, comments, garbage lines, blank lines, CRLF) x 8 paths — the
+    Spark parser+admitter must agree with the pure-Python RFC reference
+    on all 240 decisions, in ONE Spark job."""
+    import random
+    from genesis_spark.crawler.politeness import admit_rfc, parse_robots_rules
+
+    rng = random.Random(42)
+    path_pool = ["/a/", "/a/b/", "/*.zip$", "/x", "/x/*/y", "/", "",
+                 "/long/prefix/rule/", "/*.gif"]
+    ua_pool = ["genesis", "GENESIS", "*", "other", "foo-bot"]
+
+    def gen_shape():
+        lines = []
+        for _ in range(rng.randint(0, 14)):
+            r = rng.random()
+            if r < 0.3:
+                lines.append(f"User-agent: {rng.choice(ua_pool)}")
+            elif r < 0.55:
+                lines.append(f"Disallow: {rng.choice(path_pool)}")
+            elif r < 0.75:
+                lines.append(f"Allow: {rng.choice(path_pool)}")
+            elif r < 0.85:
+                lines.append(f"# comment {rng.randint(0, 9)}")
+            elif r < 0.92:
+                lines.append("")
+            else:
+                lines.append(rng.choice(["garbage line", "Crawl-delay: 5",
+                                         "Sitemap: http://x/s.xml"]))
+        eol = rng.choice(["\n", "\r\n"])
+        return eol.join(lines) + eol
+
+    shapes = {f"r{i}": gen_shape() for i in range(30)}
+    paths = ["/a/p", "/a/b/c", "/f.zip", "/f.zipx", "/x/q/y", "/x",
+             "/long/prefix/rule/deep", "/img.gif"]
+
+    robots = spark.createDataFrame(list(shapes.items()),
+                                   "host_key string, robots_txt string")
+    cand = spark.createDataFrame(
+        [(f"{h}|{p}", h, p) for h in shapes for p in paths],
+        "cid string, host_key string, path string")
+    rules = parse_robots_rules(robots, agent="genesis")
+    got = {r.cid: r.admitted
+           for r in admit_rfc(cand, rules, key_cols=["cid"]).collect()}
+    mismatches = [(h, p, got[f"{h}|{p}"], _robots_ref_admit(shapes[h], p))
+                  for h in shapes for p in paths
+                  if got[f"{h}|{p}"] != _robots_ref_admit(shapes[h], p)]
+    assert not mismatches, mismatches[:5]
+    assert len(got) == 240
