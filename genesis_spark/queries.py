@@ -469,6 +469,48 @@ GROUP BY l.l_returnflag, d.flag_label
 """
 
 
+# frozen output of bpe_train(sf0.001 documents, 12) — golden-verified
+# against the pure-Python classical-BPE reference in
+# tests/test_tokenize.py::test_bpe_train_sf0001_golden
+_BPE_MERGES = [("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
+               ("s", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+               ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an")]
+
+
+def q_text_bpe_apply(spark, sf_dir):
+    """BPE tokenization with a FIXED learned merge list (training itself
+    is iterative/non-SQL — golden-tested in tests/test_tokenize.py; the
+    applied merges here are its frozen sf0.001 output): 12 chained
+    codegen replaces over space-wrapped symbol strings, zero shuffles
+    until the final vocab count. Output: per-token corpus counts."""
+    from genesis_spark.operators.tokenize import bpe_apply
+
+    docs = _t(spark, sf_dir, "documents")
+    return (bpe_apply(docs, _BPE_MERGES)
+            .groupBy("token").agg(F.count("*").alias("n_tok")))
+
+
+def _bpe_apply_sql(merges) -> str:
+    expr = "' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' '"
+    for a, b in merges:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    return expr
+
+
+ORACLE_TEXT_BPE_APPLY = f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM documents
+),
+toks AS (
+  SELECT unnest(string_split_regex(trim({_bpe_apply_sql(_BPE_MERGES)}),
+                ' +')) AS token
+  FROM words WHERE word <> ''
+)
+SELECT token, count(*) AS n_tok FROM toks GROUP BY token
+"""
+
+
 def q_dedup_exact_substr(spark, sf_dir):
     """ExactSubstr duplicated spans (Lee et al. 2021) over the twin corpus:
     maximal char spans whose every 40-gram occurs >= 2 times corpus-wide
@@ -3183,6 +3225,7 @@ QUERIES = {
     "dedup_cluster_reps": q_dedup_cluster_reps,
     "dedup_exact_substr": q_dedup_exact_substr,
     "join_salted": q_join_salted,
+    "text_bpe_apply": q_text_bpe_apply,
     "corpus_clean": q_corpus_clean,
     "corpus_clean_full": q_corpus_clean_full,
     "dedup_simhash": q_dedup_simhash,
@@ -3258,6 +3301,7 @@ ORACLES = {
     "dedup_cluster_reps": ORACLE_DEDUP_CLUSTER_REPS,
     "dedup_exact_substr": ORACLE_DEDUP_EXACT_SUBSTR,
     "join_salted": ORACLE_JOIN_SALTED,
+    "text_bpe_apply": ORACLE_TEXT_BPE_APPLY,
     "corpus_clean": ORACLE_CORPUS_CLEAN,
     "corpus_clean_full": ORACLE_CORPUS_CLEAN_FULL,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
