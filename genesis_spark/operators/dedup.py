@@ -317,3 +317,66 @@ def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
                     "span_start", "span_end",
                     (F.col("span_end") - F.col("span_start"))
                     .alias("span_len")))
+
+
+def tfidf_cosine_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", threshold: float = 0.6,
+                       max_df: int = 1000, n_total: int | None = None
+                       ) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs via an INVERTED-INDEX join —
+    the scale pattern for pairwise text similarity when documents are
+    bags of words rather than dense embeddings:
+
+      1. tf per (doc, term) (one groupBy), df per term (one groupBy);
+      2. weight w = tf * ln(N/df); per-doc norm = sqrt(sum w^2);
+      3. candidate pairs ONLY through shared terms: self-equi-join of
+         the (term, doc, w) posting list on term with doc_a < doc_b,
+         dot = sum(w_a * w_b) — never an all-pairs cross join;
+      4. cosine = dot / (norm_a * norm_b), rounded to 4 dp (engine
+         float-summation-order guard), thresholded.
+
+    Terms with df > ``max_df`` are dropped from the posting lists before
+    the join (the ngram_jaccard max_df guard): a stop-word-grade term
+    would contribute ~df^2 candidate pairs and ~zero idf weight; the cap
+    bounds per-term join fan-out at max_df^2 while barely moving the
+    scores. Norms are computed AFTER the cap so dropped terms don't
+    contribute phantom magnitude (both engines agree).
+
+    Tokenization matches text_tfidf_topk: lowercase split on
+    [^a-z0-9]+, length >= 3.
+    """
+    toks = (docs
+            .select(F.col(id_col),
+                    F.explode(F.split(F.lower(F.col(text_col)),
+                                      "[^a-z0-9]+")).alias("term"))
+            .filter(F.length("term") >= 3))
+    if n_total is None:
+        n_total = docs.count()
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = (tf.groupBy("term").agg(F.count("*").alias("df"))
+           .filter(F.col("df") <= max_df))
+    w = (tf.join(df_, "term")
+         .select(F.col(id_col), "term",
+                 (F.col("tf") *
+                  F.log(F.lit(float(n_total)) / F.col("df"))).alias("w")))
+    w = w.persist()
+    norms = (w.groupBy(id_col)
+             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")))
+    wa = w.select(F.col(id_col).alias("doc_a"), "term",
+                  F.col("w").alias("wa"))
+    wb = w.select(F.col(id_col).alias("doc_b"), "term",
+                  F.col("w").alias("wb"))
+    dots = (wa.join(wb, "term")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("nrm").alias("nb"))
+    out = (dots.join(na, "doc_a").join(nb, "doc_b")
+           .withColumn("cosine", F.round(
+               F.col("dot") / (F.col("na") * F.col("nb")), 4))
+           .filter(F.col("cosine") >= threshold)
+           .select("doc_a", "doc_b", "cosine"))
+    out = out.localCheckpoint()   # materialize before releasing the cache
+    w.unpersist()
+    return out

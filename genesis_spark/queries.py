@@ -511,6 +511,46 @@ SELECT token, count(*) AS n_tok FROM toks GROUP BY token
 """
 
 
+def q_dedup_tfidf_cosine(spark, sf_dir):
+    """Sparse TF-IDF cosine near-dup pairs via inverted-index self-join
+    (never a cross join): posting lists capped at df <= 400 (drops the
+    fixture's corpus-wide salad terms, bounding per-term fan-out),
+    cosine >= 0.8 rounded at 4 dp. The twins provide exact (cos 1.0)
+    and near-dup positives."""
+    return D.tfidf_cosine_pairs(_corpus(spark, sf_dir), threshold=0.8,
+                                max_df=400)
+
+
+ORACLE_DEDUP_TFIDF_COSINE = f"""
+WITH {_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, t.term FROM corpus,
+       UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE len(t.term) >= 3
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfx AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 400
+),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((SELECT count(*) FROM corpus)::DOUBLE / dfx.df) AS w
+  FROM tf JOIN dfx USING (term)
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots
+JOIN nrm na ON na.doc_id = dots.doc_a
+JOIN nrm nb ON nb.doc_id = dots.doc_b
+WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.8
+"""
+
+
 def q_dedup_exact_substr(spark, sf_dir):
     """ExactSubstr duplicated spans (Lee et al. 2021) over the twin corpus:
     maximal char spans whose every 40-gram occurs >= 2 times corpus-wide
@@ -3224,6 +3264,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_cluster_reps": q_dedup_cluster_reps,
     "dedup_exact_substr": q_dedup_exact_substr,
+    "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
     "join_salted": q_join_salted,
     "text_bpe_apply": q_text_bpe_apply,
     "corpus_clean": q_corpus_clean,
@@ -3300,6 +3341,7 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_cluster_reps": ORACLE_DEDUP_CLUSTER_REPS,
     "dedup_exact_substr": ORACLE_DEDUP_EXACT_SUBSTR,
+    "dedup_tfidf_cosine": ORACLE_DEDUP_TFIDF_COSINE,
     "join_salted": ORACLE_JOIN_SALTED,
     "text_bpe_apply": ORACLE_TEXT_BPE_APPLY,
     "corpus_clean": ORACLE_CORPUS_CLEAN,

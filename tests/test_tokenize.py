@@ -100,3 +100,44 @@ def test_bpe_train_exhausted_vocab_stops(spark):
     tiny = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
     merges = bpe_train(tiny, 10)
     assert merges == [("a", "b")]
+
+
+def test_tfidf_cosine_pairs_vs_numpy(spark):
+    """Inverted-index sparse cosine == dense numpy tf-idf cosine on a
+    hand-built corpus; disjoint-vocab docs produce NO candidate pair
+    (inverted index never considers them)."""
+    import math
+    from collections import Counter
+    from genesis_spark.operators.dedup import tfidf_cosine_pairs
+
+    texts = {1: "apple banana cherry apple", 2: "apple banana cherry date",
+             3: "xylo zulu quark", 4: "apple banana cherry apple"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.cosine
+           for r in tfidf_cosine_pairs(docs, threshold=0.1).collect()}
+
+    tfs = {d: Counter(t.split()) for d, t in texts.items()}
+    dfc = Counter(t for tf in tfs.values() for t in tf)
+    n = len(texts)
+
+    def vec(d):
+        return {t: c * math.log(n / dfc[t]) for t, c in tfs[d].items()}
+
+    def cos(a, b):
+        va, vb = vec(a), vec(b)
+        dot = sum(va[t] * vb[t] for t in va if t in vb)
+        na = math.sqrt(sum(x * x for x in va.values()))
+        nb = math.sqrt(sum(x * x for x in vb.values()))
+        return round(dot / (na * nb), 4)
+
+    exp = {}
+    for a in texts:
+        for b in texts:
+            if a < b and set(tfs[a]) & set(tfs[b]):
+                c = cos(a, b)
+                if c >= 0.1:
+                    exp[(a, b)] = c
+    assert got == exp
+    assert (1, 4) in got and got[(1, 4)] == 1.0     # exact dup
+    assert not any(3 in p for p in got)             # disjoint vocab
