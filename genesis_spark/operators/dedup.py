@@ -380,3 +380,49 @@ def tfidf_cosine_pairs(docs: DataFrame, id_col: str = "doc_id",
     out = out.localCheckpoint()   # materialize before releasing the cache
     w.unpersist()
     return out
+
+
+def minhash_incremental_pairs(old_docs: DataFrame, new_docs: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              threshold: float = 0.5) -> DataFrame:
+    """Incremental-ingest dedup: which NEW documents near-duplicate the
+    EXISTING corpus — the shape of a continuously-fed training pipeline,
+    where re-pairing the whole corpus per batch (O(corpus) signatures +
+    O(corpus^2 / buckets) joins) is unaffordable. Band equi-joins run
+    ONLY new x old: per ingest batch the cost is O(batch) signature
+    builds + banded joins against the standing signature index (at scale
+    the old side is a persisted, bucketed-by-band-key table appended
+    once per batch — never recomputed).
+
+    Returns (old_id, new_id, est_jaccard >= threshold). Same signature
+    scheme as ``minhash_lsh_pairs``, so a pair's estimate here equals
+    what the full-corpus pass would produce (signatures are per-doc)."""
+    sig_old = minhash_signatures(old_docs, id_col, text_col).persist()
+    sig_new = minhash_signatures(new_docs, id_col, text_col).persist()
+    cand = None
+    for band in range(N_BANDS):
+        left = sig_old.select(F.col(id_col).alias("old_id"),
+                              F.col(f"b{band}").alias("_bk"))
+        right = sig_new.select(F.col(id_col).alias("new_id"),
+                               F.col(f"b{band}").alias("_bk"))
+        p = left.join(right, "_bk").select("old_id", "new_id")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    sa = sig_old.select(F.col(id_col).alias("old_id"),
+                        *[F.col(f"mh{i}").alias(f"a{i}")
+                          for i in range(N_MINHASH)])
+    sb = sig_new.select(F.col(id_col).alias("new_id"),
+                        *[F.col(f"mh{i}").alias(f"b{i}")
+                          for i in range(N_MINHASH)])
+    matches = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                  for i in range(N_MINHASH))
+    out = (cand.join(sa, "old_id").join(sb, "new_id")
+           .withColumn("est_jaccard",
+                       F.round(matches / F.lit(float(N_MINHASH)), 4))
+           .filter(F.col("est_jaccard") >= threshold)
+           .select("old_id", "new_id", "est_jaccard"))
+    out = out.localCheckpoint()
+    sig_old.unpersist()
+    sig_new.unpersist()
+    return out

@@ -225,3 +225,48 @@ def unigram_lm_score(docs, round_dp: int = 4):
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tokens"),
                  F.round(F.avg(-F.col("lp")), round_dp).alias("nll")))
+
+
+def bigram_lm_score(docs, k: float = 0.5, round_dp: int = 4):
+    """Corpus-trained BIGRAM LM surprisal per document — the second-order
+    companion to ``unigram_lm_score``: scores each doc by the mean
+    negative log of the add-k-smoothed conditional P(w2|w1) =
+    (c(w1,w2) + k) / (c(w1,·) + k·V), where c(w1,·) counts bigrams
+    starting with w1 and V is the corpus vocabulary size. Word-salad
+    docs with plausible unigrams but improbable transitions — the
+    outliers a unigram filter can't see — surface here.
+
+    Returns ``(doc_id, n_bigrams, nll2)`` (nats/bigram, rounded); docs
+    with < 2 tokens have no bigrams and drop out on both engines.
+
+    Plan: one bigram explode (array transform, codegen) → two map-side
+    combinable groupBys (bigram counts, context counts) → equi-join the
+    bigram stream back to its count (the big-big join shuffles on the
+    bigram key), context counts and the single (V, k) row broadcast.
+    """
+    words = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(words) - 2),
+                    lambda i: F.struct(
+                        F.element_at(words, i + 1).alias("w1"),
+                        F.element_at(words, i + 2).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (docs.filter(F.col("text").isNotNull())
+          .select("doc_id", F.explode(bigrams).alias("b"))
+          .select("doc_id", "b.w1", "b.w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab_n = (docs.filter(F.col("text").isNotNull())
+               .select(F.explode(words).alias("tok"))
+               .agg(F.countDistinct("tok").alias("v")))
+    scored = (bg.join(c12, ["w1", "w2"])
+              .join(F.broadcast(c1), "w1")
+              .crossJoin(F.broadcast(vocab_n))
+              .select("doc_id",
+                      F.log((F.col("c12") + F.lit(k)) /
+                            (F.col("c1") + F.lit(k) * F.col("v")))
+                      .alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg(-F.col("lp")), round_dp).alias("nll2")))

@@ -632,6 +632,29 @@ SELECT doc_a, doc_b, est_jaccard FROM mpairs
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: the twins as an arriving batch checked
+    against the standing documents corpus — band joins run ONLY new x
+    old (never old x old), the continuous-pipeline shape. Old ids are
+    < 100000 and new ids >= 100000, so the oracle is the full-corpus
+    mpairs chain filtered to cross-side pairs (a pair's estimate is
+    per-doc-signature-local, so the restricted join can't change it)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = (docs.filter(F.col("doc_id") % 2 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+                     .otherwise(F.regexp_replace("text", " [^ ]+$", ""))
+                     .alias("text")))
+    return D.minhash_incremental_pairs(docs, twins, threshold=0.5)
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH {_minhash_pairs_cte()}
+SELECT doc_a AS old_id, doc_b AS new_id, est_jaccard FROM mpairs
+WHERE doc_a < 100000 AND doc_b >= 100000
+"""
+
+
 def q_dedup_cluster_reps(spark, sf_dir):
     """Cluster-level dedup: MinHash-LSH near-dup pairs -> connected
     components (hash-to-min label propagation) -> one surviving
@@ -2042,6 +2065,65 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_corpus_sample_stratified(spark, sf_dir):
+    """Stratified EXACT-k sampling: exactly min(k, n) docs per source,
+    chosen by deterministic md5 order (the uniform-hash trick the
+    weighted sampler uses, but rank-based so every stratum hits its
+    quota exactly — quota sampling vs corpus_sample_weighted's
+    probability sampling). One window pass per stratum."""
+    k = 20
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat_ws("|", "source", F.col("doc_id").cast("string"))),
+        "doc_id")
+    return (docs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("doc_id", "source", F.col("rk").cast("long")
+                    .alias("rk")))
+
+
+ORACLE_CORPUS_SAMPLE_STRATIFIED = """
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+            ORDER BY md5(source || '|' || doc_id), doc_id) AS rk
+  FROM documents)
+WHERE rk <= 20
+"""
+
+
+def q_events_anomaly(spark, sf_dir):
+    """Per-event-type z-score outlier detection (monitoring/analytics
+    family): events whose value sits >= 2 sample-stddevs from their
+    type's mean. One map-side-combinable groupBy for the per-type
+    moments (tiny — broadcast back), one zero-shuffle scoring map;
+    the filter applies to the ROUNDED z (4 dp) so both engines make
+    the same boundary call."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "value")
+    stats = (ev.groupBy("event_type")
+             .agg(F.avg("value").alias("mu"),
+                  F.stddev_samp("value").alias("sd")))
+    return (ev.join(F.broadcast(stats), "event_type")
+            .withColumn("z", F.round((F.col("value") - F.col("mu")) /
+                                     F.col("sd"), 4))
+            .filter(F.abs(F.col("z")) >= 2.0)
+            .select("event_id", "event_type",
+                    F.round("value", 4).alias("value"), "z"))
+
+
+ORACLE_EVENTS_ANOMALY = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY 1
+)
+SELECT event_id, e.event_type, round(value, 4) AS value,
+       round((value - mu) / sd, 4) AS z
+FROM events e JOIN stats USING (event_type)
+WHERE abs(round((value - mu) / sd, 4)) >= 2.0
+"""
+
+
 def q_stream_enrich(spark, sf_dir):
     """Stream-STATIC join (the 4th streaming capability after stateful
     dedup, windowed agg, and stateful sessionization): the events stream
@@ -2887,6 +2969,40 @@ FROM tok t JOIN lp USING (tok) GROUP BY t.doc_id
 """
 
 
+def q_text_bigram_lm(spark, sf_dir):
+    """Corpus-trained bigram LM surprisal per doc: add-0.5-smoothed
+    P(w2|w1) over one bigram explode + two groupBys; catches improbable
+    TRANSITIONS a unigram filter can't (operators.textstats
+    .bigram_lm_score). Docs with < 2 tokens drop out on both engines."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    return TS.bigram_lm_score(d, k=0.5, round_dp=4)
+
+
+ORACLE_TEXT_BIGRAM_LM = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+), bg AS (
+  SELECT doc_id, w[i + 1] AS w1, w[i + 2] AS w2
+  FROM tok, unnest(range(len(w) - 1)) u(i)
+  WHERE len(w) >= 2
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL)
+)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       round(avg(-ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v))), 4) AS nll2
+FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY bg.doc_id
+"""
+
+
 def q_embeddings_quantize(spark, sf_dir):
     """Int8 scalar quantization of the embedding column (the SQ8 storage
     path of large ANN indexes): per-dim (min, max) from one
@@ -3262,6 +3378,7 @@ QUERIES = {
     "validity_rubric": q_validity_rubric,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_cluster_reps": q_dedup_cluster_reps,
     "dedup_exact_substr": q_dedup_exact_substr,
     "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
@@ -3314,6 +3431,7 @@ QUERIES = {
     "spans_pack_multimodal": q_spans_pack_multimodal,
     "spans_media_dedup": q_spans_media_dedup,
     "text_unigram_lm": q_text_unigram_lm,
+    "text_bigram_lm": q_text_bigram_lm,
     "embeddings_quantize": q_embeddings_quantize,
     "embeddings_pq": q_embeddings_pq,
     "ann_pq_topk": q_ann_pq_topk,
@@ -3323,6 +3441,8 @@ QUERIES = {
     "stream_sessionize": q_stream_sessionize,
     "stream_dedup": q_stream_dedup,
     "stream_windowed": q_stream_windowed,
+    "corpus_sample_stratified": q_corpus_sample_stratified,
+    "events_anomaly": q_events_anomaly,
     "stream_enrich": q_stream_enrich,
 }
 
@@ -3339,6 +3459,7 @@ ORACLES = {
     "validity_rubric": ORACLE_VALIDITY_RUBRIC,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_cluster_reps": ORACLE_DEDUP_CLUSTER_REPS,
     "dedup_exact_substr": ORACLE_DEDUP_EXACT_SUBSTR,
     "dedup_tfidf_cosine": ORACLE_DEDUP_TFIDF_COSINE,
@@ -3391,6 +3512,7 @@ ORACLES = {
     "spans_pack_multimodal": ORACLE_SPANS_PACK_MULTIMODAL,
     "spans_media_dedup": ORACLE_SPANS_MEDIA_DEDUP,
     "text_unigram_lm": ORACLE_TEXT_UNIGRAM_LM,
+    "text_bigram_lm": ORACLE_TEXT_BIGRAM_LM,
     "embeddings_quantize": ORACLE_EMBEDDINGS_QUANTIZE,
     "embeddings_pq": ORACLE_EMBEDDINGS_PQ,
     "ann_pq_topk": ORACLE_ANN_PQ,
@@ -3400,6 +3522,8 @@ ORACLES = {
     "stream_sessionize": ORACLE_STREAM_SESSIONIZE,
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "stream_windowed": ORACLE_STREAM_WINDOWED,
+    "corpus_sample_stratified": ORACLE_CORPUS_SAMPLE_STRATIFIED,
+    "events_anomaly": ORACLE_EVENTS_ANOMALY,
     "stream_enrich": ORACLE_STREAM_ENRICH,
 }
 
