@@ -1,0 +1,79 @@
+"""Cardinality sketches (the mergeable-aggregate family).
+
+HyperLogLog distinct counting, deterministic by construction: the hash
+is the md5 hex prefix (engine-portable — a DuckDB oracle reproduces the
+ESTIMATE bit-for-bit, not just approximately), and the register sum
+2^-M_j is accumulated in INTEGER space (sum of 2^(53-rank) as BIGINT,
+exact and commutative) so no float summation order can wiggle the
+estimate. Spark's own approx_count_distinct is the production shortcut;
+this implementation exists because (a) its registers are an explicit
+DataFrame you can persist/merge across waves like the KMV row's
+min-sets, and (b) it is oracle-checkable.
+
+Layout per key: bucket = first 8 md5 bits (m = 256 registers), rank =
+leading-zero count of the next 52 bits + 1 (hex-char arithmetic, no
+float log2). Estimate = alpha_m * m^2 / sum(2^-M_j) with the standard
+small-range linear-counting correction (Flajolet et al. 2007).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 8
+HLL_M = 1 << HLL_P                       # 256 registers
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_REST_LEN = 13                           # 52 bits after the bucket byte
+
+
+def _rank_expr(rest):
+    """Leading-zero-bit count of a 13-hex-char (52-bit) string + 1,
+    via hex-char arithmetic: 4 bits per leading '0' char plus 0-3 bits
+    from the first nonzero digit; all-zero -> 53."""
+    nz = F.regexp_replace(rest, "^0*", "")
+    z4 = (F.lit(_REST_LEN) - F.length(nz)) * 4
+    first = F.substring(nz, 1, 1)
+    extra = (F.when(first.isin(*"89abcdef"), 0)
+             .when(first.isin(*"4567"), 1)
+             .when(first.isin("2", "3"), 2)
+             .otherwise(3))
+    return (F.when(nz == "", F.lit(4 * _REST_LEN + 1))
+            .otherwise(z4 + extra + 1))
+
+
+def hll_registers(df: DataFrame, key_cols: list[str],
+                  val_col: str) -> DataFrame:
+    """(key_cols..., bucket, r) — the materialized register table. This
+    is the mergeable state: union two register tables and re-take
+    max(r) per (key, bucket) to merge sketches across partitions,
+    waves, or days."""
+    h = F.md5(F.col(val_col))
+    return (df
+            .filter(F.col(val_col).isNotNull())
+            .select(*key_cols,
+                    F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+                    .alias("bucket"),
+                    _rank_expr(F.substring(h, 3, _REST_LEN)).alias("rank"))
+            .groupBy(*key_cols, "bucket")
+            .agg(F.max("rank").alias("r")))
+
+
+def hll_distinct(df: DataFrame, key_cols: list[str],
+                 val_col: str, round_dp: int = 2) -> DataFrame:
+    """Per-key HLL cardinality estimate (see module docstring). Returns
+    (key_cols..., hll_estimate). The register sum is exact integer math
+    (sum of 2^(53-r) as BIGINT), so the estimate is row-order-free."""
+    regs = hll_registers(df, key_cols, val_col)
+    per_key = (regs.groupBy(*key_cols)
+               .agg(F.count("*").alias("npres"),
+                    F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("r"))
+                          .cast("long")).alias("s_int")))
+    v = F.lit(HLL_M) - F.col("npres")                 # zero registers
+    s = F.col("s_int") / F.lit(float(1 << 53)) + v    # sum of 2^-M_j
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / s
+    est = (F.when((raw <= 2.5 * HLL_M) & (v > 0),
+                  F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v))
+           .otherwise(raw))
+    return per_key.select(*key_cols,
+                          F.round(est, round_dp).alias("hll_estimate"))

@@ -2444,6 +2444,71 @@ FROM s
 """
 
 
+def q_url_hll_distinct(spark, sf_dir):
+    """HyperLogLog per-host distinct-URL estimate — the register-table
+    sketch next to KMV's min-set sketch (operators.sketches): md5-hex
+    bucket+rank, integer register sum (row-order-exact), linear-counting
+    small-range correction. The oracle replays the identical arithmetic,
+    so the ESTIMATE matches bit-for-bit alongside the exact count."""
+    from genesis_spark.operators.sketches import hll_distinct
+
+    key = F.col("o_orderkey")
+    urls = (_t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (key % 50).cast("string")).alias("host_key"),
+        F.concat(F.lit("http://h"), (key % 50).cast("string"),
+                 F.lit(".onion/p"), (key % 997).cast("string")).alias("url"))
+        .distinct())
+    exact = urls.groupBy("host_key").agg(F.count("*").alias("n_exact"))
+    return (hll_distinct(urls, ["host_key"], "url")
+            .join(exact, "host_key")
+            .select("host_key", "n_exact", "hll_estimate"))
+
+
+from genesis_spark.operators.sketches import HLL_ALPHA as _HLL_ALPHA  # noqa: E402
+from genesis_spark.operators.sketches import HLL_M as _HLL_M  # noqa: E402
+
+ORACLE_URL_HLL = f"""
+WITH u AS (
+  SELECT DISTINCT 'h' || (o_orderkey % 50) AS host_key,
+         'http://h' || (o_orderkey % 50) || '.onion/p' || (o_orderkey % 997)
+           AS url
+  FROM orders),
+hx AS (
+  SELECT host_key,
+         CAST(concat('0x', substr(md5(url), 1, 2)) AS BIGINT) AS bucket,
+         regexp_replace(substr(md5(url), 3, 13), '^0*', '') AS nz
+  FROM u),
+rk AS (
+  SELECT host_key, bucket,
+         CASE WHEN nz = '' THEN 53
+              ELSE (13 - length(nz)) * 4
+                   + (CASE WHEN substr(nz, 1, 1) IN
+                             ('8','9','a','b','c','d','e','f') THEN 0
+                           WHEN substr(nz, 1, 1) IN ('4','5','6','7') THEN 1
+                           WHEN substr(nz, 1, 1) IN ('2','3') THEN 2
+                           ELSE 3 END) + 1 END AS rank
+  FROM hx),
+regs AS (
+  SELECT host_key, bucket, max(rank) AS r FROM rk GROUP BY 1, 2),
+per_key AS (
+  SELECT host_key, count(*) AS npres,
+         sum(CAST(power(2, 53 - r) AS BIGINT)) AS s_int
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT host_key,
+         CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+           / (s_int / {float(1 << 53)!r} + ({_HLL_M} - npres)) AS raw,
+         {_HLL_M} - npres AS v
+  FROM per_key),
+ex AS (SELECT host_key, count(*) AS n_exact FROM u GROUP BY 1)
+SELECT ex.host_key, ex.n_exact,
+       round(CASE WHEN raw <= 2.5 * {_HLL_M} AND v > 0
+                  THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v)
+                  ELSE raw END, 2) AS hll_estimate
+FROM est JOIN ex USING (host_key)
+"""
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join (brief's custom-operator list): attach to each purchase
     the user's most recent signup at-or-before it. Spark lacks a native
@@ -3413,6 +3478,7 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "url_kmv_distinct": q_url_kmv_distinct,
+    "url_hll_distinct": q_url_hll_distinct,
     "host_pagerank": q_host_pagerank,
     "corpus_split": q_corpus_split,
     "pricing_summary": q_pricing_summary,
@@ -3494,6 +3560,7 @@ ORACLES = {
     "events_asof_join": ORACLE_EVENTS_ASOF,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "url_kmv_distinct": ORACLE_URL_KMV,
+    "url_hll_distinct": ORACLE_URL_HLL,
     "host_pagerank": ORACLE_HOST_PAGERANK,
     "corpus_split": ORACLE_CORPUS_SPLIT,
     "pricing_summary": ORACLE_PRICING_SUMMARY,

@@ -720,3 +720,61 @@ def test_robots_rfc_randomized_vs_reference(spark):
                   if got[f"{h}|{p}"] != _robots_ref_admit(shapes[h], p)]
     assert not mismatches, mismatches[:5]
     assert len(got) == 240
+
+
+# ---------------------------------------------------------------- HLL sketch
+
+def _hll_py_rank(hexrest: str) -> int:
+    """Pure-Python oracle for sketches._rank_expr: leading-zero bits of
+    the 52-bit value + 1 (all-zero -> 53)."""
+    v = int(hexrest, 16)
+    if v == 0:
+        return 53
+    return 52 - v.bit_length() + 1
+
+
+def test_hll_rank_matches_python_oracle(spark):
+    import hashlib
+
+    from genesis_spark.operators.sketches import hll_registers
+
+    vals = [f"u{i}" for i in range(500)] + ["zero-ish"]
+    df = spark.createDataFrame([(1, v) for v in vals], "k int, v string")
+    regs = {r.bucket: r.r for r in
+            hll_registers(df, ["k"], "v").collect()}
+    py = {}
+    for v in vals:
+        h = hashlib.md5(v.encode()).hexdigest()
+        b = int(h[:2], 16)
+        py[b] = max(py.get(b, 0), _hll_py_rank(h[2:15]))
+    assert regs == py
+
+
+def test_hll_registers_merge_equals_direct(spark):
+    """Union of two register tables + max-per-bucket == registers of the
+    unioned data — the mergeable-state property the docstring promises."""
+    from genesis_spark.operators.sketches import hll_registers
+
+    a = spark.createDataFrame([(1, f"a{i}") for i in range(300)],
+                              "k int, v string")
+    b = spark.createDataFrame([(1, f"b{i}") for i in range(300)] +
+                              [(1, f"a{i}") for i in range(100)],
+                              "k int, v string")
+    merged = (hll_registers(a, ["k"], "v")
+              .unionByName(hll_registers(b, ["k"], "v"))
+              .groupBy("k", "bucket").agg(F.max("r").alias("r")))
+    direct = hll_registers(a.unionByName(b), ["k"], "v")
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, direct.collect())))
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """m=256 -> standard error 1.04/sqrt(256) = 6.5%; assert the estimate
+    of 5000 distinct values lands within 4 sigma."""
+    from genesis_spark.operators.sketches import hll_distinct
+
+    n = 5000
+    df = spark.createDataFrame([(1, f"url://{i}") for i in range(n)],
+                               "k int, v string")
+    est = hll_distinct(df, ["k"], "v").collect()[0].hll_estimate
+    assert abs(est - n) / n < 4 * 1.04 / 16.0, est
