@@ -21,6 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+CMS_D = 4                                # count-min hash rows
+CMS_W = 512                              # count-min columns per row
+
 HLL_P = 8
 HLL_M = 1 << HLL_P                       # 256 registers
 HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
@@ -77,3 +80,54 @@ def hll_distinct(df: DataFrame, key_cols: list[str],
            .otherwise(raw))
     return per_key.select(*key_cols,
                           F.round(est, round_dp).alias("hll_estimate"))
+
+
+# --------------------------------------------------------------- Count-Min
+
+def _cms_col(j: int, val):
+    """Column index of hash row j for value `val`: first 32 bits of
+    md5('<j>:' + val) mod CMS_W. Engine-portable (a DuckDB oracle
+    replays the identical arithmetic)."""
+    h = F.md5(F.concat(F.lit(f"{j}:"), val))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(CMS_W))
+
+
+def cms_counts(df: DataFrame, val_col: str,
+               weight_col: str | None = None) -> DataFrame:
+    """Count-Min sketch of the frequency of `val_col`: a (j, col, cnt)
+    table of CMS_D x CMS_W counters, built in ONE scan (explode of the
+    D (j, col) pairs, then a map-side-combinable sum). Mergeable state:
+    union two count tables and re-sum per (j, col) — the additive
+    counterpart of the HLL register table's max-merge. At 100 TB the
+    sketch is ~2K rows regardless of input size, so it broadcasts."""
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    val = F.col(val_col)
+    pairs = F.array(*[
+        F.struct(F.lit(j).alias("j"), _cms_col(j, val).alias("col"))
+        for j in range(CMS_D)])
+    return (df.filter(val.isNotNull())
+            .select(F.explode(pairs).alias("p"), w.alias("w"))
+            .groupBy(F.col("p.j").alias("j"), F.col("p.col").alias("col"))
+            .agg(F.sum("w").alias("cnt")))
+
+
+def cms_estimate(counts: DataFrame, keys: DataFrame,
+                 val_col: str) -> DataFrame:
+    """Point-query the sketch for every row of `keys`: estimate =
+    min over the D rows of the addressed counter (0 when the counter
+    was never touched). Guarantees estimate >= true count (never
+    under); the counts table is tiny so the join broadcasts."""
+    val = F.col(val_col)
+    probes = (keys
+              .select(val_col,
+                      F.explode(F.array(*[
+                          F.struct(F.lit(j).alias("j"),
+                                   _cms_col(j, val).alias("col"))
+                          for j in range(CMS_D)])).alias("p"))
+              .select(val_col, "p.j", "p.col"))
+    return (probes
+            .join(F.broadcast(counts), ["j", "col"], "left")
+            .groupBy(val_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("cms_estimate")))

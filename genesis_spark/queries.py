@@ -2509,6 +2509,62 @@ FROM est JOIN ex USING (host_key)
 """
 
 
+def q_url_cms_heavy(spark, sf_dir):
+    """Count-Min heavy hitters — the frequency sketch next to HLL/KMV's
+    cardinality sketches (operators.sketches): a 4x512 counter table
+    built in one scan that a 10^10-hit stream can maintain incrementally
+    (additive merge) where an exact per-host count would shuffle every
+    hit. Hosts follow a hub-plus-long-tail split (7 hubs carry half the
+    hits, ~1000 tail hosts share the rest) so the sketch actually
+    collides in the tail; top-25 by (estimate DESC, host_key) with the
+    exact count alongside. Deterministic md5 addressing, so the oracle
+    matches the ESTIMATE bit-for-bit."""
+    from genesis_spark.operators.sketches import cms_counts, cms_estimate
+
+    key = F.col("o_orderkey")
+    host_id = (F.when(key % 4 < 2, key % 7)
+               .otherwise(key % 1000 + 100)).cast("string")
+    hits = (_t(spark, sf_dir, "orders")
+            .select(F.concat(F.lit("h"), host_id).alias("host_key")))
+    counts = cms_counts(hits, "host_key")
+    exact = hits.groupBy("host_key").agg(F.count("*").alias("n_exact"))
+    est = cms_estimate(counts, hits.distinct(), "host_key")
+    return (est.join(exact, "host_key")
+            .orderBy(F.desc("cms_estimate"), "host_key").limit(25)
+            .select("host_key", "n_exact", "cms_estimate"))
+
+
+from genesis_spark.operators.sketches import CMS_W as _CMS_W  # noqa: E402
+
+ORACLE_URL_CMS = f"""
+WITH hits AS (
+  SELECT 'h' || (CASE WHEN o_orderkey % 4 < 2 THEN o_orderkey % 7
+                      ELSE o_orderkey % 1000 + 100 END) AS host_key
+  FROM orders),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+pairs AS (
+  SELECT host_key, j,
+         CAST(concat('0x', substr(md5(concat(j, ':', host_key)), 1, 8))
+              AS BIGINT) % {_CMS_W} AS col
+  FROM hits CROSS JOIN js),
+counts AS (SELECT j, col, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+hosts AS (SELECT DISTINCT host_key FROM hits),
+probe AS (
+  SELECT host_key, j,
+         CAST(concat('0x', substr(md5(concat(j, ':', host_key)), 1, 8))
+              AS BIGINT) % {_CMS_W} AS col
+  FROM hosts CROSS JOIN js),
+est AS (
+  SELECT p.host_key, min(coalesce(c.cnt, 0)) AS cms_estimate
+  FROM probe p LEFT JOIN counts c USING (j, col) GROUP BY 1),
+ex AS (SELECT host_key, count(*) AS n_exact FROM hits GROUP BY 1)
+SELECT est.host_key, n_exact, cms_estimate
+FROM est JOIN ex USING (host_key)
+ORDER BY cms_estimate DESC, est.host_key
+LIMIT 25
+"""
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join (brief's custom-operator list): attach to each purchase
     the user's most recent signup at-or-before it. Spark lacks a native
@@ -3479,6 +3535,7 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "url_kmv_distinct": q_url_kmv_distinct,
     "url_hll_distinct": q_url_hll_distinct,
+    "url_cms_heavy": q_url_cms_heavy,
     "host_pagerank": q_host_pagerank,
     "corpus_split": q_corpus_split,
     "pricing_summary": q_pricing_summary,
@@ -3561,6 +3618,7 @@ ORACLES = {
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "url_kmv_distinct": ORACLE_URL_KMV,
     "url_hll_distinct": ORACLE_URL_HLL,
+    "url_cms_heavy": ORACLE_URL_CMS,
     "host_pagerank": ORACLE_HOST_PAGERANK,
     "corpus_split": ORACLE_CORPUS_SPLIT,
     "pricing_summary": ORACLE_PRICING_SUMMARY,

@@ -778,3 +778,68 @@ def test_hll_estimate_within_error_bound(spark):
                                "k int, v string")
     est = hll_distinct(df, ["k"], "v").collect()[0].hll_estimate
     assert abs(est - n) / n < 4 * 1.04 / 16.0, est
+
+
+# ----------------------------------------------------------- CMS sketch
+
+def _cms_py(vals):
+    """Pure-Python Count-Min oracle matching sketches._cms_col."""
+    import hashlib
+
+    from genesis_spark.operators.sketches import CMS_D, CMS_W
+
+    counts = {}
+    for v in vals:
+        for j in range(CMS_D):
+            h = hashlib.md5(f"{j}:{v}".encode()).hexdigest()
+            col = int(h[:8], 16) % CMS_W
+            counts[(j, col)] = counts.get((j, col), 0) + 1
+    return counts
+
+
+def test_cms_counts_match_python_oracle(spark):
+    from genesis_spark.operators.sketches import cms_counts
+
+    vals = [f"host{i % 37}" for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {(r.j, r.col): r.cnt for r in cms_counts(df, "v").collect()}
+    assert got == _cms_py(vals)
+
+
+def test_cms_estimate_never_underestimates(spark):
+    from collections import Counter
+
+    from genesis_spark.operators.sketches import cms_counts, cms_estimate
+
+    # 2000 distinct keys in 4x512 counters -> guaranteed collisions,
+    # so this exercises the over-count (never under) property for real.
+    vals = [f"u{i % 2000}" for i in range(6000)]
+    truth = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    counts = cms_counts(df, "v")
+    keys = spark.createDataFrame([(k,) for k in truth], "v string")
+    est = {r.v: r.cms_estimate
+           for r in cms_estimate(counts, keys, "v").collect()}
+    assert all(est[k] >= n for k, n in truth.items())
+    assert any(est[k] > n for k, n in truth.items())  # collisions happened
+    # at ~4 keys/column the chance of a collision-free row is
+    # (1-1/512)^1999 ~ 2%, so ~8% of keys over 4 rows land exact
+    assert sum(est[k] == n for k, n in truth.items()) > 50
+
+
+def test_cms_merge_equals_direct(spark):
+    """Summing two count tables per (j, col) == the sketch of the
+    unioned data — the additive-merge property."""
+    import pyspark.sql.functions as F
+
+    from genesis_spark.operators.sketches import cms_counts
+
+    a = spark.createDataFrame([(f"a{i % 50}",) for i in range(400)],
+                              "v string")
+    b = spark.createDataFrame([(f"a{i % 80}",) for i in range(400)],
+                              "v string")
+    merged = (cms_counts(a, "v").unionByName(cms_counts(b, "v"))
+              .groupBy("j", "col").agg(F.sum("cnt").alias("cnt")))
+    direct = cms_counts(a.unionByName(b), "v")
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, direct.collect())))
