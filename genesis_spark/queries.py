@@ -2565,6 +2565,44 @@ LIMIT 25
 """
 
 
+def q_frontier_zorder(spark, sf_dir):
+    """Z-order clustering key for the frontier's Iceberg layout
+    (operators.zorder): interleave (host_bucket, time_bucket) bits so
+    files pruned tightly by BOTH the per-host read (politeness,
+    recrawl) and the per-time wave scan. host_bucket = first 16 md5
+    bits of the host (engine-portable stand-in for the xxhash64 bucket);
+    time_bucket = install-sequence low 16 bits. Pure integer codegen —
+    the oracle restates the identical interleave formula."""
+    from genesis_spark.operators.zorder import zorder_key
+
+    key = F.col("o_orderkey")
+    host = F.concat(F.lit("h"), (key % 499).cast("string"))
+    rows = (_t(spark, sf_dir, "orders").select(
+        key.alias("id"),
+        F.conv(F.substring(F.md5(host), 1, 4), 16, 10).cast("long")
+        .alias("host_bucket"),
+        (key % 65536).cast("long").alias("time_bucket")))
+    return rows.select(
+        "id", "host_bucket", "time_bucket",
+        zorder_key(F.col("host_bucket"), F.col("time_bucket"))
+        .alias("zkey"))
+
+
+from genesis_spark.operators.zorder import zorder_sql_expr as _zexpr  # noqa: E402
+
+ORACLE_FRONTIER_ZORDER = f"""
+WITH rows_ AS (
+  SELECT o_orderkey AS id,
+         CAST(concat('0x', substr(md5('h' || (o_orderkey % 499)), 1, 4))
+              AS BIGINT) AS host_bucket,
+         o_orderkey % 65536 AS time_bucket
+  FROM orders)
+SELECT id, host_bucket, time_bucket,
+       {_zexpr("host_bucket", "time_bucket")} AS zkey
+FROM rows_
+"""
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join (brief's custom-operator list): attach to each purchase
     the user's most recent signup at-or-before it. Spark lacks a native
@@ -3536,6 +3574,7 @@ QUERIES = {
     "url_kmv_distinct": q_url_kmv_distinct,
     "url_hll_distinct": q_url_hll_distinct,
     "url_cms_heavy": q_url_cms_heavy,
+    "frontier_zorder": q_frontier_zorder,
     "host_pagerank": q_host_pagerank,
     "corpus_split": q_corpus_split,
     "pricing_summary": q_pricing_summary,
@@ -3619,6 +3658,7 @@ ORACLES = {
     "url_kmv_distinct": ORACLE_URL_KMV,
     "url_hll_distinct": ORACLE_URL_HLL,
     "url_cms_heavy": ORACLE_URL_CMS,
+    "frontier_zorder": ORACLE_FRONTIER_ZORDER,
     "host_pagerank": ORACLE_HOST_PAGERANK,
     "corpus_split": ORACLE_CORPUS_SPLIT,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
