@@ -2603,6 +2603,98 @@ FROM rows_
 """
 
 
+def q_sitemap_ingest(spark, sf_dir):
+    """Sitemap source round-trip (sources/sitemap.py): per-host sitemap
+    XML is synthesized in pure codegen (block per order, string-sorted
+    concat per host — deterministic), then parsed back by the regexp
+    urlset parser. The oracle states the expected parsed rows DIRECTLY
+    from orders (never touching XML), so a value-hash match proves the
+    synth->parse round trip: loc/lastmod extraction, optional
+    changefreq nullability, priority string->double."""
+    from genesis_spark.sources.sitemap import parse_sitemap
+
+    k = F.col("o_orderkey")
+    host = F.concat(F.lit("h"), (k % 20).cast("string"))
+    block = F.concat(
+        F.lit("<url><loc>http://"), host, F.lit(".onion/p"),
+        (k % 97).cast("string"), F.lit("</loc>"),
+        F.when(k % 3 == 0,
+               F.lit("<changefreq>daily</changefreq>")).otherwise(F.lit("")),
+        F.lit("<lastmod>2024-0"), ((k % 9) + 1).cast("string"),
+        F.lit("-15</lastmod><priority>0."), (k % 10).cast("string"),
+        F.lit("</priority></url>"))
+    docs = (_t(spark, sf_dir, "orders")
+            .select(host.alias("host"), block.alias("b"))
+            .groupBy("host")
+            .agg(F.concat_ws("", F.array_sort(F.collect_list("b")))
+                 .alias("content")))
+    parsed = parse_sitemap(docs, "content", keep_cols=("host",))
+    # absent changefreq is a real NULL from the parser; sentinel it for
+    # the order-insensitive hash compare (same trick as events_rollup)
+    return parsed.withColumn("changefreq",
+                             F.coalesce("changefreq", F.lit("-")))
+
+
+ORACLE_SITEMAP_INGEST = """
+SELECT 'h' || (o_orderkey % 20) AS host,
+       'http://h' || (o_orderkey % 20) || '.onion/p' || (o_orderkey % 97)
+         AS loc,
+       '2024-0' || (o_orderkey % 9 + 1) || '-15' AS lastmod,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'daily' ELSE '-' END AS changefreq,
+       CAST('0.' || (o_orderkey % 10) AS DOUBLE) AS priority
+FROM orders
+"""
+
+
+def q_frontier_change_rate(spark, sf_dir):
+    """Adaptive recrawl scheduling (crawler/freshness.py): per-URL
+    Poisson change-rate from fetch history via the Cho/Garcia-Molina
+    bias-corrected estimator -ln((n-x+0.5)/(n+0.5)), revisit interval =
+    clamp(ceil(1/rate)) with the division rounded 6 dp before the ceil
+    so both engines make the same discrete call. One
+    map-side-combinable groupBy, zero UDFs."""
+    from genesis_spark.crawler.freshness import change_rate_schedule
+
+    hist = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("http://h"),
+                 (F.col("l_orderkey") % 50).cast("string"),
+                 F.lit(".onion/p"),
+                 (F.col("l_partkey") % 200).cast("string")).alias("url"),
+        ((F.col("l_suppkey") + F.col("l_linenumber")) % 3 == 0)
+        .cast("int").alias("changed"),
+        (F.col("l_linenumber") + F.col("l_orderkey") % 7).alias("round"))
+    return change_rate_schedule(hist, ["url"])
+
+
+ORACLE_FRONTIER_CHANGE_RATE = """
+WITH h AS (
+  SELECT 'http://h' || (l_orderkey % 50) || '.onion/p' || (l_partkey % 200)
+           AS url,
+         CASE WHEN (l_suppkey + l_linenumber) % 3 = 0 THEN 1 ELSE 0 END
+           AS changed,
+         l_linenumber + (l_orderkey % 7) AS round
+  FROM lineitem),
+a AS (
+  SELECT url, count(*) AS n_fetches,
+         CAST(sum(changed) AS BIGINT) AS n_changes,
+         max(round) AS last_round
+  FROM h GROUP BY 1),
+r AS (
+  SELECT *, round(-ln((n_fetches - n_changes + 0.5) / (n_fetches + 0.5)), 6)
+           AS change_rate
+  FROM a),
+i AS (
+  SELECT *, CASE WHEN change_rate <= 0 THEN 64
+                 ELSE least(64, greatest(1,
+                      CAST(ceil(round(1.0 / change_rate, 6)) AS INT))) END
+           AS next_interval
+  FROM r)
+SELECT url, n_fetches, n_changes, change_rate, next_interval,
+       CAST(last_round + next_interval AS BIGINT) AS next_due
+FROM i
+"""
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join (brief's custom-operator list): attach to each purchase
     the user's most recent signup at-or-before it. Spark lacks a native
@@ -3575,6 +3667,8 @@ QUERIES = {
     "url_hll_distinct": q_url_hll_distinct,
     "url_cms_heavy": q_url_cms_heavy,
     "frontier_zorder": q_frontier_zorder,
+    "sitemap_ingest": q_sitemap_ingest,
+    "frontier_change_rate": q_frontier_change_rate,
     "host_pagerank": q_host_pagerank,
     "corpus_split": q_corpus_split,
     "pricing_summary": q_pricing_summary,
@@ -3659,6 +3753,8 @@ ORACLES = {
     "url_hll_distinct": ORACLE_URL_HLL,
     "url_cms_heavy": ORACLE_URL_CMS,
     "frontier_zorder": ORACLE_FRONTIER_ZORDER,
+    "sitemap_ingest": ORACLE_SITEMAP_INGEST,
+    "frontier_change_rate": ORACLE_FRONTIER_CHANGE_RATE,
     "host_pagerank": ORACLE_HOST_PAGERANK,
     "corpus_split": ORACLE_CORPUS_SPLIT,
     "pricing_summary": ORACLE_PRICING_SUMMARY,

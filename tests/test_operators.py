@@ -890,3 +890,86 @@ def test_zorder_layout_prunes_both_dimensions(spark):
     # a 1/16 slab in either dimension touches ~1/16 + envelope slop)
     assert touched(by_z, 0) <= 0.25
     assert touched(by_z, 1) <= 0.25
+
+
+# ---------------------------------------------------------------- sitemap
+
+_SITEMAP_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>  http://a.onion/1  </loc>
+    <lastmod>2024-03-01</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc>http://a.onion/2</loc></url>
+  <url><lastmod>2024-01-01</lastmod></url>
+</urlset>"""
+
+_SITEMAP_INDEX = """<sitemapindex>
+  <sitemap><loc>http://a.onion/sitemap1.xml</loc></sitemap>
+  <sitemap><lastmod>2024-01-01</lastmod>
+    <loc>http://a.onion/sitemap2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_sitemap_parse_fields_defaults_and_drops(spark):
+    from genesis_spark.sources.sitemap import parse_sitemap
+
+    df = spark.createDataFrame([("s1", _SITEMAP_XML)],
+                               "src string, content string")
+    rows = sorted(parse_sitemap(df, keep_cols=("src",)).collect(),
+                  key=lambda r: r.loc)
+    assert len(rows) == 2                       # loc-less block dropped
+    assert rows[0].loc == "http://a.onion/1"    # whitespace trimmed
+    assert rows[0].lastmod == "2024-03-01"
+    assert rows[0].changefreq == "daily"
+    assert rows[0].priority == 0.8
+    assert rows[1].loc == "http://a.onion/2"
+    assert rows[1].lastmod is None
+    assert rows[1].changefreq is None
+    assert rows[1].priority == 0.5              # spec default
+
+
+def test_sitemap_index_locs(spark):
+    from genesis_spark.sources.sitemap import sitemap_index_locs
+
+    df = spark.createDataFrame([(_SITEMAP_INDEX,)], "content string")
+    locs = sorted(r.loc for r in sitemap_index_locs(df).collect())
+    assert locs == ["http://a.onion/sitemap1.xml",
+                    "http://a.onion/sitemap2.xml"]
+
+
+# -------------------------------------------------------------- freshness
+
+def test_change_rate_schedule_matches_python(spark):
+    import math
+
+    from genesis_spark.crawler.freshness import change_rate_schedule
+
+    # url -> list of (round, changed); covers x=0 (never changed),
+    # x=n (changed every fetch), and middling rates
+    hist = {"u0": [(1, 0), (2, 0), (3, 0)],
+            "u1": [(1, 1), (2, 1)],
+            "u2": [(1, 1), (2, 0), (3, 0), (4, 1), (5, 0)],
+            "u3": [(7, 1)]}
+    rows = [(u, r, c) for u, fs in hist.items() for r, c in fs]
+    df = spark.createDataFrame(rows, "url string, round int, changed int")
+    got = {r.url: r for r in
+           change_rate_schedule(df, ["url"], "changed", "round",
+                                max_interval=64).collect()}
+    for u, fs in hist.items():
+        n, x = len(fs), sum(c for _, c in fs)
+        rate = round(-math.log((n - x + 0.5) / (n + 0.5)), 6)
+        if rate <= 0:
+            iv = 64
+        else:
+            iv = min(64, max(1, math.ceil(round(1.0 / rate, 6))))
+        r = got[u]
+        assert (r.n_fetches, r.n_changes) == (n, x)
+        assert r.change_rate == rate, u
+        assert r.next_interval == iv, u
+        assert r.next_due == max(rr for rr, _ in fs) + iv
+    # sanity: never-changing page waits longest, always-changing shortest
+    assert got["u0"].next_interval == 64
+    assert got["u1"].next_interval < got["u2"].next_interval
