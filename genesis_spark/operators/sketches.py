@@ -131,3 +131,51 @@ def cms_estimate(counts: DataFrame, keys: DataFrame,
             .groupBy(val_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("cms_estimate")))
+
+
+# ----------------------------------------------------- histogram quantiles
+
+def hist_bins(df: DataFrame, key_cols: list[str], val_col: str,
+              lo: float, hi: float, n_bins: int = 256) -> DataFrame:
+    """(key_cols..., bin, cnt) — fixed-bin histogram state over a known
+    [lo, hi) value range. The third mergeable sketch next to HLL
+    (max-merge) and CMS (sum-merge): union two bin tables and re-sum
+    per (key, bin). Fixed binning (vs a data-dependent KLL/t-digest)
+    keeps the state deterministic, so estimates are oracle-checkable
+    bit-for-bit; out-of-range values clamp into the edge bins."""
+    width = (hi - lo) / n_bins
+    b = F.floor((F.col(val_col).cast("double") - lo) / width).cast("int")
+    clamped = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
+    return (df.filter(F.col(val_col).isNotNull())
+            .groupBy(*key_cols, clamped.alias("bin"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def hist_quantile(bins: DataFrame, key_cols: list[str], q: float,
+                  lo: float, hi: float, n_bins: int = 256,
+                  round_dp: int = 4) -> DataFrame:
+    """Estimate the q-quantile per key from histogram state by linear
+    interpolation inside the bin where the cumulative count crosses
+    q*n. One window pass over the (tiny) bin table; every float step
+    is rounded at round_dp so the bin/offset decisions are
+    engine-portable."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    w = (Window.partitionBy(*key_cols).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wk = Window.partitionBy(*key_cols)
+    cum = bins.select(*key_cols, "bin", "cnt",
+                      F.sum("cnt").over(w).alias("cum"),
+                      F.sum("cnt").over(wk).alias("total"))
+    target = F.round(F.lit(q) * F.col("total"), round_dp)
+    hit = (cum.filter(F.col("cum") >= target)
+           .groupBy(*key_cols)
+           .agg(F.min_by(F.struct("bin", "cnt", "cum"), "bin").alias("s"),
+                F.first(F.col("total")).alias("total")))
+    s = F.col("s")
+    frac = ((F.round(F.lit(q) * F.col("total"), round_dp)
+             - (s.cum - s.cnt)) / s.cnt)
+    est = F.lit(lo) + (s.bin + frac) * F.lit(width)
+    return hit.select(*key_cols,
+                      F.round(est, round_dp).alias("quantile_est"))

@@ -2695,6 +2695,104 @@ FROM i
 """
 
 
+def q_events_quantile_sketch(spark, sf_dir):
+    """Histogram quantile sketch (operators.sketches.hist_bins/
+    hist_quantile) — the third mergeable sketch (sum-merge bins) next
+    to HLL and CMS, for the p50/p95 a 10^10-row metrics table can't
+    afford exactly: fixed [0,512)x256 binning (deterministic, unlike
+    KLL/t-digest) + linear interpolation inside the crossing bin. The
+    exact-percentile row (events_quantiles) stays the accuracy
+    reference; this row's oracle replays the sketch arithmetic
+    bit-for-bit."""
+    from genesis_spark.operators.sketches import hist_bins, hist_quantile
+
+    ev = _t(spark, sf_dir, "events")
+    bins = hist_bins(ev, ["event_type"], "value", 0.0, 512.0, 256)
+    p50 = (hist_quantile(bins, ["event_type"], 0.5, 0.0, 512.0, 256)
+           .withColumnRenamed("quantile_est", "p50_est"))
+    p95 = (hist_quantile(bins, ["event_type"], 0.95, 0.0, 512.0, 256)
+           .withColumnRenamed("quantile_est", "p95_est"))
+    n = ev.groupBy("event_type").agg(F.count("value").alias("n_events"))
+    return n.join(p50, "event_type").join(p95, "event_type")
+
+
+ORACLE_EVENTS_QSKETCH = """
+WITH b AS (
+  SELECT event_type,
+         least(255, greatest(0, CAST(floor(value / 2.0) AS INT))) AS bin,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS total
+  FROM b),
+q50 AS (
+  SELECT event_type,
+         min_by(bin, bin) AS bin, min_by(cnt, bin) AS cnt,
+         min_by(cum, bin) AS cum, min(total) AS total
+  FROM c WHERE cum >= round(0.5 * total, 4) GROUP BY 1),
+q95 AS (
+  SELECT event_type,
+         min_by(bin, bin) AS bin, min_by(cnt, bin) AS cnt,
+         min_by(cum, bin) AS cum, min(total) AS total
+  FROM c WHERE cum >= round(0.95 * total, 4) GROUP BY 1),
+n AS (SELECT event_type, count(value) AS n_events FROM events GROUP BY 1)
+SELECT n.event_type, n.n_events,
+       round((q50.bin + (round(0.5 * q50.total, 4) - (q50.cum - q50.cnt))
+              / q50.cnt) * 2.0, 4) AS p50_est,
+       round((q95.bin + (round(0.95 * q95.total, 4) - (q95.cum - q95.cnt))
+              / q95.cnt) * 2.0, 4) AS p95_est
+FROM n JOIN q50 USING (event_type) JOIN q95 USING (event_type)
+"""
+
+
+def q_url_trap_detect(spark, sf_dir):
+    """Crawl-trap detection (real crawler ops the reference lacks —
+    its only expansion guards are the depth/link caps,
+    generic_parse_controller.py:116-117): collapse digit runs in the
+    path to a template; a host whose distinct-URL count explodes
+    relative to its distinct-template count (calendar/session-id
+    traps) gets flagged and its crawl budget should shrink. Pure
+    codegen: two count-distincts per host, one shuffle each."""
+    lk, pk = F.col("l_orderkey"), F.col("l_partkey")
+    hid = lk % 30
+    path = (F.when(hid < 5,
+                   F.concat(F.lit("/cal/"), lk.cast("string"),
+                            F.lit("/"), pk.cast("string")))
+            .otherwise(F.concat(F.lit("/page"), (pk % 20).cast("string"))))
+    urls = (_t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("h"), hid.cast("string")).alias("host_key"),
+        path.alias("path")))
+    agg = urls.groupBy("host_key").agg(
+        F.countDistinct("path").alias("n_urls"),
+        F.countDistinct(F.regexp_replace("path", "[0-9]+", "N"))
+        .alias("n_templates"))
+    ratio = F.round(F.col("n_urls") / F.col("n_templates"), 4)
+    return agg.select("host_key", "n_urls", "n_templates",
+                      ratio.alias("url_template_ratio"),
+                      (ratio >= 50.0).alias("is_trap"))
+
+
+ORACLE_URL_TRAP = """
+WITH u AS (
+  SELECT 'h' || (l_orderkey % 30) AS host_key,
+         CASE WHEN l_orderkey % 30 < 5
+              THEN '/cal/' || l_orderkey || '/' || l_partkey
+              ELSE '/page' || (l_partkey % 20) END AS path
+  FROM lineitem),
+a AS (
+  SELECT host_key, count(DISTINCT path) AS n_urls,
+         count(DISTINCT regexp_replace(path, '[0-9]+', 'N', 'g'))
+           AS n_templates
+  FROM u GROUP BY 1)
+SELECT host_key, n_urls, n_templates,
+       round(n_urls / n_templates, 4) AS url_template_ratio,
+       round(n_urls / n_templates, 4) >= 50.0 AS is_trap
+FROM a
+"""
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join (brief's custom-operator list): attach to each purchase
     the user's most recent signup at-or-before it. Spark lacks a native
@@ -3669,6 +3767,8 @@ QUERIES = {
     "frontier_zorder": q_frontier_zorder,
     "sitemap_ingest": q_sitemap_ingest,
     "frontier_change_rate": q_frontier_change_rate,
+    "events_quantile_sketch": q_events_quantile_sketch,
+    "url_trap_detect": q_url_trap_detect,
     "host_pagerank": q_host_pagerank,
     "corpus_split": q_corpus_split,
     "pricing_summary": q_pricing_summary,
@@ -3755,6 +3855,8 @@ ORACLES = {
     "frontier_zorder": ORACLE_FRONTIER_ZORDER,
     "sitemap_ingest": ORACLE_SITEMAP_INGEST,
     "frontier_change_rate": ORACLE_FRONTIER_CHANGE_RATE,
+    "events_quantile_sketch": ORACLE_EVENTS_QSKETCH,
+    "url_trap_detect": ORACLE_URL_TRAP,
     "host_pagerank": ORACLE_HOST_PAGERANK,
     "corpus_split": ORACLE_CORPUS_SPLIT,
     "pricing_summary": ORACLE_PRICING_SUMMARY,

@@ -973,3 +973,36 @@ def test_change_rate_schedule_matches_python(spark):
     # sanity: never-changing page waits longest, always-changing shortest
     assert got["u0"].next_interval == 64
     assert got["u1"].next_interval < got["u2"].next_interval
+
+
+# --------------------------------------------------------- histogram sketch
+
+def test_hist_bins_merge_equals_direct(spark):
+    from genesis_spark.operators.sketches import hist_bins
+
+    a = spark.createDataFrame([(1, float(i % 97)) for i in range(500)],
+                              "k int, v double")
+    b = spark.createDataFrame([(1, float(i % 61)) for i in range(500)],
+                              "k int, v double")
+    merged = (hist_bins(a, ["k"], "v", 0.0, 128.0, 64)
+              .unionByName(hist_bins(b, ["k"], "v", 0.0, 128.0, 64))
+              .groupBy("k", "bin").agg(F.sum("cnt").alias("cnt")))
+    direct = hist_bins(a.unionByName(b), ["k"], "v", 0.0, 128.0, 64)
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, direct.collect())))
+
+
+def test_hist_quantile_close_to_exact_and_clamps(spark):
+    from genesis_spark.operators.sketches import hist_bins, hist_quantile
+
+    vals = [float(i) for i in range(1000)] + [-50.0, 9999.0]  # clampers
+    df = spark.createDataFrame([(1, v) for v in vals], "k int, v double")
+    bins = hist_bins(df, ["k"], "v", 0.0, 1000.0, 100)   # width 10
+    p50 = hist_quantile(bins, ["k"], 0.5, 0.0, 1000.0, 100) \
+        .collect()[0].quantile_est
+    # exact median of 0..999 (+2 clamped outliers) is ~500; one bin is
+    # 10 wide, so the interpolated estimate must land within one bin
+    assert abs(p50 - 500.0) <= 10.0, p50
+    # out-of-range values landed in edge bins, not dropped
+    total = sum(r.cnt for r in bins.collect())
+    assert total == len(vals)
