@@ -476,3 +476,54 @@ def pq_adc_topk(base: DataFrame, queries: DataFrame, k_top: int = 5,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k_top)
             .select("query_id", "rank", "neighbor_id"))
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.85,
+                   centroids: list[list[float]] | None = None,
+                   n_centroids: int = 8, dim: int | None = None,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   round_dp: int = 6) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal via
+    coarse clustering — assign every vector to its nearest centroid cell,
+    compare pairs WITHIN a cell only, and drop any vector that has a
+    same-cell partner with cosine >= threshold and a smaller id (greedy
+    min-id representative, the paper's keep-one-per-group policy applied
+    deterministically).
+
+    Distributed shape: one cell assignment map + ONE self-equi-join on
+    cell id — never an all-pairs product; a cell of size s contributes
+    s^2/2 comparisons, so at 10^9 rows n_centroids scales ~sqrt(n) (same
+    sizing rule as ``ivf_topk``) and the join is bucketable by cell at
+    rest. Cosine is rounded to ``round_dp`` before the threshold compare
+    so the keep/drop decision is fold-order-free and oracle-portable.
+
+    Returns (id, cell, kept) for every input vector."""
+    if dim is None:
+        raise TypeError("semantic_dedup requires dim= (see lsh_topk)")
+    cents = centroids if centroids is not None \
+        else seeded_centroids(n_centroids, dim)
+
+    def _checked(col: Column) -> Column:
+        return F.when(F.size(col) == dim, col).otherwise(F.raise_error(
+            F.concat(F.lit(f"semantic_dedup: vector length != dim={dim},"
+                           " got "), F.size(col).cast("string"))))
+
+    assigned = df.select(
+        F.col(id_col).alias("vec_id"),
+        _checked(F.transform(vec_col, lambda x: x.cast("double")))
+        .alias("v")).withColumn(
+            "cell", assign_cell_expr(F.col("v"), cents))
+    a = assigned.select(F.col("vec_id").alias("id_a"),
+                        F.col("v").alias("v_a"), "cell")
+    b = assigned.select(F.col("vec_id").alias("id_b"),
+                        F.col("v").alias("v_b"), "cell")
+    dropped = (a.join(b, "cell")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .filter(F.round(cosine_expr(F.col("v_a"), F.col("v_b")),
+                               round_dp) >= threshold)
+               .select(F.col("id_b").alias("vec_id"))
+               .distinct())
+    return (assigned
+            .join(dropped.withColumn("dup", F.lit(True)), "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.coalesce(~F.col("dup"), F.lit(True)).alias("kept")))

@@ -270,3 +270,62 @@ def bigram_lm_score(docs, k: float = 0.5, round_dp: int = 4):
     return (scored.groupBy("doc_id")
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.avg(-F.col("lp")), round_dp).alias("nll2")))
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021 §A1.1, the non-repetition half)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs, min_words: int = 50, max_words: int = 100_000,
+                   min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   min_alpha_frac: float = 0.8, min_stop_hits: int = 2):
+    """The full Gopher document-quality rule set over ``(doc_id, text)``
+    (Rae et al. 2021 §A1.1; the repetition half lives in
+    ``repetition_stats``):
+
+    * word count in [min_words, max_words];
+    * mean word length in [min_mean_len, max_mean_len];
+    * symbol-to-word ratio (``#`` or ``...`` hits / words) <= 0.1;
+    * >= 80% of words contain an alphabetic character;
+    * at least ``min_stop_hits`` DISTINCT required stop words present
+      (Gopher's "contains two of the/be/to/of/and/that/have/with").
+
+    Distributed shape: one pure-codegen map — every metric is an array
+    lambda over the split tokens (no explode, no shuffle). At 100 TB this
+    is a filter fused into the scan; fractions round to 4 dp so the gate
+    decisions are order-free and engine-portable."""
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w)
+    mean_len = F.round(
+        F.aggregate(w, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)).cast("double")
+        / F.greatest(n_words, F.lit(1)), 4)
+    n_symbols = (F.size(F.split(F.col("text"), "#", -1)) - 1
+                 + F.size(F.split(F.col("text"), r"\.\.\.", -1)) - 1)
+    symbol_ratio = F.round(n_symbols.cast("double")
+                           / F.greatest(n_words, F.lit(1)), 4)
+    alpha_frac = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))).cast("double")
+        / F.greatest(n_words, F.lit(1)), 4)
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.filter(
+        stops, lambda s: F.array_contains(F.transform(w, F.lower), s)))
+    out = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"))
+    gate = ((F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("mean_word_len") >= min_mean_len)
+            & (F.col("mean_word_len") <= max_mean_len)
+            & (F.col("symbol_ratio") <= max_symbol_ratio)
+            & (F.col("alpha_frac") >= min_alpha_frac)
+            & (F.col("stop_hits") >= min_stop_hits))
+    return out.withColumn("gopher_pass", gate)

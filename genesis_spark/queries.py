@@ -3714,6 +3714,326 @@ FROM px
 """
 
 
+# ---------------------------------------------------------------------------
+# block 7: Gopher gate, SemDeDup, OPIC, HITS, stream-stream join
+# ---------------------------------------------------------------------------
+
+
+def q_text_gopher(spark, sf_dir):
+    """The full Gopher document-quality gate (Rae et al. 2021 §A1.1) —
+    word-count bounds, mean word length, symbol-to-word ratio, alphabetic
+    word fraction, required-stop-word presence — over the dedup corpus.
+    Pure codegen: every metric is an array lambda over the split tokens,
+    zero shuffles; at 100 TB this fuses into the scan."""
+    return TS.gopher_quality(_corpus(spark, sf_dir))
+
+
+ORACLE_TEXT_GOPHER = f"""
+WITH {_CORPUS_SQL},
+g AS (SELECT doc_id, text, string_split(text, ' ') AS w
+      FROM corpus WHERE text IS NOT NULL),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_words,
+         round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+               / greatest(len(w), 1), 4) AS mean_word_len,
+         round(CAST((len(string_split(text, '#')) - 1)
+               + (len(string_split(text, '...')) - 1) AS DOUBLE)
+               / greatest(len(w), 1), 4) AS symbol_ratio,
+         round(CAST(len(list_filter(w,
+                x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+               / greatest(len(w), 1), 4) AS alpha_frac,
+         CAST(len(list_filter(
+                ['the','be','to','of','and','that','have','with'],
+                s -> list_contains(list_transform(w, x -> lower(x)), s)))
+              AS INT) AS stop_hits
+  FROM g)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+        AND stop_hits >= 2) AS gopher_pass
+FROM m
+"""
+
+
+_SEM_CENTROIDS, _SEM_TAU = 8, 0.85
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table with the
+    same deterministic +100000 near-duplicate twins as
+    ``dedup_embedding_cosine``: nearest-centroid cell assignment, pairs
+    compared WITHIN a cell only, drop-if-smaller-id-partner. The oracle
+    bakes identical centroid literals, so the approximate clustering is
+    checked exactly."""
+    dim = _IVF_DIM
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    dup = emb.filter(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(idx, lambda i: (
+            F.element_at("embedding", (i + 1).cast("int")).cast("double")
+            + F.lit(0.4) * F.element_at(
+                "embedding",
+                ((i + 1) % dim + 1).cast("int")).cast("double")))
+        .alias("embedding"))
+    allv = (emb.select("vec_id",
+                       F.transform("embedding", lambda x: x.cast("double"))
+                       .alias("embedding"))
+            .unionByName(dup))
+    return SIM.semantic_dedup(allv, threshold=_SEM_TAU,
+                              n_centroids=_SEM_CENTROIDS, dim=dim)
+
+
+def _semdedup_oracle() -> str:
+    import math
+
+    dim = _IVF_DIM
+    cents = SIM.seeded_centroids(_SEM_CENTROIDS, dim)
+    rows = []
+    for c, vec in enumerate(cents):
+        lit = "[" + ", ".join(repr(x) for x in vec) + "]"
+        norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        rows.append(f"({c}, {lit}::DOUBLE[], {norm!r})")
+    values = ",\n   ".join(rows)
+    return f"""
+WITH cents(cell, cvec, cnorm) AS (VALUES
+   {values}),
+allv AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range({dim}),
+           i -> embedding[i+1]::DOUBLE
+                + 0.4 * embedding[((i+1) % {dim}) + 1]::DOUBLE) AS v
+  FROM embeddings WHERE vec_id < 200),
+dots AS (
+  SELECT a.vec_id, c.cell,
+         list_sum(list_transform(range({dim}),
+             i -> a.v[i+1] * c.cvec[i+1])) / c.cnorm AS s
+  FROM allv a CROSS JOIN cents c),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cell ASC) AS rn
+    FROM dots) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT cb.vec_id
+  FROM cells ca
+  JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+  JOIN allv va ON va.vec_id = ca.vec_id
+  JOIN allv vb ON vb.vec_id = cb.vec_id
+  WHERE round(
+          list_sum(list_transform(range({dim}), i -> va.v[i+1] * vb.v[i+1]))
+          / (sqrt(list_sum(list_transform(va.v, x -> x * x)))
+             * sqrt(list_sum(list_transform(vb.v, x -> x * x)))), 6)
+        >= {_SEM_TAU})
+SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+       (d.vec_id IS NULL) AS kept
+FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+"""
+
+
+ORACLE_DEDUP_SEMANTIC = _semdedup_oracle()
+
+
+def _host_edges(spark, sf_dir):
+    """The orders-derived 50-node host link graph shared by the graph
+    signals (pagerank / OPIC / HITS)."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return (_t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (k % 50).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (c % 50).cast("string")).alias("dst"))
+        .filter(F.col("src") != F.col("dst")).distinct())
+
+
+_HOST_EDGES_SQL = """e AS (
+  SELECT DISTINCT 'h' || (o_orderkey % 50) AS src,
+                  'h' || (o_custkey % 50) AS dst
+  FROM orders
+  WHERE 'h' || (o_orderkey % 50) <> 'h' || (o_custkey % 50)),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)"""
+
+
+def q_frontier_opic(spark, sf_dir):
+    """OPIC crawl priority (Abiteboul et al. 2003, "Adaptive On-Line Page
+    Importance Computation") — the crawler-native alternative to
+    PageRank: every host starts with equal cash; each (synchronous)
+    round a host banks its cash into history and distributes it equally
+    over its out-links. Crawl priority = cash + history. All arithmetic
+    EXACT integer (cash in 1e-6 units, DIV for the split; distribution
+    remainders and dangling-host cash are dropped, mirrored in the
+    oracle) so Spark and DuckDB agree bit-for-bit. 3 unrolled rounds —
+    same shape as ``host_pagerank``; the edges subplan repeats and
+    ReusedExchange dedupes it."""
+    C0 = 1_000_000
+    edges = _host_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    state = nodes.select("node", F.lit(C0).cast("long").alias("cash"),
+                         F.lit(0).cast("long").alias("hist"))
+    for _ in range(3):
+        recv = (edges
+                .join(state.select(F.col("node").alias("src"), "cash"),
+                      "src")
+                .join(deg, "src")
+                .select(F.col("dst").alias("node"),
+                        F.expr("cash DIV outdeg").alias("share"))
+                .groupBy("node")
+                .agg(F.sum("share").alias("recv")))
+        state = (state.join(recv, "node", "left")
+                 .select("node",
+                         F.coalesce("recv", F.lit(0)).cast("long")
+                         .alias("cash"),
+                         (F.col("hist") + F.col("cash")).cast("long")
+                         .alias("hist")))
+    return state.select(F.col("node").alias("host_key"), "cash", "hist",
+                        (F.col("cash") + F.col("hist")).alias("priority"))
+
+
+ORACLE_FRONTIER_OPIC = f"""
+WITH {_HOST_EDGES_SQL},
+s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS cash,
+              CAST(0 AS BIGINT) AS hist FROM n),
+r1 AS (SELECT e.dst AS node, sum(s0.cash // deg.outdeg) AS recv
+       FROM e JOIN s0 ON s0.node = e.src JOIN deg ON deg.src = e.src
+       GROUP BY e.dst),
+s1 AS (SELECT n.node, CAST(coalesce(r1.recv, 0) AS BIGINT) AS cash,
+              CAST(s0.hist + s0.cash AS BIGINT) AS hist
+       FROM n LEFT JOIN r1 ON r1.node = n.node
+       JOIN s0 ON s0.node = n.node),
+r2 AS (SELECT e.dst AS node, sum(s1.cash // deg.outdeg) AS recv
+       FROM e JOIN s1 ON s1.node = e.src JOIN deg ON deg.src = e.src
+       GROUP BY e.dst),
+s2 AS (SELECT n.node, CAST(coalesce(r2.recv, 0) AS BIGINT) AS cash,
+              CAST(s1.hist + s1.cash AS BIGINT) AS hist
+       FROM n LEFT JOIN r2 ON r2.node = n.node
+       JOIN s1 ON s1.node = n.node),
+r3 AS (SELECT e.dst AS node, sum(s2.cash // deg.outdeg) AS recv
+       FROM e JOIN s2 ON s2.node = e.src JOIN deg ON deg.src = e.src
+       GROUP BY e.dst),
+s3 AS (SELECT n.node, CAST(coalesce(r3.recv, 0) AS BIGINT) AS cash,
+              CAST(s2.hist + s2.cash AS BIGINT) AS hist
+       FROM n LEFT JOIN r3 ON r3.node = n.node
+       JOIN s2 ON s2.node = n.node)
+SELECT node AS host_key, cash, hist, cash + hist AS priority FROM s3
+"""
+
+
+def q_host_hits(spark, sf_dir):
+    """HITS hub/authority scores (Kleinberg 1999) over the host graph —
+    the complementary frontier signal to PageRank/OPIC (directory hubs
+    vs content authorities). Two unnormalized iterations from h0 = 1 in
+    EXACT integer arithmetic: a1 = indegree, h1 = Σ a1 over out-links,
+    a2 = Σ h1 over in-links. Three map-side-combinable aggs + two
+    equi-joins; normalization (a float op) is deliberately left to the
+    consumer so the scores stay engine-exact."""
+    edges = _host_edges(spark, sf_dir)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    a1 = edges.groupBy("dst").agg(F.count("*").alias("a1"))
+    h1 = (edges.join(a1, "dst")
+          .groupBy("src").agg(F.sum("a1").alias("h1")))
+    a2 = (edges.join(h1, "src")
+          .groupBy("dst").agg(F.sum("h1").alias("a2")))
+    return (nodes
+            .join(a2.select(F.col("dst").alias("node"), "a2"),
+                  "node", "left")
+            .join(h1.select(F.col("src").alias("node"), "h1"),
+                  "node", "left")
+            .select(F.col("node").alias("host_key"),
+                    F.coalesce("a2", F.lit(0)).cast("long")
+                    .alias("authority"),
+                    F.coalesce("h1", F.lit(0)).cast("long").alias("hub")))
+
+
+ORACLE_HOST_HITS = f"""
+WITH {_HOST_EDGES_SQL},
+a1 AS (SELECT dst, count(*) AS a1 FROM e GROUP BY dst),
+h1 AS (SELECT e.src, sum(a1.a1) AS h1
+       FROM e JOIN a1 ON a1.dst = e.dst GROUP BY e.src),
+a2 AS (SELECT e.dst, sum(h1.h1) AS a2
+       FROM e JOIN h1 ON h1.src = e.src GROUP BY e.dst)
+SELECT n.node AS host_key,
+       CAST(coalesce(a2.a2, 0) AS BIGINT) AS authority,
+       CAST(coalesce(h1.h1, 0) AS BIGINT) AS hub
+FROM n
+LEFT JOIN a2 ON a2.dst = n.node
+LEFT JOIN h1 ON h1.src = n.node
+"""
+
+
+def q_stream_join(spark, sf_dir):
+    """Stream-STREAM inner join with per-side watermarks and a time-range
+    condition (the 5th streaming capability after stateful dedup,
+    windowed agg, stateful sessionization, and stream-static enrich):
+    signup events joined to purchase events of the same user within 7
+    days, both sides replayed as micro-batched file streams. The
+    watermark delay (365 days) exceeds the fixture's time span so no
+    match is dropped and the result must equal the batch join exactly;
+    at production cadence the same plan with a tight watermark bounds the
+    join state (Spark evicts buffered rows older than watermark - range)."""
+    import os
+    import tempfile
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_join_{_STREAM_SEQ}"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    tmp = tempfile.mkdtemp(prefix="gs_streamj_")
+    src, ck = os.path.join(tmp, "events"), os.path.join(tmp, "ckpt")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+
+    def _load():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .format("parquet").load(src))
+
+    # watermarks require TIMESTAMP (not NTZ); the cast shifts both sides
+    # identically and the timestamps never reach the output columns
+    signups = (_load().filter(F.col("event_type") == "signup")
+               .select(F.col("event_id").alias("signup_id"),
+                       F.col("ts").cast("timestamp").alias("s_ts"),
+                       F.col("user_id").alias("s_user"))
+               .withWatermark("s_ts", "365 days"))
+    purchases = (_load().filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("ts").cast("timestamp").alias("p_ts"),
+                         F.col("user_id").alias("p_user"))
+                 .withWatermark("p_ts", "365 days"))
+    joined = (signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")))
+        .select("signup_id", "purchase_id",
+                F.col("s_user").alias("user_id")))
+    q = (joined.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_JOIN = """
+SELECT s.event_id AS signup_id, p.event_id AS purchase_id, s.user_id
+FROM events s
+JOIN events p ON s.user_id = p.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -3800,6 +4120,11 @@ QUERIES = {
     "corpus_sample_stratified": q_corpus_sample_stratified,
     "events_anomaly": q_events_anomaly,
     "stream_enrich": q_stream_enrich,
+    "text_gopher": q_text_gopher,
+    "dedup_semantic": q_dedup_semantic,
+    "frontier_opic": q_frontier_opic,
+    "host_hits": q_host_hits,
+    "stream_join": q_stream_join,
 }
 
 ORACLES = {
@@ -3888,6 +4213,11 @@ ORACLES = {
     "corpus_sample_stratified": ORACLE_CORPUS_SAMPLE_STRATIFIED,
     "events_anomaly": ORACLE_EVENTS_ANOMALY,
     "stream_enrich": ORACLE_STREAM_ENRICH,
+    "text_gopher": ORACLE_TEXT_GOPHER,
+    "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
+    "frontier_opic": ORACLE_FRONTIER_OPIC,
+    "host_hits": ORACLE_HOST_HITS,
+    "stream_join": ORACLE_STREAM_JOIN,
 }
 
 
