@@ -227,3 +227,83 @@ def admit_rfc(candidates: DataFrame, rules: DataFrame,
                   sel, "left")
             .withColumn("admitted", F.coalesce("_adm", F.lit(True)))
             .drop("_adm"))
+
+
+def parse_robots_directives(robots_txt: DataFrame, agent: str,
+                            host_col: str = "host_key",
+                            txt_col: str = "robots_txt") -> DataFrame:
+    """The non-rule robots.txt directives a polite crawler consumes next
+    to the RFC 9309 Allow/Disallow rules:
+
+      * ``Crawl-delay`` — non-standard but widely honored (Bing/Yandex
+        semantics): group-scoped, so the same specific-beats-``*`` group
+        selection as ``parse_robots_rules`` applies; the MINIMUM across
+        the agent's applicable groups wins (conservative); unparseable
+        values are ignored (TRY_CAST -> NULL);
+      * ``Sitemap`` — file-wide per the sitemaps.org protocol (NOT
+        group-scoped), collected sorted so the output is order-free.
+
+    Output: one row per input host — (host_col, crawl_delay_ms BIGINT
+    nullable, n_sitemaps INT, sitemaps '|'-joined sorted string). Pure
+    codegen; the result is host-cardinality and broadcasts downstream
+    exactly like the rule set."""
+    agent_lc = agent.lower()
+    fields = (robots_txt
+              .select(host_col, F.posexplode(F.split(F.col(txt_col),
+                                                     r"\r?\n"))
+                      .alias("ln", "raw"))
+              .select(host_col, "ln",
+                      F.trim(F.regexp_replace("raw", "#.*", ""))
+                      .alias("line"))
+              .filter(F.instr("line", ":") > 0)
+              .select(host_col, "ln",
+                      F.lower(F.trim(
+                          F.regexp_extract("line", "^([^:]+):", 1)))
+                      .alias("field"),
+                      F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1))
+                      .alias("value")))
+    sitemaps = (fields.filter(F.col("field") == "sitemap")
+                .groupBy(host_col)
+                .agg(F.count("*").cast("int").alias("n_sitemaps"),
+                     F.array_join(F.array_sort(F.collect_list("value")),
+                                  "|").alias("sitemaps")))
+    rel = fields.filter(F.col("field").isin("user-agent", "crawl-delay"))
+    w_ord = Window.partitionBy(host_col).orderBy("ln")
+    grp = (rel
+           .withColumn("_is_new", F.when(
+               (F.col("field") == "user-agent") &
+               (F.coalesce(F.lag("field").over(w_ord), F.lit("x"))
+                != "user-agent"), 1).otherwise(0))
+           .withColumn("grp_id", F.sum("_is_new").over(
+               w_ord.rowsBetween(Window.unboundedPreceding, 0))))
+    gflag = (grp.filter(F.col("grp_id") >= 1)
+             .groupBy(host_col, "grp_id")
+             .agg(F.max(F.when((F.col("field") == "user-agent") &
+                               (F.lower("value") == agent_lc), 1)
+                        .otherwise(0)).alias("m_specific"),
+                  F.max(F.when((F.col("field") == "user-agent") &
+                               (F.col("value") == "*"), 1)
+                        .otherwise(0)).alias("m_star")))
+    hflag = (gflag.groupBy(host_col)
+             .agg(F.max("m_specific").alias("has_specific")))
+    delays = (grp
+              .filter((F.col("field") == "crawl-delay") &
+                      (F.col("grp_id") >= 1))
+              .join(gflag, [host_col, "grp_id"])
+              .join(hflag, host_col)
+              .filter(((F.col("has_specific") == 1) &
+                       (F.col("m_specific") == 1)) |
+                      ((F.col("has_specific") == 0) &
+                       (F.col("m_star") == 1)))
+              .select(host_col,
+                      F.col("value").try_cast("double").alias("d"))
+              .filter(F.col("d").isNotNull())
+              .groupBy(host_col)
+              .agg(F.round(F.min("d") * 1000).cast("long")
+                   .alias("crawl_delay_ms")))
+    return (robots_txt.select(host_col)
+            .join(delays, host_col, "left")
+            .join(sitemaps, host_col, "left")
+            .select(host_col, "crawl_delay_ms",
+                    F.coalesce("n_sitemaps", F.lit(0)).alias("n_sitemaps"),
+                    F.coalesce("sitemaps", F.lit("")).alias("sitemaps")))

@@ -389,3 +389,54 @@ def resize_media(df: DataFrame, blob_col: str = "media_blob",
                 "out_max": pd.Series(maxs, dtype="int32")})
 
     return df.mapInPandas(run, out_schema)
+
+
+def ahash_media(df: DataFrame, blob_col: str = "media_blob") -> DataFrame:
+    """Perceptual average-hash (aHash) over gray8 blobs — the image
+    near-duplicate fingerprint (decode -> NN-resample to 8x8 -> bit t set
+    iff pixel_t > mean) as ONE Arrow-batched pass. The mean compare is
+    exact integer (``px * 64 > sum`` instead of ``px > sum/64``) so the
+    64 bit decisions are engine-portable; the hash ships as four 16-bit
+    segments (seg0..seg3, bit t of the hash = bit (t % 16) of seg (t //
+    16)) — the banded layout a hamming-distance equi-join needs (same
+    4x16 scheme as dedup_simhash64) and BIGINT-overflow-free.
+
+    At 100 TB: per-row compute, no shuffle; downstream dedup joins on
+    segment equality, never all-pairs."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType([
+        df.schema["doc_id"],
+        T.StructField("seg0", T.IntegerType(), False),
+        T.StructField("seg1", T.IntegerType(), False),
+        T.StructField("seg2", T.IntegerType(), False),
+        T.StructField("seg3", T.IntegerType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            ids = []
+            segs: list[list[int]] = [[], [], [], []]
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None:
+                    continue
+                w, h, arr = decode_gray8(blob)
+                iy = (np.arange(8) * h) // 8
+                ix = (np.arange(8) * w) // 8
+                out = arr[np.ix_(iy, ix)].astype(np.int64).ravel()
+                s = int(out.sum())
+                bits = (out * 64 > s).astype(np.int64)
+                ids.append(doc_id)
+                for k in range(4):
+                    seg = int((bits[16 * k:16 * (k + 1)]
+                               << np.arange(16)).sum())
+                    segs[k].append(seg)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "seg0": pd.Series(segs[0], dtype="int32"),
+                "seg1": pd.Series(segs[1], dtype="int32"),
+                "seg2": pd.Series(segs[2], dtype="int32"),
+                "seg3": pd.Series(segs[3], dtype="int32")})
+
+    return df.mapInPandas(run, out_schema)

@@ -4034,6 +4034,316 @@ WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
 """
 
 
+# ---------------------------------------------------------------------------
+# block 8: robots directives, budget apportionment, CCNet buckets,
+# sliding windows, perceptual image hash
+# ---------------------------------------------------------------------------
+
+
+_ROBOTS_DELAY_SHAPES = [
+    "User-agent: *\nCrawl-delay: 2\nDisallow: /tmp/\n"
+    "Sitemap: https://ex0.example/sitemap.xml\n",
+    "User-agent: genesis\nCrawl-delay: 0.5\n\n"
+    "User-agent: *\nCrawl-delay: 10\n",
+    "User-agent: foo\r\nCrawl-delay: 7\r\n"
+    "Sitemap: https://ex2.example/b.xml\r\n"
+    "Sitemap: https://ex2.example/a.xml\r\n",
+    "User-agent: *\nCrawl-delay: oops\nDisallow: /x/\n",
+    "",
+]
+
+_ROBOTS_DELAY_SHAPE_SQL = " ".join(
+    f"WHEN {i} THEN {_sql_textlit(s)}"
+    for i, s in enumerate(_ROBOTS_DELAY_SHAPES))
+
+
+def q_robots_directives(spark, sf_dir):
+    """Crawl-delay + Sitemap directive extraction from raw robots.txt
+    (the politeness knobs next to the RFC 9309 rules): group-scoped
+    Crawl-delay with specific-beats-* selection and min-wins merge,
+    file-wide Sitemap collection. Five shapes cover: plain * delay,
+    specific-beats-* (0.5 s -> 500 ms), an inapplicable foreign group
+    (delay NULL but sitemaps still collected), an unparseable value
+    (TRY_CAST -> NULL), and an empty file."""
+    from genesis_spark.crawler.politeness import parse_robots_directives
+
+    r = F.col("id")
+    shape = F.when(r % 5 == 0, F.lit(_ROBOTS_DELAY_SHAPES[0]))
+    for i in range(1, 5):
+        shape = shape.when(r % 5 == i, F.lit(_ROBOTS_DELAY_SHAPES[i]))
+    robots = spark.range(30).select(
+        F.concat(F.lit("h"), r.cast("string")).alias("host_key"),
+        shape.alias("robots_txt"))
+    out = parse_robots_directives(robots, agent="genesis")
+    # no-delay hosts sentinel to -1: the value-hash compare is NULL-averse
+    # (same convention as events_rollup's grouping-set keys)
+    return out.withColumn(
+        "crawl_delay_ms",
+        F.coalesce("crawl_delay_ms", F.lit(-1).cast("long")))
+
+
+ORACLE_ROBOTS_DIRECTIVES = f"""
+WITH robots AS (
+  SELECT 'h' || r AS host_key,
+         CASE r % 5 {_ROBOTS_DELAY_SHAPE_SQL} END AS robots_txt
+  FROM range(30) t(r)
+),
+lines0 AS (
+  SELECT host_key,
+         string_split_regex(robots_txt, chr(13) || '?' || chr(10)) AS ls
+  FROM robots
+),
+lines AS (
+  SELECT host_key, i AS ln,
+         trim(regexp_replace(ls[i + 1], '#.*', '')) AS line
+  FROM lines0, unnest(range(len(ls))) u(i)
+),
+fields AS (
+  SELECT host_key, ln,
+         lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS field,
+         trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS value
+  FROM lines WHERE line LIKE '%:%'
+),
+sm AS (
+  SELECT host_key, CAST(count(*) AS INT) AS n_sitemaps,
+         string_agg(value, '|' ORDER BY value) AS sitemaps
+  FROM fields WHERE field = 'sitemap' GROUP BY host_key
+),
+rel AS (
+  SELECT * FROM fields WHERE field IN ('user-agent', 'crawl-delay')
+),
+newg AS (
+  SELECT host_key, ln, field, value,
+         CASE WHEN field = 'user-agent' AND coalesce(lag(field) OVER
+               (PARTITION BY host_key ORDER BY ln), 'x') <> 'user-agent'
+              THEN 1 ELSE 0 END AS is_new
+  FROM rel
+),
+grp AS (
+  SELECT host_key, ln, field, value,
+         sum(is_new) OVER (PARTITION BY host_key ORDER BY ln) AS grp_id
+  FROM newg
+),
+gflag AS (
+  SELECT host_key, grp_id,
+         max(CASE WHEN field = 'user-agent' AND lower(value) = 'genesis'
+                  THEN 1 ELSE 0 END) AS m_specific,
+         max(CASE WHEN field = 'user-agent' AND value = '*'
+                  THEN 1 ELSE 0 END) AS m_star
+  FROM grp WHERE grp_id >= 1 GROUP BY host_key, grp_id
+),
+hflag AS (
+  SELECT host_key, max(m_specific) AS has_specific FROM gflag
+  GROUP BY host_key
+),
+del AS (
+  SELECT g.host_key,
+         CAST(round(min(TRY_CAST(g.value AS DOUBLE)) * 1000) AS BIGINT)
+           AS crawl_delay_ms
+  FROM grp g JOIN gflag f USING (host_key, grp_id)
+       JOIN hflag h USING (host_key)
+  WHERE g.field = 'crawl-delay' AND g.grp_id >= 1
+    AND TRY_CAST(g.value AS DOUBLE) IS NOT NULL
+    AND ((h.has_specific = 1 AND f.m_specific = 1)
+         OR (h.has_specific = 0 AND f.m_star = 1))
+  GROUP BY g.host_key
+)
+SELECT r.host_key,
+       CAST(coalesce(d.crawl_delay_ms, -1) AS BIGINT) AS crawl_delay_ms,
+       coalesce(sm.n_sitemaps, 0) AS n_sitemaps,
+       coalesce(sm.sitemaps, '') AS sitemaps
+FROM robots r
+LEFT JOIN del d USING (host_key)
+LEFT JOIN sm USING (host_key)
+"""
+
+
+def q_frontier_budget(spark, sf_dir):
+    """Crawl-budget apportionment: a global fetch budget (10,000 slots)
+    split across hosts proportional to weight (here: pending-URL counts)
+    by the largest-remainder method — EXACT integers, Σ alloc == budget
+    by construction (unit-tested invariant). Two single-row broadcasts
+    (total weight, leftover k) + one map; the remainder ranking is a
+    global window over HOST-cardinality rows (50 here; at 10^7 hosts it
+    becomes a top-k — take the k largest remainders with one partial
+    top-k agg instead of a full sort)."""
+    BUDGET = 10_000
+    wts = (_t(spark, sf_dir, "orders")
+           .groupBy(F.concat(F.lit("h"),
+                             (F.col("o_orderkey") % 50).cast("string"))
+                    .alias("host_key"))
+           .agg(F.count("*").alias("wt")))
+    tot = wts.agg(F.sum("wt").alias("tot"))
+    base = (wts.crossJoin(F.broadcast(tot))
+            .select("host_key", "wt",
+                    F.expr(f"({BUDGET} * wt) DIV tot").alias("base"),
+                    F.expr(f"({BUDGET} * wt) % tot").alias("rem")))
+    kdf = base.agg((F.lit(BUDGET) - F.sum("base")).alias("k"))
+    w = Window.orderBy(F.desc("rem"), F.asc("host_key"))
+    return (base.crossJoin(F.broadcast(kdf))
+            .withColumn("rk", F.row_number().over(w))
+            .select("host_key", "wt",
+                    (F.col("base")
+                     + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0))
+                    .cast("long").alias("alloc")))
+
+
+ORACLE_FRONTIER_BUDGET = """
+WITH wts AS (
+  SELECT 'h' || (o_orderkey % 50) AS host_key, count(*) AS wt
+  FROM orders GROUP BY 1),
+tot AS (SELECT sum(wt) AS tot FROM wts),
+base AS (
+  SELECT host_key, wt, (10000 * wt) // tot AS base, (10000 * wt) % tot AS rem
+  FROM wts, tot),
+kv AS (SELECT 10000 - sum(base) AS k FROM base),
+r AS (
+  SELECT host_key, wt, base,
+         row_number() OVER (ORDER BY rem DESC, host_key ASC) AS rk
+  FROM base)
+SELECT host_key, wt,
+       CAST(base + CASE WHEN rk <= (SELECT k FROM kv) THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM r
+"""
+
+
+def q_corpus_ppl_buckets(spark, sf_dir):
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    doc with the corpus-trained unigram LM, then split into head /
+    middle / tail terciles by rank (ntile over (nll ASC, doc_id) — the
+    tie-break makes the order total so both engines cut identically).
+    The global ntile is fine at doc-quality-report cardinality; at
+    10^10 docs the cut becomes two LM-score THRESHOLDS from one
+    approx-quantile pass and bucketing is a pure map."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    scored = TS.unigram_lm_score(d)
+    w = Window.orderBy(F.asc("nll"), F.asc("doc_id"))
+    t = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id", "nll",
+        F.when(t == 1, "head").when(t == 2, "middle")
+        .otherwise("tail").alias("bucket"))
+
+
+ORACLE_CORPUS_PPL_BUCKETS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), v AS (
+  SELECT tok, count(*) AS tf FROM tok GROUP BY tok
+), lp AS (
+  SELECT tok, ln(CAST(tf AS DOUBLE)
+                 / (SELECT CAST(sum(tf) AS DOUBLE) FROM v)) AS lp
+  FROM v
+), scored AS (
+  SELECT t.doc_id, round(avg(-lp), 4) AS nll
+  FROM tok t JOIN lp USING (tok) GROUP BY t.doc_id
+), nt AS (
+  SELECT doc_id, nll,
+         ntile(3) OVER (ORDER BY nll ASC, doc_id ASC) AS t
+  FROM scored)
+SELECT doc_id, nll,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM nt
+"""
+
+
+def q_events_sliding(spark, sf_dir):
+    """Sliding (hopping) window aggregation — ``window(ts, '1 hour',
+    '30 minutes')``: every event lands in exactly duration/slide = 2
+    windows. The oracle replays the epoch-aligned window generation as
+    an unnest over the two hop offsets. Map-side combinable agg; the
+    2x row inflation happens pre-combine inside the same task."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                       "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "total_value"))
+
+
+ORACLE_EVENTS_SLIDING = """
+WITH x AS (
+  SELECT e.event_type, e.value,
+         CAST(floor(epoch(e.ts) / 1800) AS BIGINT) * 1800 - i * 1800
+           AS ws
+  FROM events e, unnest([0, 1]) u(i))
+SELECT TIMESTAMP '1970-01-01 00:00:00' + INTERVAL (ws) SECOND
+         AS window_start,
+       event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM x GROUP BY 1, 2
+"""
+
+
+def q_media_phash(spark, sf_dir):
+    """Perceptual image hash (aHash) + exact-duplicate grouping over the
+    gray8 bitmap corpus: encode (mapInPandas, real bytes) -> decode ->
+    8x8 NN-resample -> mean-threshold bits -> 4x16-bit segments, then
+    one groupBy on the full hash for duplicate counts. The oracle
+    restates the resample indices, the integer mean compare (px*64 > s),
+    and the bit packing in plain SQL — a value-hash match proves the
+    whole perceptual-hash kernel. Segments are the banded layout for
+    hamming-distance dedup joins (same 4x16 scheme as dedup_simhash64)."""
+    import pandas as pd
+
+    from genesis_spark.operators import multimodal as MM
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_blob": [MM.gray8_by_doc_id(int(i))
+                               for i in pdf["doc_id"]]})
+
+    blobs = d.mapInPandas(encode, "doc_id long, media_blob binary")
+    hashes = MM.ahash_media(blobs)
+    segcols = ["seg0", "seg1", "seg2", "seg3"]
+    grp = hashes.groupBy(*segcols).agg(F.count("*").alias("dup_count"))
+    return (hashes.join(grp, segcols)
+            .select("doc_id", *segcols, "dup_count"))
+
+
+def _phash_seg_sql(k: int) -> str:
+    return (f"CAST(list_sum(list_transform(range(16), "
+            f"t -> CASE WHEN o[{16 * k} + t + 1] * 64 > s "
+            f"THEN (1 << t) ELSE 0 END)) AS INT) AS seg{k}")
+
+
+ORACLE_MEDIA_PHASH = f"""
+WITH d AS (
+  SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS w,
+         CAST(8 + (doc_id // 3) % 16 AS INT) AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         list_transform(range(64),
+           t -> CAST((doc_id * 31
+                      + (((t // 8) * h // 8) * w
+                         + ((t % 8) * w // 8)) * 7) % 256 AS INT)) AS o
+  FROM d
+), hb AS (
+  SELECT doc_id, o, list_sum(o) AS s FROM px
+), segs AS (
+  SELECT doc_id,
+         {_phash_seg_sql(0)},
+         {_phash_seg_sql(1)},
+         {_phash_seg_sql(2)},
+         {_phash_seg_sql(3)}
+  FROM hb
+), g AS (
+  SELECT seg0, seg1, seg2, seg3, count(*) AS dup_count
+  FROM segs GROUP BY seg0, seg1, seg2, seg3)
+SELECT x.doc_id, x.seg0, x.seg1, x.seg2, x.seg3, g.dup_count
+FROM segs x JOIN g USING (seg0, seg1, seg2, seg3)
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -4125,6 +4435,11 @@ QUERIES = {
     "frontier_opic": q_frontier_opic,
     "host_hits": q_host_hits,
     "stream_join": q_stream_join,
+    "robots_directives": q_robots_directives,
+    "frontier_budget": q_frontier_budget,
+    "corpus_ppl_buckets": q_corpus_ppl_buckets,
+    "events_sliding": q_events_sliding,
+    "media_phash": q_media_phash,
 }
 
 ORACLES = {
@@ -4218,6 +4533,11 @@ ORACLES = {
     "frontier_opic": ORACLE_FRONTIER_OPIC,
     "host_hits": ORACLE_HOST_HITS,
     "stream_join": ORACLE_STREAM_JOIN,
+    "robots_directives": ORACLE_ROBOTS_DIRECTIVES,
+    "frontier_budget": ORACLE_FRONTIER_BUDGET,
+    "corpus_ppl_buckets": ORACLE_CORPUS_PPL_BUCKETS,
+    "events_sliding": ORACLE_EVENTS_SLIDING,
+    "media_phash": ORACLE_MEDIA_PHASH,
 }
 
 
