@@ -426,3 +426,42 @@ def minhash_incremental_pairs(old_docs: DataFrame, new_docs: DataFrame,
     sig_old.unpersist()
     sig_new.unpersist()
     return out
+
+
+def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_gram: int = 3,
+                      threshold: float = 0.8,
+                      max_df: int | None = None) -> DataFrame:
+    """Shingle CONTAINMENT pairs — Broder's asymmetric c(A,B) =
+    |A inter B| / |A|: detects a short document quoted wholesale inside a
+    longer one, which symmetric Jaccard dilutes below threshold. Same
+    bucketed shape as ``ngram_jaccard_pairs`` (distinct shingle sets,
+    ``max_df`` hot-shingle cap bounding per-key join fan-out, ONE
+    self-equi-join) but emits ORDERED pairs (doc_id, contained_in)
+    normalized by the LEFT side's set size; threshold applies to the
+    4dp-rounded value so the decision is engine-portable."""
+    sh = docs.select(
+        F.col(id_col).alias("d"),
+        F.explode(shingles_expr(F.col(text_col), n_gram)).alias("shingle")
+    ).distinct()
+    if max_df is not None:
+        keep = (sh.groupBy("shingle")
+                .agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("shingle"))
+        sh = sh.join(keep, "shingle")
+    sh = sh.persist()        # reused 3x (sizes + both join sides)
+    sizes = sh.groupBy("d").agg(F.count("*").alias("n_shingles"))
+    common = (sh.alias("x").join(sh.alias("y"),
+                                 (F.col("x.shingle") == F.col("y.shingle")) &
+                                 (F.col("x.d") != F.col("y.d")))
+              .groupBy(F.col("x.d").alias("doc_id"),
+                       F.col("y.d").alias("contained_in"))
+              .agg(F.count("*").alias("n_common")))
+    na = sizes.select(F.col("d").alias("doc_id"),
+                      F.col("n_shingles").alias("n_a"))
+    return (common.join(na, "doc_id")
+            .withColumn("containment",
+                        F.round(F.col("n_common") / F.col("n_a"), 4))
+            .filter(F.col("containment") >= threshold)
+            .select("doc_id", "contained_in", "containment"))

@@ -440,3 +440,85 @@ def ahash_media(df: DataFrame, blob_col: str = "media_blob") -> DataFrame:
                 "seg3": pd.Series(segs[3], dtype="int32")})
 
     return df.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# raw video: frame-sampling over a frame-array container
+# ---------------------------------------------------------------------------
+# Same philosophy as gray8: the container has no video codecs, so the
+# "video" format is a trivial RAW container (8-byte '>II' header =
+# (n_frames, frame_bytes) + n_frames fixed-size frames) whose SLICING and
+# per-frame feature math are real byte/array work (numpy over Arrow
+# batches) — the exact shape of an ffmpeg-backed frame sampler with the
+# demuxer swapped for a header read.
+
+
+def encode_video_raw(n_frames: int, frame_bytes: int,
+                     payload: bytes) -> bytes:
+    if len(payload) != n_frames * frame_bytes:
+        raise ValueError("payload does not match frame geometry")
+    return struct.pack(">II", n_frames, frame_bytes) + payload
+
+
+def video_by_doc_id(doc_id: int, frame_bytes: int = 64) -> bytes:
+    """Deterministic synthetic clip for doc_id: n_frames = 4 + doc_id % 9,
+    byte i of frame f = (doc_id*7 + f*13 + i*3) % 256 — pure integer
+    arithmetic an ANSI-SQL oracle can restate exactly."""
+    n = 4 + doc_id % 9
+    payload = bytes((doc_id * 7 + f * 13 + i * 3) % 256
+                    for f in range(n) for i in range(frame_bytes))
+    return encode_video_raw(n, frame_bytes, payload)
+
+
+def sample_frames_video(df: DataFrame, blob_col: str = "media_blob",
+                        target: int = 4) -> DataFrame:
+    """Uniform frame sampling — the standard video-training-data pass
+    (pick ``target`` frames at indices floor(t*n/target), t = 0..target-1,
+    like decord/ffmpeg `select` uniform sampling): one output row per
+    sampled frame with its index and integer byte-sum feature. The kernel
+    reads ONLY the blob (header + byte slices, numpy over Arrow batches);
+    malformed blobs are skipped (poison-guard, same policy as
+    extract_media_meta). Output (doc_id, n_frames, frame_idx, frame_sum).
+
+    Scale shape: pure mapInPandas over the scan — zero shuffles; at 100 TB
+    the frame feature extraction fuses into the read and the sampled-frame
+    rows are ~target/n of the decoded volume."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sum", T.LongType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            ids, ns, idxs, sums = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None or len(blob) < 8:
+                    continue
+                b = bytes(blob)
+                n, fb = struct.unpack(">II", b[:8])
+                if len(b) != 8 + n * fb or n == 0:
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8, offset=8)
+                seen = set()
+                for t in range(target):
+                    f = (t * n) // target
+                    if f in seen:       # n < target: indices repeat
+                        continue
+                    seen.add(f)
+                    ids.append(doc_id)
+                    ns.append(n)
+                    idxs.append(f)
+                    sums.append(int(arr[f * fb:(f + 1) * fb]
+                                    .sum(dtype=np.int64)))
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "n_frames": pd.Series(ns, dtype="int32"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_sum": pd.Series(sums, dtype="int64")})
+
+    return df.mapInPandas(run, out_schema)

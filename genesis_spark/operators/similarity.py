@@ -527,3 +527,70 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.85,
             .join(dropped.withColumn("dup", F.lit(True)), "vec_id", "left")
             .select("vec_id", "cell",
                     F.coalesce(~F.col("dup"), F.lit(True)).alias("kept")))
+
+
+def ivfpq_topk(base: DataFrame, queries: DataFrame, k_top: int = 5,
+               coarse: list[list[float]] | None = None,
+               n_centroids: int = 8, n_probe: int = 3,
+               m: int = 8, k: int = 16, dim: int = 64,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """IVF+PQ composed — the actual FAISS IVFADC index shape and the real
+    100 TB ANN path: base vectors are stored ONLY as (coarse cell id, m
+    PQ codes); a query probes its ``n_probe`` nearest coarse cells and
+    scores the candidates inside them by ADC table lookups. Neither side
+    ever touches raw base floats after encoding, and candidate generation
+    is a single equi-join on cell id — at 10^10 vectors the scan reads
+    4-bit codes for n_probe/n_centroids of the data.
+
+    Composition of the two oracle-verified halves: ``ivf_topk``'s cell
+    assignment/probing (``seeded_centroids`` stand-in for trained coarse
+    centroids) and ``pq_adc_topk``'s LUT scoring (``pq_centroids``
+    codebooks). ADC scores are ranked on the 6dp round with an id
+    tie-break (module convention: the m-term double sum is fold-order
+    sensitive). Returns (query_id, rank, neighbor_id)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    cents_c = coarse if coarse is not None \
+        else seeded_centroids(n_centroids, dim)
+    cents_pq = pq_centroids(m, k, sub_dim)
+
+    def _checked(col: Column) -> Column:
+        return F.when(F.size(col) == dim, col).otherwise(F.raise_error(
+            F.concat(F.lit(f"ivfpq_topk: vector length != dim={dim}, got "),
+                     F.size(col).cast("string"))))
+
+    coded = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        _checked(F.col(vec_col)).alias("b_vec"))
+    coded = coded.select(
+        "neighbor_id",
+        assign_cell_expr(F.col("b_vec"), cents_c).alias("cell"),
+        pq_codes_expr(F.col("b_vec"), cents_pq, sub_dim).alias("codes"))
+    luts = F.array(*[
+        _sub_dists(F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim),
+                   cents_pq[j])
+        for j in range(m)])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_cells_expr(_checked(F.col(vec_col)), cents_c,
+                                   n_probe)).alias("cell"),
+        luts.alias("luts"))
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"),
+                   F.transform(F.sequence(F.lit(0), F.lit(m - 1)),
+                               lambda j: j),
+                   lambda c, j: F.element_at(
+                       F.element_at("luts", j.cast("int") + 1), c + 1)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_r").asc(), F.col("neighbor_id").asc())
+    # each base row lives in exactly ONE cell -> (query, neighbor) pairs
+    # are already unique after the cell equi-join (same as ivf_topk)
+    return (F.broadcast(q).join(coded, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("adc_r", F.round(adc, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_top)
+            .select("query_id", "rank", "neighbor_id"))

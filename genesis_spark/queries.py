@@ -4344,6 +4344,399 @@ FROM segs x JOIN g USING (seg0, seg1, seg2, seg3)
 """
 
 
+# ---------------------------------------------------------------------------
+# block 9: IVF+PQ ANN, politeness schedule, URL-level doc dedup,
+# n-gram-profile language ID, shingle containment, host components,
+# uniform video frame sampling
+# ---------------------------------------------------------------------------
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ composed (FAISS IVFADC, the real 10^10-vector index): base
+    vectors stored only as (coarse cell, m PQ codes); queries probe
+    n_probe coarse cells and score candidates by ADC lookups. Candidate
+    generation = ONE equi-join on cell id; base floats never touched
+    after encoding. Composition of the oracle-verified ivf_topk and
+    pq_adc_topk halves; the oracle composes the same two CTE chains."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(emb, emb.filter(F.col("vec_id") < 5), k_top=5,
+                          n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+                          m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+
+
+def _ivfpq_oracle() -> str:
+    import math
+
+    coarse = SIM.seeded_centroids(_IVF_CENTROIDS, _PQ_DIM)
+    crows = []
+    for c, vec in enumerate(coarse):
+        lit = "[" + ", ".join(repr(x) for x in vec) + "]"
+        norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        crows.append(f"({c}, {lit}::DOUBLE[], {norm!r})")
+    cvalues = ",\n   ".join(crows)
+
+    sub = _PQ_DIM // _PQ_M
+    cents = SIM.pq_centroids(_PQ_M, _PQ_K, sub)
+    prows = []
+    for j, codebook in enumerate(cents):
+        for c, vec in enumerate(codebook):
+            lit = "[" + ", ".join(repr(x) for x in vec) + "]"
+            cnorm2 = float(sum(x * x for x in vec))
+            prows.append(f"({j}, {c}, {lit}::DOUBLE[], {cnorm2!r})")
+    pvalues = ",\n   ".join(prows)
+    return f"""
+WITH cents(cell, cvec, cnorm) AS (VALUES
+   {cvalues}),
+cb(j, c, cvec, cnorm2) AS (VALUES
+   {pvalues}),
+cdots AS (
+  SELECT e.vec_id, c.cell,
+         list_sum(list_transform(range({_PQ_DIM}),
+             i -> e.embedding[i+1]::DOUBLE * c.cvec[i+1])) / c.cnorm AS s
+  FROM embeddings e CROSS JOIN cents c),
+base_cells AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cell ASC) AS rn
+    FROM cdots) WHERE rn = 1),
+q_probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cell ASC) AS rn
+    FROM cdots WHERE vec_id < 5) WHERE rn <= {_IVF_PROBE}),
+dists AS (
+  SELECT e.vec_id, cb.j, cb.c,
+         cb.cnorm2 - 2 * list_sum(list_transform(range({sub}),
+             i -> e.embedding[{sub} * cb.j + i + 1]::DOUBLE * cb.cvec[i+1]))
+           AS d
+  FROM embeddings e CROSS JOIN cb),
+codes AS (
+  SELECT vec_id AS neighbor_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d ASC, c ASC) AS rn
+    FROM dists) WHERE rn = 1),
+adc AS (
+  SELECT p.query_id, bc.neighbor_id, sum(l.d) AS adc
+  FROM q_probes p
+  JOIN base_cells bc USING (cell)
+  JOIN codes co ON co.neighbor_id = bc.neighbor_id
+  JOIN dists l ON l.vec_id = p.query_id AND l.j = co.j AND l.c = co.c
+  WHERE bc.neighbor_id <> p.query_id
+  GROUP BY p.query_id, bc.neighbor_id)
+SELECT query_id, rnk AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(adc, 6) ASC, neighbor_id ASC)
+           AS rnk
+  FROM adc) WHERE rnk <= 5
+"""
+
+
+ORACLE_ANN_IVFPQ = _ivfpq_oracle()
+
+
+def q_frontier_schedule(spark, sf_dir):
+    """Politeness-aware fetch-slot assignment (ST3's scheduling primitive
+    as a declarative pass): within each host, pending URLs are ranked by
+    (installed_at, seq) and the k-th URL is scheduled k*crawl_delay ms
+    after the host's window opens — the per-host serialization the
+    politeness contract requires, computed for ALL hosts in one window
+    pass. Per-host crawl delay comes from the host's robots policy
+    (here the deterministic fixture delay). At 10^10 URLs each partition
+    is one host's politeness-budget-sized queue — the same bounded-
+    partition shape as the wave select."""
+    k = F.col("o_orderkey")
+    host_num = (k % 60).cast("int")
+    fr = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), host_num.cast("string")).alias("host_key"),
+        k.alias("seq"),
+        F.col("o_orderdate").alias("installed_at"),
+        (F.lit(500) + (host_num % 5) * 250).alias("delay_ms"))
+    w = Window.partitionBy("host_key").orderBy("installed_at", "seq")
+    return (fr.withColumn("rn", F.row_number().over(w))
+            .select("host_key", "seq",
+                    ((F.col("rn") - 1) * F.col("delay_ms"))
+                    .cast("bigint").alias("fetch_at_ms")))
+
+
+ORACLE_FRONTIER_SCHEDULE = """
+WITH fr AS (
+  SELECT 'h' || (o_orderkey % 60) AS host_key, o_orderkey AS seq,
+         o_orderdate AS installed_at,
+         500 + ((o_orderkey % 60) % 5) * 250 AS delay_ms
+  FROM orders)
+SELECT host_key, seq,
+       CAST((row_number() OVER (PARTITION BY host_key
+                                ORDER BY installed_at, seq) - 1)
+            * delay_ms AS BIGINT) AS fetch_at_ms
+FROM fr
+"""
+
+
+def q_corpus_dedup_url(spark, sf_dir):
+    """URL-level document dedup — the crawl-side dedup every corpus
+    builder runs before any content dedup: canonicalize each document's
+    source URL (the P1 kernel) and keep the earliest doc per canonical
+    URL. Ties the URL kernel into the corpus pipeline; one groupBy on the
+    canonical key (at 100 TB: pre-partition by url hash at rest and this
+    is a map-side-combinable agg, wide text never shuffles)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = F.concat(F.lit("http://www.shop"),
+                   (F.col("doc_id") % 40).cast("string"),
+                   F.lit(".com/item/"),
+                   (F.col("doc_id") % 120).cast("string"),
+                   F.lit("/"))
+    return (d.withColumn("url_canonical", U.canonicalize_expr(raw))
+            .groupBy("url_canonical")
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 (F.count("*") - 1).alias("n_dups")))
+
+
+ORACLE_CORPUS_DEDUP_URL = """
+SELECT 'http://shop' || (doc_id % 40) || '.com/item/' || (doc_id % 120)
+         AS url_canonical,
+       min(doc_id) AS keep_doc_id,
+       count(*) - 1 AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_langid_ngram(spark, sf_dir):
+    """Profile-based language ID (the Cavnar-Trenkle n-gram method the
+    brief's lang-ID asks for, upgraded from the marker heuristic of
+    text_lang_id): TRAIN per-language character-trigram profiles from the
+    labeled seed slice (every 3rd doc), then classify EVERY doc by
+    profile overlap (count of the doc's distinct trigrams appearing in
+    the language's top-20 profile; argmax with lang-asc tie-break, zero
+    overlap -> 'und'). Training is one map-side-combinable groupBy; the
+    profile is tiny (langs x 20) and broadcast — classification never
+    shuffles the corpus, only the per-doc distinct-trigram explode."""
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", F.lower("text").alias("t")))
+    tg = F.expr("CASE WHEN char_length(t) >= 3 THEN "
+                "transform(sequence(0, char_length(t)-3), "
+                "i -> substring(t, i+1, 3)) ELSE array() END")
+    grams = docs.select("doc_id", "lang", F.explode(tg).alias("g"))
+    wp = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+    profile = (grams.filter(F.col("doc_id") % 3 == 0)
+               .groupBy("lang", "g").agg(F.count("*").alias("c"))
+               .withColumn("prank", F.row_number().over(wp))
+               .filter(F.col("prank") <= 20)
+               .select(F.col("lang").alias("plang"), "g"))
+    doc_grams = grams.select("doc_id", "g").distinct()
+    matches = (doc_grams.join(F.broadcast(profile), "g")
+               .groupBy("doc_id", "plang")
+               .agg(F.count("*").alias("hits")))
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("plang"))
+    best = (matches.withColumn("rn", F.row_number().over(wd))
+            .filter(F.col("rn") == 1).select("doc_id", "plang"))
+    return (docs.join(best, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("plang", F.lit("und")).alias("lang_pred")))
+
+
+ORACLE_TEXT_LANGID_NGRAM = """
+WITH d AS (
+  SELECT doc_id, lang, lower(text) AS t FROM documents),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(CASE WHEN length(t) >= 3
+                THEN list_transform(range(length(t)-2), i -> t[i+1:i+3])
+                ELSE [] END) AS g
+  FROM d),
+profile AS (
+  SELECT lang AS plang, g FROM (
+    SELECT lang, g, count(*) AS c,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, g ASC) AS prank
+    FROM grams WHERE doc_id % 3 = 0 GROUP BY lang, g)
+  WHERE prank <= 20),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+m AS (
+  SELECT doc_id, plang, count(*) AS hits
+  FROM dg JOIN profile USING (g) GROUP BY doc_id, plang),
+best AS (
+  SELECT doc_id, plang FROM (
+    SELECT doc_id, plang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, plang ASC) AS rn
+    FROM m) WHERE rn = 1)
+SELECT d.doc_id, coalesce(best.plang, 'und') AS lang_pred
+FROM d LEFT JOIN best ON best.doc_id = d.doc_id
+"""
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Shingle CONTAINMENT near-dup pairs — the asymmetric complement to
+    Jaccard (Broder's c(A,B) = |A inter B| / |A|): catches a short doc
+    quoted inside a longer one, which symmetric Jaccard dilutes below
+    threshold. Same bucketed shape as dedup_ngram_jaccard (distinct
+    3-shingles, hot-shingle max_df cap, ONE self-equi-join on shingle)
+    but ORDERED pairs normalized by the left side's set size
+    (operators/dedup.containment_pairs)."""
+    return D.containment_pairs(_corpus(spark, sf_dir), threshold=0.8,
+                               max_df=_NGRAM_MAX_DF)
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH {_CORPUS_SQL},
+{_shingle_sql(3)},
+dsh0 AS (SELECT DISTINCT doc_id, shingle FROM sh),
+keep AS (SELECT shingle FROM dsh0 GROUP BY shingle
+         HAVING count(*) <= {_NGRAM_MAX_DF}),
+dsh AS (SELECT doc_id, dsh0.shingle FROM dsh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS doc_id, y.doc_id AS contained_in, count(*) AS n_common
+  FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+  GROUP BY 1, 2)
+SELECT doc_id, contained_in,
+       round(n_common / na.n, 4) AS containment
+FROM common JOIN sizes na USING (doc_id)
+WHERE round(n_common / na.n, 4) >= 0.8
+"""
+
+
+def q_host_components(spark, sf_dir):
+    """Connected components over the host link graph — site-cluster /
+    mirror-farm detection (which onion hosts form one connected
+    community), the graph signal next to PageRank/OPIC/HITS. Hash-to-min
+    label propagation (operators/cc.py: one shuffle per round,
+    localCheckpoint lineage cuts); oracle = recursive-CTE closure.
+    Output: every host with its component's min-id label and size."""
+    from genesis_spark.operators.cc import connected_components
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    edges = (_t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("g"), (k % 97).cast("string")).alias("src"),
+        F.concat(F.lit("g"), ((c % 97) % 60).cast("string")).alias("dst"))
+        .filter(F.col("src") != F.col("dst")).distinct())
+    comp = connected_components(edges, "src", "dst")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("component_size"))
+    return (comp.join(sizes, "component")
+            .select(F.col("node").alias("host_key"),
+                    F.col("component").alias("component_id"),
+                    "component_size"))
+
+
+ORACLE_HOST_COMPONENTS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'g' || (o_orderkey % 97) AS src,
+                  'g' || ((o_custkey % 97) % 60) AS dst
+  FROM orders
+  WHERE 'g' || (o_orderkey % 97) <> 'g' || ((o_custkey % 97) % 60)),
+sym AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT dst AS a, src AS b FROM e),
+reach AS (
+  SELECT a AS node, a AS comp FROM sym
+  UNION
+  SELECT s.a AS node, r.comp FROM sym s JOIN reach r ON r.node = s.b),
+comp AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, count(*) AS component_size
+          FROM comp GROUP BY component)
+SELECT node AS host_key, component AS component_id, component_size
+FROM comp JOIN sizes USING (component)
+"""
+
+
+def q_media_framesample(spark, sf_dir):
+    """Uniform video frame sampling end-to-end as a driver row: mapInPandas
+    encodes a deterministic RAW clip per doc (n_frames = 4 + doc_id % 9,
+    64-byte frames, byte = (doc_id*7 + f*13 + i*3) % 256), a second
+    mapInPandas reads the container header, picks frames at
+    floor(t*n/4) (t = 0..3) and emits each sampled frame's integer
+    byte-sum — REAL byte slicing/summing over Arrow batches
+    (operators/multimodal.sample_frames_video). The oracle restates the
+    frame-index map and byte arithmetic in integer SQL: a value-hash
+    match proves the container plumbing and the sampling kernel."""
+    import pandas as pd
+
+    from genesis_spark.operators import multimodal as MM
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_blob": [MM.video_by_doc_id(int(i))
+                               for i in pdf["doc_id"]]})
+
+    blobs = d.mapInPandas(encode, "doc_id long, media_blob binary")
+    return MM.sample_frames_video(blobs, target=4)
+
+
+ORACLE_MEDIA_FRAMESAMPLE = """
+WITH d AS (
+  SELECT doc_id, CAST(4 + doc_id % 9 AS INT) AS n_frames FROM documents),
+fidx AS (
+  SELECT doc_id, n_frames,
+         unnest(list_distinct(list_transform(range(4),
+                t -> CAST((t * n_frames) // 4 AS INT)))) AS frame_idx
+  FROM d)
+SELECT doc_id, n_frames, frame_idx,
+       CAST(list_sum(list_transform(range(64),
+            i -> (doc_id * 7 + frame_idx * 13 + i * 3) % 256)) AS BIGINT)
+         AS frame_sum
+FROM fidx
+"""
+
+
+def q_stream_topk(spark, sf_dir):
+    """The 6th streaming capability: stateful heavy-hitter tracking —
+    per-host cumulative URL counts maintained in the state store (ONE
+    bigint per host) across a 4-micro-batch replay, then the exact
+    top-10 hosts recovered from the emissions. The cumulative counts are
+    monotone, so max-per-host over ALL emissions equals the final count
+    no matter how the replay was batched — which is exactly what the
+    batch GROUP BY oracle checks (counts AND ranking). At production
+    cadence this is the dispatcher's live who-dominates-traffic signal;
+    state stays O(hosts)."""
+    import os
+    import tempfile
+
+    from genesis_spark.streaming.pipeline import count_stream
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_topk_{_STREAM_SEQ}"
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    links = d.select(
+        F.concat(F.lit("h"), (k % 37).cast("string")).alias("host_key"),
+        F.concat(F.lit("http://h"), (k % 37).cast("string"),
+                 F.lit(".onion/p"), k.cast("string")).alias("url"))
+    tmp = tempfile.mkdtemp(prefix="gs_streamtk_")
+    src, ck = os.path.join(tmp, "links"), os.path.join(tmp, "ckpt")
+    links.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("host_key string, url string")
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    q = (count_stream(stream.drop("url"))
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    final = (spark.table(name).groupBy("host_key")
+             .agg(F.max("n_cum").alias("n_urls")))
+    w = Window.orderBy(F.desc("n_urls"), F.asc("host_key"))
+    return (final.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("rank", "host_key", "n_urls"))
+
+
+ORACLE_STREAM_TOPK = """
+WITH c AS (
+  SELECT 'h' || (doc_id % 37) AS host_key, count(*) AS n_urls
+  FROM documents GROUP BY 1)
+SELECT rank, host_key, n_urls FROM (
+  SELECT host_key, n_urls,
+         row_number() OVER (ORDER BY n_urls DESC, host_key ASC) AS rank
+  FROM c) WHERE rank <= 10
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -4440,6 +4833,14 @@ QUERIES = {
     "corpus_ppl_buckets": q_corpus_ppl_buckets,
     "events_sliding": q_events_sliding,
     "media_phash": q_media_phash,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "frontier_schedule": q_frontier_schedule,
+    "corpus_dedup_url": q_corpus_dedup_url,
+    "text_langid_ngram": q_text_langid_ngram,
+    "dedup_containment": q_dedup_containment,
+    "host_components": q_host_components,
+    "media_framesample": q_media_framesample,
+    "stream_topk": q_stream_topk,
 }
 
 ORACLES = {
@@ -4538,6 +4939,14 @@ ORACLES = {
     "corpus_ppl_buckets": ORACLE_CORPUS_PPL_BUCKETS,
     "events_sliding": ORACLE_EVENTS_SLIDING,
     "media_phash": ORACLE_MEDIA_PHASH,
+    "ann_ivfpq_topk": ORACLE_ANN_IVFPQ,
+    "frontier_schedule": ORACLE_FRONTIER_SCHEDULE,
+    "corpus_dedup_url": ORACLE_CORPUS_DEDUP_URL,
+    "text_langid_ngram": ORACLE_TEXT_LANGID_NGRAM,
+    "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
+    "host_components": ORACLE_HOST_COMPONENTS,
+    "media_framesample": ORACLE_MEDIA_FRAMESAMPLE,
+    "stream_topk": ORACLE_STREAM_TOPK,
 }
 
 

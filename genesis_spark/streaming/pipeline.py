@@ -210,3 +210,30 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 21600):
         fn, "user_id bigint, ts timestamp_ntz, session_n int",
         "last_sec bigint, n_sessions int",
         "append", GroupStateTimeout.NoTimeout)
+
+
+def count_stream(links: DataFrame):
+    """Streaming per-host URL counter as a CUSTOM STATEFUL operator
+    (``applyInPandasWithState``) — the heavy-hitter tracker a crawl
+    dispatcher runs over the live link stream (which hosts dominate
+    traffic RIGHT NOW). State is ONE bigint per host (O(hosts), never
+    O(urls)); each micro-batch emits the host's updated cumulative count,
+    so the latest emission per host is the exact all-time count — the
+    cumulative sequence is monotone, which is what lets a downstream
+    ``max()`` recover the final value deterministically regardless of how
+    the replay was micro-batched (the property the stream_topk oracle
+    relies on)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        host = key[0]
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame([(host, n)], columns=["host_key", "n_cum"])
+
+    return links.groupBy("host_key").applyInPandasWithState(
+        fn, "host_key string, n_cum bigint", "n bigint",
+        "append", GroupStateTimeout.NoTimeout)
