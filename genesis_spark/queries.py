@@ -4737,6 +4737,275 @@ SELECT rank, host_key, n_urls FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# block 10: audio modality, distributed KMeans step, token-budget corpus
+# selection, plain-text link discovery, tracking-param strip, reciprocal
+# host links
+# ---------------------------------------------------------------------------
+
+def q_media_audio(spark, sf_dir):
+    """Audio modality end-to-end as a driver row (the third modality next
+    to gray8 images and RAW video): mapInPandas encodes a deterministic
+    PCM16 clip per doc (n = 512 + (doc_id%3)*256 samples, sample s =
+    ((doc_id*11 + s*17) % 4096) - 2048), a second mapInPandas decodes the
+    container and emits per-256-sample-window ENERGY (exact int64 sum of
+    squares) and ZERO-CROSSING counts — real numpy signal math over Arrow
+    batches (operators/multimodal.audio_features). The oracle restates
+    the synth and both features in integer SQL: a value-hash match proves
+    the int16 container plumbing and the windowed kernel."""
+    import pandas as pd
+
+    from genesis_spark.operators import multimodal as MM
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_blob": [MM.audio_by_doc_id(int(i))
+                               for i in pdf["doc_id"]]})
+
+    blobs = d.mapInPandas(encode, "doc_id long, media_blob binary")
+    return MM.audio_features(blobs, window=256)
+
+
+ORACLE_MEDIA_AUDIO = """
+WITH d AS (
+  SELECT doc_id, CAST(512 + (doc_id % 3) * 256 AS INT) AS n FROM documents),
+w AS (
+  SELECT doc_id, unnest(range(n // 256)) AS win_idx FROM d),
+x AS (
+  SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+         list_transform(range(256),
+             i -> ((doc_id*11 + (win_idx*256 + i)*17) % 4096) - 2048) AS s
+  FROM w)
+SELECT doc_id, win_idx,
+       CAST(list_sum(list_transform(s, v -> v * v)) AS BIGINT) AS energy,
+       CAST(list_sum(list_transform(range(255),
+            i -> CASE WHEN (s[i+1] < 0) <> (s[i+2] < 0)
+                 THEN 1 ELSE 0 END)) AS INT) AS zcr
+FROM x
+"""
+
+
+def q_embeddings_kmeans_step(spark, sf_dir):
+    """ONE distributed Lloyd iteration — the KMeans TRAINING step that
+    produces the real centroids ivf_topk/dedup_semantic consume (their
+    seeded stand-ins exist so oracles can bake literals; this row proves
+    the training pass itself): assign every vector to its nearest current
+    centroid (pure-codegen literal arithmetic), then recompute each
+    centroid component as the member mean via posexplode + ONE
+    map-side-combinable groupBy (cell, pos) — the exchange carries
+    O(cells x dim x partitions) partials, never vectors. Means rounded to
+    4dp (module convention: summation order must not flip the hash)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = SIM.seeded_centroids(_IVF_CENTROIDS, _IVF_DIM)
+    assigned = emb.select(
+        SIM.assign_cell_expr(
+            F.transform("embedding", lambda x: x.cast("double")),
+            cents).alias("cell"),
+        F.posexplode("embedding").alias("pos", "x"))
+    return (assigned.groupBy("cell", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 4)
+                 .alias("centroid_val"),
+                 F.count("*").alias("n_members")))
+
+
+def _kmeans_oracle() -> str:
+    import math
+
+    cents = SIM.seeded_centroids(_IVF_CENTROIDS, _IVF_DIM)
+    rows = []
+    for c, vec in enumerate(cents):
+        lit = "[" + ", ".join(repr(x) for x in vec) + "]"
+        norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        rows.append(f"({c}, {lit}::DOUBLE[], {norm!r})")
+    values = ",\n   ".join(rows)
+    return f"""
+WITH cents(cell, cvec, cnorm) AS (VALUES
+   {values}),
+dots AS (
+  SELECT e.vec_id, c.cell,
+         list_sum(list_transform(range({_IVF_DIM}),
+             i -> e.embedding[i+1]::DOUBLE * c.cvec[i+1])) / c.cnorm AS s
+  FROM embeddings e CROSS JOIN cents c),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cell ASC) AS rn
+    FROM dots) WHERE rn = 1),
+px AS (
+  SELECT a.cell, unnest(range({_IVF_DIM})) AS pos0, e.embedding
+  FROM assign a JOIN embeddings e USING (vec_id))
+SELECT cell, CAST(pos0 AS INT) AS pos,
+       round(avg(embedding[pos0 + 1]::DOUBLE), 4) AS centroid_val,
+       count(*) AS n_members
+FROM px GROUP BY cell, pos0
+"""
+
+
+ORACLE_EMBEDDINGS_KMEANS = _kmeans_oracle()
+
+
+def q_corpus_token_budget(spark, sf_dir):
+    """Token-budget corpus selection — the greedy pass that fills a
+    training-token budget with the best documents first: order by
+    (quality DESC, doc_id), admit docs while the running token total
+    stays within budget. Shown here as the flat single-window form (the
+    oracle row); at 100 TB the prefix sum decomposes exactly like
+    operators/pack.py's hierarchical path (range-partition sort ->
+    per-shard sums -> broadcast base offsets), proved bit-identical there.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = d.select(
+        "doc_id",
+        TS.quality_score_expr(F.col("text")).alias("quality"),
+        F.size(F.split("text", " ")).alias("n_tokens"))
+    w = (Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (scored.withColumn("running_tokens",
+                              F.sum("n_tokens").over(w))
+            .filter(F.col("running_tokens") <= 20000)
+            .select("doc_id", "quality", "n_tokens", "running_tokens"))
+
+
+ORACLE_CORPUS_TOKEN_BUDGET = f"""
+WITH {_quality_cte("doc_id", "documents")},
+tok AS (
+  SELECT d.doc_id, qs.q AS quality,
+         len(string_split(d.text, ' ')) AS n_tokens
+  FROM documents d JOIN qs USING (doc_id)),
+run AS (
+  SELECT doc_id, quality, n_tokens,
+         sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS running_tokens
+  FROM tok)
+SELECT doc_id, quality, n_tokens, running_tokens
+FROM run WHERE running_tokens <= 20000
+"""
+
+
+def q_text_url_extract(spark, sf_dir):
+    """Plain-text link discovery (the crawler's non-HTML link source —
+    pastebins, feeds, text dumps): regexp_extract_all over the document
+    text, one row per found URL with its network class (P5 kernel).
+    Pure codegen map + explode — fuses into the scan at 100 TB. The
+    fixture embeds two deterministic URLs per doc so the oracle can
+    restate the extraction closed-form."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    syn = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" see http://h"), (k % 50).cast("string"),
+        F.lit(".onion/p"), k.cast("string"),
+        F.lit(" and https://www.ex"), (k % 7).cast("string"),
+        F.lit(".com/q?id="), k.cast("string"), F.lit(" end"))
+    urls = F.expr(r"regexp_extract_all(t, 'https?://[^ ]+', 0)")
+    return (d.select("doc_id", syn.alias("t"))
+            .select("doc_id", F.explode(urls).alias("url"))
+            .select("doc_id", "url",
+                    U.network_type_expr(F.col("url")).alias("network")))
+
+
+ORACLE_TEXT_URL_EXTRACT = """
+SELECT doc_id, 'http://h' || (doc_id % 50) || '.onion/p' || doc_id AS url,
+       'onion' AS network
+FROM documents
+UNION ALL
+SELECT doc_id,
+       'https://www.ex' || (doc_id % 7) || '.com/q?id=' || doc_id AS url,
+       'clearnet' AS network
+FROM documents
+"""
+
+
+def q_url_param_strip(spark, sf_dir):
+    """Tracking-parameter canonicalization — the URL-normalization pass a
+    dedup-correct frontier needs beyond P1 (utm_*/ref/fbclid query params
+    make infinite aliases of one page): split the query string, drop
+    tracking keys, rebuild preserving the order of surviving params
+    (dropping '?' entirely when none survive). Pure codegen (split +
+    filter + array_join) — zero shuffles."""
+    k = F.col("o_orderkey")
+    raw_q = F.concat(
+        F.lit("a="), (k % 5).cast("string"),
+        F.when(k % 2 == 0, F.lit("&utm_source=feed")).otherwise(F.lit("")),
+        F.when(k % 3 == 0, F.concat(F.lit("&b="), (k % 7).cast("string")))
+         .otherwise(F.lit("")),
+        F.when(k % 4 == 0, F.lit("&ref=tw")).otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.lit("&fbclid=x9")).otherwise(F.lit("")))
+    base = F.concat(F.lit("http://site"), (k % 30).cast("string"),
+                    F.lit(".onion/p"), k.cast("string"))
+    kept = F.filter(
+        F.split(raw_q, "&"),
+        lambda p: ~(p.rlike("^(utm_[A-Za-z0-9_]*|ref|fbclid)=")))
+    cleaned = F.when(F.size(kept) > 0,
+                     F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+                     ).otherwise(base)
+    return (_t(spark, sf_dir, "orders").filter(k < 3000)
+            .select(k.alias("o_orderkey"),
+                    F.concat(base, F.lit("?"), raw_q).alias("url_raw"),
+                    cleaned.alias("url_stripped")))
+
+
+ORACLE_URL_PARAM_STRIP = """
+WITH r AS (
+  SELECT o_orderkey,
+         'http://site' || (o_orderkey % 30) || '.onion/p' || o_orderkey
+           AS base,
+         'a=' || (o_orderkey % 5)
+         || CASE WHEN o_orderkey % 2 = 0 THEN '&utm_source=feed' ELSE '' END
+         || CASE WHEN o_orderkey % 3 = 0
+                 THEN '&b=' || (o_orderkey % 7) ELSE '' END
+         || CASE WHEN o_orderkey % 4 = 0 THEN '&ref=tw' ELSE '' END
+         || CASE WHEN o_orderkey % 5 = 0 THEN '&fbclid=x9' ELSE '' END
+           AS q
+  FROM orders WHERE o_orderkey < 3000),
+k AS (
+  SELECT o_orderkey, base, q,
+         list_filter(string_split(q, '&'),
+             p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|ref|fbclid)='))
+           AS kept
+  FROM r)
+SELECT o_orderkey, base || '?' || q AS url_raw,
+       CASE WHEN len(kept) > 0
+            THEN base || '?' || array_to_string(kept, '&')
+            ELSE base END AS url_stripped
+FROM k
+"""
+
+
+def q_host_reciprocal(spark, sf_dir):
+    """Reciprocal-link detection over the host graph — the classic
+    link-farm / mutual-promotion spam signal a crawl prioritizer
+    down-weights: unordered host pairs linked in BOTH directions. ONE
+    self-equi-join of the distinct edge list on the reversed key (never
+    all-pairs); emitted once per pair via the src < dst gate."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    edges = (_t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (k % 50).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (c % 50).cast("string")).alias("dst"))
+        .filter(F.col("src") != F.col("dst")).distinct())
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (edges.join(rev, ["src", "dst"])
+            .filter(F.col("src") < F.col("dst"))
+            .select(F.col("src").alias("host_a"),
+                    F.col("dst").alias("host_b")))
+
+
+ORACLE_HOST_RECIPROCAL = """
+WITH e AS (
+  SELECT DISTINCT 'h' || (o_orderkey % 50) AS src,
+                  'h' || (o_custkey % 50) AS dst
+  FROM orders
+  WHERE 'h' || (o_orderkey % 50) <> 'h' || (o_custkey % 50))
+SELECT a.src AS host_a, a.dst AS host_b
+FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
+WHERE a.src < a.dst
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -4841,6 +5110,12 @@ QUERIES = {
     "host_components": q_host_components,
     "media_framesample": q_media_framesample,
     "stream_topk": q_stream_topk,
+    "media_audio": q_media_audio,
+    "embeddings_kmeans_step": q_embeddings_kmeans_step,
+    "corpus_token_budget": q_corpus_token_budget,
+    "text_url_extract": q_text_url_extract,
+    "url_param_strip": q_url_param_strip,
+    "host_reciprocal": q_host_reciprocal,
 }
 
 ORACLES = {
@@ -4947,6 +5222,12 @@ ORACLES = {
     "host_components": ORACLE_HOST_COMPONENTS,
     "media_framesample": ORACLE_MEDIA_FRAMESAMPLE,
     "stream_topk": ORACLE_STREAM_TOPK,
+    "media_audio": ORACLE_MEDIA_AUDIO,
+    "embeddings_kmeans_step": ORACLE_EMBEDDINGS_KMEANS,
+    "corpus_token_budget": ORACLE_CORPUS_TOKEN_BUDGET,
+    "text_url_extract": ORACLE_TEXT_URL_EXTRACT,
+    "url_param_strip": ORACLE_URL_PARAM_STRIP,
+    "host_reciprocal": ORACLE_HOST_RECIPROCAL,
 }
 
 
