@@ -41,6 +41,7 @@ HEADLINE = [
     "pricing_summary",
     "spans_boilerplate", "text_unigram_lm", "embeddings_pq",
     "dedup_exact_substr", "robots_rfc", "join_salted",
+    "ann_ivfpq_topk", "media_audio",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "300"))

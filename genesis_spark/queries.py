@@ -5006,6 +5006,97 @@ WHERE a.src < a.dst
 """
 
 
+# ---------------------------------------------------------------------------
+# block 11: WARC archive source, event-sequence Markov transitions
+# ---------------------------------------------------------------------------
+
+def q_warc_ingest(spark, sf_dir):
+    """WARC archive ingestion end-to-end as a driver row (the crawl
+    world's standard at-rest format — Common Crawl / Heritrix / wget
+    --warc): mapInPandas serializes a standards-shaped WARC file per doc
+    (request + response records, CRLF headers, Content-Length framing),
+    ``sources/warc.read_warc`` parses the bytes back and explodes records,
+    and the pipeline keeps the response payloads — the exact
+    archive-to-documents path a 100 TB Common Crawl job runs (one file =
+    one independent mapInPandas unit, zero shuffles until aggregation).
+    The oracle restates the response rows closed-form; a value-hash match
+    proves the CRLF/Content-Length framing round-trip."""
+    import pandas as pd
+
+    from genesis_spark.sources.warc import encode_warc, read_warc
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                uri = f"http://h{i % 50}.onion/p{i}"
+                body = f"doc-{i}-body-{i % 7}".encode()
+                blobs.append(encode_warc([
+                    ("request", uri, "2026-01-01T00:00:00Z", b"GET"),
+                    ("response", uri, "2026-01-01T00:00:01Z", body)]))
+            yield pd.DataFrame({"file_id": pdf["doc_id"],
+                                "warc_blob": blobs})
+
+    files = d.mapInPandas(encode, "file_id long, warc_blob binary")
+    recs = read_warc(files, blob_col="warc_blob", file_col="file_id")
+    return (recs.filter(F.col("warc_type") == "response")
+            .select("file_id", "target_uri", "payload_len",
+                    "payload_text"))
+
+
+ORACLE_WARC_INGEST = """
+SELECT doc_id AS file_id,
+       'http://h' || (doc_id % 50) || '.onion/p' || doc_id AS target_uri,
+       CAST(length('doc-' || doc_id || '-body-' || (doc_id % 7)) AS INT)
+         AS payload_len,
+       'doc-' || doc_id || '-body-' || (doc_id % 7) AS payload_text
+FROM documents
+"""
+
+
+def q_events_markov(spark, sf_dir):
+    """Event-sequence Markov transition matrix — the behavioral-model
+    signal (what follows what) built from per-user event streams: lag
+    over (user, ts-ordered) windows pairs each event with its
+    predecessor, ONE map-side-combinable groupBy counts transitions, and
+    probabilities normalize per source state (4dp round, module
+    convention). Same bounded per-user partition shape as sessionize; at
+    100 TB the window partitions by user and the transition matrix is
+    O(types^2)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                            "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("prev_type", F.lag("event_type").over(w))
+             .filter(F.col("prev_type").isNotNull()))
+    counts = (pairs.groupBy("prev_type", "event_type")
+              .agg(F.count("*").alias("n_trans")))
+    wt = Window.partitionBy("prev_type")
+    return (counts
+            .withColumn("p_trans",
+                        F.round(F.col("n_trans") /
+                                F.sum("n_trans").over(wt), 4))
+            .select("prev_type", "event_type", "n_trans", "p_trans"))
+
+
+ORACLE_EVENTS_MARKOV = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+c AS (
+  SELECT prev_type, event_type, count(*) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, event_type, n_trans,
+       round(n_trans / (sum(n_trans) OVER (PARTITION BY prev_type)), 4)
+         AS p_trans
+FROM c
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -5116,6 +5207,8 @@ QUERIES = {
     "text_url_extract": q_text_url_extract,
     "url_param_strip": q_url_param_strip,
     "host_reciprocal": q_host_reciprocal,
+    "warc_ingest": q_warc_ingest,
+    "events_markov": q_events_markov,
 }
 
 ORACLES = {
@@ -5228,6 +5321,8 @@ ORACLES = {
     "text_url_extract": ORACLE_TEXT_URL_EXTRACT,
     "url_param_strip": ORACLE_URL_PARAM_STRIP,
     "host_reciprocal": ORACLE_HOST_RECIPROCAL,
+    "warc_ingest": ORACLE_WARC_INGEST,
+    "events_markov": ORACLE_EVENTS_MARKOV,
 }
 
 

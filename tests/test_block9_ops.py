@@ -232,3 +232,40 @@ def test_count_stream_cumulative_across_microbatches(spark, tmp_path):
     # cumulative monotone: h0's emissions strictly increase
     h0 = sorted(n for h, n in got if h == "h0")
     assert h0 == sorted(set(h0))
+
+
+# ---------------------------------------------------------------------------
+# WARC source (block 11)
+# ---------------------------------------------------------------------------
+
+def test_warc_roundtrip_multirecord_and_truncation():
+    from genesis_spark.sources.warc import encode_warc, parse_warc
+    recs = [("warcinfo", None, "2026-01-01T00:00:00Z", b"software: t"),
+            ("request", "http://h.onion/p", "2026-01-01T00:00:01Z", b"GET"),
+            ("response", "http://h.onion/p", "2026-01-01T00:00:02Z",
+             "héllo\r\n\r\nbody".encode())]   # payload contains CRLFCRLF
+    blob = encode_warc(recs)
+    out = list(parse_warc(blob))
+    assert [(r[0], r[1]) for r in out] == [
+        ("warcinfo", None), ("request", "http://h.onion/p"),
+        ("response", "http://h.onion/p")]
+    # Content-Length framing (not delimiter scanning) preserves a payload
+    # that embeds the header terminator
+    assert out[2][3].decode() == "héllo\r\n\r\nbody"
+    # truncated trailing record stops cleanly, keeps the prefix
+    assert len(list(parse_warc(blob[:-6]))) == 2
+    # garbage header -> zero records, no raise
+    assert list(parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")) == []
+
+
+def test_read_warc_explodes_files_and_skips_null_blobs(spark):
+    from genesis_spark.sources.warc import encode_warc, read_warc
+    b1 = encode_warc([("response", "http://a.onion/", "d", b"one"),
+                      ("response", "http://b.onion/", "d", b"two")])
+    df = spark.createDataFrame(
+        [(1, bytearray(b1)), (2, None)],
+        "file_id long, warc_blob binary")
+    rows = read_warc(df).collect()
+    assert [(r["file_id"], r["rec_no"], r["target_uri"], r["payload_text"])
+            for r in sorted(rows, key=lambda r: r["rec_no"])] == [
+        (1, 0, "http://a.onion/", "one"), (1, 1, "http://b.onion/", "two")]
