@@ -5097,6 +5097,56 @@ FROM c
 """
 
 
+
+
+def q_stream_dedup_wm(spark, sf_dir):
+    """The 7th streaming capability: Spark's BUILT-IN watermark-bounded
+    streaming dedup (``dropDuplicatesWithinWatermark``) next to the
+    custom stateful URL-seen of ``stream_dedup`` — the engine-managed
+    form whose state is EVICTED once the watermark passes (the
+    production-correct bounded-state shape; the custom operator exists
+    for the reference's per-host cap semantics). Replayed as 4
+    micro-batches; the 40-day watermark delay exceeds the fixture's
+    30-day event-time span (same contract as stream_join), so neither
+    late-drop nor state eviction can fire and the emitted set must equal
+    the batch DISTINCT exactly — which is what the oracle checks. At
+    production cadence the delay is minutes and the same plan holds
+    state only for watermark-delay worth of URLs."""
+    import os
+    import tempfile
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_dwm_{_STREAM_SEQ}"
+    d = _t(spark, sf_dir, "events")
+    links = d.select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.concat(F.lit("http://h"), (F.col("user_id") % 25).cast("string"),
+                 F.lit(".onion/p"), (F.col("event_id") % 200).cast("string")
+                 ).alias("url"))
+    tmp = tempfile.mkdtemp(prefix="gs_streamdwm_")
+    src_dir, ck = os.path.join(tmp, "links"), os.path.join(tmp, "ckpt")
+    links.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (spark.readStream.schema("ts timestamp, url string")
+              .option("maxFilesPerTrigger", 1).format("parquet")
+              .load(src_dir))
+    q = (stream.withWatermark("ts", "40 days")
+         .dropDuplicatesWithinWatermark(["url"])
+         .select("url")
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_DEDUP_WM = """
+SELECT DISTINCT 'http://h' || (user_id % 25) || '.onion/p'
+       || (event_id % 200) AS url
+FROM events
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -5209,6 +5259,7 @@ QUERIES = {
     "host_reciprocal": q_host_reciprocal,
     "warc_ingest": q_warc_ingest,
     "events_markov": q_events_markov,
+    "stream_dedup_wm": q_stream_dedup_wm,
 }
 
 ORACLES = {
@@ -5323,6 +5374,7 @@ ORACLES = {
     "host_reciprocal": ORACLE_HOST_RECIPROCAL,
     "warc_ingest": ORACLE_WARC_INGEST,
     "events_markov": ORACLE_EVENTS_MARKOV,
+    "stream_dedup_wm": ORACLE_STREAM_DEDUP_WM,
 }
 
 
