@@ -40,6 +40,18 @@ def _norm(a: Column) -> Column:
         lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
+def _lit_double_array(vals) -> Column:
+    """Literal array<double> built with ONE parser call instead of one
+    py4j round trip per element: the centroid/codebook/plane operators
+    embed hundreds of these arrays, and per-element ``F.lit`` made plan
+    CONSTRUCTION (driver Python, before any analysis or execution) the
+    dominant cost — measured 17 s of a 25 s ivfpq run. ``repr`` round-
+    trips doubles exactly and CAST('…' AS DOUBLE) constant-folds to the
+    identical literal, so plans and results are unchanged."""
+    inner = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals)
+    return F.expr(f"array({inner})")
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -85,7 +97,7 @@ def hyperplane_signature_expr(vec: Column, table: int, n_planes: int,
     in the per-row path."""
     sig = F.lit(0)
     for p, signs in enumerate(hyperplane_signs(table, n_planes, dim)):
-        plane = F.array(*[F.lit(s) for s in signs])
+        plane = _lit_double_array(signs)
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda v, s: v.cast("double") * s),
             F.lit(0.0), lambda acc, v: acc + v)
@@ -236,8 +248,7 @@ def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
     scores = []
     for c in centroids:
         norm = math.sqrt(sum(x * x for x in c)) or 1.0
-        scores.append(_dot(vec, F.array(*[F.lit(x) for x in c]))
-                      / F.lit(norm))
+        scores.append(_dot(vec, _lit_double_array(c)) / F.lit(norm))
     return F.array(*scores)
 
 
@@ -385,9 +396,56 @@ def _sub_dists(sub: Column, codebook: list[list[float]]) -> Column:
     ds = []
     for c in codebook:
         cnorm2 = float(sum(x * x for x in c))
-        ds.append(F.lit(cnorm2)
-                  - 2.0 * _dot(sub, F.array(*[F.lit(x) for x in c])))
+        ds.append(F.lit(cnorm2) - 2.0 * _dot(sub, _lit_double_array(c)))
     return F.array(*ds)
+
+
+def _sql_double_array(vals) -> str:
+    return ("array(" +
+            ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) +
+            ")")
+
+
+def _dot_sql(vec_sql: str, vals) -> str:
+    """SQL text of _dot(vec, literal-array): identical zip_with/aggregate
+    fold (same order, same casts) built with zero per-element py4j calls."""
+    return (f"aggregate(zip_with({vec_sql}, {_sql_double_array(vals)}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _sub_dists_sql(vec_sql: str, codebook, offset: int, sub_dim: int) -> str:
+    """SQL text of _sub_dists over slice(vec, offset+1, sub_dim)."""
+    terms = []
+    for c in codebook:
+        cnorm2 = float(sum(x * x for x in c))
+        dot = _dot_sql(f"slice({vec_sql}, {offset + 1}, {sub_dim})", c)
+        terms.append(f"CAST('{cnorm2!r}' AS DOUBLE) "
+                     f"- CAST(2.0 AS DOUBLE) * {dot}")
+    return "array(" + ", ".join(terms) + ")"
+
+
+def pq_codes_sql(vec_sql: str, cents, sub_dim: int) -> str:
+    """SQL text of ``pq_codes_expr`` over a named vector column: the m x k
+    codebook expands to hundreds of literal arrays, and building it
+    Column-by-Column paid one py4j round trip per node — plan
+    CONSTRUCTION dominated the whole query (see _lit_double_array). One
+    parsed string removes that; the analyzed expression (and so results
+    and codegen) is identical to the Column form."""
+    codes = []
+    for j, codebook in enumerate(cents):
+        d = _sub_dists_sql(vec_sql, codebook, j * sub_dim, sub_dim)
+        codes.append(f"CAST(array_position({d}, array_min({d})) - 1 AS INT)")
+    return "array(" + ", ".join(codes) + ")"
+
+
+def pq_luts_sql(vec_sql: str, cents, sub_dim: int) -> str:
+    """SQL text of the per-query ADC lookup tables (array of m per-
+    subspace distance arrays) — same py4j-chatter rationale as
+    ``pq_codes_sql``."""
+    return ("array(" + ", ".join(
+        _sub_dists_sql(vec_sql, codebook, j * sub_dim, sub_dim)
+        for j, codebook in enumerate(cents)) + ")")
 
 
 def pq_codes_expr(vec: Column, cents: list[list[list[float]]],
@@ -416,7 +474,7 @@ def pq_encode(df: DataFrame, vec_col: str = "embedding",
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     cents = pq_centroids(m, k, dim // m)
-    codes = pq_codes_expr(F.col(vec_col), cents, dim // m)
+    codes = F.expr(pq_codes_sql(vec_col, cents, dim // m))
     packed = F.aggregate(
         F.zip_with(codes,
                    F.transform(F.sequence(F.lit(0), F.lit(m - 1)),
@@ -451,11 +509,8 @@ def pq_adc_topk(base: DataFrame, queries: DataFrame, k_top: int = 5,
     # here would pay the base-k fold per base row just to drop it
     coded = base.select(
         F.col(id_col).alias("neighbor_id"),
-        pq_codes_expr(F.col(vec_col), cents, sub_dim).alias("codes"))
-    luts = F.array(*[
-        _sub_dists(F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim),
-                   cents[j])
-        for j in range(m)])
+        F.expr(pq_codes_sql(vec_col, cents, sub_dim)).alias("codes"))
+    luts = F.expr(pq_luts_sql(vec_col, cents, sub_dim))
     q = queries.select(F.col(id_col).alias("query_id"),
                        luts.alias("luts"))
     adc = F.aggregate(
@@ -567,11 +622,8 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, k_top: int = 5,
     coded = coded.select(
         "neighbor_id",
         assign_cell_expr(F.col("b_vec"), cents_c).alias("cell"),
-        pq_codes_expr(F.col("b_vec"), cents_pq, sub_dim).alias("codes"))
-    luts = F.array(*[
-        _sub_dists(F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim),
-                   cents_pq[j])
-        for j in range(m)])
+        F.expr(pq_codes_sql("b_vec", cents_pq, sub_dim)).alias("codes"))
+    luts = F.expr(pq_luts_sql(vec_col, cents_pq, sub_dim))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(probe_cells_expr(_checked(F.col(vec_col)), cents_c,
