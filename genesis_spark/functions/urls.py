@@ -188,6 +188,26 @@ def resolve_link_one(base_url: str, href: str) -> str:
 # Arrow-vectorized pandas UDFs (truth path; no per-row Python UDFs)
 # ---------------------------------------------------------------------------
 
+def idn_encode_one(host: str) -> str | None:
+    """IDN (RFC 3490) host normalization kernel: unicode labels encode to
+    their xn-- ASCII (punycode) form via the stdlib ``idna`` codec;
+    hosts are case-folded first (RFC 4343 — the stdlib codec passes
+    all-ASCII labels through untouched, so explicit lower() keeps the key
+    canonical); already-encoded xn-- forms are idempotent; labels the
+    codec rejects fall back to the lowercased input."""
+    if host is None:
+        return None
+    try:
+        return host.lower().encode("idna").decode("ascii")
+    except (UnicodeError, UnicodeDecodeError):
+        return host.lower()
+
+
+@pandas_udf(T.StringType())
+def idn_encode_udf(s: pd.Series) -> pd.Series:
+    return s.map(idn_encode_one)
+
+
 @pandas_udf(T.StringType())
 def clean_url_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda u: clean_url_one(u) if u is not None else None)

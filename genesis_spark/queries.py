@@ -5147,6 +5147,138 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# block 12: composed multimodal corpus pipeline, IDN host normalization
+# ---------------------------------------------------------------------------
+
+def q_spans_pipeline(spark, sf_dir):
+    """The END-TO-END multimodal corpus pipeline as ONE oracle row — the
+    interleaved-payload analogue of corpus_clean_full: interleave ->
+    cross-doc boilerplate section removal (broadcast anti-join on the
+    high-df key set) -> cross-doc media dedup (canonical copy per
+    caption-context cluster only) -> multimodal sequence packing of the
+    SURVIVING spans into 512-token blocks (two-level prefix, doc-bounded
+    windows). Every stage is oracle-verified standalone
+    (spans_boilerplate / spans_media_dedup / spans_pack_multimodal);
+    this row verifies the COMPOSITION — boilerplate drops shift every
+    downstream token offset, so a single misplaced span breaks the
+    value hash."""
+    from genesis_spark.operators.lines import section_doc_freq
+    from genesis_spark.operators.pack import pack_spans
+    from genesis_spark.sources.interleaved import (dedup_media_by_context,
+                                                   explode_spans,
+                                                   interleaved_docs)
+    d = _t(spark, sf_dir, "documents")
+    inter = interleaved_docs(d.select("doc_id", "text"))
+    rows = explode_spans(inter)
+    bp = section_doc_freq(rows, min_df=2).select("tkey")
+    sec_kept = (rows.filter(F.col("media_ref").isNull()
+                            & F.col("text").isNotNull())
+                .withColumn("tkey", F.md5("text"))
+                .join(F.broadcast(bp), "tkey", "left_anti")
+                .drop("tkey"))
+    canon = (dedup_media_by_context(
+                 inter, doc_ord=F.col("doc_id").cast("bigint"))
+             .select(F.col("canonical_doc").alias("doc_id"),
+                     F.col("canonical_offset").alias("offset")))
+    med_kept = (rows.filter(F.col("media_ref").isNotNull()
+                            & (F.col("kind") != "link"))
+                .join(canon, ["doc_id", "offset"]))
+    survivors = sec_kept.unionByName(med_kept)
+    rows2 = survivors.join(
+        d.select(F.col("doc_id").cast("string").alias("doc_id"), "source"),
+        "doc_id")
+    return pack_spans(rows2, seq_len=512, media_tokens=64,
+                      doc_ord=F.col("doc_id").cast("bigint"))
+
+
+ORACLE_SPANS_PIPELINE = f"""
+WITH {_SPANS_EX_SQL},
+sec AS (
+  SELECT doc_id, off, s.kind AS kind, s.text AS text
+  FROM ex WHERE s.media_ref IS NULL AND s.text IS NOT NULL),
+bp AS (SELECT text FROM sec GROUP BY text
+       HAVING count(DISTINCT doc_id) >= 2),
+sec_kept AS (
+  SELECT doc_id, off, kind, text, CAST(NULL AS VARCHAR) AS media_ref
+  FROM sec WHERE text NOT IN (SELECT text FROM bp)),
+ctx AS (
+  SELECT doc_id, off, s.kind AS kind, s.media_ref AS media_ref,
+         last_value(s.text IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY off
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS context
+  FROM ex),
+med AS (
+  SELECT md5(coalesce(context, '')) AS content_key,
+         CAST(doc_id AS BIGINT) AS dord, doc_id, off
+  FROM ctx WHERE media_ref IS NOT NULL AND kind <> 'link'),
+canon AS (
+  SELECT doc_id, off FROM (
+    SELECT doc_id, off,
+           row_number() OVER (PARTITION BY content_key
+                              ORDER BY dord, off) AS rn
+    FROM med) WHERE rn = 1),
+med_kept AS (
+  SELECT e.doc_id, e.off, e.s.kind AS kind, CAST(NULL AS VARCHAR) AS text,
+         e.s.media_ref AS media_ref
+  FROM ex e JOIN canon c ON c.doc_id = e.doc_id AND c.off = e.off),
+surv AS (
+  SELECT * FROM sec_kept UNION ALL SELECT * FROM med_kept),
+cost AS (
+  SELECT sv.doc_id, sv.off, sv.kind,
+         CAST(CASE WHEN sv.media_ref IS NOT NULL THEN 64
+              ELSE len(string_split(sv.text, ' ')) END AS BIGINT) AS cost,
+         d.source AS source
+  FROM surv sv JOIN documents d ON sv.doc_id = CAST(d.doc_id AS VARCHAR)),
+o AS (
+  SELECT *, CAST(sum(cost) OVER (
+      PARTITION BY source
+      ORDER BY CAST(doc_id AS BIGINT), off
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cost AS BIGINT)
+    AS tok_offset
+  FROM cost)
+SELECT doc_id, CAST(off AS INT) AS offset, kind, cost, tok_offset,
+       tok_offset // 512 AS block_first,
+       (tok_offset + cost - 1) // 512 AS block_last
+FROM o
+"""
+
+
+def q_url_idn_normalize(spark, sf_dir):
+    """IDN host normalization — the RFC 3490 punycode step RFC-3986-level
+    canonicalization needs for international onion mirrors and clearnet
+    hosts: unicode hostnames encode to their xn-- ASCII form via Python's
+    built-in ``idna`` codec inside an ARROW-VECTORIZED pandas UDF (the
+    input_hint's sanctioned truth path for kernels SQL cannot express —
+    same tier as the url kernel *_udf forms; never a row-at-a-time Python
+    UDF). The fixture cycles unicode hosts whose punycode forms the
+    oracle bakes as literals, plus an ASCII passthrough and an
+    already-encoded form (idempotence)."""
+    k = F.col("o_orderkey")
+    host = (F.when(k % 4 == 0, F.lit("b\u00fccher"))
+            .when(k % 4 == 1, F.lit("m\u00fcnchen"))
+            .when(k % 4 == 2, F.lit("xn--bcher-kva"))
+            .otherwise(F.lit("plain")))
+    raw = F.concat(host, F.lit(".example"))
+    return (_t(spark, sf_dir, "orders").filter(k < 2000)
+            .select(k.alias("o_orderkey"), raw.alias("host_raw"),
+                    U.idn_encode_udf(raw).alias("host_ascii")))
+
+
+ORACLE_URL_IDN = """
+SELECT o_orderkey,
+       CASE o_orderkey % 4 WHEN 0 THEN 'bücher.example'
+            WHEN 1 THEN 'münchen.example'
+            WHEN 2 THEN 'xn--bcher-kva.example'
+            ELSE 'plain.example' END AS host_raw,
+       CASE o_orderkey % 4 WHEN 0 THEN 'xn--bcher-kva.example'
+            WHEN 1 THEN 'xn--mnchen-3ya.example'
+            WHEN 2 THEN 'xn--bcher-kva.example'
+            ELSE 'plain.example' END AS host_ascii
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -5260,6 +5392,8 @@ QUERIES = {
     "warc_ingest": q_warc_ingest,
     "events_markov": q_events_markov,
     "stream_dedup_wm": q_stream_dedup_wm,
+    "spans_pipeline": q_spans_pipeline,
+    "url_idn_normalize": q_url_idn_normalize,
 }
 
 ORACLES = {
@@ -5375,6 +5509,8 @@ ORACLES = {
     "warc_ingest": ORACLE_WARC_INGEST,
     "events_markov": ORACLE_EVENTS_MARKOV,
     "stream_dedup_wm": ORACLE_STREAM_DEDUP_WM,
+    "spans_pipeline": ORACLE_SPANS_PIPELINE,
+    "url_idn_normalize": ORACLE_URL_IDN,
 }
 
 

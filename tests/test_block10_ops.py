@@ -163,3 +163,75 @@ def test_reciprocal_pairs_hand_graph(spark):
                  edges.join(rev, ["src", "dst"])
                  .filter(F.col("src") < F.col("dst")).collect())
     assert got == [("a", "b"), ("c", "d")]
+
+
+# ---------------------------------------------------------------------------
+# IDN normalization (block 12)
+# ---------------------------------------------------------------------------
+
+def test_idn_kernel_encodes_idempotent_and_fallback():
+    from genesis_spark.functions.urls import idn_encode_one
+    assert idn_encode_one("bücher.example") == "xn--bcher-kva.example"
+    # idempotent on already-encoded and plain-ASCII hosts
+    assert idn_encode_one("xn--bcher-kva.example") == "xn--bcher-kva.example"
+    assert idn_encode_one("Plain.example") == "plain.example"
+    assert idn_encode_one(None) is None
+    # a label the codec rejects (overlong) falls back to lowercase
+    assert idn_encode_one("A" * 80 + ".example") == "a" * 80 + ".example"
+
+
+def test_idn_udf_matches_kernel(spark):
+    from genesis_spark.functions import urls as U
+    from pyspark.sql import functions as FF
+    hosts = ["bücher.example", "münchen.example", "xn--bcher-kva.example",
+             "plain.example", None]
+    df = spark.createDataFrame([(h,) for h in hosts], "h string")
+    got = [r["a"] for r in
+           df.select(U.idn_encode_udf(FF.col("h")).alias("a")).collect()]
+    assert got == [U.idn_encode_one(h) for h in hosts]
+
+
+# ---------------------------------------------------------------------------
+# composed multimodal pipeline (block 12)
+# ---------------------------------------------------------------------------
+
+def test_spans_pipeline_drops_boilerplate_and_dup_media(spark, tmp_path):
+    """Composition invariants on a hand-built corpus (images appear after
+    every 3rd 8-word chunk, so docs carry >= 24 words): identical docs
+    make every section cross-doc boilerplate (all dropped) and their
+    images share a caption context (one canonical copy survives);
+    tok_offsets stay a dense prefix AFTER the drops."""
+    import os
+    import pandas as pd
+
+    from genesis_spark import queries as Q
+
+    base = " ".join(f"w{i}" for i in range(24))       # 3 chunks + image
+    rows = [(1, base), (2, base)]
+    pd.DataFrame(rows, columns=["doc_id", "text"]) \
+        .assign(lang="en", source="s", n_chars=0) \
+        .to_parquet(os.path.join(tmp_path, "documents.parquet"))
+    got = Q.q_spans_pipeline(spark, str(tmp_path)).collect()
+    media = [r for r in got if r["kind"] == "image"]
+    # identical docs -> identical caption context -> ONE canonical image,
+    # owned by the earliest doc
+    assert len(media) == 1 and int(media[0]["doc_id"]) == 1
+    # and every identical section is cross-doc boilerplate -> dropped
+    assert all(r["kind"] == "image" for r in got)
+    assert media[0]["cost"] == 64 and media[0]["tok_offset"] == 0
+
+    # distinct docs: nothing is boilerplate, every span survives and the
+    # packed offsets are the dense prefix of costs in pack order
+    rows2 = [(1, " ".join(f"a{i}" for i in range(24))),
+             (2, " ".join(f"b{i}" for i in range(24)))]
+    pd.DataFrame(rows2, columns=["doc_id", "text"]) \
+        .assign(lang="en", source="s", n_chars=0) \
+        .to_parquet(os.path.join(tmp_path, "documents.parquet"))
+    got2 = Q.q_spans_pipeline(spark, str(tmp_path)).collect()
+    # 3 sections + 1 image per doc
+    assert len(got2) == 8
+    order = sorted(got2, key=lambda r: (int(r["doc_id"]), r["offset"]))
+    run = 0
+    for r in order:
+        assert r["tok_offset"] == run, (r, run)
+        run += r["cost"]
