@@ -601,3 +601,55 @@ def audio_features(df: DataFrame, blob_col: str = "media_blob",
                 "zcr": pd.Series(zcrs, dtype="int32")})
 
     return df.mapInPandas(run, out_schema)
+
+
+def detect_scenes(df: DataFrame, blob_col: str = "media_blob",
+                  threshold: int = 8000) -> DataFrame:
+    """Scene-cut detection over the RAW video container: per frame, the
+    sum of absolute byte deltas vs the previous frame (exact int64, numpy
+    over Arrow batches); a delta above ``threshold`` opens a new scene,
+    so scene_id is the running cut count. Frame 0 carries delta = -1
+    (sentinel: no predecessor; never confusable with a real 0 delta)
+    and scene 0. Poison-guarded like the other kernels. Output
+    (doc_id, frame_idx, delta, scene_id)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("delta", T.LongType(), False),
+        T.StructField("scene_id", T.IntegerType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, deltas, scenes = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None or len(blob) < 8:
+                    continue
+                b = bytes(blob)
+                n, fb = struct.unpack(">II", b[:8])
+                if len(b) != 8 + n * fb or n == 0:
+                    continue
+                arr = (np.frombuffer(b, dtype=np.uint8, offset=8)
+                       .astype(np.int64).reshape(n, fb))
+                scene = 0
+                for f in range(n):
+                    if f == 0:
+                        delta = -1
+                    else:
+                        delta = int(np.abs(arr[f] - arr[f - 1]).sum())
+                        if delta > threshold:
+                            scene += 1
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    deltas.append(delta)
+                    scenes.append(scene)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "delta": pd.Series(deltas, dtype="int64"),
+                "scene_id": pd.Series(scenes, dtype="int32")})
+
+    return df.mapInPandas(run, out_schema)

@@ -5279,6 +5279,129 @@ FROM orders WHERE o_orderkey < 2000
 """
 
 
+# ---------------------------------------------------------------------------
+# block 13: video scene detection, audio voice-activity segmentation
+# ---------------------------------------------------------------------------
+
+def q_media_scenes(spark, sf_dir):
+    """Video scene-cut detection over the RAW frame container — the
+    shot-boundary pass a video-training pipeline runs before sampling:
+    mapInPandas decodes each clip and computes the absolute byte-delta
+    between consecutive frames (real numpy over Arrow batches); a frame
+    whose delta exceeds the threshold opens a new scene. Emits one row
+    per frame with its delta and scene id (running count of cuts).
+    Deltas are exact integers over the deterministic synth, so the
+    oracle restates the whole kernel in SQL. Zero shuffles — the scene
+    pass fuses into the scan at 100 TB."""
+    import numpy as np
+    import pandas as pd
+
+    from genesis_spark.operators import multimodal as MM
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_blob": [MM.video_by_doc_id(int(i))
+                               for i in pdf["doc_id"]]})
+
+    blobs = d.mapInPandas(encode, "doc_id long, media_blob binary")
+    return MM.detect_scenes(blobs, threshold=8000)
+
+
+ORACLE_MEDIA_SCENES = """
+WITH d AS (
+  SELECT doc_id, CAST(4 + doc_id % 9 AS INT) AS n FROM documents),
+fr AS (
+  SELECT doc_id, n, unnest(range(n)) AS f FROM d),
+dl AS (
+  SELECT doc_id, CAST(f AS INT) AS frame_idx,
+         CASE WHEN f = 0 THEN CAST(-1 AS BIGINT)
+              ELSE CAST(list_sum(list_transform(range(64),
+                   i -> abs((doc_id*7 + f*13 + i*3) % 256
+                          - (doc_id*7 + (f-1)*13 + i*3) % 256)))
+                   AS BIGINT) END AS delta
+  FROM fr),
+sc AS (
+  SELECT doc_id, frame_idx, delta,
+         CAST(sum(CASE WHEN delta > 8000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY frame_idx
+                    ROWS UNBOUNDED PRECEDING) AS INT) AS scene_id
+  FROM dl)
+SELECT doc_id, frame_idx, delta, scene_id FROM sc
+"""
+
+
+def q_media_vad(spark, sf_dir):
+    """Voice-activity segmentation — the speech-segmenting pass over the
+    windowed audio features: a window is ACTIVE when its energy clears
+    the threshold; consecutive active windows group into one segment
+    (run-length via the lag + running-sum trick, the same shape as
+    events_sessionize), emitting per-segment (start, end, window count,
+    total energy). The feature pass is the real numpy PCM16 kernel
+    (media_audio row); the segmentation on top is pure window codegen —
+    at 100 TB the window partitions by clip, bounded by windows-per-clip.
+    """
+    import pandas as pd
+
+    from genesis_spark.operators import multimodal as MM
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_blob": [MM.audio_by_doc_id(int(i))
+                               for i in pdf["doc_id"]]})
+
+    blobs = d.mapInPandas(encode, "doc_id long, media_blob binary")
+    feats = MM.audio_features(blobs, window=256)
+    thr = 350_000_000
+    act = feats.filter(F.col("energy") > thr)
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    seg = (act.withColumn(
+               "new_seg",
+               F.when(F.lag("win_idx").over(w).isNull()
+                      | (F.col("win_idx") - F.lag("win_idx").over(w) > 1),
+                      1).otherwise(0))
+           .withColumn("seg_id", F.sum("new_seg").over(
+               w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    return (seg.groupBy("doc_id", "seg_id")
+            .agg(F.min("win_idx").alias("start_win"),
+                 F.max("win_idx").alias("end_win"),
+                 F.count("*").alias("n_windows"),
+                 F.sum("energy").alias("seg_energy")))
+
+
+ORACLE_MEDIA_VAD = """
+WITH d AS (
+  SELECT doc_id, CAST(512 + (doc_id % 3) * 256 AS INT) AS n FROM documents),
+w AS (
+  SELECT doc_id, unnest(range(n // 256)) AS win_idx FROM d),
+x AS (
+  SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+         CAST(list_sum(list_transform(range(256),
+              i -> ((doc_id*11 + (win_idx*256 + i)*17) % 4096 - 2048)
+                 * ((doc_id*11 + (win_idx*256 + i)*17) % 4096 - 2048)))
+              AS BIGINT) AS energy
+  FROM w),
+act AS (SELECT * FROM x WHERE energy > 350000000),
+seg AS (
+  SELECT doc_id, win_idx, energy,
+         CAST(sum(CASE WHEN prev IS NULL OR win_idx - prev > 1
+                  THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY win_idx
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_id
+  FROM (SELECT *, lag(win_idx) OVER (PARTITION BY doc_id
+                                     ORDER BY win_idx) AS prev
+        FROM act))
+SELECT doc_id, seg_id, min(win_idx) AS start_win, max(win_idx) AS end_win,
+       count(*) AS n_windows, sum(energy) AS seg_energy
+FROM seg GROUP BY doc_id, seg_id
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -5394,6 +5517,8 @@ QUERIES = {
     "stream_dedup_wm": q_stream_dedup_wm,
     "spans_pipeline": q_spans_pipeline,
     "url_idn_normalize": q_url_idn_normalize,
+    "media_scenes": q_media_scenes,
+    "media_vad": q_media_vad,
 }
 
 ORACLES = {
@@ -5511,6 +5636,8 @@ ORACLES = {
     "stream_dedup_wm": ORACLE_STREAM_DEDUP_WM,
     "spans_pipeline": ORACLE_SPANS_PIPELINE,
     "url_idn_normalize": ORACLE_URL_IDN,
+    "media_scenes": ORACLE_MEDIA_SCENES,
+    "media_vad": ORACLE_MEDIA_VAD,
 }
 
 

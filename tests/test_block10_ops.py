@@ -235,3 +235,51 @@ def test_spans_pipeline_drops_boilerplate_and_dup_media(spark, tmp_path):
     for r in order:
         assert r["tok_offset"] == run, (r, run)
         run += r["cost"]
+
+
+# ---------------------------------------------------------------------------
+# scene detection + VAD (block 13)
+# ---------------------------------------------------------------------------
+
+def test_detect_scenes_hand_built_cut(spark):
+    """3-frame clip where only the second transition exceeds the
+    threshold: frame deltas are exact |byte diff| sums, frame 0 carries
+    the -1 sentinel, and scene_id increments exactly at the cut."""
+    from genesis_spark.operators import multimodal as MM
+    f0 = bytes([10] * 4)
+    f1 = bytes([12] * 4)          # delta 8  (quiet)
+    f2 = bytes([200] * 4)         # delta 752 (cut)
+    blob = MM.encode_video_raw(3, 4, f0 + f1 + f2)
+    df = spark.createDataFrame([(9, bytearray(blob))],
+                               "doc_id long, media_blob binary")
+    rows = sorted(MM.detect_scenes(df, threshold=100).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert [(r["frame_idx"], r["delta"], r["scene_id"]) for r in rows] == [
+        (0, -1, 0), (1, 8, 0), (2, 752, 1)]
+
+
+def test_vad_segments_group_consecutive_active_windows(spark):
+    """Active windows 0,1 and 3 (gap at 2) form two segments with exact
+    bounds and energy sums."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+    feats = spark.createDataFrame(
+        [(1, 0, 500), (1, 1, 600), (1, 2, 10), (1, 3, 700)],
+        "doc_id long, win_idx int, energy long")
+    act = feats.filter(FF.col("energy") > 100)
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    seg = (act.withColumn(
+               "new_seg",
+               FF.when(FF.lag("win_idx").over(w).isNull()
+                       | (FF.col("win_idx") - FF.lag("win_idx").over(w) > 1),
+                       1).otherwise(0))
+           .withColumn("seg_id", FF.sum("new_seg").over(
+               w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    got = sorted([(r["seg_id"], r["start_win"], r["end_win"], r["n_windows"],
+                   r["seg_energy"]) for r in
+                  seg.groupBy("doc_id", "seg_id")
+                  .agg(FF.min("win_idx").alias("start_win"),
+                       FF.max("win_idx").alias("end_win"),
+                       FF.count("*").alias("n_windows"),
+                       FF.sum("energy").alias("seg_energy")).collect()])
+    assert got == [(1, 0, 1, 2, 1100), (2, 3, 3, 1, 700)]
