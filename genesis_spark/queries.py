@@ -5402,6 +5402,114 @@ FROM seg GROUP BY doc_id, seg_id
 """
 
 
+# ---------------------------------------------------------------------------
+# block 14: deterministic epoch shuffle, registrable-domain rollup
+# ---------------------------------------------------------------------------
+
+def q_corpus_epoch_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffling — the epoch-reshuffle every
+    training loader needs, as a pure map + rank: epoch e's order key is
+    md5(e || doc_id), so each epoch is a different but REPRODUCIBLE
+    permutation (restart-safe, no RNG state). Emitted for 2 epochs; the
+    position is a per-epoch dense rank. At 100 TB the rank is a sort by
+    the hash key (range-partitioned, one shuffle per epoch manifest) and
+    the loader reads in key order instead of materializing positions."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    eps = d.crossJoin(spark.range(2).select(
+        F.col("id").cast("int").alias("epoch")))
+    key = F.md5(F.concat(F.col("epoch").cast("string"), F.lit("|"),
+                         F.col("doc_id").cast("string")))
+    w = Window.partitionBy("epoch").orderBy("shuffle_key")
+    return (eps.withColumn("shuffle_key", key)
+            .withColumn("position", F.row_number().over(w))
+            .select("epoch", "doc_id", "shuffle_key", "position"))
+
+
+ORACLE_CORPUS_EPOCH_SHUFFLE = """
+WITH eps AS (
+  SELECT doc_id, CAST(e AS INT) AS epoch,
+         md5(CAST(e AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))
+           AS shuffle_key
+  FROM documents CROSS JOIN (SELECT unnest(range(2)) AS e))
+SELECT epoch, doc_id, shuffle_key,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY shuffle_key)
+            AS BIGINT) AS position
+FROM eps
+"""
+
+
+# The embedded multi-label public-suffix set: the handful of two-level
+# suffixes the fixture exercises. Production swaps in the full PSL file
+# (publicsuffix.org) broadcast the same way the T9 dictionary is — the
+# operator shape (longest-suffix match, then one label more) is identical.
+_PSL_2LEVEL = ("co.uk", "com.au", "co.jp", "org.uk")
+
+
+def q_host_domain_rollup(spark, sf_dir):
+    """Registrable-domain extraction + rollup — the identity a polite
+    crawler ACTUALLY rate-limits on (shop.example.co.uk and
+    www.example.co.uk are one operator; P6's host_name is the
+    reference's looser key): longest public-suffix match against the
+    (broadcastable) suffix set, registrable = one label more than the
+    suffix. Pure codegen CASE over split labels, then ONE
+    map-side-combinable rollup counting hosts per registrable domain."""
+    k = F.col("o_orderkey")
+    host = (F.when(k % 5 == 0,
+                   F.concat(F.lit("shop"), (k % 7).cast("string"),
+                            F.lit(".example"), (k % 3).cast("string"),
+                            F.lit(".co.uk")))
+            .when(k % 5 == 1,
+                  F.concat(F.lit("www.site"), (k % 11).cast("string"),
+                           F.lit(".com.au")))
+            .when(k % 5 == 2,
+                  F.concat(F.lit("a.b.site"), (k % 11).cast("string"),
+                           F.lit(".co.jp")))
+            .when(k % 5 == 3,
+                  F.concat(F.lit("host"), (k % 13).cast("string"),
+                           F.lit(".onion")))
+            .otherwise(F.concat(F.lit("plain"), (k % 13).cast("string"),
+                                F.lit(".com"))))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    two_suffix = F.concat_ws(".", F.element_at(parts, -2),
+                             F.element_at(parts, -1))
+    reg = (F.when(two_suffix.isin(*_PSL_2LEVEL) & (n >= 3),
+                  F.concat_ws(".", F.element_at(parts, -3), two_suffix))
+           .otherwise(F.concat_ws(".", F.element_at(parts, -2),
+                                  F.element_at(parts, -1))))
+    return (_t(spark, sf_dir, "orders")
+            .select(host.alias("host"), reg.alias("registrable"))
+            .groupBy("registrable")
+            .agg(F.count("*").alias("n_urls"),
+                 F.countDistinct("host").alias("n_hosts")))
+
+
+ORACLE_HOST_DOMAIN_ROLLUP = """
+WITH h AS (
+  SELECT CASE o_orderkey % 5
+         WHEN 0 THEN 'shop' || (o_orderkey % 7) || '.example'
+                 || (o_orderkey % 3) || '.co.uk'
+         WHEN 1 THEN 'www.site' || (o_orderkey % 11) || '.com.au'
+         WHEN 2 THEN 'a.b.site' || (o_orderkey % 11) || '.co.jp'
+         WHEN 3 THEN 'host' || (o_orderkey % 13) || '.onion'
+         ELSE 'plain' || (o_orderkey % 13) || '.com' END AS host
+  FROM orders),
+p AS (
+  SELECT host, string_split(host, '.') AS parts FROM h),
+r AS (
+  SELECT host,
+         CASE WHEN len(parts) >= 3
+                   AND parts[-2] || '.' || parts[-1]
+                       IN ('co.uk', 'com.au', 'co.jp', 'org.uk')
+              THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+              ELSE parts[-2] || '.' || parts[-1] END AS registrable
+  FROM p)
+SELECT registrable, count(*) AS n_urls,
+       count(DISTINCT host) AS n_hosts
+FROM r GROUP BY registrable
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -5519,6 +5627,8 @@ QUERIES = {
     "url_idn_normalize": q_url_idn_normalize,
     "media_scenes": q_media_scenes,
     "media_vad": q_media_vad,
+    "corpus_epoch_shuffle": q_corpus_epoch_shuffle,
+    "host_domain_rollup": q_host_domain_rollup,
 }
 
 ORACLES = {
@@ -5638,6 +5748,8 @@ ORACLES = {
     "url_idn_normalize": ORACLE_URL_IDN,
     "media_scenes": ORACLE_MEDIA_SCENES,
     "media_vad": ORACLE_MEDIA_VAD,
+    "corpus_epoch_shuffle": ORACLE_CORPUS_EPOCH_SHUFFLE,
+    "host_domain_rollup": ORACLE_HOST_DOMAIN_ROLLUP,
 }
 
 
