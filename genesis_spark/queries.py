@@ -5510,6 +5510,104 @@ FROM r GROUP BY registrable
 """
 
 
+# ---------------------------------------------------------------------------
+# block 15: URL alias near-dup, host-graph triangles
+# ---------------------------------------------------------------------------
+
+def q_url_near_dup(spark, sf_dir):
+    """URL alias detection — same-host URL pairs whose PATHS are within
+    edit distance 2 (trailing-slash variants, one-character typos,
+    version bumps): the crawl-side near-dup the canonicalizer can't
+    catch. The self-join is equi-keyed on host (politeness-bucket-sized
+    groups — never a corpus cross join) and the levenshtein filter runs
+    inside the join's codegen. Both engines implement classic
+    Levenshtein, so the distance is oracle-exact."""
+    k = F.col("o_orderkey")
+    urls = _t(spark, sf_dir, "orders").filter(k < 2500).select(
+        k.alias("url_id"),
+        F.concat(F.lit("h"), (k % 40).cast("string")).alias("host_key"),
+        F.concat(F.lit("/item/"), (k % 60).cast("string"),
+                 F.when(k % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+                 F.when(k % 7 == 0, F.lit("x")).otherwise(F.lit("")))
+        .alias("path"))
+    a = urls.select(F.col("url_id").alias("id_a"), "host_key",
+                    F.col("path").alias("path_a"))
+    b = urls.select(F.col("url_id").alias("id_b"), "host_key",
+                    F.col("path").alias("path_b"))
+    return (a.join(b, "host_key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("edit_dist",
+                        F.levenshtein(F.col("path_a"), F.col("path_b")))
+            .filter(F.col("edit_dist") <= 2)
+            .select("host_key", "id_a", "id_b", "edit_dist"))
+
+
+ORACLE_URL_NEAR_DUP = """
+WITH u AS (
+  SELECT o_orderkey AS url_id, 'h' || (o_orderkey % 40) AS host_key,
+         '/item/' || (o_orderkey % 60)
+         || CASE WHEN o_orderkey % 3 = 0 THEN '/' ELSE '' END
+         || CASE WHEN o_orderkey % 7 = 0 THEN 'x' ELSE '' END AS path
+  FROM orders WHERE o_orderkey < 2500)
+SELECT a.host_key, a.url_id AS id_a, b.url_id AS id_b,
+       CAST(levenshtein(a.path, b.path) AS INT) AS edit_dist
+FROM u a JOIN u b ON a.host_key = b.host_key AND a.url_id < b.url_id
+WHERE levenshtein(a.path, b.path) <= 2
+"""
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Host-graph triangle counting — the local-clustering signal that
+    separates organic link neighborhoods from link farms (farms are
+    near-cliques; PageRank alone can't see that). Standard distributed
+    shape: orient every undirected edge low->high, join edges-on-source
+    to build ordered wedges, close each wedge with one more equi-join —
+    every triangle counted exactly once, never an all-pairs product.
+    Emits per-host triangle counts (sum over the 3 corners)."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    raw = (_t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("t"), (k % 30).cast("string")).alias("u"),
+        F.concat(F.lit("t"), ((c % 30) % 20).cast("string")).alias("v"))
+        .filter(F.col("u") != F.col("v")))
+    und = (raw.select(F.least("u", "v").alias("a"),
+                      F.greatest("u", "v").alias("b"))
+           .distinct())
+    e1 = und.select(F.col("a"), F.col("b"))
+    wedge = (e1.alias("x").join(e1.alias("y"), F.col("x.a") == F.col("y.a"))
+             .filter(F.col("x.b") < F.col("y.b"))
+             .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),
+                     F.col("y.b").alias("c")))
+    tri = wedge.join(und.select(F.col("a").alias("b"),
+                                F.col("b").alias("c")), ["b", "c"])
+    corners = (tri.select(F.col("a").alias("host_key"))
+               .unionByName(tri.select(F.col("b").alias("host_key")))
+               .unionByName(tri.select(F.col("c").alias("host_key"))))
+    return (corners.groupBy("host_key")
+            .agg(F.count("*").alias("n_triangles")))
+
+
+ORACLE_GRAPH_TRIANGLES = """
+WITH raw AS (
+  SELECT 't' || (o_orderkey % 30) AS u, 't' || ((o_custkey % 30) % 20) AS v
+  FROM orders
+  WHERE 't' || (o_orderkey % 30) <> 't' || ((o_custkey % 30) % 20)),
+und AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw),
+wedge AS (
+  SELECT x.a AS a, x.b AS b, y.b AS c
+  FROM und x JOIN und y ON x.a = y.a AND x.b < y.b),
+tri AS (
+  SELECT w.a, w.b, w.c FROM wedge w
+  JOIN und e ON e.a = w.b AND e.b = w.c),
+corners AS (
+  SELECT a AS host_key FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT host_key, count(*) AS n_triangles
+FROM corners GROUP BY host_key
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -5629,6 +5727,8 @@ QUERIES = {
     "media_vad": q_media_vad,
     "corpus_epoch_shuffle": q_corpus_epoch_shuffle,
     "host_domain_rollup": q_host_domain_rollup,
+    "url_near_dup": q_url_near_dup,
+    "graph_triangles": q_graph_triangles,
 }
 
 ORACLES = {
@@ -5750,6 +5850,8 @@ ORACLES = {
     "media_vad": ORACLE_MEDIA_VAD,
     "corpus_epoch_shuffle": ORACLE_CORPUS_EPOCH_SHUFFLE,
     "host_domain_rollup": ORACLE_HOST_DOMAIN_ROLLUP,
+    "url_near_dup": ORACLE_URL_NEAR_DUP,
+    "graph_triangles": ORACLE_GRAPH_TRIANGLES,
 }
 
 

@@ -283,3 +283,43 @@ def test_vad_segments_group_consecutive_active_windows(spark):
                        FF.count("*").alias("n_windows"),
                        FF.sum("energy").alias("seg_energy")).collect()])
     assert got == [(1, 0, 1, 2, 1100), (2, 3, 3, 1, 700)]
+
+
+# ---------------------------------------------------------------------------
+# triangles + URL alias (block 15)
+# ---------------------------------------------------------------------------
+
+def test_triangle_count_hand_graph(spark):
+    """K4 minus one edge = 2 triangles; per-corner counts match the
+    hand-derived membership."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),       # abc
+         ("b", "d"), ("c", "d"),                   # bcd (a-d missing)
+         ("c", "b")],                              # reverse dup
+        "u string, v string")
+    und = (edges.filter(F.col("u") != F.col("v"))
+           .select(F.least("u", "v").alias("a"),
+                   F.greatest("u", "v").alias("b")).distinct())
+    wedge = (und.alias("x").join(und.alias("y"), F.col("x.a") == F.col("y.a"))
+             .filter(F.col("x.b") < F.col("y.b"))
+             .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),
+                     F.col("y.b").alias("c")))
+    tri = (wedge.join(und.select(F.col("a").alias("b"),
+                                 F.col("b").alias("c")), ["b", "c"])
+           .select("a", "b", "c"))
+    rows = sorted(tuple(r) for r in tri.collect())
+    assert rows == [("a", "b", "c"), ("b", "c", "d")]
+
+
+def test_levenshtein_parity_with_duckdb():
+    """Spark's levenshtein must agree with DuckDB's on the fixture path
+    shapes (the oracle-exactness claim of url_near_dup)."""
+    import duckdb
+    pairs = [("/item/1", "/item/1/"), ("/item/1", "/item/1x"),
+             ("/item/12", "/item/21"), ("/item/1", "/item/59x"),
+             ("", "/"), ("/a", "/a")]
+    got = duckdb.sql(
+        "SELECT " + ", ".join(
+            f"levenshtein('{a}', '{b}')" for a, b in pairs)).fetchone()
+    expect = [1, 1, 2, 3, 1, 0]
+    assert list(got) == expect
