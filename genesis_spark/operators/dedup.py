@@ -205,6 +205,28 @@ def simhash64_pairs(docs: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
+def _shingle_sets(docs: DataFrame, id_col: str, text_col: str,
+                  n_gram: int, max_df: int | None) -> DataFrame:
+    """Shared shingle-set prep for the set-similarity pair operators:
+    distinct (d, shingle) rows, with the ``max_df`` hot-shingle cap
+    applied BEFORE sizes/joins (bounds per-key join fan-out at max_df^2;
+    mirror the identical cap in any oracle). Returned frame is persisted
+    — each caller reuses it 3x (sizes + both self-join sides); the cache
+    is caller-managed (session-scoped), same policy as
+    ``minhash_lsh_pairs``'s signature cache."""
+    sh = docs.select(
+        F.col(id_col).alias("d"),
+        F.explode(shingles_expr(F.col(text_col), n_gram)).alias("shingle")
+    ).distinct()
+    if max_df is not None:
+        keep = (sh.groupBy("shingle")
+                .agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("shingle"))
+        sh = sh.join(keep, "shingle")
+    return sh.persist()
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_gram: int = 3,
                         threshold: float = 0.8,
@@ -219,17 +241,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     (without it a boilerplate shingle shared by 10^6 docs would attempt a
     10^12-row join group). Jaccard is then exact over the FILTERED sets —
     mirror the same cap in any oracle."""
-    sh = docs.select(
-        F.col(id_col).alias("d"),
-        F.explode(shingles_expr(F.col(text_col), n_gram)).alias("shingle")
-    ).distinct()
-    if max_df is not None:
-        keep = (sh.groupBy("shingle")
-                .agg(F.count("*").alias("_df"))
-                .filter(F.col("_df") <= max_df)
-                .select("shingle"))
-        sh = sh.join(keep, "shingle")
-    sh = sh.persist()        # reused 3x (sizes + both join sides)
+    sh = _shingle_sets(docs, id_col, text_col, n_gram, max_df)
     sizes = sh.groupBy("d").agg(F.count("*").alias("n_shingles"))
     common = (sh.alias("x").join(sh.alias("y"),
                                  (F.col("x.shingle") == F.col("y.shingle")) &
@@ -440,17 +452,7 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     self-equi-join) but emits ORDERED pairs (doc_id, contained_in)
     normalized by the LEFT side's set size; threshold applies to the
     4dp-rounded value so the decision is engine-portable."""
-    sh = docs.select(
-        F.col(id_col).alias("d"),
-        F.explode(shingles_expr(F.col(text_col), n_gram)).alias("shingle")
-    ).distinct()
-    if max_df is not None:
-        keep = (sh.groupBy("shingle")
-                .agg(F.count("*").alias("_df"))
-                .filter(F.col("_df") <= max_df)
-                .select("shingle"))
-        sh = sh.join(keep, "shingle")
-    sh = sh.persist()        # reused 3x (sizes + both join sides)
+    sh = _shingle_sets(docs, id_col, text_col, n_gram, max_df)
     sizes = sh.groupBy("d").agg(F.count("*").alias("n_shingles"))
     common = (sh.alias("x").join(sh.alias("y"),
                                  (F.col("x.shingle") == F.col("y.shingle")) &

@@ -387,19 +387,6 @@ def pq_centroids(m: int, k: int, sub_dim: int) -> list[list[list[float]]]:
             for j in range(m)]
 
 
-def _sub_dists(sub: Column, codebook: list[list[float]]) -> Column:
-    """array<double> of argmin-equivalent squared-L2 scores of one
-    subvector against one subspace codebook: |c|^2 - 2*dot(x, c) (the
-    |x|^2 term is constant across centroids). Codebook norms are
-    driver-side float literals, so both engines compute the identical
-    double expression."""
-    ds = []
-    for c in codebook:
-        cnorm2 = float(sum(x * x for x in c))
-        ds.append(F.lit(cnorm2) - 2.0 * _dot(sub, _lit_double_array(c)))
-    return F.array(*ds)
-
-
 def _sql_double_array(vals) -> str:
     return ("array(" +
             ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) +
@@ -415,7 +402,9 @@ def _dot_sql(vec_sql: str, vals) -> str:
 
 
 def _sub_dists_sql(vec_sql: str, codebook, offset: int, sub_dim: int) -> str:
-    """SQL text of _sub_dists over slice(vec, offset+1, sub_dim)."""
+    """SQL text of the per-subspace distance array |c|^2 - 2*dot over
+    slice(vec, offset+1, sub_dim) (the |x|^2 term is constant across
+    centroids, so the argmin/ADC ranking is unchanged)."""
     terms = []
     for c in codebook:
         cnorm2 = float(sum(x * x for x in c))
@@ -426,7 +415,10 @@ def _sub_dists_sql(vec_sql: str, codebook, offset: int, sub_dim: int) -> str:
 
 
 def pq_codes_sql(vec_sql: str, cents, sub_dim: int) -> str:
-    """SQL text of ``pq_codes_expr`` over a named vector column: the m x k
+    """SQL text of the per-subspace PQ codes over a named vector column
+    (argmin of squared-L2 vs each subspace codebook, ties -> lowest code;
+    the single implementation of the code math — the per-Column form it
+    replaced was deleted so the two cannot drift): the m x k
     codebook expands to hundreds of literal arrays, and building it
     Column-by-Column paid one py4j round trip per node — plan
     CONSTRUCTION dominated the whole query (see _lit_double_array). One
@@ -448,18 +440,6 @@ def pq_luts_sql(vec_sql: str, cents, sub_dim: int) -> str:
         for j, codebook in enumerate(cents)) + ")")
 
 
-def pq_codes_expr(vec: Column, cents: list[list[list[float]]],
-                  sub_dim: int) -> Column:
-    """array<int> of per-subspace nearest-centroid codes (ties -> lowest
-    code, via array_position-of-min). Pure codegen'd arithmetic."""
-    codes = []
-    for j, codebook in enumerate(cents):
-        sub = F.slice(vec, j * sub_dim + 1, sub_dim)
-        d = _sub_dists(sub, codebook)
-        codes.append((F.array_position(d, F.array_min(d)) - 1).cast("int"))
-    return F.array(*codes)
-
-
 def pq_encode(df: DataFrame, vec_col: str = "embedding",
               id_col: str = "vec_id", m: int = 8, k: int = 16,
               dim: int = 64) -> DataFrame:
@@ -474,7 +454,7 @@ def pq_encode(df: DataFrame, vec_col: str = "embedding",
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     cents = pq_centroids(m, k, dim // m)
-    codes = F.expr(pq_codes_sql(vec_col, cents, dim // m))
+    codes = F.expr(pq_codes_sql(f"`{vec_col}`", cents, dim // m))
     packed = F.aggregate(
         F.zip_with(codes,
                    F.transform(F.sequence(F.lit(0), F.lit(m - 1)),
@@ -509,8 +489,8 @@ def pq_adc_topk(base: DataFrame, queries: DataFrame, k_top: int = 5,
     # here would pay the base-k fold per base row just to drop it
     coded = base.select(
         F.col(id_col).alias("neighbor_id"),
-        F.expr(pq_codes_sql(vec_col, cents, sub_dim)).alias("codes"))
-    luts = F.expr(pq_luts_sql(vec_col, cents, sub_dim))
+        F.expr(pq_codes_sql(f"`{vec_col}`", cents, sub_dim)).alias("codes"))
+    luts = F.expr(pq_luts_sql(f"`{vec_col}`", cents, sub_dim))
     q = queries.select(F.col(id_col).alias("query_id"),
                        luts.alias("luts"))
     adc = F.aggregate(
@@ -622,8 +602,8 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, k_top: int = 5,
     coded = coded.select(
         "neighbor_id",
         assign_cell_expr(F.col("b_vec"), cents_c).alias("cell"),
-        F.expr(pq_codes_sql("b_vec", cents_pq, sub_dim)).alias("codes"))
-    luts = F.expr(pq_luts_sql(vec_col, cents_pq, sub_dim))
+        F.expr(pq_codes_sql("`b_vec`", cents_pq, sub_dim)).alias("codes"))
+    luts = F.expr(pq_luts_sql(f"`{vec_col}`", cents_pq, sub_dim))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(probe_cells_expr(_checked(F.col(vec_col)), cents_c,

@@ -76,6 +76,10 @@ def parse_warc(blob: bytes):
             length = int(fields.get(b"content-length", b""))
         except ValueError:
             return
+        # a negative length would move pos BACKWARD and loop forever on
+        # the same record — reject it like any other malformed framing
+        if length < 0:
+            return
         start = end_hdr + 4
         if start + length > n:
             return

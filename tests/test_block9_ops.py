@@ -269,3 +269,16 @@ def test_read_warc_explodes_files_and_skips_null_blobs(spark):
     assert [(r["file_id"], r["rec_no"], r["target_uri"], r["payload_text"])
             for r in sorted(rows, key=lambda r: r["rec_no"])] == [
         (1, 0, "http://a.onion/", "one"), (1, 1, "http://b.onion/", "two")]
+
+
+def test_warc_negative_content_length_terminates():
+    """Regression (review finding): a record claiming a negative
+    Content-Length must stop the scan, not loop forever re-yielding the
+    same record."""
+    from genesis_spark.sources.warc import parse_warc
+    bad = b"WARC/1.0\r\nContent-Length: -33\r\n\r\n"
+    assert list(parse_warc(bad)) == []
+    # and a valid record BEFORE the malformed one is still returned
+    from genesis_spark.sources.warc import encode_warc
+    good = encode_warc([("response", "http://a.onion/", "d", b"ok")])
+    assert len(list(parse_warc(good + bad))) == 1
