@@ -5608,6 +5608,85 @@ FROM corners GROUP BY host_key
 """
 
 
+# ---------------------------------------------------------------------------
+# block 16: the crawler scheduling composition
+# ---------------------------------------------------------------------------
+
+def q_frontier_pipeline(spark, sf_dir):
+    """The END-TO-END crawl-scheduling composition as ONE oracle row (the
+    crawler-side twin of corpus_clean_full / spans_pipeline): pending
+    frontier -> global budget apportioned across hosts by
+    largest-remainder (exact integers, Σ alloc == budget) -> each host's
+    TOP-alloc URLs by (installed_at, seq) priority -> politeness fetch
+    slots (k-th pick waits k*crawl_delay). Every stage is verified
+    standalone (frontier_budget / frontier_wave_select /
+    frontier_schedule); this row verifies the COMPOSITION — a one-URL
+    budget shift changes which rows exist and every later slot. All
+    windows are host-partitioned (politeness-bucket sized) except the
+    host-cardinality remainder rank."""
+    BUDGET = 3_000
+    k = F.col("o_orderkey")
+    host_num = (k % 50).cast("int")
+    fr = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), host_num.cast("string")).alias("host_key"),
+        k.alias("seq"),
+        F.col("o_orderdate").alias("installed_at"),
+        (F.lit(500) + (host_num % 5) * 250).alias("delay_ms"))
+    wts = fr.groupBy("host_key").agg(F.count("*").alias("wt"))
+    tot = wts.agg(F.sum("wt").alias("tot"))
+    base = (wts.crossJoin(F.broadcast(tot))
+            .select("host_key", "wt",
+                    F.expr(f"({BUDGET} * wt) DIV tot").alias("base"),
+                    F.expr(f"({BUDGET} * wt) % tot").alias("rem")))
+    kdf = base.agg((F.lit(BUDGET) - F.sum("base")).alias("k"))
+    wrk = Window.orderBy(F.desc("rem"), F.asc("host_key"))
+    alloc = (base.crossJoin(F.broadcast(kdf))
+             .withColumn("rk", F.row_number().over(wrk))
+             .select("host_key",
+                     (F.col("base")
+                      + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0))
+                     .cast("long").alias("alloc")))
+    wp = Window.partitionBy("host_key").orderBy("installed_at", "seq")
+    picked = (fr.withColumn("prio_rank", F.row_number().over(wp))
+              .join(F.broadcast(alloc), "host_key")
+              .filter(F.col("prio_rank") <= F.col("alloc")))
+    return picked.select(
+        "host_key", "seq", "prio_rank",
+        ((F.col("prio_rank") - 1) * F.col("delay_ms"))
+        .cast("bigint").alias("fetch_at_ms"))
+
+
+ORACLE_FRONTIER_PIPELINE = """
+WITH fr AS (
+  SELECT 'h' || (o_orderkey % 50) AS host_key, o_orderkey AS seq,
+         o_orderdate AS installed_at,
+         500 + ((o_orderkey % 50) % 5) * 250 AS delay_ms
+  FROM orders),
+wts AS (SELECT host_key, count(*) AS wt FROM fr GROUP BY host_key),
+tot AS (SELECT sum(wt) AS tot FROM wts),
+base AS (
+  SELECT host_key, wt, (3000 * wt) // tot AS base, (3000 * wt) % tot AS rem
+  FROM wts, tot),
+kv AS (SELECT 3000 - sum(base) AS k FROM base),
+alloc AS (
+  SELECT host_key,
+         CAST(base + CASE WHEN rk <= (SELECT k FROM kv) THEN 1 ELSE 0 END
+              AS BIGINT) AS alloc
+  FROM (SELECT host_key, base,
+               row_number() OVER (ORDER BY rem DESC, host_key ASC) AS rk
+        FROM base)),
+ranked AS (
+  SELECT host_key, seq, delay_ms,
+         row_number() OVER (PARTITION BY host_key
+                            ORDER BY installed_at, seq) AS prio_rank
+  FROM fr)
+SELECT r.host_key, r.seq, CAST(r.prio_rank AS BIGINT) AS prio_rank,
+       CAST((r.prio_rank - 1) * r.delay_ms AS BIGINT) AS fetch_at_ms
+FROM ranked r JOIN alloc a ON a.host_key = r.host_key
+WHERE r.prio_rank <= a.alloc
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -5729,6 +5808,7 @@ QUERIES = {
     "host_domain_rollup": q_host_domain_rollup,
     "url_near_dup": q_url_near_dup,
     "graph_triangles": q_graph_triangles,
+    "frontier_pipeline": q_frontier_pipeline,
 }
 
 ORACLES = {
@@ -5852,6 +5932,7 @@ ORACLES = {
     "host_domain_rollup": ORACLE_HOST_DOMAIN_ROLLUP,
     "url_near_dup": ORACLE_URL_NEAR_DUP,
     "graph_triangles": ORACLE_GRAPH_TRIANGLES,
+    "frontier_pipeline": ORACLE_FRONTIER_PIPELINE,
 }
 
 
