@@ -58,6 +58,36 @@ def parse_result_panel(html: str) -> list[str]:
     return records
 
 
+def fixture_search_fetch(base_url: str, search_type: str, value: str) -> str:
+    """Deterministic fake search endpoint for oracle-checked runs.
+
+    Stands in for the Playwright navigation (the browser itself is out of
+    local scope per SURVEY §2 S5/M5) while keeping every downstream
+    semantic real: the returned page is a genuine ``.ResultPanel`` DOM
+    that ``parse_result_panel`` must scrape, with decoy spans (no '-->'
+    marker; a marker span OUTSIDE the panel) that a sloppy scrape would
+    wrongly include.  Closed-form behavior so a SQL oracle can replay it:
+
+    - Username search where the digits of ``value`` are divisible by 7
+      -> the reference's error page (``ERR_``), which aborts the whole
+      query row (Email search skipped — _breachdbsztfykg2...py:48-49).
+    - otherwise ``len(value) % 3`` records; record ``i`` is
+      ``f"{value}:{search_type[0]}:{i}"`` (0 records -> empty panel,
+      no card).
+    """
+    import re as _re
+
+    num = int(_re.sub(r"\D", "", value) or "1")
+    if search_type == "Username" and num % 7 == 0:
+        return "<html><body>ERR_CONNECTION_REFUSED</body></html>"
+    n_rec = len(value) % 3
+    spans = ["<span>header — no marker</span>"]
+    spans += [f"<span> {value}:{search_type[0]}:{i} --> hit </span>"
+              for i in range(n_rec)]
+    return ('<html><body><div class="ResultPanel">' + "".join(spans)
+            + '</div><span>outside --> panel</span></body></html>')
+
+
 OUT_SCHEMA = T.StructType(
     [T.StructField("query_id", T.LongType(), False),
      T.StructField("search_type", T.StringType(), False)]

@@ -1779,6 +1779,74 @@ UNION ALL SELECT * FROM posts
 """
 
 
+def q_leak_collect(spark, sf_dir):
+    """M5: the dynamic (query-driven) collector path as one oracle row.
+    A watchlist of (email, username) subjects is synthesized from the
+    documents table; the REAL ``collect_breach_records`` operator
+    (leaks/collector.py — mapInPandas, reference card semantics from
+    _breachdbsztfykg2...py:37-100) runs against the deterministic fake
+    search endpoint ``fixture_search_fetch``, so the Username-before-
+    Email order, empty-value skip, whole-row ERR abort, 10-char title
+    truncation, and record scrape are all value-hashed against SQL."""
+    from genesis_spark.leaks.collector import (collect_breach_records,
+                                               fixture_search_fetch)
+
+    base = "http://breach-db.onion"
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    watch = d.select(
+        k.alias("query_id"),
+        F.when(k % 3 != 0,
+               F.concat(F.lit("user"), k.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit(""))
+        .alias("email"),
+        F.when(k % 2 == 0, F.concat(F.lit("name"), k.cast("string")))
+        .otherwise(F.lit("")).alias("username"))
+    cards = collect_breach_records(watch, fixture_search_fetch, base)
+    return cards.select(
+        "query_id", "search_type", "m_title", "m_important_content",
+        "m_name", "m_network", "m_url",
+        F.array_join("m_dumplink", ",").alias("dump_csv"),
+        F.array_join("m_email_addresses", ",").alias("emails_csv"))
+
+
+ORACLE_LEAK_COLLECT = """
+WITH watch AS (
+  SELECT doc_id AS query_id,
+         CASE WHEN doc_id % 3 <> 0
+              THEN 'user' || doc_id || '@example.com' ELSE '' END AS email,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'name' || doc_id ELSE '' END AS username
+  FROM documents
+), searches AS (
+  -- Username first; an ERR on it (digits % 7 = 0) aborts the whole row
+  SELECT query_id, 'Username' AS search_type, username AS value,
+         username, email
+  FROM watch
+  WHERE username <> '' AND query_id % 7 <> 0
+  UNION ALL
+  SELECT query_id, 'Email' AS search_type, email AS value,
+         username, email
+  FROM watch
+  WHERE email <> '' AND NOT (username <> '' AND query_id % 7 = 0)
+)
+SELECT query_id, search_type,
+       'Records for ' || substr(value, 1, 10) AS m_title,
+       'Records were found for ' || search_type ||
+       ' in a data breach.' AS m_important_content,
+       CASE WHEN search_type = 'Username' THEN username ELSE '' END
+         AS m_name,
+       'onion' AS m_network,
+       'http://breach-db.onion' AS m_url,
+       array_to_string(list_transform(range(length(value) % 3),
+         i -> value || ':' || substr(search_type, 1, 1) || ':' || i), ',')
+         AS dump_csv,
+       CASE WHEN search_type = 'Email' THEN email ELSE '' END AS emails_csv
+FROM searches
+WHERE length(value) % 3 > 0
+"""
+
+
 def q_robots_admission(spark, sf_dir):
     """ST3 robots admission as a driver CORRECTNESS row (VERDICT r2 #9):
     candidates synthesized from orders (4 path shapes incl. a pathless
@@ -5749,6 +5817,7 @@ QUERIES = {
     "leak_dispatch": q_leak_dispatch,
     "leak_dispatch2": q_leak_dispatch2,
     "leak_dispatch3": q_leak_dispatch3,
+    "leak_collect": q_leak_collect,
     "robots_admission": q_robots_admission,
     "robots_rfc": q_robots_rfc,
     "spans_interleave": q_spans_interleave,
@@ -5873,6 +5942,7 @@ ORACLES = {
     "leak_dispatch": ORACLE_LEAK_DISPATCH,
     "leak_dispatch2": ORACLE_LEAK_DISPATCH2,
     "leak_dispatch3": ORACLE_LEAK_DISPATCH3,
+    "leak_collect": ORACLE_LEAK_COLLECT,
     "robots_admission": ORACLE_ROBOTS_ADMISSION,
     "robots_rfc": ORACLE_ROBOTS_RFC,
     "spans_interleave": ORACLE_SPANS_INTERLEAVE,

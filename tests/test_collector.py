@@ -71,3 +71,20 @@ def test_collect_breach_records_card_semantics(spark):
     assert e.m_email_addresses == ["alice@ex.com"] and e.m_name == ""
     assert u.m_email_addresses == [] and u.m_name == "alice"
     assert u.m_content_type == ["stolen"] and u.m_network == "onion"
+
+
+def test_fixture_search_fetch_closed_form():
+    from genesis_spark.leaks.collector import fixture_search_fetch
+
+    # Username with digits % 7 == 0 -> reference error page
+    assert "ERR_" in fixture_search_fetch(BASE, "Username", "name14")
+    # same digits on the Email side never error (gate is Username-only)
+    assert "ERR_" not in fixture_search_fetch(
+        BASE, "Email", "user14@example.com")
+    # len('name1') = 5 -> 2 records, scraped in order with the decoys
+    # (markerless span, outside-panel span) correctly excluded
+    html = fixture_search_fetch(BASE, "Username", "name1")
+    assert parse_result_panel(html) == ["name1:U:0", "name1:U:1"]
+    # len % 3 == 0 -> empty panel -> no card upstream
+    assert parse_result_panel(
+        fixture_search_fetch(BASE, "Username", "name10")) == []
