@@ -105,6 +105,32 @@ def hyperplane_signature_expr(vec: Column, table: int, n_planes: int,
     return sig
 
 
+def random_projection(df: DataFrame, out_dim: int, dim: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      sign_table: int = 7, scale: float = 250.0) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection (Achlioptas 2003):
+    reduce ``dim``-d vectors to ``out_dim`` dims with a deterministic
+    +-1 matrix (rows = ``hyperplane_signs(sign_table, out_dim, dim)``),
+    the cheap dimensionality-reduction pass upstream of clustering /
+    IVF training at 10^10 vectors. The matrix folds into the plan as
+    array literals, so the whole pass is zero-shuffle codegen — no
+    per-row hashing, no Python.
+
+    Codes are emitted as ``floor(scale * proj)`` ints (the engine-
+    portable form the quantize/pq rows also use): with the default
+    scale 250 = 1000 / sqrt(16), the 1/sqrt(out_dim) JL normalization
+    is folded in exactly for out_dim 16 (4 is a power of two, so the
+    division is exact in binary and cross-engine bit-identical)."""
+    codes = []
+    for signs in hyperplane_signs(sign_table, out_dim, dim):
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), _lit_double_array(signs),
+                       lambda v, s: v.cast("double") * s),
+            F.lit(0.0), lambda acc, x: acc + x)
+        codes.append(F.floor(proj * F.lit(float(scale))).cast("int"))
+    return df.select(F.col(id_col), F.array(*codes).alias("rp_codes"))
+
+
 def auto_n_planes(n_rows: int, target_bucket_rows: int = 1024) -> int:
     """Sizing rule for the hyperplane count, as code instead of prose:
     with ``p`` planes a table has 2**p buckets, so expected occupancy is

@@ -95,6 +95,21 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
     return merges
 
 
+def bpe_pair_counts(docs: DataFrame, merges: list[tuple[str, str]],
+                    text_col: str = "text") -> DataFrame:
+    """ONE training step as a standalone pass: the symbol-pair frequency
+    table of the corpus AFTER applying ``merges`` — exactly the table
+    whose (cnt desc, a asc, b asc) argmax ``bpe_train`` would pick as
+    merge ``len(merges) + 1``. One corpus word-count shuffle + one
+    explode + one map-side-combinable groupBy; the merge rewrites are
+    chained zero-shuffle codegen replaces."""
+    sym = _spaced(F.col("word"))
+    for a, b in merges:
+        sym = F.replace(sym, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return _pair_counts(
+        word_counts(docs, text_col).select(sym.alias("sym"), "n"))
+
+
 def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
               text_col: str = "text") -> DataFrame:
     """Tokenize ``docs`` with a fixed merge list: per word, chars joined

@@ -5755,6 +5755,160 @@ WHERE r.prio_rank <= a.alloc
 """
 
 
+def q_text_bpe_train_step(spark, sf_dir):
+    """The BPE TRAINING step as an oracle row (the tokenizer twin of
+    embeddings_kmeans_step): symbol-pair frequencies of the corpus after
+    the frozen merge list — exactly the table whose (cnt desc, a, b)
+    argmax bpe_train picks as the next merge. One word-count shuffle,
+    chained codegen merge rewrites, one map-side-combinable groupBy
+    (operators/tokenize.py:bpe_pair_counts)."""
+    from genesis_spark.operators.tokenize import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+
+
+ORACLE_TEXT_BPE_TRAIN_STEP = f"""
+WITH words AS (
+  SELECT word, count(*) AS n
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+sym AS (
+  SELECT string_split_regex(trim({_bpe_apply_sql(_BPE_MERGES)}), ' +')
+           AS t, n
+  FROM words
+),
+pairs AS (
+  SELECT unnest(list_transform(range(len(t) - 1),
+                i -> {{'a': t[i + 1], 'b': t[i + 2]}})) AS p, n
+  FROM sym WHERE len(t) >= 2
+)
+SELECT p['a'] AS a, p['b'] AS b, CAST(sum(n) AS BIGINT) AS cnt
+FROM pairs GROUP BY p['a'], p['b']
+"""
+
+
+def q_corpus_profile(spark, sf_dir):
+    """Data-card corpus profile: every (source, lang) slice PLUS the
+    per-source, per-lang, and grand-total rollups in ONE pass via
+    CUBE — Spark plans a single partial-agg shuffle that feeds all four
+    grouping sets instead of four scans, exactly how a 100 TB corpus
+    summary should be produced. grouping_id disambiguates a genuine
+    NULL dim from a rolled-up one."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.cube("source", "lang").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs")))
+
+
+ORACLE_CORPUS_PROFILE = """
+SELECT source, lang,
+       CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY CUBE(source, lang)
+"""
+
+
+def q_events_scd2(spark, sf_dir):
+    """SCD type-2 derivation from a change log: per user, consecutive
+    equal event_type runs collapse into validity intervals
+    [valid_from, valid_to) with valid_to = the next run's start (NULL =
+    current) — the lag -> change-flag -> running-sum -> groupBy shape,
+    all window work inside ONE per-user shuffle (the same partitioning
+    serves both windows and the final lead)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (e.select("user_id", "event_type", "ts", "event_id")
+            .withColumn("chg", F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1).otherwise(0))
+            .withColumn("run_id", F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .groupBy("user_id", "run_id").agg(
+                F.first("event_type").alias("state"),
+                F.min("ts").alias("valid_from"),
+                F.count("*").alias("n_events")))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id", F.col("run_id").cast("long").alias("run_id"), "state",
+        "valid_from", F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events")
+
+
+ORACLE_EVENTS_SCD2 = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+), agg AS (
+  SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+         any_value(event_type) AS state,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, run_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       n_events
+FROM agg
+"""
+
+
+_RP_OUT_DIM, _RP_SIGN_TABLE = 16, 7
+
+
+def q_embeddings_rp(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64d -> 16d (the cheap
+    dim-reduction pass upstream of IVF/KMeans training at 10^10
+    vectors): deterministic +-1 matrix folded into the plan as array
+    literals, zero-shuffle codegen arithmetic, floor-quantized int
+    codes so the hash check is cross-engine exact
+    (operators/similarity.py:random_projection)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.random_projection(emb, out_dim=_RP_OUT_DIM, dim=_PQ_DIM,
+                                sign_table=_RP_SIGN_TABLE)
+    return out.select(
+        "vec_id", F.array_join("rp_codes", ",").alias("codes_csv"))
+
+
+def _rp_oracle() -> str:
+    projs = []
+    for signs in SIM.hyperplane_signs(_RP_SIGN_TABLE, _RP_OUT_DIM,
+                                      _PQ_DIM):
+        lit = "[" + ", ".join(f"{s:.1f}" for s in signs) + "]"
+        projs.append(
+            f"CAST(floor(250.0 * list_sum(list_transform("
+            f"range({_PQ_DIM}), i -> embedding[i+1]::DOUBLE * "
+            f"({lit})[i+1]))) AS INT)")
+    arr = ", ".join(projs)
+    return f"""
+SELECT vec_id, array_to_string([{arr}], ',') AS codes_csv
+FROM embeddings
+"""
+
+
+ORACLE_EMBEDDINGS_RP = _rp_oracle()
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -5818,6 +5972,10 @@ QUERIES = {
     "leak_dispatch2": q_leak_dispatch2,
     "leak_dispatch3": q_leak_dispatch3,
     "leak_collect": q_leak_collect,
+    "text_bpe_train_step": q_text_bpe_train_step,
+    "corpus_profile": q_corpus_profile,
+    "events_scd2": q_events_scd2,
+    "embeddings_rp": q_embeddings_rp,
     "robots_admission": q_robots_admission,
     "robots_rfc": q_robots_rfc,
     "spans_interleave": q_spans_interleave,
@@ -5943,6 +6101,10 @@ ORACLES = {
     "leak_dispatch2": ORACLE_LEAK_DISPATCH2,
     "leak_dispatch3": ORACLE_LEAK_DISPATCH3,
     "leak_collect": ORACLE_LEAK_COLLECT,
+    "text_bpe_train_step": ORACLE_TEXT_BPE_TRAIN_STEP,
+    "corpus_profile": ORACLE_CORPUS_PROFILE,
+    "events_scd2": ORACLE_EVENTS_SCD2,
+    "embeddings_rp": ORACLE_EMBEDDINGS_RP,
     "robots_admission": ORACLE_ROBOTS_ADMISSION,
     "robots_rfc": ORACLE_ROBOTS_RFC,
     "spans_interleave": ORACLE_SPANS_INTERLEAVE,

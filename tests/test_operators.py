@@ -1006,3 +1006,29 @@ def test_hist_quantile_close_to_exact_and_clamps(spark):
     # out-of-range values landed in edge bins, not dropped
     total = sum(r.cnt for r in bins.collect())
     assert total == len(vals)
+
+
+def test_random_projection_matches_numpy(spark):
+    """RP codes equal floor(250 * S @ v) for the deterministic sign
+    matrix, and nothing in the plan leaves codegen."""
+    import math
+
+    import numpy as np
+
+    from genesis_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(8).astype(np.float32)])
+            for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r.vec_id: list(r.rp_codes)
+           for r in SIM.random_projection(
+               df, out_dim=4, dim=8, sign_table=7).collect()}
+    signs = np.array(SIM.hyperplane_signs(7, 4, 8))
+    for vid, v in vecs:
+        exp = [int(math.floor(250.0 * float(np.dot(
+            np.asarray(v, dtype=np.float64), s)))) for s in signs]
+        assert out[vid] == exp, vid
+    explained = SIM.random_projection(df, out_dim=4, dim=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in explained

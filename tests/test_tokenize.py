@@ -141,3 +141,20 @@ def test_tfidf_cosine_pairs_vs_numpy(spark):
     assert got == exp
     assert (1, 4) in got and got[(1, 4)] == 1.0     # exact dup
     assert not any(3 in p for p in got)             # disjoint vocab
+
+
+def test_bpe_pair_counts_argmax_is_next_merge(spark):
+    """The standalone training-step pass (the oracle row's operator)
+    agrees with the iterative trainer: for every prefix of the learned
+    merge list, the (cnt desc, a, b) argmax of bpe_pair_counts is
+    exactly the merge bpe_train picked next."""
+    from genesis_spark.operators.tokenize import bpe_pair_counts
+
+    texts = ["x abab abab banana", "abab cabby", "aaaa aa"]
+    tiny = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    merges = bpe_train(tiny, 4)
+    for i in range(len(merges)):
+        rows = bpe_pair_counts(tiny, merges[:i]).collect()
+        best = min(rows, key=lambda r: (-r.cnt, r.a, r.b))
+        assert (best.a, best.b) == merges[i]
