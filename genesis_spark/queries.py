@@ -5909,6 +5909,128 @@ FROM embeddings
 ORACLE_EMBEDDINGS_RP = _rp_oracle()
 
 
+_COMPACT_TARGET = 65536
+
+
+def q_corpus_compact(spark, sf_dir):
+    """Small-file compaction PLANNER (the Iceberg bin-pack shape —
+    rewrite_data_files — planned in SQL): per source partition, docs in
+    doc_id order pack greedily into output files of ~64 KiB via
+    running-bytes-before // target, emitting the per-file manifest a
+    compactor would execute. ONE shuffle on the partition key serves
+    both the window and the final rollup. Sources are bounded (a
+    partition dim), so the per-key running sum is safe; for unbounded
+    keys the hierarchical prefix decomposition in operators/pack.py is
+    the proven scale path."""
+    d = _t(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d.select(
+                "source", "doc_id", "n_chars",
+                F.floor((F.sum("n_chars").over(w) - F.col("n_chars"))
+                        / F.lit(_COMPACT_TARGET)).alias("file_id"))
+            .groupBy("source", "file_id").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("file_bytes"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc")))
+
+
+ORACLE_CORPUS_COMPACT = f"""
+WITH planned AS (
+  SELECT source, doc_id, n_chars,
+         CAST(floor((sum(n_chars) OVER (PARTITION BY source
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                     - n_chars) / {_COMPACT_TARGET}) AS BIGINT) AS file_id
+  FROM documents
+)
+SELECT source, file_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS file_bytes,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM planned GROUP BY source, file_id
+"""
+
+
+def q_corpus_shard_manifest(spark, sf_dir):
+    """Reproducible training-shard manifest: docs route to 16 shards by
+    a portable 60-bit md5 key hash, and each shard's manifest carries an
+    ORDER-INDEPENDENT bit_xor content checksum over (doc_id, text)
+    hashes — the artifact that lets a rerun (or another engine) verify a
+    100 TB shard byte-for-byte without re-sorting it. Pure map + one
+    map-side-combinable groupBy of 16 rows."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        "", F.col("doc_id").cast("string"), "text")), 1, 15),
+        16, 10).cast("long")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long"), F.lit(16))
+    return (d.select(shard.alias("shard"), h.alias("h"), "doc_id")
+            .groupBy("shard").agg(
+                F.count("*").alias("n_docs"),
+                F.expr("bit_xor(h)").alias("checksum"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc")))
+
+
+ORACLE_CORPUS_SHARD_MANIFEST = """
+WITH keyed AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 16 AS shard,
+         CAST(('0x' || substr(md5(doc_id || chr(1) || text), 1, 15))
+              AS BIGINT) AS h,
+         doc_id
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, bit_xor(h) AS checksum,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM keyed GROUP BY shard
+"""
+
+
+def q_events_late_audit(spark, sf_dir):
+    """Watermark-sizing audit (how the streaming rows' delays were NOT
+    guessed): replaying events in arrival order (event_id) per
+    user-partition, an event is late by how far the partition's
+    running-max event time has moved past its own — the per-partition
+    watermark model Kafka sources use; pure timestamp/interval
+    comparisons keep it exact and timezone-free on TIMESTAMP_NTZ. The bucketed histogram per event_type says exactly how
+    many rows each candidate ``withWatermark`` delay would drop. One
+    shuffle; the window and rollup share the user_id partitioning."""
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev_max = F.max("ts").over(w)
+    bucket = (F.when(prev_max.isNull() | (prev_max <= F.col("ts")),
+                     "on_time")
+              .when(prev_max <= F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+                    "1h")
+              .when(prev_max <= F.col("ts") + F.expr("INTERVAL 1 DAY"),
+                    "1d")
+              .otherwise("over_1d"))
+    return (e.select("event_type", bucket.alias("late_bucket"))
+            .groupBy("event_type", "late_bucket")
+            .agg(F.count("*").alias("n_events")))
+
+
+ORACLE_EVENTS_LATE_AUDIT = """
+WITH lat AS (
+  SELECT event_type, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN prev_max IS NULL OR prev_max <= ts THEN 'on_time'
+            WHEN prev_max <= ts + INTERVAL 1 HOUR THEN '1h'
+            WHEN prev_max <= ts + INTERVAL 1 DAY THEN '1d'
+            ELSE 'over_1d' END AS late_bucket,
+       count(*) AS n_events
+FROM lat GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -5976,6 +6098,9 @@ QUERIES = {
     "corpus_profile": q_corpus_profile,
     "events_scd2": q_events_scd2,
     "embeddings_rp": q_embeddings_rp,
+    "corpus_compact": q_corpus_compact,
+    "corpus_shard_manifest": q_corpus_shard_manifest,
+    "events_late_audit": q_events_late_audit,
     "robots_admission": q_robots_admission,
     "robots_rfc": q_robots_rfc,
     "spans_interleave": q_spans_interleave,
@@ -6105,6 +6230,9 @@ ORACLES = {
     "corpus_profile": ORACLE_CORPUS_PROFILE,
     "events_scd2": ORACLE_EVENTS_SCD2,
     "embeddings_rp": ORACLE_EMBEDDINGS_RP,
+    "corpus_compact": ORACLE_CORPUS_COMPACT,
+    "corpus_shard_manifest": ORACLE_CORPUS_SHARD_MANIFEST,
+    "events_late_audit": ORACLE_EVENTS_LATE_AUDIT,
     "robots_admission": ORACLE_ROBOTS_ADMISSION,
     "robots_rfc": ORACLE_ROBOTS_RFC,
     "spans_interleave": ORACLE_SPANS_INTERLEAVE,

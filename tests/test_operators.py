@@ -1032,3 +1032,31 @@ def test_random_projection_matches_numpy(spark):
     explained = SIM.random_projection(df, out_dim=4, dim=8) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in explained
+
+
+def test_corpus_compact_bin_boundaries(spark):
+    """Greedy running-sum packing: a doc goes to the file its
+    bytes-BEFORE land in, so every file except a partition's last holds
+    >= target bytes only via its final doc's overflow — no file starts
+    past the target boundary, no doc is split, doc order is preserved."""
+    from genesis_spark import queries as Q
+
+    rows = [("a", i, sz) for i, sz in
+            enumerate([30000, 30000, 30000, 70000, 10, 10])] \
+        + [("b", 10, 200000)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, "
+                                     "n_chars long")
+    import genesis_spark.queries as qq
+    target = qq._COMPACT_TARGET  # 65536
+    w = __import__("pyspark").sql.Window.partitionBy("source") \
+        .orderBy("doc_id").rowsBetween(-(1 << 30), 0)
+    from pyspark.sql import functions as F
+    plan = (df.select("source", "doc_id", "n_chars",
+                      F.floor((F.sum("n_chars").over(w) - F.col("n_chars"))
+                              / F.lit(target)).alias("file_id"))
+            .collect())
+    got = {(r.source, r.doc_id): r.file_id for r in plan}
+    # a: cum-before 0,30000,60000,90000,160000,160010 -> files 0,0,0,1,2,2
+    assert [got[("a", i)] for i in range(6)] == [0, 0, 0, 1, 2, 2]
+    # b: single oversized doc still lands alone in file 0 (never split)
+    assert got[("b", 10)] == 0
