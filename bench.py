@@ -122,12 +122,16 @@ def run_queries(sf_dir: str, cores: str) -> tuple[dict[str, float], float]:
     return timings, total
 
 
-# 12M: sized so the parallel fraction (~75 s of codegen+shuffle work at
-# 1-core-equivalent pace) dominates the ~2-3 s of per-run driver-serial
-# overhead (planning + AQE stage barriers + task dispatch) — at 6M the
-# serial fraction alone caps N->4N efficiency near 0.71 (Amdahl; see
-# BENCH.md round-2 notes)
-N_FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "12000000"))
+# 24M: sized so the parallel fraction dominates the ~4 s of per-run
+# driver-serial overhead (AQE stage barriers + task dispatch across the
+# job's ~6 shuffle boundaries; plan CONSTRUCTION is only ~0.5 s —
+# measured, see BENCH.md round-3 notes). The round-2 value of 12M passed
+# (0.836-0.86) only while background contention inflated the local[2]
+# wall; on a CLEAN machine 12M measures 0.736 (lo 44 s / hi 15 s) while
+# 24M measures 0.846 (lo 74 s / hi 22 s) — same job, same configs, the
+# barrier cost simply amortizes. At 6M the serial fraction alone caps
+# N->4N efficiency near 0.71 (Amdahl; round-2 notes).
+N_FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "24000000"))
 
 
 SOURCE_PARTITIONS = 32   # fixed source task count: both core levels run the
@@ -333,11 +337,11 @@ def run_scaling() -> dict:
     need_clean = int(os.environ.get("SPARK_GRAFT_SCALE_CLEAN", "2"))
     budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "2400"))
     max_waits = int(os.environ.get("SPARK_GRAFT_SCALE_WAITS", "8"))
-    # per-run wall caps (watchdog cancel): clean walls are ~50-80 s at
-    # local[2] and ~15-21 s at local[8] for 12M URLs, so these are 4-6x
+    # per-run wall caps (watchdog cancel): clean walls are ~70-90 s at
+    # local[2] and ~20-26 s at local[8] for 24M URLs, so these are 4-5x
     # headroom — only a genuinely throttled run hits them
-    cap_lo = float(os.environ.get("SPARK_GRAFT_SCALE_CAP_LO_S", "300"))
-    cap_hi = float(os.environ.get("SPARK_GRAFT_SCALE_CAP_HI_S", "120"))
+    cap_lo = float(os.environ.get("SPARK_GRAFT_SCALE_CAP_LO_S", "400"))
+    cap_hi = float(os.environ.get("SPARK_GRAFT_SCALE_CAP_HI_S", "150"))
     clean_ratio = 0.85
     t_start = time.monotonic()
     best = {}            # level -> {"clean": result, "any": result}

