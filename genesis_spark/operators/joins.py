@@ -53,6 +53,46 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     return out.drop("_salt")
 
 
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str,
+                 op_col: str = "op", delete_op: str = "D") -> DataFrame:
+    """``MERGE INTO`` semantics (the Iceberg/Delta upsert the jar-less
+    sandbox can't run natively — SnapshotStore's documented gap) as ONE
+    full-outer join:
+
+      WHEN MATCHED AND op = delete_op  -> DELETE (row dropped)
+      WHEN MATCHED                     -> UPDATE (update row's values win)
+      WHEN NOT MATCHED AND op != delete_op -> INSERT
+      base rows with no update         -> unchanged pass-through
+
+    ``updates`` must be unique per ``key`` (the MERGE cardinality
+    precondition — Iceberg aborts the commit on violation; callers
+    pre-aggregate). One shuffle on ``key``; Catalyst broadcasts the
+    update side automatically when it is small. Value columns must match
+    by name; every shared non-key column resolves to the update side's
+    value on a match."""
+    val_cols = [c for c in base.columns if c != key]
+    u_cols = set(updates.columns)
+    missing = [c for c in val_cols if c not in u_cols]
+    if missing:
+        raise ValueError(f"updates missing value columns: {missing}")
+    b = base.select(key, *val_cols,
+                    F.lit(True).alias("_in_base"))
+    u = updates.select(key, *[F.col(c).alias(f"_u_{c}") for c in val_cols],
+                       F.col(op_col).alias("_op"))
+    j = b.join(u, key, "full_outer")
+    matched = F.col("_in_base").isNotNull() & F.col("_op").isNotNull()
+    keep = (
+        # matched delete -> drop; matched update -> keep (update values)
+        F.when(matched, F.col("_op") != delete_op)
+        # unmatched update row -> insert unless it's a tombstone
+        .when(F.col("_op").isNotNull(), F.col("_op") != delete_op)
+        # base-only row -> pass through
+        .otherwise(F.lit(True)))
+    out_vals = [F.when(F.col("_op").isNotNull(), F.col(f"_u_{c}"))
+                .otherwise(F.col(c)).alias(c) for c in val_cols]
+    return (j.filter(keep).select(key, *out_vals))
+
+
 def write_bucketed(df: DataFrame, table: str, key: str,
                    n_buckets: int = 8, path: str | None = None) -> None:
     """Persist ``df`` hash-bucketed AND sorted on ``key`` so equi-joins

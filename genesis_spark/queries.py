@@ -403,6 +403,55 @@ FROM orders WHERE o_orderkey % 3 = 0
 """
 
 
+def q_frontier_merge_upsert(spark, sf_dir):
+    """Iceberg MERGE INTO semantics over the frontier (the SnapshotStore
+    gap expressed as a verified operator): a change batch of updates,
+    inserts, and delete tombstones applied to the standing frontier in
+    ONE full-outer join (operators/joins.py:merge_upsert) — matched
+    deletes drop, matched updates win, unmatched non-tombstones insert,
+    untouched rows pass through. The oracle replays the same FULL OUTER
+    JOIN arithmetic."""
+    from genesis_spark.operators.joins import merge_upsert
+
+    base = (_t(spark, sf_dir, "orders")
+            .groupBy(F.concat(F.lit("http://host"),
+                              (F.col("o_orderkey") % 200).cast("string"),
+                              F.lit(".onion")).alias("url"))
+            .agg(F.min("o_orderkey").alias("prio"))
+            .withColumn("state", F.lit("pending")))
+    k = F.col("l_orderkey")
+    upd = (_t(spark, sf_dir, "lineitem")
+           .groupBy(F.concat(F.lit("http://host"),
+                             (k % 300).cast("string"),
+                             F.lit(".onion")).alias("url"))
+           .agg(F.min("l_orderkey").alias("mk"))
+           .select("url", F.col("mk").alias("prio"),
+                   F.lit("done").alias("state"),
+                   F.when(F.col("mk") % 7 == 0, "D").otherwise("U")
+                   .alias("op")))
+    return merge_upsert(base, upd, "url")
+
+
+ORACLE_FRONTIER_MERGE_UPSERT = """
+WITH base AS (
+  SELECT 'http://host' || (o_orderkey % 200) || '.onion' AS url,
+         min(o_orderkey) AS prio, 'pending' AS state
+  FROM orders GROUP BY 1
+), upd AS (
+  SELECT url, mk AS prio, 'done' AS state,
+         CASE WHEN mk % 7 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM (SELECT 'http://host' || (l_orderkey % 300) || '.onion' AS url,
+               min(l_orderkey) AS mk
+        FROM lineitem GROUP BY 1)
+)
+SELECT coalesce(u.url, b.url) AS url,
+       CASE WHEN u.op IS NOT NULL THEN u.prio ELSE b.prio END AS prio,
+       CASE WHEN u.op IS NOT NULL THEN u.state ELSE b.state END AS state
+FROM base b FULL OUTER JOIN upd u ON b.url = u.url
+WHERE CASE WHEN u.op IS NOT NULL THEN u.op <> 'D' ELSE TRUE END
+"""
+
+
 def q_seen_anti_join_cuckoo(spark, sf_dir):
     """D1's cuckoo variant end-to-end at driver-check strength: the
     shard-ROUTED build + probe (operators/cuckoo.py — each task holds
@@ -6249,6 +6298,7 @@ QUERIES = {
     "corpus_shard_manifest": q_corpus_shard_manifest,
     "events_late_audit": q_events_late_audit,
     "seen_anti_join_cuckoo": q_seen_anti_join_cuckoo,
+    "frontier_merge_upsert": q_frontier_merge_upsert,
     "dedup_minhash_eval": q_dedup_minhash_eval,
     "text_readability": q_text_readability,
     "robots_admission": q_robots_admission,
@@ -6384,6 +6434,7 @@ ORACLES = {
     "corpus_shard_manifest": ORACLE_CORPUS_SHARD_MANIFEST,
     "events_late_audit": ORACLE_EVENTS_LATE_AUDIT,
     "seen_anti_join_cuckoo": ORACLE_SEEN_ANTI_JOIN_CUCKOO,
+    "frontier_merge_upsert": ORACLE_FRONTIER_MERGE_UPSERT,
     "dedup_minhash_eval": ORACLE_DEDUP_MINHASH_EVAL,
     "text_readability": ORACLE_TEXT_READABILITY,
     "robots_admission": ORACLE_ROBOTS_ADMISSION,

@@ -1060,3 +1060,37 @@ def test_corpus_compact_bin_boundaries(spark):
     assert [got[("a", i)] for i in range(6)] == [0, 0, 0, 1, 2, 2]
     # b: single oversized doc still lands alone in file 0 (never split)
     assert got[("b", 10)] == 0
+
+
+def test_merge_upsert_four_branches(spark):
+    """All four MERGE INTO branches in one tiny frame: matched update,
+    matched delete, unmatched insert, tombstone for an absent key (a
+    no-op), and a base row with no update passing through untouched."""
+    from genesis_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame(
+        [("a", 1, "pending"), ("b", 2, "pending"), ("c", 3, "pending")],
+        "url string, prio long, state string")
+    upd = spark.createDataFrame(
+        [("a", 10, "done", "U"),     # matched update
+         ("b", 0, "done", "D"),      # matched delete
+         ("d", 40, "done", "U"),     # unmatched insert
+         ("e", 0, "done", "D")],     # tombstone for absent key: no-op
+        "url string, prio long, state string, op string")
+    got = {r.url: (r.prio, r.state)
+           for r in merge_upsert(base, upd, "url").collect()}
+    assert got == {"a": (10, "done"),
+                   "c": (3, "pending"),
+                   "d": (40, "done")}
+
+
+def test_merge_upsert_missing_value_column_raises(spark):
+    from genesis_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame([("a", 1)], "url string, prio long")
+    upd = spark.createDataFrame([("a", "U")], "url string, op string")
+    try:
+        merge_upsert(base, upd, "url")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "prio" in str(e)

@@ -30,6 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # rows whose plans legitimately carry Arrow-batched Python, and why
 PANDAS_SANCTIONED = {
+    "frontier_install": "with_global_seq dense numbering (offset + local "
+                        "position over Arrow batches — operators/seq.py; "
+                        "the non-serializing alternative to a global "
+                        "single-partition window)",
     "leak_dispatch": "per-site HTML card extraction (real parser kernels)",
     "leak_dispatch2": "per-site HTML card extraction",
     "leak_dispatch3": "per-site HTML card extraction",
@@ -82,7 +86,10 @@ def audit(sf_dir: str) -> int:
                                       f"({PANDAS_SANCTIONED[name]})"))
         else:
             wsc = plan.count("WholeStageCodegen")
-            rows.append((name, "ok", f"JVM-only; {wsc} codegen span(s)"))
+            detail = (f"JVM-only; {wsc} codegen span(s)" if wsc else
+                      "JVM-only (AQE plan; codegen spans materialize at "
+                      "execution)")
+            rows.append((name, "ok", detail))
     spark.stop()
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
