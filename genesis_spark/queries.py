@@ -6227,6 +6227,233 @@ FROM lat GROUP BY 1, 2
 """
 
 
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (k1=1.2, b=0.75, Lucene ``ln(1+(N-df+.5)/(df+.5))``
+    idf) for the fixed query {hash, merge, vector} — the SEARCH-side twin
+    of text_tfidf_topk: rank documents for a query instead of terms for a
+    document. Every scoring input (doc length, avgdl, df, N) is computed
+    in-plan — no driver-side literals — and the per-term contributions
+    are quantized to 1e-6 integer units BEFORE the per-doc sum, so the
+    final score is exact integer arithmetic (float summation order can't
+    flip the driver hash).
+
+    Plan/scale: one token shuffle (per-doc length), one (doc,term) agg
+    over the 3 matched terms only (filter pushes the query terms into the
+    scan side of the explode), df + corpus stats are 3-row / 1-row
+    aggregates broadcast back, final top-10 is a TakeOrdered on ~N scored
+    docs. No all-pairs, no UDF; at 100 TB the only wide exchange is the
+    doc_id-partitioned length/term agg."""
+    QUERY = ["hash", "merge", "vector"]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"))
+        .filter(F.length("term") >= 1))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.sum("dl").alias("tot"), F.count("*").alias("nd"))
+    qtf = (toks.filter(F.col("term").isin(QUERY))
+           .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (F.log((F.col("nd") - F.col("df") + 0.5) /
+                     (F.col("df") + 0.5) + 1.0) *
+               (F.col("tf") * 2.2) /
+               (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") *
+                                     F.col("nd") / F.col("tot"))))
+    scored = (qtf.join(F.broadcast(df), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("contrib_u",
+                          F.round(contrib * 1e6).cast("long")))
+    ranked = (scored.groupBy("doc_id")
+              .agg(F.count("*").alias("n_terms"),
+                   F.sum("contrib_u").alias("score_u")))
+    w = Window.orderBy(F.desc("score_u"), F.asc("doc_id"))
+    return (ranked.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("doc_id", "n_terms", "score_u", "rank"))
+
+
+ORACLE_TEXT_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents,
+       UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE len(t.term) >= 1
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(sum(dl) AS BIGINT) AS tot, count(*) AS nd FROM dl),
+qtf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('hash', 'merge', 'vector') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT qtf.doc_id,
+         CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+                    * (tf * 2.2)
+                    / (tf + 1.2 * (0.25 + 0.75 * dl * nd / tot))
+                    * 1000000.0) AS BIGINT) AS contrib_u
+  FROM qtf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+ranked AS (
+  SELECT doc_id, count(*) AS n_terms,
+         CAST(sum(contrib_u) AS BIGINT) AS score_u
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_terms, score_u, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score_u DESC, doc_id ASC) AS rank
+  FROM ranked) WHERE rank <= 10
+"""
+
+
+def q_corpus_dsir_resample(spark, sf_dir):
+    """DSIR-style importance resampling weights (Xie et al. 2023,
+    arXiv:2302.03169): a hashed-unigram bag-of-words LM for the TARGET
+    slice (source='src18', the high-quality-domain stand-in) vs the RAW
+    pool (all documents); each doc's importance weight is the sum over
+    its tokens of the log-likelihood ratio of the token's hash bucket
+    (64 buckets, add-one smoothing). Per-bucket log-ratios quantize to
+    1e-6 integer units so the per-doc sum is exact integer arithmetic —
+    order-independent across engines. Top-20 by weight = the docs DSIR
+    would resample into the training mix first.
+
+    Plan/scale: the token stream shuffles ONCE for the 64-row bucket
+    census (map-side combine does nearly all the work — 64 keys); the
+    ratio table and the corpus totals are broadcast back onto the token
+    stream, and the per-doc weight agg partitions by doc_id. The bucket
+    table stays O(64) no matter the corpus size, so at 100 TB this is
+    two partial-agg shuffles and zero joins wider than a broadcast."""
+    target = "src18"
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = (d.select(
+        "doc_id", "source",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"))
+        .filter(F.length("term") >= 2)
+        .withColumn("bucket",
+                    F.conv(F.substring(F.md5("term"), 1, 8), 16, 10)
+                    .cast("long") % 64))
+    census = (toks.groupBy("bucket")
+              .agg(F.count("*").alias("rc"),
+                   F.sum((F.col("source") == target).cast("long"))
+                   .alias("tc")))
+    totals = census.agg(F.sum("rc").alias("tr"), F.sum("tc").alias("tt"))
+    lr_u = (F.round((F.log((F.col("tc") + 1.0) / (F.col("tt") + 64.0)) -
+                     F.log((F.col("rc") + 1.0) / (F.col("tr") + 64.0)))
+                    * 1e6).cast("long"))
+    ratios = (census.crossJoin(F.broadcast(totals))
+              .select("bucket", lr_u.alias("lr_u")))
+    weights = (toks.join(F.broadcast(ratios), "bucket")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_toks"),
+                    F.sum("lr_u").alias("weight_u")))
+    w = Window.orderBy(F.desc("weight_u"), F.asc("doc_id"))
+    return (weights.join(d.select("doc_id", "source"), "doc_id")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select("doc_id", "source", "n_toks", "weight_u", "rank"))
+
+
+ORACLE_CORPUS_DSIR_RESAMPLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(t.term), 1, 8))::BIGINT % 64 AS bucket
+  FROM documents,
+       UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE len(t.term) >= 2
+),
+census AS (
+  SELECT bucket, count(*) AS rc,
+         CAST(sum(CASE WHEN source = 'src18' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tc
+  FROM toks GROUP BY bucket),
+totals AS (SELECT CAST(sum(rc) AS BIGINT) AS tr,
+                  CAST(sum(tc) AS BIGINT) AS tt FROM census),
+ratios AS (
+  SELECT bucket,
+         CAST(round((ln((tc + 1.0) / (tt + 64.0))
+                     - ln((rc + 1.0) / (tr + 64.0))) * 1000000.0)
+              AS BIGINT) AS lr_u
+  FROM census CROSS JOIN totals),
+weights AS (
+  SELECT doc_id, count(*) AS n_toks,
+         CAST(sum(lr_u) AS BIGINT) AS weight_u
+  FROM toks JOIN ratios USING (bucket) GROUP BY doc_id)
+SELECT w.doc_id, d.source, w.n_toks, w.weight_u,
+       CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY weight_u DESC, doc_id ASC)
+        AS rank FROM weights) w
+JOIN documents d ON w.doc_id = d.doc_id
+WHERE rank <= 20
+"""
+
+
+def q_text_hashed_lr(spark, sf_dir):
+    """fastText-style hashed-bigram linear classifier scoring (Joulin et
+    al. 2016, arXiv:1607.01759): bigrams hash into 256 buckets, each
+    bucket carries a FROZEN weight in milli-units (derived here
+    deterministically from md5 of the bucket index — a trained model
+    swaps in its weight table through the same expression, exactly like
+    the T9 dictionary broadcast), doc score = integer sum of its bigram
+    weights, keep/drop at score > 0. This is the learned-quality-
+    classifier scoring path (the Gopher rules' model-based sibling):
+    all-JVM codegen, zero Python.
+
+    Plan/scale: bigrams come from one array transform per doc (no
+    self-join, no window); the weight lookup is a pure EXPRESSION on the
+    bucket id (no join at all), and the only shuffle is the per-doc
+    integer sum. At 100 TB: embarrassingly parallel scoring plus one
+    doc_id-partitioned agg."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    arr = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                   lambda x: F.length(x) >= 1)
+    bigrams = F.when(
+        F.size(arr) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.concat(F.element_at(arr, i), F.lit("_"),
+                                       F.element_at(arr, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    bg = d.select("doc_id", F.explode_outer(bigrams).alias("bigram"))
+    bucket = (F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10)
+              .cast("long") % 256)
+    weight = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("w1|"), bucket.cast("string"))), 1, 8),
+        16, 10).cast("long") % 2001) - 1000
+    scored = bg.select(
+        "doc_id",
+        F.when(F.col("bigram").isNotNull(), weight)
+        .otherwise(F.lit(0)).alias("w"),
+        F.col("bigram").isNotNull().cast("long").alias("hit"))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("hit").alias("n_bigrams"),
+                 F.sum("w").alias("score_u"))
+            .withColumn("label", F.when(F.col("score_u") > 0, "keep")
+                        .otherwise("drop"))
+            .select("doc_id", "n_bigrams", "score_u", "label"))
+
+
+ORACLE_TEXT_HASHED_LR = """
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) >= 1) AS w
+  FROM documents),
+bg AS (
+  SELECT doc_id, u.bigram FROM arrs,
+       UNNEST(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || '_' || w[i + 1])
+                ELSE [NULL] END) AS u(bigram)),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN bigram IS NULL THEN 0 ELSE
+           ((('0x' || substr(md5('w1|' ||
+                 (('0x' || substr(md5(bigram), 1, 8))::BIGINT % 256)),
+               1, 8))::BIGINT % 2001) - 1000) END AS w,
+         CASE WHEN bigram IS NULL THEN 0 ELSE 1 END AS hit
+  FROM bg)
+SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_bigrams,
+       CAST(sum(w) AS BIGINT) AS score_u,
+       CASE WHEN sum(w) > 0 THEN 'keep' ELSE 'drop' END AS label
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -6361,6 +6588,9 @@ QUERIES = {
     "url_near_dup": q_url_near_dup,
     "graph_triangles": q_graph_triangles,
     "frontier_pipeline": q_frontier_pipeline,
+    "text_bm25_topk": q_text_bm25_topk,
+    "corpus_dsir_resample": q_corpus_dsir_resample,
+    "text_hashed_lr": q_text_hashed_lr,
 }
 
 ORACLES = {
@@ -6497,6 +6727,9 @@ ORACLES = {
     "url_near_dup": ORACLE_URL_NEAR_DUP,
     "graph_triangles": ORACLE_GRAPH_TRIANGLES,
     "frontier_pipeline": ORACLE_FRONTIER_PIPELINE,
+    "text_bm25_topk": ORACLE_TEXT_BM25_TOPK,
+    "corpus_dsir_resample": ORACLE_CORPUS_DSIR_RESAMPLE,
+    "text_hashed_lr": ORACLE_TEXT_HASHED_LR,
 }
 
 
