@@ -6454,6 +6454,182 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_graph_neighbor_jaccard(spark, sf_dir):
+    """Out-neighbor Jaccard similarity between host pairs — the
+    mirror-site / link-farm co-citation signal (two hosts whose outlink
+    sets nearly coincide are one logical site; PageRank and triangle
+    counts can't see this). Pairs are generated ONLY through shared
+    neighbors (wedge join on dst, a<b orientation) — never all-pairs —
+    then |A∪B| = deg_a + deg_b - common closes the Jaccard exactly in
+    integer arithmetic; the 4-dp division is the only float.
+
+    Plan/scale: distinct edge shuffle, one self-equi-join on dst (fan-out
+    bounded by per-dst in-degree — the crawl analogue of the LSH band
+    join; at 100 TB skewed dst hubs get capped/salted exactly like the
+    minhash band path), pair agg, broadcast degree join. Output is the
+    global top-25 most-similar pairs (rank on the ROUNDED score so tie
+    order is engine-independent) — a fixed threshold can't discriminate
+    across graph densities, the top-k mirror-candidate list always
+    does."""
+    o = _t(spark, sf_dir, "orders")
+    src = F.concat(F.lit("h"), (F.col("o_orderkey") % 50).cast("string"))
+    dst = F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string"))
+    edges = (o.select(src.alias("src"), dst.alias("dst"))
+             .filter(F.col("src") != F.col("dst")).distinct())
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    a = edges.select(F.col("src").alias("host_a"), "dst")
+    b = edges.select(F.col("src").alias("host_b"), "dst")
+    common = (a.join(b, "dst")
+              .filter(F.col("host_a") < F.col("host_b"))
+              .groupBy("host_a", "host_b")
+              .agg(F.count("*").alias("n_common")))
+    da = deg.select(F.col("src").alias("host_a"),
+                    F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("host_b"),
+                    F.col("deg").alias("deg_b"))
+    scored = (common.join(F.broadcast(da), "host_a")
+              .join(F.broadcast(db), "host_b")
+              .withColumn("jaccard",
+                          F.round(F.col("n_common") /
+                                  (F.col("deg_a") + F.col("deg_b") -
+                                   F.col("n_common")), 4)))
+    w = Window.orderBy(F.desc("jaccard"), F.asc("host_a"),
+                       F.asc("host_b"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 25)
+            .select("host_a", "host_b", "n_common", "jaccard", "rank"))
+
+
+ORACLE_GRAPH_NEIGHBOR_JACCARD = """
+WITH e AS (
+  SELECT DISTINCT 'h' || (o_orderkey % 50) AS src,
+                  'h' || (o_custkey % 50) AS dst
+  FROM orders
+  WHERE 'h' || (o_orderkey % 50) <> 'h' || (o_custkey % 50)),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+common AS (
+  SELECT a.src AS host_a, b.src AS host_b, count(*) AS n_common
+  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src),
+j AS (
+  SELECT host_a, host_b, n_common,
+         round(n_common / (da.deg + db.deg - n_common), 4) AS jaccard
+  FROM common
+  JOIN deg da ON da.src = host_a
+  JOIN deg db ON db.src = host_b)
+SELECT host_a, host_b, n_common, jaccard, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY jaccard DESC, host_a ASC,
+                                   host_b ASC) AS rank FROM j)
+WHERE rank <= 25
+"""
+
+
+def q_events_cdc_apply(spark, sf_dir):
+    """CDC changelog materialization (the Debezium-consumer shape): the
+    events stream is read as a per-user change log ordered by
+    (ts, event_id); 'error' events are tombstones (D), everything else
+    upserts (U). Applying the log = last-writer-wins per key, with a
+    trailing tombstone deleting the key entirely. Complements
+    events_scd2 (full history intervals) and frontier_merge_upsert
+    (single-batch merge): this is the multi-op-per-key, order-sensitive
+    apply. Output: surviving keys with their final state + op census.
+
+    Plan/scale: ONE shuffle (user_id window); the rollup reuses the same
+    partitioning. At 100 TB the log is processed per-key-partition with
+    no join at all — the canonical snapshot-maintenance pattern."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    op = (F.when(F.col("event_type") == "error", "D")
+          .otherwise("U"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                              F.desc("event_id"))
+    ranked = (e.withColumn("op", op)
+              .withColumn("rn", F.row_number().over(w)))
+    census = (ranked.groupBy("user_id")
+              .agg(F.count("*").alias("n_ops"),
+                   F.sum((F.col("op") == "D").cast("long"))
+                   .alias("n_deletes")))
+    last = (ranked.filter(F.col("rn") == 1)
+            .select("user_id", F.col("op").alias("last_op"),
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("value").alias("last_value")))
+    return (last.filter(F.col("last_op") != "D")
+            .join(census, "user_id")
+            .select("user_id", "last_event_id",
+                    F.round("last_value", 2).alias("last_value"),
+                    "n_ops", "n_deletes"))
+
+
+ORACLE_EVENTS_CDC_APPLY = """
+WITH log AS (
+  SELECT event_id, ts, user_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+census AS (
+  SELECT user_id, count(*) AS n_ops,
+         CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deletes
+  FROM log GROUP BY user_id),
+last AS (
+  SELECT user_id, op AS last_op, event_id AS last_event_id,
+         value AS last_value
+  FROM log WHERE rn = 1)
+SELECT l.user_id, l.last_event_id, round(l.last_value, 2) AS last_value,
+       c.n_ops, c.n_deletes
+FROM last l JOIN census c USING (user_id)
+WHERE l.last_op <> 'D'
+"""
+
+
+def q_text_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    5-gram shingles whose first corpus occurrence (min doc_id) is the
+    doc itself. Template spam and boilerplate-heavy mirrors score near
+    zero (their shingles all debuted elsewhere); the injected corpus
+    twins make the signal deterministic. This is the within-corpus
+    contamination lens next to dedup_decontaminate's cross-set one.
+
+    Plan/scale: shingle explode -> distinct (doc, shingle) -> the
+    first-occurrence agg partitions by shingle (one wide shuffle, the
+    same shape dedup_exact_substr already carries at 100 TB) -> join
+    back on shingle reuses that partitioning -> per-doc agg. Novelty is
+    an integer ratio rounded at 4 dp."""
+    corpus = _corpus(spark, sf_dir)
+    sh = (corpus.select(
+        "doc_id",
+        F.explode(D.shingles_expr(F.col("text"), 5)).alias("shingle"))
+        .distinct())
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (sh.join(first, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum((F.col("first_doc") == F.col("doc_id"))
+                       .cast("long")).alias("n_novel"))
+            .withColumn("novelty",
+                        F.round(F.col("n_novel") / F.col("n_shingles"),
+                                4))
+            .select("doc_id", "n_shingles", "n_novel", "novelty"))
+
+
+ORACLE_TEXT_NGRAM_NOVELTY = f"""
+WITH {_CORPUS_SQL},
+{_shingle_sql(5)},
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+first AS (SELECT shingle, min(doc_id) AS first_doc FROM dsh
+          GROUP BY shingle),
+agg AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM dsh JOIN first USING (shingle) GROUP BY doc_id)
+SELECT doc_id, n_shingles, n_novel,
+       round(n_novel / n_shingles, 4) AS novelty
+FROM agg
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -6591,6 +6767,9 @@ QUERIES = {
     "text_bm25_topk": q_text_bm25_topk,
     "corpus_dsir_resample": q_corpus_dsir_resample,
     "text_hashed_lr": q_text_hashed_lr,
+    "graph_neighbor_jaccard": q_graph_neighbor_jaccard,
+    "events_cdc_apply": q_events_cdc_apply,
+    "text_ngram_novelty": q_text_ngram_novelty,
 }
 
 ORACLES = {
@@ -6730,6 +6909,9 @@ ORACLES = {
     "text_bm25_topk": ORACLE_TEXT_BM25_TOPK,
     "corpus_dsir_resample": ORACLE_CORPUS_DSIR_RESAMPLE,
     "text_hashed_lr": ORACLE_TEXT_HASHED_LR,
+    "graph_neighbor_jaccard": ORACLE_GRAPH_NEIGHBOR_JACCARD,
+    "events_cdc_apply": ORACLE_EVENTS_CDC_APPLY,
+    "text_ngram_novelty": ORACLE_TEXT_NGRAM_NOVELTY,
 }
 
 
