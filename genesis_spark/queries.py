@@ -6630,6 +6630,120 @@ FROM agg
 """
 
 
+def q_ann_recall_eval(spark, sf_dir):
+    """Recall@5 of the two production ANN paths (hyperplane-LSH and
+    IVF-flat) against the brute-force cosine truth — the ANN twin of
+    dedup_minhash_eval: the approximation quality the 100 TB similarity
+    path relies on, MEASURED inside the engine and value-hashed, not
+    asserted in a notebook. Zero-hit queries still emit a row (left join
+    from the truth's query set) so recall collapse is visible, never
+    silently absent.
+
+    Plan/scale: truth is brute-force only over the 10 probe queries
+    (bounded), the two approximations are the same bucket-join plans
+    their own rows carry; the grading join is (query_id, neighbor_id)
+    equi — tiny. The expensive parts reuse the exact operator code paths
+    (SIM.cosine_topk / lsh_topk / ivf_topk), so this row also pins their
+    interfaces."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    truth = (SIM.cosine_topk(emb, qs, k=5)
+             .select("query_id", "neighbor_id"))
+    qids = truth.select("query_id").distinct()
+
+    def graded(approx, method):
+        hits = (approx.select("query_id", "neighbor_id")
+                .join(truth, ["query_id", "neighbor_id"])
+                .groupBy("query_id").agg(F.count("*").alias("n")))
+        return (qids.join(hits, "query_id", "left")
+                .select(F.lit(method).alias("method"), "query_id",
+                        F.coalesce("n", F.lit(0)).alias("n_hits"))
+                .withColumn("recall",
+                            F.round(F.col("n_hits") / 5.0, 4)))
+
+    lsh = SIM.lsh_topk(emb, qs, k=5, n_planes=_LSH_PLANES,
+                       n_tables=_LSH_TABLES, dim=_LSH_DIM)
+    ivf = SIM.ivf_topk(emb, qs, k=5, n_centroids=_IVF_CENTROIDS,
+                       n_probe=_IVF_PROBE, dim=_IVF_DIM)
+    return graded(lsh, "lsh").unionByName(graded(ivf, "ivf"))
+
+
+ORACLE_ANN_RECALL_EVAL = f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({ORACLE_ANN_COSINE}) t),
+lsh AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_LSH}) l),
+ivf AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_IVF}) v),
+qids AS (SELECT DISTINCT query_id FROM truth),
+lh AS (SELECT t.query_id, count(*) AS n FROM lsh
+       JOIN truth t USING (query_id, neighbor_id) GROUP BY t.query_id),
+ih AS (SELECT t.query_id, count(*) AS n FROM ivf
+       JOIN truth t USING (query_id, neighbor_id) GROUP BY t.query_id)
+SELECT 'lsh' AS method, q.query_id,
+       CAST(coalesce(lh.n, 0) AS BIGINT) AS n_hits,
+       round(coalesce(lh.n, 0) / 5.0, 4) AS recall
+FROM qids q LEFT JOIN lh USING (query_id)
+UNION ALL
+SELECT 'ivf' AS method, q.query_id,
+       CAST(coalesce(ih.n, 0) AS BIGINT) AS n_hits,
+       round(coalesce(ih.n, 0) / 5.0, 4) AS recall
+FROM qids q LEFT JOIN ih USING (query_id)
+"""
+
+
+def q_corpus_quality_ensemble(spark, sf_dir):
+    """The composed quality GATE a production corpus actually ships:
+    rubric score, token-length bounds, and the learned hashed-bigram
+    classifier evaluated per doc, collapsed into one FIRST-FAILING-REASON
+    verdict (the order is the contract: low_quality -> too_short ->
+    too_long -> model_drop -> keep). Output is the reason census with a
+    doc_id checksum per bucket, so one doc sliding from 'keep' to any
+    reject bucket — or flipping between reject reasons — breaks the
+    hash. Composition row beside corpus_clean/corpus_clean_full: those
+    verify dedup-chain composition, this verifies the filter-*decision*
+    composition.
+
+    Plan/scale: every signal is a map-side expression except the
+    classifier's per-doc sum (one doc_id-partitioned agg); the verdict
+    join is doc_id-equi on that same partitioning and the census is a
+    5-key agg. No UDF, no Python."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        "doc_id",
+        TS.quality_score_expr(F.col("text")).alias("q"),
+        F.size(F.split(F.col("text"), " ")).alias("ntok"))
+    lr = q_text_hashed_lr(spark, sf_dir).select("doc_id", "score_u")
+    verdict = (F.when(F.col("q") < 80, "low_quality")
+               .when(F.col("ntok") < 20, "too_short")
+               .when(F.col("ntok") > 1000, "too_long")
+               .when(F.col("score_u") <= 0, "model_drop")
+               .otherwise("keep"))
+    return (base.join(lr, "doc_id")
+            .select(verdict.alias("verdict"), "doc_id")
+            .groupBy("verdict")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
+ORACLE_CORPUS_QUALITY_ENSEMBLE = f"""
+WITH lr AS (SELECT doc_id, score_u FROM ({ORACLE_TEXT_HASHED_LR}) h),
+{_quality_cte("doc_id", "documents")},
+base AS (
+  SELECT d.doc_id, qs.q, len(string_split(d.text, ' ')) AS ntok
+  FROM documents d JOIN qs USING (doc_id)),
+v AS (
+  SELECT b.doc_id,
+         CASE WHEN q < 80 THEN 'low_quality'
+              WHEN ntok < 20 THEN 'too_short'
+              WHEN ntok > 1000 THEN 'too_long'
+              WHEN score_u <= 0 THEN 'model_drop'
+              ELSE 'keep' END AS verdict
+  FROM base b JOIN lr USING (doc_id))
+SELECT verdict, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM v GROUP BY verdict
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -6770,6 +6884,8 @@ QUERIES = {
     "graph_neighbor_jaccard": q_graph_neighbor_jaccard,
     "events_cdc_apply": q_events_cdc_apply,
     "text_ngram_novelty": q_text_ngram_novelty,
+    "ann_recall_eval": q_ann_recall_eval,
+    "corpus_quality_ensemble": q_corpus_quality_ensemble,
 }
 
 ORACLES = {
@@ -6912,6 +7028,8 @@ ORACLES = {
     "graph_neighbor_jaccard": ORACLE_GRAPH_NEIGHBOR_JACCARD,
     "events_cdc_apply": ORACLE_EVENTS_CDC_APPLY,
     "text_ngram_novelty": ORACLE_TEXT_NGRAM_NOVELTY,
+    "ann_recall_eval": ORACLE_ANN_RECALL_EVAL,
+    "corpus_quality_ensemble": ORACLE_CORPUS_QUALITY_ENSEMBLE,
 }
 
 

@@ -1,0 +1,99 @@
+"""Unit tests for the round-3 block-22 rows: ANN recall grading and the
+composed quality-gate ensemble. The ensemble test replays the full
+decision (rubric score, token bounds, hashed-LR sign) in plain Python per
+hand-built doc; the recall test checks the grading invariants the oracle
+can't state (hits bounded by k, recall arithmetic, both methods always
+present for every query)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from genesis_spark import queries as Q
+from genesis_spark.operators import textstats as TS
+
+
+def test_ann_recall_eval_invariants(spark):
+    rows = Q.q_ann_recall_eval(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    by_method = {}
+    for r in rows:
+        by_method.setdefault(r["method"], set()).add(r["query_id"])
+        assert 0 <= r["n_hits"] <= 5
+        assert abs(r["recall"] - r["n_hits"] / 5.0) < 1e-9
+    assert set(by_method) == {"lsh", "ivf"}
+    assert by_method["lsh"] == by_method["ivf"] == set(range(10))
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _lr_score(text: str) -> int:
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    total = 0
+    for a, b in zip(toks, toks[1:]):
+        bucket = _h32(f"{a}_{b}") % 256
+        total += (_h32(f"w1|{bucket}") % 2001) - 1000
+    return total
+
+
+def _rubric(text: str) -> int:
+    n = len(text)
+    toks = text.split(" ")
+    n_tok = len(toks)
+    alpha = len(re.sub(r"[^A-Za-z一-鿿]", "", text))
+    markers = (TS.LANG_MARKERS["en"] + TS.LANG_MARKERS["fr"] +
+               TS.LANG_MARKERS["es"] + TS.LANG_MARKERS["de"])
+    stop = sum(1 for t in text.lower().split(" ") if t in markers)
+    score = (30 if n > 500 else 20 if n > 100 else 10 if n > 20 else 0)
+    score += (30 if alpha / max(n, 1) > 0.7 else
+              15 if alpha / max(n, 1) > 0.4 else 0)
+    score += 20 if stop / max(n_tok, 1) > 0.05 else 0
+    score += 20 if 3 <= n / max(n_tok, 1) <= 12 else 0
+    return score
+
+
+def _verdict(text: str) -> str:
+    q = _rubric(text)
+    ntok = len(text.split(" "))
+    if q < 80:
+        return "low_quality"
+    if ntok < 20:
+        return "too_short"
+    if ntok > 1000:
+        return "too_long"
+    if _lr_score(text) <= 0:
+        return "model_drop"
+    return "keep"
+
+
+def test_quality_ensemble_first_failing_reason(spark, tmp_path):
+    """Four hand docs aimed at distinct branches; the Spark verdict
+    census must match the Python replay of the ordered decision."""
+    good = ("the quick brown foxes jumped over the lazy dogs and "
+            "ran into the green field while the sun was shining "
+            "bright over the hills and the valley") * 1
+    short = "the cats and dogs ran over the big green hill today"
+    garbage = "#### $$$$ %%%% ^^^^ &&&& **** (((( )))) @@@@ !!!!"
+    huge = ("the word and more of the text to a fill in here " * 110)
+    huge = huge.strip()
+    docs = [(1, good), (3, short), (5, garbage), (7, huge)]
+    df = spark.createDataFrame(
+        [(i, t, "s", "en", len(t)) for i, t in docs],
+        "doc_id long, text string, source string, lang string, "
+        "n_chars long")
+    out = str(tmp_path / "qe")
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+
+    expect = {}
+    for i, t in docs:
+        v = _verdict(t)
+        n, c = expect.get(v, (0, 0))
+        expect[v] = (n + 1, c + i)
+    got = {r["verdict"]: (r["n_docs"], r["id_checksum"]) for r in
+           Q.q_corpus_quality_ensemble(spark, out).collect()}
+    assert got == expect
+    # the fixture must actually exercise >= 3 distinct branches
+    assert len(expect) >= 3
