@@ -6744,6 +6744,37 @@ FROM v GROUP BY verdict
 """
 
 
+def q_stream_upsert(spark, sf_dir):
+    """8th streaming capability — stream==batch equivalence for SNAPSHOT
+    MAINTENANCE: the events change log replayed as per-file micro-batches
+    (file order deliberately uncontrolled) through a foreachBatch
+    CDC-merge (streaming/pipeline.run_upsert_stream) that keeps the
+    later (ts, event_id) per key, retains tombstones, and adds op
+    counters. The final snapshot, filtered and projected, must equal the
+    BATCH events_cdc_apply row exactly — same oracle SQL verbatim. This
+    is the north star's "frontier state checkpoints ... crash-resume"
+    contract exercised through real Structured Streaming machinery with
+    out-of-order delivery."""
+    import os
+    import tempfile
+
+    from genesis_spark.streaming.pipeline import run_upsert_stream
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="gs_upsert_")
+    src = os.path.join(tmp, "events")
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    snap = run_upsert_stream(spark, src, tmp)
+    return (snap.filter(F.col("op") != "D")
+            .select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.round("value", 2).alias("last_value"),
+                    "n_ops", "n_deletes"))
+
+
+ORACLE_STREAM_UPSERT = ORACLE_EVENTS_CDC_APPLY
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -6886,6 +6917,7 @@ QUERIES = {
     "text_ngram_novelty": q_text_ngram_novelty,
     "ann_recall_eval": q_ann_recall_eval,
     "corpus_quality_ensemble": q_corpus_quality_ensemble,
+    "stream_upsert": q_stream_upsert,
 }
 
 ORACLES = {
@@ -7030,6 +7062,7 @@ ORACLES = {
     "text_ngram_novelty": ORACLE_TEXT_NGRAM_NOVELTY,
     "ann_recall_eval": ORACLE_ANN_RECALL_EVAL,
     "corpus_quality_ensemble": ORACLE_CORPUS_QUALITY_ENSEMBLE,
+    "stream_upsert": ORACLE_STREAM_UPSERT,
 }
 
 

@@ -237,3 +237,87 @@ def count_stream(links: DataFrame):
     return links.groupBy("host_key").applyInPandasWithState(
         fn, "host_key string, n_cum bigint", "n bigint",
         "append", GroupStateTimeout.NoTimeout)
+
+
+def run_upsert_stream(spark: SparkSession, events_src: str,
+                      work_dir: str) -> DataFrame:
+    """foreachBatch CDC-MERGE maintenance of a key->state snapshot — the
+    streaming form of the frontier/SnapshotStore upsert path (S8/ST4)
+    applied to a change log: each micro-batch reduces to one winner per
+    key by (ts, event_id), then full-outer-merges into the persisted
+    snapshot, keeping whichever side carries the LATER (ts, event_id).
+    Tombstones ('error' ops) are RETAINED in the snapshot rather than
+    deleted, so a late-arriving older update cannot resurrect a deleted
+    key — out-of-order batch delivery converges to the same state as an
+    ordered replay (the property q_stream_upsert's batch oracle checks).
+    Op counters merge by addition (order-independent).
+
+    Snapshots alternate between two parquet dirs (read v, write v+1) —
+    the same copy-on-write discipline as sources/tables.SnapshotStore;
+    on Iceberg this is MERGE INTO + snapshot commit per batch.
+
+    Returns the FINAL snapshot DataFrame (tombstones included)."""
+    import os
+
+    from pyspark.sql import Window
+
+    snap_dirs = [os.path.join(work_dir, f"snap_v{i}") for i in (0, 1)]
+    version = {"v": -1}
+
+    def merge(batch_df, _batch_id):
+        b = batch_df.withColumn(
+            "op", F.when(F.col("event_type") == "error",
+                         F.lit("D")).otherwise(F.lit("U")))
+        w = (Window.partitionBy("user_id")
+             .orderBy(F.desc("ts"), F.desc("event_id")))
+        red = (b.withColumn("rn", F.row_number().over(w))
+               .withColumn("n_ops_d",
+                           F.sum(F.lit(1)).over(
+                               Window.partitionBy("user_id")))
+               .withColumn("n_del_d",
+                           F.sum((F.col("op") == "D").cast("long")).over(
+                               Window.partitionBy("user_id")))
+               .filter(F.col("rn") == 1)
+               .select("user_id", "ts", "event_id", "value", "op",
+                       F.col("n_ops_d").alias("n_ops"),
+                       F.col("n_del_d").alias("n_deletes")))
+        if version["v"] >= 0:
+            snap = spark.read.parquet(snap_dirs[version["v"] % 2])
+            j = snap.alias("s").join(red.alias("b"), "user_id",
+                                     "full_outer")
+            take_b = (F.col("s.ts").isNull() |
+                      (F.col("b.ts").isNotNull() &
+                       ((F.col("b.ts") > F.col("s.ts")) |
+                        ((F.col("b.ts") == F.col("s.ts")) &
+                         (F.col("b.event_id") > F.col("s.event_id"))))))
+
+            def pick(c):
+                return (F.when(take_b, F.col(f"b.{c}"))
+                        .otherwise(F.col(f"s.{c}")).alias(c))
+
+            out = j.select(
+                "user_id", pick("ts"), pick("event_id"), pick("value"),
+                pick("op"),
+                (F.coalesce(F.col("s.n_ops"), F.lit(0)) +
+                 F.coalesce(F.col("b.n_ops"), F.lit(0))).alias("n_ops"),
+                (F.coalesce(F.col("s.n_deletes"), F.lit(0)) +
+                 F.coalesce(F.col("b.n_deletes"), F.lit(0)))
+                .alias("n_deletes"))
+        else:
+            out = red
+        nxt = snap_dirs[(version["v"] + 1) % 2]
+        out.write.mode("overwrite").parquet(nxt)
+        version["v"] += 1
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .option("maxFilesPerTrigger", 1)
+              .format("parquet").load(events_src))
+    q = (stream.writeStream.foreachBatch(merge)
+         .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if version["v"] < 0:
+        raise RuntimeError("upsert stream processed no batches")
+    return spark.read.parquet(snap_dirs[version["v"] % 2])
