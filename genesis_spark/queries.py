@@ -4553,6 +4553,17 @@ def q_media_phash(spark, sf_dir):
     and the bit packing in plain SQL — a value-hash match proves the
     whole perceptual-hash kernel. Segments are the banded layout for
     hamming-distance dedup joins (same 4x16 scheme as dedup_simhash64)."""
+    hashes = _phash_segs(spark, sf_dir)
+    segcols = ["seg0", "seg1", "seg2", "seg3"]
+    grp = hashes.groupBy(*segcols).agg(F.count("*").alias("dup_count"))
+    return (hashes.join(grp, segcols)
+            .select("doc_id", *segcols, "dup_count"))
+
+
+def _phash_segs(spark, sf_dir):
+    """doc_id -> 4x16-bit aHash segments over the gray8 bitmap corpus
+    (shared by media_phash's dup grouping and media_phash_pairs' banded
+    hamming join)."""
     import pandas as pd
 
     from genesis_spark.operators import multimodal as MM
@@ -4566,11 +4577,7 @@ def q_media_phash(spark, sf_dir):
                                for i in pdf["doc_id"]]})
 
     blobs = d.mapInPandas(encode, "doc_id long, media_blob binary")
-    hashes = MM.ahash_media(blobs)
-    segcols = ["seg0", "seg1", "seg2", "seg3"]
-    grp = hashes.groupBy(*segcols).agg(F.count("*").alias("dup_count"))
-    return (hashes.join(grp, segcols)
-            .select("doc_id", *segcols, "dup_count"))
+    return MM.ahash_media(blobs)
 
 
 def _phash_seg_sql(k: int) -> str:
@@ -6775,6 +6782,159 @@ def q_stream_upsert(spark, sf_dir):
 ORACLE_STREAM_UPSERT = ORACLE_EVENTS_CDC_APPLY
 
 
+def q_media_phash_pairs(spark, sf_dir):
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
+    the multimodal twin of dedup_simhash64: candidates share at least
+    one of the 4 16-bit aHash segments (4 band equi-joins + union —
+    never all-pairs), then the EXACT 64-bit hamming distance (bit_count
+    of per-segment xor, pure integer) keeps pairs <= 8. By pigeonhole
+    the band filter is lossless for hamming <= 3 (three differing bits
+    cannot touch all four segments) and heuristic above that: a
+    4-8-bit pair spread across all four segments is missed — the same
+    banded-recall tradeoff dedup_simhash64 documents. The oracle replays pixels, bit packing, OR-candidates,
+    and popcount in SQL, so Spark and oracle agree on EXACTLY the same
+    candidate-filtered pair set.
+
+    Plan/scale: the hash is one Arrow kernel pass (real bytes); band
+    joins partition by 16-bit segment value (bounded buckets), the
+    rescore join is id-equi. Same shape that dedups 10^9 images."""
+    segs = _phash_segs(spark, sf_dir)
+    segcols = [f"seg{k}" for k in range(4)]
+    a = segs.alias("a")
+    b = segs.alias("b")
+    cands = None
+    for k in range(4):
+        p = (a.join(b, (F.col(f"a.seg{k}") == F.col(f"b.seg{k}")) &
+                    (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")))
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    sa = segs.select(F.col("doc_id").alias("id_a"),
+                     *[F.col(c).alias(f"a{k}")
+                       for k, c in enumerate(segcols)])
+    sb = segs.select(F.col("doc_id").alias("id_b"),
+                     *[F.col(c).alias(f"b{k}")
+                       for k, c in enumerate(segcols)])
+    j = cands.join(sa, "id_a").join(sb, "id_b")
+    ham = sum(F.expr(f"bit_count(a{k} ^ b{k})") for k in range(4))
+    return (j.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= 8)
+            .select("id_a", "id_b", "hamming"))
+
+
+def _phash_pairs_oracle() -> str:
+    seg = _phash_seg_sql
+    ham = " + ".join(
+        f"bit_count(xor(a.seg{k}::BIGINT, b.seg{k}::BIGINT))"
+        for k in range(4))
+    bands = " OR ".join(f"a.seg{k} = b.seg{k}" for k in range(4))
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS w,
+         CAST(8 + (doc_id // 3) % 16 AS INT) AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         list_transform(range(64),
+           t -> CAST((doc_id * 31
+                      + (((t // 8) * h // 8) * w
+                         + ((t % 8) * w // 8)) * 7) % 256 AS INT)) AS o
+  FROM d
+), hb AS (
+  SELECT doc_id, o, list_sum(o) AS s FROM px
+), segs AS (
+  SELECT doc_id, {seg(0)}, {seg(1)}, {seg(2)}, {seg(3)} FROM hb
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({ham} AS INT) AS hamming
+FROM segs a JOIN segs b
+  ON a.doc_id < b.doc_id AND ({bands})
+WHERE {ham} <= 8
+"""
+
+
+ORACLE_MEDIA_PHASH_PAIRS = _phash_pairs_oracle()
+
+
+def q_frontier_checkpoint_diff(spark, sf_dir):
+    """Snapshot CHANGELOG between two frontier checkpoints — the Iceberg
+    changelog-scan / time-travel-diff shape (the inverse of
+    frontier_merge_upsert): two deterministically synthesized frontier
+    versions are full-outer-joined on url and classified added / removed
+    / status_changed (unchanged rows excluded — a changelog carries only
+    deltas). Output is the per-change-type census with key checksums, so
+    one URL in the wrong delta class breaks the hash. This is what
+    incremental consumers (recrawl schedulers, replication) read instead
+    of re-scanning a 10^10-row frontier.
+
+    Plan/scale: both versions are projections of the same scan; the diff
+    is ONE url-partitioned full-outer join and a 3-key census. On
+    Iceberg the same classification falls out of the snapshot metadata;
+    here it is computed, which also VERIFIES a changelog implementation
+    against its two endpoint snapshots."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url = F.concat(F.lit("http://h"), (k % 50).cast("string"),
+                   F.lit(".onion/p"), k.cast("string"))
+    v1 = (o.filter(k % 3 != 0)
+          .select(url.alias("url"), k.alias("key"),
+                  F.when(k % 4 == 0, "complete").otherwise("pending")
+                  .alias("status")))
+    v2 = (o.filter(k % 5 != 1)
+          .select(url.alias("url"), k.alias("key"),
+                  F.when(k % 2 == 0, "complete").otherwise("pending")
+                  .alias("status")))
+    j = (v1.alias("x").join(v2.alias("y"), "url", "full_outer")
+         .select("url",
+                 F.col("x.key").alias("key1"),
+                 F.col("y.key").alias("key2"),
+                 F.col("x.status").alias("s1"),
+                 F.col("y.status").alias("s2")))
+    change = (F.when(F.col("s1").isNull(), "added")
+              .when(F.col("s2").isNull(), "removed")
+              .when(F.col("s1") != F.col("s2"), "status_changed"))
+    return (j.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .groupBy("change_type")
+            .agg(F.count("*").alias("n_urls"),
+                 F.sum(F.coalesce("key2", "key1"))
+                 .alias("key_checksum")))
+
+
+ORACLE_FRONTIER_CHECKPOINT_DIFF = """
+WITH v1 AS (
+  SELECT 'http://h' || (o_orderkey % 50) || '.onion/p' || o_orderkey
+           AS url,
+         o_orderkey AS key,
+         CASE WHEN o_orderkey % 4 = 0 THEN 'complete'
+              ELSE 'pending' END AS status
+  FROM orders WHERE o_orderkey % 3 <> 0),
+v2 AS (
+  SELECT 'http://h' || (o_orderkey % 50) || '.onion/p' || o_orderkey
+           AS url,
+         o_orderkey AS key,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'complete'
+              ELSE 'pending' END AS status
+  FROM orders WHERE o_orderkey % 5 <> 1),
+j AS (
+  SELECT coalesce(v1.url, v2.url) AS url,
+         v1.key AS key1, v2.key AS key2,
+         v1.status AS s1, v2.status AS s2
+  FROM v1 FULL OUTER JOIN v2 ON v1.url = v2.url),
+c AS (
+  SELECT url, key1, key2,
+         CASE WHEN s1 IS NULL THEN 'added'
+              WHEN s2 IS NULL THEN 'removed'
+              WHEN s1 <> s2 THEN 'status_changed' END AS change_type
+  FROM j)
+SELECT change_type, count(*) AS n_urls,
+       CAST(sum(coalesce(key2, key1)) AS BIGINT) AS key_checksum
+FROM c WHERE change_type IS NOT NULL
+GROUP BY change_type
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -6918,6 +7078,8 @@ QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "corpus_quality_ensemble": q_corpus_quality_ensemble,
     "stream_upsert": q_stream_upsert,
+    "media_phash_pairs": q_media_phash_pairs,
+    "frontier_checkpoint_diff": q_frontier_checkpoint_diff,
 }
 
 ORACLES = {
@@ -7063,6 +7225,8 @@ ORACLES = {
     "ann_recall_eval": ORACLE_ANN_RECALL_EVAL,
     "corpus_quality_ensemble": ORACLE_CORPUS_QUALITY_ENSEMBLE,
     "stream_upsert": ORACLE_STREAM_UPSERT,
+    "media_phash_pairs": ORACLE_MEDIA_PHASH_PAIRS,
+    "frontier_checkpoint_diff": ORACLE_FRONTIER_CHECKPOINT_DIFF,
 }
 
 
