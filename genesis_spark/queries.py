@@ -6935,6 +6935,137 @@ GROUP BY change_type
 """
 
 
+def q_frontier_host_fairness(spark, sf_dir):
+    """Gini coefficient of the per-host crawl backlog — the fairness
+    audit of the politeness scheduler (a Gini near 1 means a few hub
+    hosts own the frontier and the per-host budget is the binding
+    constraint; near 0 means breadth). Computed exactly: backlog counts
+    are integers, ranks come from one deterministic (backlog, host)
+    ordering, and the single 4-dp division happens once at the end —
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) on the ascending
+    sort.
+
+    Plan/scale: per-host agg (one shuffle over ~hosts rows), a global
+    window over the HOST table (n_hosts rows, not URLs — tiny even at
+    10^10 URLs), one final 1-row agg."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    backlog = (o.filter(k % 3 != 0)
+               .select(F.concat(F.lit("h"), (k % 50).cast("string"))
+                       .alias("host"))
+               .groupBy("host").agg(F.count("*").alias("x")))
+    w = Window.orderBy(F.asc("x"), F.asc("host"))
+    ranked = backlog.withColumn("i", F.row_number().over(w))
+    return (ranked.agg(
+        F.count("*").alias("n_hosts"),
+        F.sum("x").alias("total_backlog"),
+        F.round((2 * F.sum(F.col("i") * F.col("x"))
+                 - (F.count("*") + 1) * F.sum("x"))
+                / (F.count("*") * F.sum("x")), 4).alias("gini")))
+
+
+ORACLE_FRONTIER_HOST_FAIRNESS = """
+WITH backlog AS (
+  SELECT 'h' || (o_orderkey % 50) AS host, count(*) AS x
+  FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x ASC, host ASC) AS i
+  FROM backlog)
+SELECT count(*) AS n_hosts,
+       CAST(sum(x) AS BIGINT) AS total_backlog,
+       round((2 * sum(i * x) - (count(*) + 1) * sum(x))
+             / (count(*) * sum(x)), 4) AS gini
+FROM ranked
+"""
+
+
+_HRW_SHARDS = 16
+
+
+def _hrw_struct(url_col, s):
+    score = (F.conv(F.substring(
+        F.md5(F.concat(url_col, F.lit(f"|{s}"))), 1, 8), 16, 10)
+        .cast("long"))
+    return F.struct(score.alias("score"), F.lit(s).alias("shard"))
+
+
+def q_url_shard_rebalance(spark, sf_dir):
+    """Reshard churn audit, 16 -> 17 shards: what fraction of URLs MOVE
+    under naive mod-N routing (expected ~16/17 — nearly everything)
+    versus rendezvous/HRW hashing (Thaler & Ravishankar 1998; expected
+    ~1/17 — only the keys the new shard wins). This quantifies WHY
+    corpus_shard_manifest's routing must be consistent-hash-shaped
+    before anyone adds a shard to a 100 TB corpus. HRW argmax is an
+    array_max over (score, shard) structs — field-order comparison is
+    identical in Spark and DuckDB, and md5 scores make ties
+    impossible in practice while shard DESC breaks them identically.
+
+    Plan/scale: pure map-side expressions (17 md5s per URL, codegen) +
+    one 1-row agg; zero shuffles before the final count."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url = F.concat(F.lit("http://h"), (k % 50).cast("string"),
+                   F.lit(".onion/p"), k.cast("string"))
+    h = (F.conv(F.substring(F.md5(url), 1, 8), 16, 10).cast("long"))
+    hrw_old = F.array_max(F.array(
+        *[_hrw_struct(url, s) for s in range(_HRW_SHARDS)]))["shard"]
+    hrw_new = F.array_max(F.array(
+        *[_hrw_struct(url, s) for s in range(_HRW_SHARDS + 1)]))["shard"]
+    agg = (o.select(
+        ((h % _HRW_SHARDS) != (h % (_HRW_SHARDS + 1)))
+        .cast("long").alias("mod_moved"),
+        (hrw_old != hrw_new).cast("long").alias("hrw_moved"))
+        .agg(F.count("*").alias("n"),
+             F.sum("mod_moved").alias("mod_m"),
+             F.sum("hrw_moved").alias("hrw_m")))
+    return (agg.select(F.lit("mod").alias("strategy"),
+                       F.col("n").alias("n_urls"),
+                       F.col("mod_m").alias("n_moved"),
+                       F.round(F.col("mod_m") / F.col("n"), 4)
+                       .alias("moved_pct"))
+            .unionByName(
+        agg.select(F.lit("hrw").alias("strategy"),
+                   F.col("n").alias("n_urls"),
+                   F.col("hrw_m").alias("n_moved"),
+                   F.round(F.col("hrw_m") / F.col("n"), 4)
+                   .alias("moved_pct"))))
+
+
+def _hrw_oracle() -> str:
+    def structs(n):
+        items = ", ".join(
+            "{'score': ('0x' || substr(md5(url || '|%d'), 1, 8))::BIGINT,"
+            " 'shard': %d}" % (s, s) for s in range(n))
+        return f"list_max([{items}]).shard"
+
+    return f"""
+WITH u AS (
+  SELECT 'http://h' || (o_orderkey % 50) || '.onion/p' || o_orderkey
+           AS url
+  FROM orders),
+m AS (
+  SELECT ('0x' || substr(md5(url), 1, 8))::BIGINT AS h,
+         {structs(_HRW_SHARDS)} AS old_shard,
+         {structs(_HRW_SHARDS + 1)} AS new_shard
+  FROM u),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN h % {_HRW_SHARDS} <> h % {_HRW_SHARDS + 1}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS mod_m,
+         CAST(sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END)
+              AS BIGINT) AS hrw_m
+  FROM m)
+SELECT 'mod' AS strategy, n AS n_urls, mod_m AS n_moved,
+       round(mod_m / n, 4) AS moved_pct FROM agg
+UNION ALL
+SELECT 'hrw' AS strategy, n AS n_urls, hrw_m AS n_moved,
+       round(hrw_m / n, 4) AS moved_pct FROM agg
+"""
+
+
+ORACLE_URL_SHARD_REBALANCE = _hrw_oracle()
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -7080,6 +7211,8 @@ QUERIES = {
     "stream_upsert": q_stream_upsert,
     "media_phash_pairs": q_media_phash_pairs,
     "frontier_checkpoint_diff": q_frontier_checkpoint_diff,
+    "frontier_host_fairness": q_frontier_host_fairness,
+    "url_shard_rebalance": q_url_shard_rebalance,
 }
 
 ORACLES = {
@@ -7227,6 +7360,8 @@ ORACLES = {
     "stream_upsert": ORACLE_STREAM_UPSERT,
     "media_phash_pairs": ORACLE_MEDIA_PHASH_PAIRS,
     "frontier_checkpoint_diff": ORACLE_FRONTIER_CHECKPOINT_DIFF,
+    "frontier_host_fairness": ORACLE_FRONTIER_HOST_FAIRNESS,
+    "url_shard_rebalance": ORACLE_URL_SHARD_REBALANCE,
 }
 
 
