@@ -42,6 +42,8 @@ HEADLINE = [
     "spans_boilerplate", "text_unigram_lm", "embeddings_pq",
     "dedup_exact_substr", "robots_rfc", "join_salted",
     "ann_ivfpq_topk", "media_audio",
+    "text_bm25_topk", "corpus_dsir_resample", "media_phash_pairs",
+    "url_shard_rebalance",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "300"))

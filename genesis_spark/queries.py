@@ -7066,6 +7066,65 @@ SELECT 'hrw' AS strategy, n AS n_urls, hrw_m AS n_moved,
 ORACLE_URL_SHARD_REBALANCE = _hrw_oracle()
 
 
+def q_corpus_drift_kl(spark, sf_dir):
+    """Token-distribution DRIFT between two crawl rounds (even vs odd
+    doc_ids as the deterministic round split): per-bucket KL(A||B)
+    contributions over 64 hashed-unigram buckets with add-one smoothing
+    — the nightly monitor that catches a crawler suddenly pulling a
+    different language/spam mix before it poisons the training mix.
+    Per-bucket contributions quantize to 1e-9 integer units (the two
+    engines compute the identical double expression, then round once),
+    so the per-bucket output value-hashes exactly; the total is the sum
+    downstream dashboards plot. Buckets with zero tokens in BOTH rounds
+    are omitted (identically in both engines) — their smoothed
+    contribution is the O(1/T) floor, not signal.
+
+    Plan/scale: same shape as corpus_dsir_resample — ONE 64-key token
+    census shuffle (map-side combine does the work), totals broadcast
+    back; at 100 TB this is a single partial-agg pass."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (d.select(
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"))
+        .filter(F.length("term") >= 2)
+        .withColumn("bucket",
+                    F.conv(F.substring(F.md5("term"), 1, 8), 16, 10)
+                    .cast("long") % 64))
+    census = (toks.groupBy("bucket")
+              .agg(F.sum(F.col("in_a").cast("long")).alias("ca"),
+                   F.sum((~F.col("in_a")).cast("long")).alias("cb")))
+    totals = census.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    pa = (F.col("ca") + 1.0) / (F.col("ta") + 64.0)
+    pb = (F.col("cb") + 1.0) / (F.col("tb") + 64.0)
+    return (census.crossJoin(F.broadcast(totals))
+            .select("bucket", "ca", "cb",
+                    F.round(pa * F.log(pa / pb) * 1e9)
+                    .cast("long").alias("kl_u")))
+
+
+ORACLE_CORPUS_DRIFT_KL = """
+WITH toks AS (
+  SELECT doc_id % 2 = 0 AS in_a,
+         ('0x' || substr(md5(t.term), 1, 8))::BIGINT % 64 AS bucket
+  FROM documents,
+       UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE len(t.term) >= 2),
+census AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM toks GROUP BY bucket),
+totals AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+                  CAST(sum(cb) AS BIGINT) AS tb FROM census)
+SELECT bucket, ca, cb,
+       CAST(round(((ca + 1.0) / (ta + 64.0))
+                  * ln(((ca + 1.0) / (ta + 64.0))
+                       / ((cb + 1.0) / (tb + 64.0)))
+                  * 1000000000.0) AS BIGINT) AS kl_u
+FROM census CROSS JOIN totals
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -7213,6 +7272,7 @@ QUERIES = {
     "frontier_checkpoint_diff": q_frontier_checkpoint_diff,
     "frontier_host_fairness": q_frontier_host_fairness,
     "url_shard_rebalance": q_url_shard_rebalance,
+    "corpus_drift_kl": q_corpus_drift_kl,
 }
 
 ORACLES = {
@@ -7362,6 +7422,7 @@ ORACLES = {
     "frontier_checkpoint_diff": ORACLE_FRONTIER_CHECKPOINT_DIFF,
     "frontier_host_fairness": ORACLE_FRONTIER_HOST_FAIRNESS,
     "url_shard_rebalance": ORACLE_URL_SHARD_REBALANCE,
+    "corpus_drift_kl": ORACLE_CORPUS_DRIFT_KL,
 }
 
 
