@@ -95,16 +95,14 @@ qs AS (
   FROM qm)"""
 
 
-def _c4_synth(spark, sf_dir):
-    """Deterministic line-structured corpus for the C4 cleaner: 6-word
-    chunks of each document, terminal '.' on chunks where (doc_id+j)%3 != 0,
-    a '{' prefix on chunk 0 of every 11th doc (code filter bait), and a
-    trailing ' lorem ipsum.' on every 13th doc (doc-level drop bait)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+def _c4_lines_col():
+    """Lines array of the deterministic C4-shaped corpus as a column
+    expression over (doc_id, text) — shared by _c4_synth (joined text)
+    and text_sentence_dedup (line-level global dedup)."""
     words = F.split(F.col("text"), " ")
     n_chunks = F.greatest((F.ceil(F.size(words) / F.lit(6))).cast("int"),
                           F.lit(1))
-    lines = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda j: F.concat(
             F.when((F.col("doc_id") % 11 == 0) & (j == 0), F.lit("{"))
@@ -112,6 +110,15 @@ def _c4_synth(spark, sf_dir):
             F.array_join(F.slice(words, j * 6 + 1, 6), " "),
             F.when((F.col("doc_id") + j) % 3 != 0, F.lit("."))
              .otherwise(F.lit(""))))
+
+
+def _c4_synth(spark, sf_dir):
+    """Deterministic line-structured corpus for the C4 cleaner: 6-word
+    chunks of each document, terminal '.' on chunks where (doc_id+j)%3 != 0,
+    a '{' prefix on chunk 0 of every 11th doc (code filter bait), and a
+    trailing ' lorem ipsum.' on every 13th doc (doc-level drop bait)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lines = _c4_lines_col()
     text_syn = F.concat(
         F.array_join(lines, " "),
         F.when(F.col("doc_id") % 13 == 0, F.lit(" lorem ipsum."))
@@ -7102,6 +7109,68 @@ def q_corpus_drift_kl(spark, sf_dir):
                     .cast("long").alias("kl_u")))
 
 
+def q_text_sentence_dedup(spark, sf_dir):
+    """C4's global duplicate-LINE removal (Raffel et al. 2020: any line
+    occurring more than once in the corpus is kept only at its first
+    occurrence) over the deterministic line-structured corpus, with the
+    per-doc text REBUILT from the surviving lines in original order —
+    the rebuild makes the value hash sensitive to a single misplaced or
+    mis-dropped line anywhere in the corpus. First occurrence = min
+    (doc_id, idx) per line, which also drops within-doc repeats.
+
+    Plan/scale: posexplode lines -> ONE window shuffle partitioned by
+    md5(line) (64-bit-sized key, not the raw line string — the shuffle
+    carries hashes, the payload tags along) -> per-doc rebuild agg on
+    doc_id. The same two-exchange shape as dedup_exact_substr; at
+    100 TB the line-hash partitioning is what keeps the wide exchange
+    bounded."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lines = d.select(
+        "doc_id",
+        F.posexplode(_c4_lines_col()).alias("idx", "line"))
+    w = (Window.partitionBy(F.md5("line"))
+         .orderBy("doc_id", "idx"))
+    ranked = lines.withColumn("rn", F.row_number().over(w))
+    kept = (ranked.filter(F.col("rn") == 1)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("idx", "line"))),
+                         lambda s: s["line"]), " ")
+                 .alias("clean_text")))
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (totals.join(kept, "doc_id", "left")
+            .select("doc_id", "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text")))
+
+
+ORACLE_TEXT_SENTENCE_DEDUP = f"""
+WITH {_C4_SYNTH_SQL},
+ex AS (
+  SELECT doc_id, CAST(r.idx AS INT) AS idx,
+         lines[CAST(r.idx AS INT) + 1] AS line
+  FROM ln, UNNEST(range(len(lines))) AS r(idx)),
+ranked AS (
+  SELECT doc_id, idx, line,
+         row_number() OVER (PARTITION BY md5(line)
+                            ORDER BY doc_id, idx) AS rn
+  FROM ex),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY idx) AS clean_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM ex GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(k.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN kept k USING (doc_id)
+"""
+
+
 ORACLE_CORPUS_DRIFT_KL = """
 WITH toks AS (
   SELECT doc_id % 2 = 0 AS in_a,
@@ -7273,6 +7342,7 @@ QUERIES = {
     "frontier_host_fairness": q_frontier_host_fairness,
     "url_shard_rebalance": q_url_shard_rebalance,
     "corpus_drift_kl": q_corpus_drift_kl,
+    "text_sentence_dedup": q_text_sentence_dedup,
 }
 
 ORACLES = {
@@ -7423,6 +7493,7 @@ ORACLES = {
     "frontier_host_fairness": ORACLE_FRONTIER_HOST_FAIRNESS,
     "url_shard_rebalance": ORACLE_URL_SHARD_REBALANCE,
     "corpus_drift_kl": ORACLE_CORPUS_DRIFT_KL,
+    "text_sentence_dedup": ORACLE_TEXT_SENTENCE_DEDUP,
 }
 
 
