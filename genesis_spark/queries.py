@@ -7171,6 +7171,92 @@ FROM totals t LEFT JOIN kept k USING (doc_id)
 """
 
 
+def q_text_bigram_pmi(spark, sf_dir):
+    """PMI collocation mining (Church & Hanks 1990) — the phrase/
+    multiword-expression extractor a tokenizer-training pipeline runs
+    before BPE (strong collocations become merge candidates; the
+    text_bpe_train_step row picks merges by raw frequency, this row
+    ranks them by association strength): PMI(a,b) =
+    ln((c_ab/M) / ((c_a/N)(c_b/N))) over adjacent token pairs, c_ab >= 3,
+    quantized to 1e-6 integer units, global top-20 with (wa, wb)
+    tie-break.
+
+    Plan/scale: one unigram agg, one bigram agg (both map-side
+    combinable), unigram table joined back twice (vocabulary-sized —
+    broadcast at any corpus scale), 1-row totals crossJoin, top-20
+    TakeOrdered. The corpus itself shuffles only for the two counts."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    arr = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                   lambda x: F.length(x) >= 2)
+    docs = d.select(arr.alias("w"))
+    uni = (docs.select(F.explode("w").alias("term"))
+           .groupBy("term").agg(F.count("*").alias("c")))
+    tot = uni.agg(F.sum("c").alias("n"))
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.concat(F.element_at("w", i), F.lit("|"),
+                                       F.element_at("w", i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (docs.select(F.explode(bigrams).alias("bigram"))
+          .groupBy("bigram").agg(F.count("*").alias("c_ab"))
+          .filter(F.col("c_ab") >= 3)
+          .select(F.substring_index("bigram", "|", 1).alias("wa"),
+                  F.substring_index("bigram", "|", -1).alias("wb"),
+                  "c_ab"))
+    m = bi.agg(F.sum("c_ab").alias("m"))
+    ua = uni.select(F.col("term").alias("wa"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("term").alias("wb"), F.col("c").alias("cb"))
+    scored = (bi.join(F.broadcast(ua), "wa").join(F.broadcast(ub), "wb")
+              .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(m))
+              .withColumn(
+                  "pmi_u",
+                  F.round(F.log((F.col("c_ab") / F.col("m")) /
+                                ((F.col("ca") / F.col("n")) *
+                                 (F.col("cb") / F.col("n")))) * 1e6)
+                  .cast("long")))
+    w = Window.orderBy(F.desc("pmi_u"), F.asc("wa"), F.asc("wb"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select("wa", "wb", "c_ab", "pmi_u", "rank"))
+
+
+ORACLE_TEXT_BIGRAM_PMI = """
+WITH arrs AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) >= 2) AS w
+  FROM documents),
+uni AS (
+  SELECT u.t AS term, count(*) AS c
+  FROM arrs, UNNEST(w) AS u(t) GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+bi0 AS (
+  SELECT g.bigram, count(*) AS c_ab FROM arrs,
+       UNNEST(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || '|' || w[i + 1])
+                ELSE [] END) AS g(bigram)
+  GROUP BY g.bigram HAVING count(*) >= 3),
+bi AS (
+  SELECT split_part(bigram, '|', 1) AS wa,
+         split_part(bigram, '|', 2) AS wb, c_ab
+  FROM bi0),
+m AS (SELECT CAST(sum(c_ab) AS BIGINT) AS m FROM bi),
+scored AS (
+  SELECT bi.wa, bi.wb, bi.c_ab,
+         CAST(round(ln((bi.c_ab / m.m) /
+                       ((ua.c / tot.n) * (ub.c / tot.n)))
+                    * 1000000.0) AS BIGINT) AS pmi_u
+  FROM bi
+  JOIN uni ua ON ua.term = bi.wa
+  JOIN uni ub ON ub.term = bi.wb
+  CROSS JOIN tot CROSS JOIN m)
+SELECT wa, wb, c_ab, pmi_u, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi_u DESC, wa ASC, wb ASC)
+    AS rank FROM scored) WHERE rank <= 20
+"""
+
+
 ORACLE_CORPUS_DRIFT_KL = """
 WITH toks AS (
   SELECT doc_id % 2 = 0 AS in_a,
@@ -7343,6 +7429,7 @@ QUERIES = {
     "url_shard_rebalance": q_url_shard_rebalance,
     "corpus_drift_kl": q_corpus_drift_kl,
     "text_sentence_dedup": q_text_sentence_dedup,
+    "text_bigram_pmi": q_text_bigram_pmi,
 }
 
 ORACLES = {
@@ -7494,6 +7581,7 @@ ORACLES = {
     "url_shard_rebalance": ORACLE_URL_SHARD_REBALANCE,
     "corpus_drift_kl": ORACLE_CORPUS_DRIFT_KL,
     "text_sentence_dedup": ORACLE_TEXT_SENTENCE_DEDUP,
+    "text_bigram_pmi": ORACLE_TEXT_BIGRAM_PMI,
 }
 
 
