@@ -4593,8 +4593,10 @@ def _phash_seg_sql(k: int) -> str:
             f"THEN (1 << t) ELSE 0 END)) AS INT) AS seg{k}")
 
 
-ORACLE_MEDIA_PHASH = f"""
-WITH d AS (
+# shared pixel-replay CTE chain (d -> px -> hb -> segs): ONE definition
+# used by both phash oracles so the kernel replay can't drift between
+# them (same convention as _C4_SYNTH_SQL / _CORPUS_SQL)
+_PHASH_SEGS_SQL = f"""d AS (
   SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS w,
          CAST(8 + (doc_id // 3) % 16 AS INT) AS h
   FROM documents
@@ -4614,7 +4616,11 @@ WITH d AS (
          {_phash_seg_sql(2)},
          {_phash_seg_sql(3)}
   FROM hb
-), g AS (
+)"""
+
+
+ORACLE_MEDIA_PHASH = f"""
+WITH {_PHASH_SEGS_SQL}, g AS (
   SELECT seg0, seg1, seg2, seg3, count(*) AS dup_count
   FROM segs GROUP BY seg0, seg1, seg2, seg3)
 SELECT x.doc_id, x.seg0, x.seg1, x.seg2, x.seg3, g.dup_count
@@ -6802,57 +6808,47 @@ def q_media_phash_pairs(spark, sf_dir):
     and popcount in SQL, so Spark and oracle agree on EXACTLY the same
     candidate-filtered pair set.
 
-    Plan/scale: the hash is one Arrow kernel pass (real bytes); band
-    joins partition by 16-bit segment value (bounded buckets), the
-    rescore join is id-equi. Same shape that dedups 10^9 images."""
+    Plan/scale: the Arrow hash kernel appears in exactly TWO leaves
+    (the two sides of one (band, value)-keyed self-join; AQE's
+    runtime exchange reuse can collapse them further) — NOT the
+    4-join x 2-side + 2-rescore shape, which would re-encode and
+    re-hash the corpus ~10x. Each side posexplodes its 4 segments into
+    (band, value) keys and CARRIES all 4 segments through the join, so
+    hamming rescoring needs no join-back; duplicate candidates (pairs
+    agreeing on several bands) collapse in one distinct. Band buckets
+    are 16-bit-bounded. Same shape that dedups 10^9 images."""
     segs = _phash_segs(spark, sf_dir)
     segcols = [f"seg{k}" for k in range(4)]
-    a = segs.alias("a")
-    b = segs.alias("b")
-    cands = None
-    for k in range(4):
-        p = (a.join(b, (F.col(f"a.seg{k}") == F.col(f"b.seg{k}")) &
-                    (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("id_a"),
-                     F.col("b.doc_id").alias("id_b")))
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.distinct()
-    sa = segs.select(F.col("doc_id").alias("id_a"),
+    bands = segs.select(
+        "doc_id", *segcols,
+        F.posexplode(F.array(*segcols)).alias("band", "val"))
+    a = bands.select(F.col("doc_id").alias("id_a"),
                      *[F.col(c).alias(f"a{k}")
-                       for k, c in enumerate(segcols)])
-    sb = segs.select(F.col("doc_id").alias("id_b"),
+                       for k, c in enumerate(segcols)],
+                     "band", "val")
+    b = bands.select(F.col("doc_id").alias("id_b"),
                      *[F.col(c).alias(f"b{k}")
-                       for k, c in enumerate(segcols)])
-    j = cands.join(sa, "id_a").join(sb, "id_b")
+                       for k, c in enumerate(segcols)],
+                     "band", "val")
+    pairs = (a.join(b, ["band", "val"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     *[f"a{k}" for k in range(4)],
+                     *[f"b{k}" for k in range(4)])
+             .distinct())
     ham = sum(F.expr(f"bit_count(a{k} ^ b{k})") for k in range(4))
-    return (j.withColumn("hamming", ham.cast("int"))
+    return (pairs.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= 8)
             .select("id_a", "id_b", "hamming"))
 
 
 def _phash_pairs_oracle() -> str:
-    seg = _phash_seg_sql
     ham = " + ".join(
         f"bit_count(xor(a.seg{k}::BIGINT, b.seg{k}::BIGINT))"
         for k in range(4))
     bands = " OR ".join(f"a.seg{k} = b.seg{k}" for k in range(4))
     return f"""
-WITH d AS (
-  SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS w,
-         CAST(8 + (doc_id // 3) % 16 AS INT) AS h
-  FROM documents
-), px AS (
-  SELECT doc_id, w, h,
-         list_transform(range(64),
-           t -> CAST((doc_id * 31
-                      + (((t // 8) * h // 8) * w
-                         + ((t % 8) * w // 8)) * 7) % 256 AS INT)) AS o
-  FROM d
-), hb AS (
-  SELECT doc_id, o, list_sum(o) AS s FROM px
-), segs AS (
-  SELECT doc_id, {seg(0)}, {seg(1)}, {seg(2)}, {seg(3)} FROM hb
-)
+WITH {_PHASH_SEGS_SQL}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST({ham} AS INT) AS hamming
 FROM segs a JOIN segs b
@@ -7198,13 +7194,16 @@ def q_text_bigram_pmi(spark, sf_dir):
                     lambda i: F.concat(F.element_at("w", i), F.lit("|"),
                                        F.element_at("w", i + 1)))
     ).otherwise(F.array().cast("array<string>"))
-    bi = (docs.select(F.explode(bigrams).alias("bigram"))
-          .groupBy("bigram").agg(F.count("*").alias("c_ab"))
-          .filter(F.col("c_ab") >= 3)
+    bi0 = (docs.select(F.explode(bigrams).alias("bigram"))
+           .groupBy("bigram").agg(F.count("*").alias("c_ab")))
+    # M = ALL adjacent pairs (before the frequency floor): p(a,b) =
+    # c_ab/M must normalize by the full event space or every PMI is
+    # shifted up by ln(total/kept)
+    m = bi0.agg(F.sum("c_ab").alias("m"))
+    bi = (bi0.filter(F.col("c_ab") >= 3)
           .select(F.substring_index("bigram", "|", 1).alias("wa"),
                   F.substring_index("bigram", "|", -1).alias("wb"),
                   "c_ab"))
-    m = bi.agg(F.sum("c_ab").alias("m"))
     ua = uni.select(F.col("term").alias("wa"), F.col("c").alias("ca"))
     ub = uni.select(F.col("term").alias("wb"), F.col("c").alias("cb"))
     scored = (bi.join(F.broadcast(ua), "wa").join(F.broadcast(ub), "wb")
@@ -7236,12 +7235,12 @@ bi0 AS (
                 THEN list_transform(range(1, len(w)),
                                     i -> w[i] || '|' || w[i + 1])
                 ELSE [] END) AS g(bigram)
-  GROUP BY g.bigram HAVING count(*) >= 3),
+  GROUP BY g.bigram),
+m AS (SELECT CAST(sum(c_ab) AS BIGINT) AS m FROM bi0),
 bi AS (
   SELECT split_part(bigram, '|', 1) AS wa,
          split_part(bigram, '|', 2) AS wb, c_ab
-  FROM bi0),
-m AS (SELECT CAST(sum(c_ab) AS BIGINT) AS m FROM bi),
+  FROM bi0 WHERE c_ab >= 3),
 scored AS (
   SELECT bi.wa, bi.wb, bi.c_ab,
          CAST(round(ln((bi.c_ab / m.m) /

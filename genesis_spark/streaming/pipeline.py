@@ -256,15 +256,42 @@ def run_upsert_stream(spark: SparkSession, events_src: str,
     the same copy-on-write discipline as sources/tables.SnapshotStore;
     on Iceberg this is MERGE INTO + snapshot commit per batch.
 
+    Crash-resume is real, not just the checkpoint's: merge progress is
+    committed by an ATOMIC marker file (tmp+rename) AFTER each snapshot
+    write, recording (version, last applied batch_id). foreachBatch is
+    at-least-once, so a batch re-delivered after a write-then-crash is
+    detected by batch_id and skipped instead of double-counting the
+    additive op counters; a crash BEFORE the marker rename re-merges
+    the batch onto the still-current old snapshot (the half-written dir
+    is simply overwritten). Re-invoking with the same work_dir resumes
+    from the marker — including the nothing-left-to-do case, which
+    returns the committed snapshot.
+
     Returns the FINAL snapshot DataFrame (tombstones included)."""
+    import json
     import os
 
     from pyspark.sql import Window
 
     snap_dirs = [os.path.join(work_dir, f"snap_v{i}") for i in (0, 1)]
-    version = {"v": -1}
+    marker_path = os.path.join(work_dir, "_snapshot_marker.json")
 
-    def merge(batch_df, _batch_id):
+    def read_marker():
+        if os.path.exists(marker_path):
+            with open(marker_path) as f:
+                return json.load(f)
+        return {"v": -1, "batch_id": -1}
+
+    def commit_marker(st):
+        tmp = marker_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, marker_path)
+
+    def merge(batch_df, batch_id):
+        st = read_marker()
+        if batch_id <= st["batch_id"]:
+            return   # at-least-once re-delivery: already merged+committed
         b = batch_df.withColumn(
             "op", F.when(F.col("event_type") == "error",
                          F.lit("D")).otherwise(F.lit("U")))
@@ -281,8 +308,8 @@ def run_upsert_stream(spark: SparkSession, events_src: str,
                .select("user_id", "ts", "event_id", "value", "op",
                        F.col("n_ops_d").alias("n_ops"),
                        F.col("n_del_d").alias("n_deletes")))
-        if version["v"] >= 0:
-            snap = spark.read.parquet(snap_dirs[version["v"] % 2])
+        if st["v"] >= 0:
+            snap = spark.read.parquet(snap_dirs[st["v"] % 2])
             j = snap.alias("s").join(red.alias("b"), "user_id",
                                      "full_outer")
             take_b = (F.col("s.ts").isNull() |
@@ -305,9 +332,9 @@ def run_upsert_stream(spark: SparkSession, events_src: str,
                 .alias("n_deletes"))
         else:
             out = red
-        nxt = snap_dirs[(version["v"] + 1) % 2]
+        nxt = snap_dirs[(st["v"] + 1) % 2]
         out.write.mode("overwrite").parquet(nxt)
-        version["v"] += 1
+        commit_marker({"v": st["v"] + 1, "batch_id": batch_id})
 
     stream = (spark.readStream
               .schema("event_id long, ts timestamp, user_id long, "
@@ -318,6 +345,7 @@ def run_upsert_stream(spark: SparkSession, events_src: str,
          .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    if version["v"] < 0:
+    final = read_marker()
+    if final["v"] < 0:
         raise RuntimeError("upsert stream processed no batches")
-    return spark.read.parquet(snap_dirs[version["v"] % 2])
+    return spark.read.parquet(snap_dirs[final["v"] % 2])

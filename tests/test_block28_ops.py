@@ -36,7 +36,7 @@ def test_pmi_ranks_collocation_over_frequency(spark, tmp_path):
             bi[(a, b)] = bi.get((a, b), 0) + 1
     n = sum(uni.values())
     kept = {k: c for k, c in bi.items() if c >= 3}
-    m = sum(kept.values())
+    m = sum(bi.values())   # ALL adjacent pairs, not just kept ones
     pmi = {k: int(round(math.log((c / m) /
                                  ((uni[k[0]] / n) * (uni[k[1]] / n)))
                         * 1e6))

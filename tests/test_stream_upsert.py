@@ -62,3 +62,15 @@ def test_late_old_update_cannot_resurrect_deleted_key(spark, tmp_path):
     assert snap[2]["event_id"] == 103
     assert snap[2]["value"] == 2.5
     assert snap[2]["n_ops"] == 2 and snap[2]["n_deletes"] == 0
+
+    # resume on the SAME work_dir with nothing left to process: the
+    # committed marker returns the existing snapshot (no re-merge — the
+    # additive counters would double if any batch were re-applied, and
+    # the pre-fix code raised 'processed no batches' here)
+    again = {r["user_id"]: r for r in
+             run_upsert_stream(spark, str(src),
+                               str(tmp_path / "work")).collect()}
+    assert {u: (r["event_id"], r["n_ops"], r["n_deletes"])
+            for u, r in again.items()} == \
+           {u: (r["event_id"], r["n_ops"], r["n_deletes"])
+            for u, r in snap.items()}
