@@ -7279,6 +7279,369 @@ FROM census CROSS JOIN totals
 """
 
 
+# ---------------------------------------------------------------------------
+# round-3 session-4 block: CDX index ingest, char entropy, mojibake,
+# label-propagation communities, Zipf fit
+# ---------------------------------------------------------------------------
+
+
+def q_cdx_ingest(spark, sf_dir):
+    """Common Crawl CDXJ index ingest -> one capture per content digest
+    (sources/cdx.py): parse the ``<SURT> <ts14> <JSON>`` line in pure
+    codegen (substring_index + from_json), gate on status 200 +
+    text/html, then a single window on ``digest`` picks the latest
+    capture and counts re-crawls.  The digest is the shuffle key — a
+    32-hex uniform key, so at 100 TB the one exchange is balanced and
+    the JSON parse never leaves the scan stage."""
+    from genesis_spark.sources import cdx
+
+    lines = cdx.synth_cdxj_lines(_t(spark, sf_dir, "orders"))
+    cap = cdx.parse_cdxj(lines)
+    ok = cap.filter((F.col("status") == "200")
+                    & (F.col("mime") == "text/html"))
+    return (cdx.latest_per_digest(ok)
+            .select("digest", "url", "surt", "ts_num", "length_int",
+                    "n_captures"))
+
+
+ORACLE_CDX_INGEST = """
+WITH lines AS (
+  SELECT 'com,example,host' || (o_orderkey % 40) || ')/page/' || o_orderkey
+      || ' '
+      || CAST(20250100000000 + (1 + o_orderkey % 28) * 1000000
+              + (o_orderkey % 24) * 10000 + (o_orderkey % 60) * 100
+              + (o_orderkey * 7) % 60 AS VARCHAR)
+      || ' {"url": "https://host' || (o_orderkey % 40)
+      || '.example.com/page/' || o_orderkey
+      || '", "mime": "'
+      || CASE WHEN o_orderkey % 5 = 0 THEN 'application/pdf'
+              ELSE 'text/html' END
+      || '", "status": "'
+      || CASE WHEN o_orderkey % 7 = 0 THEN '404' ELSE '200' END
+      || '", "digest": "'
+      || upper(md5('content-' || (o_orderkey % 1200)))
+      || '", "length": "' || (500 + o_orderkey % 4000) || '"}' AS line
+  FROM orders
+),
+parsed AS (
+  SELECT split_part(line, ' ', 1) AS surt,
+         CAST(split_part(line, ' ', 2) AS BIGINT) AS ts_num,
+         substr(line, len(split_part(line, ' ', 1))
+                      + len(split_part(line, ' ', 2)) + 3) AS payload
+  FROM lines
+),
+cap AS (
+  SELECT surt, ts_num,
+         json_extract_string(payload, '$.url') AS url,
+         json_extract_string(payload, '$.mime') AS mime,
+         json_extract_string(payload, '$.status') AS status,
+         json_extract_string(payload, '$.digest') AS digest,
+         CAST(json_extract_string(payload, '$.length') AS INT) AS length_int
+  FROM parsed
+),
+ok AS (SELECT * FROM cap WHERE status = '200' AND mime = 'text/html'),
+picked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY digest
+                            ORDER BY ts_num DESC, url DESC) AS rn,
+         count(*) OVER (PARTITION BY digest) AS n_captures
+  FROM ok
+)
+SELECT digest, url, surt, ts_num, length_int,
+       CAST(n_captures AS BIGINT) AS n_captures
+FROM picked WHERE rn = 1
+"""
+
+
+def q_text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the classic
+    gibberish / binary-spill / key-mash detector (low entropy =
+    template spam, implausibly high = random bytes).  Per-(doc, char)
+    terms quantize to 1e-6 integer units (the corpus_drift_kl
+    convention) so the cross-engine sum is an exact integer sum.
+
+    Plan/scale: explode chars -> partial-agg on (doc_id, char) — at
+    most |alphabet| rows per doc survive the map-side combine — then a
+    doc_id roll-up.  Two bounded shuffles; nothing carries raw text."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    ch = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"."), 0))
+        .alias("ch"))
+    cnt = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"),
+                                    F.count(F.lit(1)).alias("n_distinct"))
+    p = F.col("c") / F.col("n")
+    term_u = F.round(-p * F.log(p) * 1e6).cast("long")
+    per = (cnt.join(tot, "doc_id")
+           .groupBy("doc_id")
+           .agg(F.max("n").alias("n_chars"),
+                F.max("n_distinct").cast("long").alias("n_distinct"),
+                F.sum(term_u).alias("entropy_u")))
+    suspect = (F.col("n_chars") >= 50) & (F.col("entropy_u") < 2000000)
+    return per.select("doc_id", "n_chars", "n_distinct", "entropy_u",
+                      suspect.alias("suspect"))
+
+
+ORACLE_TEXT_CHAR_ENTROPY = r"""
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '.')) AS ch
+  FROM documents WHERE text IS NOT NULL
+),
+cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM cnt GROUP BY doc_id),
+per AS (
+  SELECT cnt.doc_id, max(n) AS n_chars, max(n_distinct) AS n_distinct,
+         CAST(sum(CAST(round(-(c * 1.0 / n) * ln(c * 1.0 / n) * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS entropy_u
+  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+  GROUP BY cnt.doc_id
+)
+SELECT doc_id, n_chars, n_distinct, entropy_u,
+       (n_chars >= 50 AND entropy_u < 2000000) AS suspect
+FROM per
+"""
+
+
+#: UTF-8-read-as-Latin-1 damage signatures and their repairs.
+_MOJI_RSQUO = "â€™"   # "â€™" -> '
+_MOJI_LDQUO = "â€œ"   # "â€œ" -> "
+_MOJI_EACUTE = "Ã©"        # "Ã©"  -> é
+_MOJI_NBSP = "Â "          # "Â " (C2 A0) -> space
+_REPL_CHAR = "�"
+
+
+def q_text_mojibake(spark, sf_dir):
+    """Encoding-damage triage for a web corpus: count U+FFFD
+    replacement characters and the classic UTF-8-decoded-as-Latin-1
+    signatures (ftfy's core cases), emit a verdict and the repaired
+    text.  Damage is injected deterministically by doc_id class so
+    every branch has positives.  Pure codegen (literal replace chain,
+    two regexp_counts) — zero shuffles; at 100 TB this is a map over
+    the scan."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    cls = F.col("doc_id") % 4
+    damaged = (F.when(cls == 1, F.concat(
+                    F.col("text"), F.lit(" caf" + _MOJI_EACUTE + " "
+                                         + _MOJI_RSQUO + "quote"
+                                         + _MOJI_LDQUO)))
+               .when(cls == 2, F.concat(
+                    F.col("text"), F.lit(" bad" + _REPL_CHAR
+                                         + _REPL_CHAR + "bytes")))
+               .when(cls == 3, F.concat(
+                    F.col("text"), F.lit(_MOJI_NBSP + "padded"
+                                         + _MOJI_NBSP)))
+               .otherwise(F.col("text")))
+    src = d.select("doc_id", damaged.alias("text"))
+    n_repl = F.regexp_count("text", F.lit(_REPL_CHAR))
+    n_moji = F.regexp_count(
+        "text", F.lit("|".join([_MOJI_RSQUO, _MOJI_LDQUO,
+                                _MOJI_EACUTE, _MOJI_NBSP])))
+    fixed = F.col("text")
+    for bad, good in [(_MOJI_RSQUO, "’"), (_MOJI_LDQUO, "“"),
+                      (_MOJI_EACUTE, "é"), (_MOJI_NBSP, " ")]:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    verdict = (F.when(n_repl > 0, "replacement")
+               .when(n_moji > 0, "mojibake").otherwise("clean"))
+    return src.select("doc_id", n_repl.alias("n_repl"),
+                      n_moji.alias("n_moji"), verdict.alias("verdict"),
+                      fixed.alias("fixed"))
+
+
+def _chr_sql(s: str) -> str:
+    """Build a DuckDB expression for a non-ASCII literal via chr() so
+    the oracle SQL stays ASCII-clean."""
+    return " || ".join(f"chr({ord(c)})" for c in s)
+
+
+ORACLE_TEXT_MOJIBAKE = f"""
+WITH moji AS (
+  SELECT {_chr_sql(_MOJI_RSQUO)} AS rsquo, {_chr_sql(_MOJI_LDQUO)} AS ldquo,
+         {_chr_sql(_MOJI_EACUTE)} AS eacute, {_chr_sql(_MOJI_NBSP)} AS nbsp,
+         chr(65533) AS repl
+),
+src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 1 THEN
+                text || ' caf' || eacute || ' ' || rsquo || 'quote' || ldquo
+              WHEN doc_id % 4 = 2 THEN
+                text || ' bad' || repl || repl || 'bytes'
+              WHEN doc_id % 4 = 3 THEN
+                text || nbsp || 'padded' || nbsp
+              ELSE text END AS text
+  FROM documents CROSS JOIN moji
+  WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, chr(65533))) AS INT) AS n_repl,
+       CAST(len(regexp_extract_all(text,
+            (SELECT rsquo || '|' || ldquo || '|' || eacute || '|' || nbsp
+             FROM moji))) AS INT) AS n_moji,
+       CASE WHEN len(regexp_extract_all(text, chr(65533))) > 0
+              THEN 'replacement'
+            WHEN len(regexp_extract_all(text,
+                 (SELECT rsquo || '|' || ldquo || '|' || eacute || '|' || nbsp
+                  FROM moji))) > 0 THEN 'mojibake'
+            ELSE 'clean' END AS verdict,
+       replace(replace(replace(replace(text,
+           (SELECT rsquo FROM moji), chr(8217)),
+           (SELECT ldquo FROM moji), chr(8220)),
+           (SELECT eacute FROM moji), chr(233)),
+           (SELECT nbsp FROM moji), ' ') AS fixed
+FROM src
+"""
+
+
+def q_graph_label_prop(spark, sf_dir):
+    """Community detection over the host link graph via synchronous
+    label propagation (Raghavan et al. 2007), 3 unrolled rounds with
+    the deterministic tie-break (max neighbor-label count, then min
+    label) — the mirror-farm / link-ring lens that groups DENSELY
+    connected hosts, where connected components (host_components) only
+    answers reachability.
+
+    Plan/scale: per round one join (edges x labels: labels are the
+    small side — broadcastable at any corpus size since |hosts| <<
+    |pages|) + one (node, label) partial-agg + one per-node window.
+    Rounds are data-independent, so lineage stays linear."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    e = (_t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("c"), (k % 80).cast("string")).alias("a"),
+        F.concat(F.lit("c"),
+                 ((k % 80 + c % 7 + 1) % 80).cast("string")).alias("b"))
+        .filter(F.col("a") != F.col("b")).distinct())
+    sym = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+           .distinct())
+    lab = (sym.select(F.col("a").alias("node")).distinct()
+           .withColumn("label", F.col("node")))
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(),
+                                           F.col("label").asc())
+    for _ in range(3):
+        nb = (sym.join(lab.withColumnRenamed("node", "b"), "b")
+              .select(F.col("a").alias("node"), "label"))
+        cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        lab = (cnt.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1).select("node", "label"))
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return (lab.join(sizes, "label")
+            .select(F.col("node").alias("host_key"),
+                    F.col("label").alias("community"), "community_size"))
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""{out}_cnt AS (
+  SELECT s.a AS node, p.label, count(*) AS cnt
+  FROM sym s JOIN {prev} p ON p.node = s.b
+  GROUP BY s.a, p.label),
+{out} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM {out}_cnt) WHERE rn = 1)"""
+
+
+ORACLE_GRAPH_LABEL_PROP = f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || (o_orderkey % 80) AS a,
+         'c' || ((o_orderkey % 80 + o_custkey % 7 + 1) % 80) AS b
+  FROM orders
+  WHERE 'c' || (o_orderkey % 80)
+        <> 'c' || ((o_orderkey % 80 + o_custkey % 7 + 1) % 80)),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+{_lpa_round_sql("l0", "l1")},
+{_lpa_round_sql("l1", "l2")},
+{_lpa_round_sql("l2", "l3")},
+sizes AS (SELECT label, count(*) AS community_size FROM l3 GROUP BY label)
+SELECT node AS host_key, label AS community, community_size
+FROM l3 JOIN sizes USING (label)
+"""
+
+
+def q_text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary — the one-row
+    distribution diagnostic (slope ~ -1 for natural text; spam /
+    machine-generated corpora bend it): OLS of ln(freq) on ln(rank)
+    over the top 256 types with freq >= 2.  Per-row OLS terms quantize
+    to 1e-6 integer units, so slope / intercept / r2 derive from exact
+    integer sums — summation order can't flip the hash.
+
+    Plan/scale: the vocab census is one partial-agg shuffle; the
+    global rank window runs over the CENSUS (|types|, driver-scale),
+    never the corpus — the standard census-then-rank shape."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    vocab = (d.select(F.explode(F.split(F.lower("text"), "[^a-z]+"))
+                      .alias("w"))
+             .filter(F.length("w") >= 2)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    r = Window.orderBy(F.col("freq").desc(), F.col("w").asc())
+    top = (vocab.withColumn("rank", F.row_number().over(r))
+           .filter((F.col("rank") <= 256) & (F.col("freq") >= 2)))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    u = lambda col: F.round(col * 1e6).cast("long")  # noqa: E731
+    s = top.agg(F.count(F.lit(1)).alias("n"),
+                F.sum(u(x)).alias("sx"), F.sum(u(y)).alias("sy"),
+                F.sum(u(x * y)).alias("sxy"), F.sum(u(x * x)).alias("sxx"),
+                F.sum(u(y * y)).alias("syy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx") / 1e6, F.col("sy") / 1e6
+    sxy, sxx, syy = F.col("sxy") / 1e6, F.col("sxx") / 1e6, F.col("syy") / 1e6
+    cov, vx, vy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    return s.select(
+        "n",
+        F.round(cov / vx, 4).alias("slope"),
+        F.round((sy - (cov / vx) * sx) / n, 4).alias("intercept"),
+        F.round(cov * cov / (vx * vy), 4).alias("r2"))
+
+
+ORACLE_TEXT_ZIPF_FIT = r"""
+WITH vocab AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents)
+  WHERE len(w) >= 2 GROUP BY w
+),
+top AS (
+  SELECT * FROM (
+    SELECT w, freq,
+           row_number() OVER (ORDER BY freq DESC, w ASC) AS rank
+    FROM vocab) WHERE rank <= 256 AND freq >= 2
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(ln(rank) * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sx,
+         CAST(sum(CAST(round(ln(freq) * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sy,
+         CAST(sum(CAST(round(ln(rank) * ln(freq) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS sxy,
+         CAST(sum(CAST(round(ln(rank) * ln(rank) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS sxx,
+         CAST(sum(CAST(round(ln(freq) * ln(freq) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS syy
+  FROM top
+)
+SELECT n,
+       round((n * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+             / (n * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6)), 4) AS slope,
+       round(((sy / 1e6) - ((n * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+                            / (n * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6)))
+                           * (sx / 1e6)) / n, 4) AS intercept,
+       round((n * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+             * (n * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+             / ((n * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6))
+                * (n * (syy / 1e6) - (sy / 1e6) * (sy / 1e6))), 4) AS r2
+FROM s
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -7429,6 +7792,11 @@ QUERIES = {
     "corpus_drift_kl": q_corpus_drift_kl,
     "text_sentence_dedup": q_text_sentence_dedup,
     "text_bigram_pmi": q_text_bigram_pmi,
+    "cdx_ingest": q_cdx_ingest,
+    "text_char_entropy": q_text_char_entropy,
+    "text_mojibake": q_text_mojibake,
+    "graph_label_prop": q_graph_label_prop,
+    "text_zipf_fit": q_text_zipf_fit,
 }
 
 ORACLES = {
@@ -7581,6 +7949,11 @@ ORACLES = {
     "corpus_drift_kl": ORACLE_CORPUS_DRIFT_KL,
     "text_sentence_dedup": ORACLE_TEXT_SENTENCE_DEDUP,
     "text_bigram_pmi": ORACLE_TEXT_BIGRAM_PMI,
+    "cdx_ingest": ORACLE_CDX_INGEST,
+    "text_char_entropy": ORACLE_TEXT_CHAR_ENTROPY,
+    "text_mojibake": ORACLE_TEXT_MOJIBAKE,
+    "graph_label_prop": ORACLE_GRAPH_LABEL_PROP,
+    "text_zipf_fit": ORACLE_TEXT_ZIPF_FIT,
 }
 
 
