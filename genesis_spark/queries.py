@@ -7642,6 +7642,214 @@ FROM s
 """
 
 
+def q_corpus_curriculum(spark, sf_dir):
+    """Curriculum-learning stage assignment (Bengio et al. 2009) —
+    easiest documents first — via the SCALABLE histogram-quantile
+    shape: per-doc Flesch score (same formula as text_readability)
+    buckets into integer bins map-side, the BIN census (a few hundred
+    rows) gets cumulative counts and a 4-way stage split, and stages
+    broadcast-join back onto docs.  No global per-doc window anywhere:
+    at 100 TB the only wide op is the bin census partial-agg.  Docs
+    within one bin share a stage (the documented histogram
+    approximation — bins are 1 Flesch point wide)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_words = F.greatest(F.lit(1), F.size(F.split(F.trim("text"), r"\s+")))
+    n_sent = F.greatest(F.lit(1), F.regexp_count("text", F.lit(r"[.!?]+")))
+    n_syll = F.greatest(F.lit(1),
+                        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")))
+    flesch = F.round(F.lit(206.835) - F.lit(1.015) * n_words / n_sent
+                     - F.lit(84.6) * n_syll / n_words, 4)
+    bin_ = F.greatest(F.lit(-100),
+                      F.least(F.lit(206), F.floor(flesch))).cast("int")
+    docs = d.select("doc_id", n_words.alias("n_words"),
+                    bin_.alias("flesch_bin"))
+    census = docs.groupBy("flesch_bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = (Window.orderBy(F.col("flesch_bin").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    tot = census.agg(F.sum("cnt").alias("n_total"))
+    staged = (census
+              .withColumn("cum_before",
+                          F.coalesce(F.sum("cnt").over(wb), F.lit(0)))
+              .crossJoin(F.broadcast(tot))
+              .select("flesch_bin",
+                      F.least(F.lit(3),
+                              F.floor(F.lit(4.0) * F.col("cum_before")
+                                      / F.col("n_total")))
+                      .cast("int").alias("stage")))
+    return (docs.join(F.broadcast(staged), "flesch_bin")
+            .select("doc_id", "flesch_bin", "stage", "n_words"))
+
+
+ORACLE_CORPUS_CURRICULUM = r"""
+WITH m AS (
+  SELECT doc_id,
+         greatest(1, len(string_split_regex(trim(text), '\s+')))
+           AS n_words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sent,
+         greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+           AS n_syll
+  FROM documents
+),
+docs AS (
+  SELECT doc_id, n_words,
+         CAST(greatest(-100, least(206,
+              floor(round(206.835 - 1.015 * n_words / n_sent
+                          - 84.6 * n_syll / n_words, 4)))) AS INT)
+           AS flesch_bin
+  FROM m
+),
+census AS (SELECT flesch_bin, count(*) AS cnt FROM docs GROUP BY flesch_bin),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM census),
+staged AS (
+  SELECT flesch_bin,
+         CAST(least(3, floor(4.0 * coalesce(sum(cnt) OVER (
+                ORDER BY flesch_bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / n_total)) AS INT) AS stage
+  FROM census CROSS JOIN tot
+)
+SELECT doc_id, flesch_bin, stage, n_words
+FROM docs JOIN staged USING (flesch_bin)
+"""
+
+
+def q_embeddings_standardize(spark, sf_dir):
+    """Per-dimension standardization (zero mean / unit variance) of the
+    embedding table — the classic pre-ANN / pre-quantization whitening
+    step.  Elements quantize to 1e-6 integer units so the per-dim
+    moments are EXACT integer sums (summation order free); mean/std/z
+    then derive from those integers through identical IEEE double
+    expressions in both engines.  Constant dimensions emit z = 0.
+
+    Plan/scale: posexplode -> one (dim)-keyed partial agg (64 keys,
+    map-side combine does everything) -> broadcast the 64 moment rows
+    back.  One bounded shuffle at any corpus size."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ex = e.select("vec_id",
+                  F.posexplode("embedding").alias("dim", "x"))
+    xu = F.round(F.col("x").cast("double") * 1e6).cast("long")
+    ex = ex.select("vec_id", "dim", xu.alias("x_u"))
+    mom = (ex.groupBy("dim")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("x_u").alias("s"),
+                F.sum(F.col("x_u") * F.col("x_u")).alias("ss")))
+    mean = F.col("s") / (F.col("n") * 1e6)
+    var = F.col("ss") / (F.col("n") * 1e12) - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    mom = mom.select("dim", mean.alias("mu"), std.alias("sd"))
+    z = F.when(F.col("sd") > 0,
+               F.round((F.col("x_u") / 1e6 - F.col("mu")) / F.col("sd"), 4)
+               ).otherwise(F.lit(0.0))
+    return (ex.join(F.broadcast(mom), "dim")
+            .select("vec_id", "dim", "x_u", z.alias("z")))
+
+
+ORACLE_EMBEDDINGS_STANDARDIZE = """
+WITH ex AS (
+  SELECT vec_id, CAST(dim AS INT) AS dim,
+         CAST(round(embedding[dim + 1]::DOUBLE * 1000000.0) AS BIGINT)
+           AS x_u
+  FROM (SELECT vec_id, embedding,
+               unnest(range(len(embedding))) AS dim
+        FROM embeddings)
+),
+mom AS (
+  SELECT dim, count(*) AS n, CAST(sum(x_u) AS BIGINT) AS s,
+         CAST(sum(x_u * x_u) AS BIGINT) AS ss
+  FROM ex GROUP BY dim
+),
+ms AS (
+  SELECT dim, s / (n * 1e6) AS mu,
+         sqrt(greatest(ss / (n * 1e12) - (s / (n * 1e6)) * (s / (n * 1e6)),
+                       0.0)) AS sd
+  FROM mom
+)
+SELECT vec_id, dim, x_u,
+       CASE WHEN sd > 0 THEN round((x_u / 1e6 - mu) / sd, 4)
+            ELSE 0.0 END AS z
+FROM ex JOIN ms USING (dim)
+"""
+
+
+def q_host_budget_waterfill(spark, sf_dir):
+    """Max-min fair crawl-budget allocation across hosts (the classic
+    water-filling waterline): given per-host demand (pending URLs) and
+    a global fetch budget B (3/5 of total demand — derived from the
+    data so the row is meaningful at every SF), find the largest
+    integer waterline L* with sum(min(demand, L*)) <= B; hosts below
+    the line are fully satisfied, the rest get L*.  This is the
+    fleet-scale generalization of the reference's per-host crawl
+    budget (app/crawler/crawl_controller.py's host cap, SURVEY O10).
+
+    Exact integer math end-to-end.  The sorted-prefix closed form
+    turns the waterline search into ONE window over the HOST CENSUS
+    (|hosts|, never |urls|) + a max — census-scale by construction."""
+    k = F.col("o_orderkey")
+    d = (_t(spark, sf_dir, "orders")
+         .select(F.concat(F.lit("h"), (k % 50).cast("string")).alias("host"))
+         .groupBy("host").agg(F.count(F.lit(1)).alias("demand")))
+    tot = d.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("demand").alias("td"),
+                F.floor(F.sum("demand") * 3.0 / 5).cast("long").alias("b"))
+    ws = Window.orderBy("demand", "host")
+    sorted_ = d.select(
+        "host", "demand",
+        F.row_number().over(ws).alias("j"),
+        F.sum("demand").over(
+            ws.rowsBetween(Window.unboundedPreceding, 0)).alias("p"))
+    cand = (sorted_.select("j", F.col("p").alias("pj"),
+                           F.col("demand").alias("dj"))
+            .unionByName(sorted_.sparkSession.createDataFrame(
+                [(0, 0, 0)], "j int, pj long, dj long")))
+    lv = (cand.crossJoin(F.broadcast(tot))
+          .filter(F.col("pj") <= F.col("b"))
+          .select(F.when(F.col("j") >= F.col("n"),
+                         F.lit(9223372036854775807))
+                  .otherwise(F.floor((F.col("b") - F.col("pj")) * 1.0
+                                     / (F.col("n") - F.col("j"))))
+                  .cast("long").alias("lj"), "dj"))
+    lstar = (lv.filter(F.col("lj") >= F.col("dj"))
+             .agg(F.max("lj").alias("lstar")))
+    return (d.crossJoin(F.broadcast(lstar))
+            .select("host", "demand",
+                    F.least(F.col("demand"), F.col("lstar"))
+                    .alias("allocation"),
+                    (F.col("demand") <= F.col("lstar"))
+                    .alias("fully_satisfied")))
+
+
+ORACLE_HOST_BUDGET_WATERFILL = """
+WITH d AS (
+  SELECT 'h' || (o_orderkey % 50) AS host, count(*) AS demand
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(demand) AS BIGINT)
+               AS td,
+               CAST(floor(sum(demand) * 3.0 / 5) AS BIGINT) AS b FROM d),
+srt AS (
+  SELECT host, demand,
+         row_number() OVER (ORDER BY demand, host) AS j,
+         sum(demand) OVER (ORDER BY demand, host
+                           ROWS UNBOUNDED PRECEDING) AS p
+  FROM d
+),
+cand AS (
+  SELECT j, p AS pj, demand AS dj FROM srt
+  UNION ALL SELECT 0, 0, 0
+),
+lv AS (
+  SELECT CASE WHEN j >= n THEN 9223372036854775807
+              ELSE CAST(floor((b - pj) * 1.0 / (n - j)) AS BIGINT) END AS lj,
+         dj
+  FROM cand CROSS JOIN tot WHERE pj <= b
+),
+star AS (SELECT max(lj) AS lstar FROM lv WHERE lj >= dj)
+SELECT host, demand, least(demand, lstar) AS allocation,
+       demand <= lstar AS fully_satisfied
+FROM d CROSS JOIN star
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -7797,6 +8005,9 @@ QUERIES = {
     "text_mojibake": q_text_mojibake,
     "graph_label_prop": q_graph_label_prop,
     "text_zipf_fit": q_text_zipf_fit,
+    "corpus_curriculum": q_corpus_curriculum,
+    "embeddings_standardize": q_embeddings_standardize,
+    "host_budget_waterfill": q_host_budget_waterfill,
 }
 
 ORACLES = {
@@ -7954,6 +8165,9 @@ ORACLES = {
     "text_mojibake": ORACLE_TEXT_MOJIBAKE,
     "graph_label_prop": ORACLE_GRAPH_LABEL_PROP,
     "text_zipf_fit": ORACLE_TEXT_ZIPF_FIT,
+    "corpus_curriculum": ORACLE_CORPUS_CURRICULUM,
+    "embeddings_standardize": ORACLE_EMBEDDINGS_STANDARDIZE,
+    "host_budget_waterfill": ORACLE_HOST_BUDGET_WATERFILL,
 }
 
 
