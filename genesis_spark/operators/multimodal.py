@@ -603,6 +603,57 @@ def audio_features(df: DataFrame, blob_col: str = "media_blob",
     return df.mapInPandas(run, out_schema)
 
 
+#: 31^w for the 8 fingerprint windows — literal so the SQL oracle can
+#: index the same table instead of calling a float pow().
+_FP_POW31 = [31 ** w for w in range(8)]
+_FP_MOD = 65521  # largest prime < 2^16: keeps every product in int64
+
+
+def audio_fingerprint(df: DataFrame, blob_col: str = "media_blob",
+                      n_windows: int = 8) -> DataFrame:
+    """Compact audio fingerprint for duplicate-clip detection: the clip
+    splits into ``n_windows`` equal frames, each frame's exact int64
+    energy reduces mod 65521, and the fingerprint is the base-31
+    weighted integer sum — identical audio ALWAYS collides (the dedup
+    guarantee); distinct clips collide with ~2^-50 probability
+    (documented heuristic, same contract as the image phash row). All
+    integer arithmetic, so an ANSI-SQL oracle restates it exactly.
+    Output (doc_id, fp). Pure mapInPandas over the scan — zero
+    shuffles; the dedup groupBy downstream shuffles 16 bytes/clip."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("fp", T.LongType(), False),
+    ])
+    pows = [31 ** w for w in range(n_windows)]
+
+    def run(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None or len(blob) < 8:
+                    continue
+                b = bytes(blob)
+                n, _sr = struct.unpack(">II", b[:8])
+                if len(b) != 8 + 2 * n or n < n_windows:
+                    continue
+                x = np.frombuffer(b, dtype="<i2", offset=8).astype(np.int64)
+                w = n // n_windows
+                fr = x[:w * n_windows].reshape(n_windows, w)
+                e = (fr * fr).sum(axis=1)
+                fp = int(sum((int(ew) % _FP_MOD) * p
+                             for ew, p in zip(e, pows)))
+                ids.append(doc_id)
+                fps.append(fp)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "fp": pd.Series(fps, dtype="int64")})
+
+    return df.mapInPandas(run, out_schema)
+
+
 def detect_scenes(df: DataFrame, blob_col: str = "media_blob",
                   threshold: int = 8000) -> DataFrame:
     """Scene-cut detection over the RAW video container: per frame, the

@@ -7850,6 +7850,118 @@ FROM d CROSS JOIN star
 """
 
 
+def q_media_audio_fingerprint(spark, sf_dir):
+    """Duplicate-clip detection for the audio modality: clips synthesize
+    per GROUP (doc_id % 200 — so ~2.5 docs share byte-identical audio),
+    operators/multimodal.audio_fingerprint reduces each clip to one
+    int64 (8 window energies mod 65521, base-31 weighted), and exact
+    dedup is a 16-byte-per-clip groupBy — the audio analogue of
+    dedup_exact's hash-first rule and media_phash_pairs' image path.
+    The oracle restates the PCM synth, the window energies, and the
+    fingerprint fold in pure integer SQL: a value-hash match proves the
+    int16 container plumbing AND the kernel arithmetic."""
+    import pandas as pd
+
+    from genesis_spark.operators import multimodal as MM
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 200).alias("g"))
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_blob": [MM.audio_by_doc_id(int(g))
+                               for g in pdf["g"]]})
+
+    blobs = d.mapInPandas(encode, "doc_id long, media_blob binary")
+    fp = MM.audio_fingerprint(blobs)
+    grp = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("group_size"),
+                               F.min("doc_id").alias("rep_doc_id"))
+    return (fp.join(grp, "fp")
+            .select("doc_id", "fp", "group_size", "rep_doc_id"))
+
+
+_FP_POW31_SQL = "[" + ",".join(
+    str(31 ** w) for w in range(8)) + "]"
+
+ORACLE_MEDIA_AUDIO_FINGERPRINT = f"""
+WITH d AS (SELECT doc_id, doc_id % 200 AS g FROM documents),
+p AS (SELECT doc_id, g, CAST(512 + (g % 3) * 256 AS INT) AS n FROM d),
+e AS (
+  SELECT doc_id,
+         list_transform(range(8), w ->
+           list_sum(list_transform(range(n // 8), i ->
+             (((g*11 + (w*(n//8) + i)*17) % 4096) - 2048)
+             * (((g*11 + (w*(n//8) + i)*17) % 4096) - 2048)))) AS ew
+  FROM p),
+f AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(8), w ->
+           (ew[w+1] % 65521) * {_FP_POW31_SQL}[w+1])) AS BIGINT) AS fp
+  FROM e),
+grp AS (SELECT fp, CAST(count(*) AS BIGINT) AS group_size,
+               min(doc_id) AS rep_doc_id
+        FROM f GROUP BY fp)
+SELECT doc_id, fp, group_size, rep_doc_id FROM f JOIN grp USING (fp)
+"""
+
+
+def q_snapshot_expire(spark, sf_dir):
+    """Iceberg-style snapshot EXPIRY planner — the third leg of table
+    maintenance beside corpus_compact (bin-pack) and
+    frontier_checkpoint_diff (changelog): keep the last 5 snapshots
+    plus everything younger than a 10-hour watermark, then compute
+    which data files become ORPHANS (referenced by no live snapshot) —
+    the delete list expire_snapshots would emit.  Reference counting is
+    one explode + one (file_id) partial-agg; the snapshot census window
+    runs over |snapshots| rows, never data."""
+    k = F.col("o_orderkey")
+    snaps = (_t(spark, sf_dir, "orders")
+             .select((k % 30).alias("snap_id")).distinct()
+             .select("snap_id",
+                     (F.lit(1700000000) + F.col("snap_id") * 3600)
+                     .alias("ts")))
+    w = Window.orderBy(F.col("ts").desc())
+    mx = snaps.agg(F.max("ts").alias("max_ts"))
+    live = (snaps.withColumn("rk", F.row_number().over(w))
+            .crossJoin(F.broadcast(mx))
+            .select("snap_id",
+                    ((F.col("rk") <= 5)
+                     | (F.col("ts") > F.col("max_ts") - 36000))
+                    .alias("live")))
+    refs = (live
+            .select("live", "snap_id",
+                    F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"))
+            .select("live",
+                    ((F.col("snap_id") * 7 + F.col("j")) % 100)
+                    .alias("file_id")))
+    agg = refs.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.sum(F.col("live").cast("long")).alias("n_live_refs"))
+    return agg.select("file_id", "n_refs", "n_live_refs",
+                      (F.col("n_live_refs") == 0).alias("deletable"))
+
+
+ORACLE_SNAPSHOT_EXPIRE = """
+WITH s AS (SELECT DISTINCT o_orderkey % 30 AS snap_id FROM orders),
+t AS (SELECT snap_id, 1700000000 + snap_id * 3600 AS ts FROM s),
+mx AS (SELECT max(ts) AS max_ts FROM t),
+k AS (SELECT snap_id, ts, row_number() OVER (ORDER BY ts DESC) AS rk
+      FROM t),
+lv AS (SELECT snap_id, (rk <= 5 OR ts > max_ts - 36000) AS live
+       FROM k CROSS JOIN mx),
+refs AS (SELECT live,
+                (snap_id * 7 + unnest(range(5))) % 100 AS file_id
+         FROM lv),
+agg AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_refs,
+               CAST(sum(CASE WHEN live THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_live_refs
+        FROM refs GROUP BY file_id)
+SELECT file_id, n_refs, n_live_refs, n_live_refs = 0 AS deletable
+FROM agg
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -8008,6 +8120,8 @@ QUERIES = {
     "corpus_curriculum": q_corpus_curriculum,
     "embeddings_standardize": q_embeddings_standardize,
     "host_budget_waterfill": q_host_budget_waterfill,
+    "media_audio_fingerprint": q_media_audio_fingerprint,
+    "snapshot_expire": q_snapshot_expire,
 }
 
 ORACLES = {
@@ -8168,6 +8282,8 @@ ORACLES = {
     "corpus_curriculum": ORACLE_CORPUS_CURRICULUM,
     "embeddings_standardize": ORACLE_EMBEDDINGS_STANDARDIZE,
     "host_budget_waterfill": ORACLE_HOST_BUDGET_WATERFILL,
+    "media_audio_fingerprint": ORACLE_MEDIA_AUDIO_FINGERPRINT,
+    "snapshot_expire": ORACLE_SNAPSHOT_EXPIRE,
 }
 
 
