@@ -7508,25 +7508,7 @@ def q_graph_label_prop(spark, sf_dir):
     small side — broadcastable at any corpus size since |hosts| <<
     |pages|) + one (node, label) partial-agg + one per-node window.
     Rounds are data-independent, so lineage stays linear."""
-    k, c = F.col("o_orderkey"), F.col("o_custkey")
-    e = (_t(spark, sf_dir, "orders").select(
-        F.concat(F.lit("c"), (k % 80).cast("string")).alias("a"),
-        F.concat(F.lit("c"),
-                 ((k % 80 + c % 7 + 1) % 80).cast("string")).alias("b"))
-        .filter(F.col("a") != F.col("b")).distinct())
-    sym = (e.unionByName(e.select(F.col("b").alias("a"),
-                                  F.col("a").alias("b")))
-           .distinct())
-    lab = (sym.select(F.col("a").alias("node")).distinct()
-           .withColumn("label", F.col("node")))
-    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(),
-                                           F.col("label").asc())
-    for _ in range(3):
-        nb = (sym.join(lab.withColumnRenamed("node", "b"), "b")
-              .select(F.col("a").alias("node"), "label"))
-        cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
-        lab = (cnt.withColumn("rn", F.row_number().over(w))
-               .filter(F.col("rn") == 1).select("node", "label"))
+    _sym, lab = _lpa_labels(spark, sf_dir)
     sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
     return (lab.join(sizes, "label")
             .select(F.col("node").alias("host_key"),
@@ -7962,6 +7944,131 @@ FROM agg
 """
 
 
+def _lpa_labels(spark, sf_dir):
+    """The 3-round LPA labelling shared by graph_label_prop and
+    graph_modularity (same edges, same tie-break)."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    e = (_t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("c"), (k % 80).cast("string")).alias("a"),
+        F.concat(F.lit("c"),
+                 ((k % 80 + c % 7 + 1) % 80).cast("string")).alias("b"))
+        .filter(F.col("a") != F.col("b")).distinct())
+    sym = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+           .distinct())
+    lab = (sym.select(F.col("a").alias("node")).distinct()
+           .withColumn("label", F.col("node")))
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(),
+                                           F.col("label").asc())
+    for _ in range(3):
+        nb = (sym.join(lab.withColumnRenamed("node", "b"), "b")
+              .select(F.col("a").alias("node"), "label"))
+        cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        lab = (cnt.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1).select("node", "label"))
+    return sym, lab
+
+
+def q_graph_modularity(spark, sf_dir):
+    """Modularity grading of the label-propagation partition (Newman &
+    Girvan 2004) in EXACT integer arithmetic: per community c, the
+    contribution to Q x 4m^2 is 2*m*w_c - d_c^2, where w_c counts
+    symmetric within-community edge endpoints (= 2 x internal edges),
+    d_c the community degree sum, and m the undirected edge count —
+    the quality gate that tells a mirror-farm detector whether its
+    communities are denser than chance, with no float anywhere.
+
+    Plan/scale: the LPA labels join onto the edge list twice (labels
+    are census-scale — broadcastable), then two community-keyed
+    partial aggs.  Nothing exceeds |edges| in any exchange."""
+    sym, lab = _lpa_labels(spark, sf_dir)
+    mm = sym.agg((F.count(F.lit(1)) / 2).cast("long").alias("m"))
+    la = lab.select(F.col("node").alias("a"), F.col("label").alias("ca"))
+    lb = lab.select(F.col("node").alias("b"), F.col("label").alias("cb"))
+    within = (sym.join(F.broadcast(la), "a").join(F.broadcast(lb), "b")
+              .filter(F.col("ca") == F.col("cb"))
+              .groupBy(F.col("ca").alias("community"))
+              .agg(F.count(F.lit(1)).alias("w_c")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    dsum = (deg.join(F.broadcast(la), "a")
+            .groupBy(F.col("ca").alias("community"))
+            .agg(F.sum("deg").alias("d_c")))
+    return (dsum.join(within, "community", "left")
+            .crossJoin(F.broadcast(mm))
+            .select("community",
+                    F.coalesce(F.col("w_c"), F.lit(0)).alias("w_c"),
+                    "d_c",
+                    (F.lit(2) * F.col("m")
+                     * F.coalesce(F.col("w_c"), F.lit(0))
+                     - F.col("d_c") * F.col("d_c")).alias("q4m2_contrib")))
+
+
+ORACLE_GRAPH_MODULARITY = f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || (o_orderkey % 80) AS a,
+         'c' || ((o_orderkey % 80 + o_custkey % 7 + 1) % 80) AS b
+  FROM orders
+  WHERE 'c' || (o_orderkey % 80)
+        <> 'c' || ((o_orderkey % 80 + o_custkey % 7 + 1) % 80)),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+{_lpa_round_sql("l0", "l1")},
+{_lpa_round_sql("l1", "l2")},
+{_lpa_round_sql("l2", "l3")},
+mm AS (SELECT CAST(count(*) AS BIGINT) / 2 AS m FROM sym),
+w AS (
+  SELECT la.label AS community, CAST(count(*) AS BIGINT) AS w_c
+  FROM sym JOIN l3 la ON la.node = sym.a
+           JOIN l3 lb ON lb.node = sym.b
+  WHERE la.label = lb.label GROUP BY la.label),
+deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a),
+ds AS (
+  SELECT la.label AS community, CAST(sum(deg) AS BIGINT) AS d_c
+  FROM deg JOIN l3 la ON la.node = deg.a GROUP BY la.label)
+SELECT ds.community, CAST(coalesce(w.w_c, 0) AS BIGINT) AS w_c, ds.d_c,
+       CAST(2 * m * coalesce(w.w_c, 0) - ds.d_c * ds.d_c AS BIGINT)
+         AS q4m2_contrib
+FROM ds LEFT JOIN w ON w.community = ds.community CROSS JOIN mm
+"""
+
+
+def q_corpus_domain_cap(spark, sf_dir):
+    """Domain frequency capping (the Gopher / RefinedWeb rule: no
+    registrable domain may dominate the training mix): keep at most 8
+    docs per domain, picked deterministically (longest first, doc_id
+    tie-break), and carry the domain's total so the mix report shows
+    what the cap removed.  One window shuffle keyed on domain — the
+    natural partitioner; skewed mega-domains are exactly the rows the
+    cap truncates, so per-key work is bounded by construction."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "n_chars",
+                 F.concat(F.lit("d"), (F.col("doc_id") % 37).cast("string"))
+                 .alias("domain")))
+    w = Window.partitionBy("domain")
+    wo = w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (d.withColumn("rk", F.row_number().over(wo).cast("long"))
+            .withColumn("domain_total", F.count(F.lit(1)).over(w))
+            .filter(F.col("rk") <= 8)
+            .select("doc_id", "domain", "rk", "n_chars", "domain_total"))
+
+
+ORACLE_CORPUS_DOMAIN_CAP = """
+WITH d AS (
+  SELECT doc_id, n_chars, 'd' || (doc_id % 37) AS domain FROM documents
+),
+r AS (
+  SELECT doc_id, domain, n_chars,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY domain) AS domain_total
+  FROM d
+)
+SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk, n_chars,
+       CAST(domain_total AS BIGINT) AS domain_total
+FROM r WHERE rk <= 8
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -8122,6 +8229,8 @@ QUERIES = {
     "host_budget_waterfill": q_host_budget_waterfill,
     "media_audio_fingerprint": q_media_audio_fingerprint,
     "snapshot_expire": q_snapshot_expire,
+    "graph_modularity": q_graph_modularity,
+    "corpus_domain_cap": q_corpus_domain_cap,
 }
 
 ORACLES = {
@@ -8284,6 +8393,8 @@ ORACLES = {
     "host_budget_waterfill": ORACLE_HOST_BUDGET_WATERFILL,
     "media_audio_fingerprint": ORACLE_MEDIA_AUDIO_FINGERPRINT,
     "snapshot_expire": ORACLE_SNAPSHOT_EXPIRE,
+    "graph_modularity": ORACLE_GRAPH_MODULARITY,
+    "corpus_domain_cap": ORACLE_CORPUS_DOMAIN_CAP,
 }
 
 
