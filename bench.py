@@ -44,6 +44,8 @@ HEADLINE = [
     "ann_ivfpq_topk", "media_audio",
     "text_bm25_topk", "corpus_dsir_resample", "media_phash_pairs",
     "url_shard_rebalance",
+    "cdx_ingest", "media_audio_fingerprint", "host_budget_waterfill",
+    "embeddings_standardize",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "300"))
