@@ -8069,6 +8069,124 @@ FROM r WHERE rk <= 8
 """
 
 
+def q_frontier_ucb(spark, sf_dir):
+    """Bandit-style crawl scheduling: UCB1 (Auer et al. 2002) over
+    hosts, where each crawl attempt's reward is the new-URL yield —
+    the explore/exploit policy that beats fixed round-robin when some
+    hosts are link farms and others are dead ends.  Mean reward and
+    the sqrt(2 ln N / n) confidence bonus derive from exact integer
+    (attempts, reward) census sums; one 4-dp round.  The rank window
+    runs over the HOST census — never URLs."""
+    k = F.col("o_orderkey")
+    stats = (_t(spark, sf_dir, "orders")
+             .select(F.concat(F.lit("h"), (k % 50).cast("string"))
+                     .alias("host"),
+                     (k % 3).alias("reward"))
+             .groupBy("host")
+             .agg(F.count(F.lit(1)).alias("n_pulls"),
+                  F.sum("reward").alias("r_total")))
+    tot = stats.agg(F.sum("n_pulls").alias("n_all"))
+    score = F.round(
+        F.col("r_total") / F.col("n_pulls")
+        + F.sqrt(F.lit(2.0) * F.log(F.col("n_all")) / F.col("n_pulls")), 4)
+    ranked = (stats.crossJoin(F.broadcast(tot))
+              .select("host", "n_pulls", "r_total", score.alias("ucb")))
+    w = Window.orderBy(F.col("ucb").desc(), F.col("host").asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+ORACLE_FRONTIER_UCB = """
+WITH stats AS (
+  SELECT 'h' || (o_orderkey % 50) AS host, count(*) AS n_pulls,
+         CAST(sum(o_orderkey % 3) AS BIGINT) AS r_total
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS n_all FROM stats),
+ranked AS (
+  SELECT host, n_pulls, r_total,
+         round(r_total * 1.0 / n_pulls
+               + sqrt(2.0 * ln(n_all) / n_pulls), 4) AS ucb
+  FROM stats CROSS JOIN tot
+)
+SELECT host, n_pulls, r_total, ucb,
+       CAST(row_number() OVER (ORDER BY ucb DESC, host ASC) AS BIGINT)
+         AS rank
+FROM ranked
+"""
+
+
+#: RAKE phrase-boundary stopwords (fixed literal set shared by both
+#: engines; the full run-time stopword injection point lives in
+#: functions/text.py — this row pins a small deterministic core).
+_RAKE_STOPS = ("the", "and", "of", "to", "in", "a", "is", "for", "on",
+               "with", "as", "by", "at", "or", "be", "this", "that",
+               "are", "was", "it")
+
+
+def q_text_rake(spark, sf_dir):
+    """RAKE keyword scoring (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores deg/freq where
+    deg sums the lengths of every phrase containing it.  Phrase ids
+    come from a running stopword count per doc (ONE per-doc window),
+    phrase lengths from a per-(doc, phrase) window, word stats from a
+    token-keyed partial agg — integer arithmetic until the single
+    4-dp division.  Per-doc windows bound state at 100 TB; the only
+    corpus-wide exchange carries (token, small ints)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = (d.select("doc_id",
+                   F.posexplode(F.split(F.lower("text"), "[^a-z]+"))
+                   .alias("i", "tok"))
+          .filter(F.col("tok") != ""))
+    is_stop = F.col("tok").isin(*_RAKE_STOPS)
+    wd = Window.partitionBy("doc_id").orderBy("i") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    tk = tk.select("doc_id", "i", "tok", is_stop.alias("stop"),
+                   F.sum(is_stop.cast("int")).over(wd).alias("phrase_id"))
+    content = tk.filter(~F.col("stop"))
+    wp = Window.partitionBy("doc_id", "phrase_id")
+    content = content.withColumn("phrase_len",
+                                 F.count(F.lit(1)).over(wp))
+    stats = (content.filter(F.length("tok") >= 3)
+             .groupBy(F.col("tok").alias("word"))
+             .agg(F.count(F.lit(1)).alias("freq"),
+                  F.sum("phrase_len").alias("deg")))
+    return (stats.filter(F.col("freq") >= 5)
+            .select("word", "freq", "deg",
+                    F.round(F.col("deg") / F.col("freq"), 4)
+                    .alias("rake_score")))
+
+
+ORACLE_TEXT_RAKE = f"""
+WITH tk AS (
+  SELECT doc_id, i, w[i+1] AS tok
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS w,
+               unnest(range(len(w))) AS i
+        FROM documents)
+  WHERE w[i+1] <> ''
+),
+ph AS (
+  SELECT doc_id, i, tok,
+         tok IN {str(tuple(_RAKE_STOPS))} AS stop,
+         sum(CASE WHEN tok IN {str(tuple(_RAKE_STOPS))} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS phrase_id
+  FROM tk
+),
+content AS (
+  SELECT doc_id, tok, phrase_id,
+         count(*) OVER (PARTITION BY doc_id, phrase_id) AS phrase_len
+  FROM ph WHERE NOT stop
+),
+stats AS (
+  SELECT tok AS word, count(*) AS freq,
+         CAST(sum(phrase_len) AS BIGINT) AS deg
+  FROM content WHERE len(tok) >= 3 GROUP BY tok
+)
+SELECT word, freq, deg, round(deg * 1.0 / freq, 4) AS rake_score
+FROM stats WHERE freq >= 5
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -8231,6 +8349,8 @@ QUERIES = {
     "snapshot_expire": q_snapshot_expire,
     "graph_modularity": q_graph_modularity,
     "corpus_domain_cap": q_corpus_domain_cap,
+    "frontier_ucb": q_frontier_ucb,
+    "text_rake": q_text_rake,
 }
 
 ORACLES = {
@@ -8395,6 +8515,8 @@ ORACLES = {
     "snapshot_expire": ORACLE_SNAPSHOT_EXPIRE,
     "graph_modularity": ORACLE_GRAPH_MODULARITY,
     "corpus_domain_cap": ORACLE_CORPUS_DOMAIN_CAP,
+    "frontier_ucb": ORACLE_FRONTIER_UCB,
+    "text_rake": ORACLE_TEXT_RAKE,
 }
 
 

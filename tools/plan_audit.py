@@ -46,6 +46,8 @@ PANDAS_SANCTIONED = {
     "media_framesample": "video frame sampling (binary kernel)",
     "media_scenes": "frame-delta scene cuts (numpy kernel)",
     "media_audio": "PCM16 windowed energy/ZCR (numpy kernel)",
+    "media_audio_fingerprint": "PCM16 window-energy fingerprint fold "
+                               "(numpy kernel; dedup groupBy is JVM)",
     "media_vad": "voice-activity segmentation over PCM16",
     "warc_ingest": "WARC record framing (byte-stream kernel)",
     "url_idn_normalize": "RFC 3490 punycode via stdlib idna codec",
