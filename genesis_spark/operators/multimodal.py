@@ -16,6 +16,7 @@ fmt:4s + payload. Real deployments swap ``decode_fn`` for PIL/ffmpeg.
 
 from __future__ import annotations
 
+import functools
 import struct
 from typing import Callable
 
@@ -545,10 +546,12 @@ def encode_pcm16(n_samples: int, sample_rate: int, samples) -> bytes:
     return struct.pack(">II", n_samples, sample_rate) + arr.tobytes()
 
 
+@functools.lru_cache(maxsize=4096)
 def audio_by_doc_id(doc_id: int) -> bytes:
     """Deterministic synthetic clip: n_samples = 512 + (doc_id % 3) * 256,
     sample s = ((doc_id*11 + s*17) % 4096) - 2048 — pure integer
-    arithmetic an ANSI-SQL oracle can restate exactly."""
+    arithmetic an ANSI-SQL oracle can restate exactly. Cached: dedup
+    fixtures synthesize per GROUP, so most calls repeat an argument."""
     n = 512 + (doc_id % 3) * 256
     return encode_pcm16(n, 16000,
                         [((doc_id * 11 + s * 17) % 4096) - 2048
@@ -603,9 +606,13 @@ def audio_features(df: DataFrame, blob_col: str = "media_blob",
     return df.mapInPandas(run, out_schema)
 
 
-#: 31^w for the 8 fingerprint windows — literal so the SQL oracle can
-#: index the same table instead of calling a float pow().
-_FP_POW31 = [31 ** w for w in range(8)]
+def _fp_pows(n_windows: int) -> list[int]:
+    """31^w weights for the fingerprint fold — the kernel and the SQL
+    oracle (queries._FP_POW31_SQL) both derive from this table."""
+    return [31 ** w for w in range(n_windows)]
+
+
+_FP_POW31 = _fp_pows(8)
 _FP_MOD = 65521  # largest prime < 2^16: keeps every product in int64
 
 
@@ -627,7 +634,7 @@ def audio_fingerprint(df: DataFrame, blob_col: str = "media_blob",
         T.StructField("doc_id", T.LongType(), True),
         T.StructField("fp", T.LongType(), False),
     ])
-    pows = [31 ** w for w in range(n_windows)]
+    pows = _fp_pows(n_windows)
 
     def run(batches):
         for pdf in batches:

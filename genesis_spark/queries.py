@@ -1566,6 +1566,38 @@ FROM fp GROUP BY fp HAVING count(*) > 1
 """
 
 
+def _flesch_exprs():
+    """(n_words, n_sent, n_syll, flesch) column expressions shared by
+    text_readability and corpus_curriculum — one definition so the two
+    rows can't drift (the _lpa_labels / _C4_SYNTH_SQL convention)."""
+    n_words = F.greatest(F.lit(1), F.size(F.split(F.trim("text"), r"\s+")))
+    n_sent = F.greatest(F.lit(1),
+                        F.regexp_count("text", F.lit(r"[.!?]+")))
+    n_syll = F.greatest(F.lit(1),
+                        F.regexp_count(F.lower("text"),
+                                       F.lit("[aeiouy]+")))
+    raw = (F.lit(206.835) - F.lit(1.015) * n_words / n_sent
+           - F.lit(84.6) * n_syll / n_words)
+    # explicit floor(x*1e4 + 0.5)/1e4, NOT round(x, 4): Spark's round
+    # (BigDecimal HALF_UP over the exact double expansion) and DuckDB's
+    # round disagree on half-way doubles — found by the sf0.1 replay
+    # (28.1938 vs 28.1937); this quantization is identical in both
+    flesch = F.floor(raw * 1e4 + F.lit(0.5)) / 1e4
+    return n_words, n_sent, n_syll, flesch
+
+
+#: the matching DuckDB per-doc Flesch metric CTE body (named `m`)
+_FLESCH_M_SQL = r"""m AS (
+  SELECT doc_id,
+         greatest(1, len(string_split_regex(trim(text), '\s+')))
+           AS n_words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sent,
+         greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+           AS n_syll
+  FROM documents
+)"""
+
+
 def q_text_readability(spark, sf_dir):
     """Flesch reading-ease as a corpus-quality dimension (the classic
     readability rubric beside the Gopher/C4 gates): words by whitespace
@@ -1574,15 +1606,7 @@ def q_text_readability(spark, sf_dir):
     bucket rollup is skipped entirely (per-doc rows out). Integer
     counts make the score's double arithmetic cross-engine exact."""
     d = _t(spark, sf_dir, "documents")
-    n_words = F.greatest(F.lit(1), F.size(F.split(F.trim("text"), r"\s+")))
-    n_sent = F.greatest(F.lit(1),
-                        F.regexp_count("text", F.lit(r"[.!?]+")))
-    n_syll = F.greatest(F.lit(1),
-                        F.regexp_count(F.lower("text"),
-                                       F.lit("[aeiouy]+")))
-    flesch = F.round(F.lit(206.835)
-                     - F.lit(1.015) * n_words / n_sent
-                     - F.lit(84.6) * n_syll / n_words, 4)
+    n_words, n_sent, n_syll, flesch = _flesch_exprs()
     bucket = (F.when(flesch >= 90, "very_easy")
               .when(flesch >= 70, "easy")
               .when(flesch >= 50, "medium")
@@ -1592,29 +1616,25 @@ def q_text_readability(spark, sf_dir):
                     flesch.alias("flesch"), bucket.alias("bucket"))
 
 
-ORACLE_TEXT_READABILITY = r"""
-WITH m AS (
-  SELECT doc_id,
-         greatest(1, len(string_split_regex(trim(text), '\s+')))
-           AS n_words,
-         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sent,
-         greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
-           AS n_syll
-  FROM documents
-)
-SELECT doc_id, n_words, n_sent, n_syll,
-       round(206.835 - 1.015 * n_words / n_sent
-             - 84.6 * n_syll / n_words, 4) AS flesch,
-       CASE WHEN round(206.835 - 1.015 * n_words / n_sent
-                       - 84.6 * n_syll / n_words, 4) >= 90 THEN 'very_easy'
-            WHEN round(206.835 - 1.015 * n_words / n_sent
-                       - 84.6 * n_syll / n_words, 4) >= 70 THEN 'easy'
-            WHEN round(206.835 - 1.015 * n_words / n_sent
-                       - 84.6 * n_syll / n_words, 4) >= 50 THEN 'medium'
-            WHEN round(206.835 - 1.015 * n_words / n_sent
-                       - 84.6 * n_syll / n_words, 4) >= 30 THEN 'hard'
+#: floor(x*1e4 + 0.5)/1e4 quantization of the raw Flesch double —
+#: identical in both engines on half-way cases, unlike round(x, 4).
+#: The ::DOUBLE casts matter: DuckDB parses 206.835 as DECIMAL(6,3),
+#: which changes the raw value's last ulp vs Spark's double literals
+#: (found by the sf0.1 replay: 28.19375 straddled the 4-dp boundary).
+_FLESCH_Q_SQL = ("floor((206.835::DOUBLE - 1.015::DOUBLE * n_words / n_sent"
+                 " - 84.6::DOUBLE * n_syll / n_words) * 10000 + 0.5) / 10000")
+
+ORACLE_TEXT_READABILITY = rf"""
+WITH {_FLESCH_M_SQL},
+fl AS (SELECT doc_id, n_words, n_sent, n_syll,
+              {_FLESCH_Q_SQL} AS flesch FROM m)
+SELECT doc_id, n_words, n_sent, n_syll, flesch,
+       CASE WHEN flesch >= 90 THEN 'very_easy'
+            WHEN flesch >= 70 THEN 'easy'
+            WHEN flesch >= 50 THEN 'medium'
+            WHEN flesch >= 30 THEN 'hard'
             ELSE 'very_hard' END AS bucket
-FROM m
+FROM fl
 """
 
 
@@ -3007,12 +3027,12 @@ q95 AS (
   SELECT event_type,
          min_by(bin, bin) AS bin, min_by(cnt, bin) AS cnt,
          min_by(cum, bin) AS cum, min(total) AS total
-  FROM c WHERE cum >= round(0.95 * total, 4) GROUP BY 1),
+  FROM c WHERE cum >= round(0.95::DOUBLE * total, 4) GROUP BY 1),
 n AS (SELECT event_type, count(value) AS n_events FROM events GROUP BY 1)
 SELECT n.event_type, n.n_events,
        round((q50.bin + (round(0.5 * q50.total, 4) - (q50.cum - q50.cnt))
               / q50.cnt) * 2.0, 4) AS p50_est,
-       round((q95.bin + (round(0.95 * q95.total, 4) - (q95.cum - q95.cnt))
+       round((q95.bin + (round(0.95::DOUBLE * q95.total, 4) - (q95.cum - q95.cnt))
               / q95.cnt) * 2.0, 4) AS p95_est
 FROM n JOIN q50 USING (event_type) JOIN q95 USING (event_type)
 """
@@ -6308,7 +6328,7 @@ df AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
 scored AS (
   SELECT qtf.doc_id,
          CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
-                    * (tf * 2.2)
+                    * (tf * 2.2::DOUBLE)
                     / (tf + 1.2 * (0.25 + 0.75 * dl * nd / tot))
                     * 1000000.0) AS BIGINT) AS contrib_u
   FROM qtf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
@@ -7365,9 +7385,11 @@ def q_text_char_entropy(spark, sf_dir):
     doc_id roll-up.  Two bounded shuffles; nothing carries raw text."""
     d = (_t(spark, sf_dir, "documents")
          .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    # [^\n], not '.': Java-regex '.' also excludes \r/ /... while
+    # RE2 (the oracle engine) excludes only \n — CRLF text would diverge
     ch = d.select(
         "doc_id",
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"."), 0))
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"[^\n]"), 0))
         .alias("ch"))
     cnt = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"),
@@ -7386,7 +7408,7 @@ def q_text_char_entropy(spark, sf_dir):
 
 ORACLE_TEXT_CHAR_ENTROPY = r"""
 WITH ch AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '.')) AS ch
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^\n]')) AS ch
   FROM documents WHERE text IS NOT NULL
 ),
 cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
@@ -7635,12 +7657,7 @@ def q_corpus_curriculum(spark, sf_dir):
     within one bin share a stage (the documented histogram
     approximation — bins are 1 Flesch point wide)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    n_words = F.greatest(F.lit(1), F.size(F.split(F.trim("text"), r"\s+")))
-    n_sent = F.greatest(F.lit(1), F.regexp_count("text", F.lit(r"[.!?]+")))
-    n_syll = F.greatest(F.lit(1),
-                        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")))
-    flesch = F.round(F.lit(206.835) - F.lit(1.015) * n_words / n_sent
-                     - F.lit(84.6) * n_syll / n_words, 4)
+    n_words, _n_sent, _n_syll, flesch = _flesch_exprs()
     bin_ = F.greatest(F.lit(-100),
                       F.least(F.lit(206), F.floor(flesch))).cast("int")
     docs = d.select("doc_id", n_words.alias("n_words"),
@@ -7662,21 +7679,11 @@ def q_corpus_curriculum(spark, sf_dir):
             .select("doc_id", "flesch_bin", "stage", "n_words"))
 
 
-ORACLE_CORPUS_CURRICULUM = r"""
-WITH m AS (
-  SELECT doc_id,
-         greatest(1, len(string_split_regex(trim(text), '\s+')))
-           AS n_words,
-         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sent,
-         greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
-           AS n_syll
-  FROM documents
-),
+ORACLE_CORPUS_CURRICULUM = rf"""
+WITH {_FLESCH_M_SQL},
 docs AS (
   SELECT doc_id, n_words,
-         CAST(greatest(-100, least(206,
-              floor(round(206.835 - 1.015 * n_words / n_sent
-                          - 84.6 * n_syll / n_words, 4)))) AS INT)
+         CAST(greatest(-100, least(206, floor({_FLESCH_Q_SQL}))) AS INT)
            AS flesch_bin
   FROM m
 ),
@@ -7711,12 +7718,16 @@ def q_embeddings_standardize(spark, sf_dir):
                   F.posexplode("embedding").alias("dim", "x"))
     xu = F.round(F.col("x").cast("double") * 1e6).cast("long")
     ex = ex.select("vec_id", "dim", xu.alias("x_u"))
+    # ss accumulates in decimal(38,0): a long sum of x_u^2 (~3e11 each)
+    # would wrap at ~27M vectors/dim — decimal stays exact to 1e38,
+    # matching DuckDB's BIGINT-sum-into-HUGEINT on the oracle side
     mom = (ex.groupBy("dim")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum("x_u").alias("s"),
-                F.sum(F.col("x_u") * F.col("x_u")).alias("ss")))
+                F.sum((F.col("x_u") * F.col("x_u"))
+                      .cast("decimal(38,0)")).alias("ss")))
     mean = F.col("s") / (F.col("n") * 1e6)
-    var = F.col("ss") / (F.col("n") * 1e12) - mean * mean
+    var = F.col("ss").cast("double") / (F.col("n") * 1e12) - mean * mean
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
     mom = mom.select("dim", mean.alias("mu"), std.alias("sd"))
     z = F.when(F.col("sd") > 0,
@@ -7736,8 +7747,9 @@ WITH ex AS (
         FROM embeddings)
 ),
 mom AS (
+  -- sum(BIGINT) lands in HUGEINT: exact like Spark's decimal(38,0)
   SELECT dim, count(*) AS n, CAST(sum(x_u) AS BIGINT) AS s,
-         CAST(sum(x_u * x_u) AS BIGINT) AS ss
+         sum(x_u * x_u) AS ss
   FROM ex GROUP BY dim
 ),
 ms AS (
@@ -7863,8 +7875,12 @@ def q_media_audio_fingerprint(spark, sf_dir):
             .select("doc_id", "fp", "group_size", "rep_doc_id"))
 
 
-_FP_POW31_SQL = "[" + ",".join(
-    str(31 ** w) for w in range(8)) + "]"
+def _fp_pow31_sql() -> str:
+    from genesis_spark.operators import multimodal as _MM
+    return "[" + ",".join(str(p) for p in _MM._FP_POW31) + "]"
+
+
+_FP_POW31_SQL = _fp_pow31_sql()
 
 ORACLE_MEDIA_AUDIO_FINGERPRINT = f"""
 WITH d AS (SELECT doc_id, doc_id % 200 AS g FROM documents),

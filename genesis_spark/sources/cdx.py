@@ -17,7 +17,7 @@ uniform), which at 100 TB is one exchange of (digest, small payload).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: JSON payload schema of a CDXJ capture record (pywb field names).
@@ -95,8 +95,3 @@ def synth_cdxj_lines(orders: DataFrame) -> DataFrame:
         F.lit('", "digest": "'), digest,
         F.lit('", "length": "'), length, F.lit('"}'))
     return orders.select(line.alias("line"))
-
-
-def synth_cdxj_line_expr(col: str = "line") -> Column:  # pragma: no cover
-    """Alias kept for symmetry with other fixture modules."""
-    return F.col(col)
