@@ -89,3 +89,41 @@ def keep_one_per_cluster(docs: DataFrame, pairs: DataFrame,
     survivors = (with_comp.groupBy("cluster_id")
                  .agg(F.min(id_col).alias(id_col)))
     return survivors.join(with_comp, [id_col, "cluster_id"])
+
+
+def kcore(sym: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Synchronous k-core peeling over a SYMMETRIZED distinct edge list
+    ``(a, b)``: each round drops every node whose degree *restricted to
+    the still-alive set* is below ``k`` (Seidman 1983) — the density
+    lens that separates genuinely well-linked hosts from ones that only
+    touch the link-farm periphery (triangles/modularity grade edges;
+    coreness grades nodes).
+
+    Synchronous semantics matter: round N's degrees are computed against
+    round N-1's alive set, so a pendant chain peels one link per round —
+    exactly what the unit test pins. ``rounds`` is a fixed unroll (full
+    coreness iterates to fixpoint; bounded rounds keep the lineage
+    linear and the oracle expressible as a finite CTE chain).
+
+    Returns ``(node, core_degree)`` for survivors, degree restricted to
+    the surviving set.
+
+    Scale shape: the alive set is census-scale (|hosts| << |pages|), so
+    both restriction joins broadcast; each round costs one partial-agg
+    shuffle of the edge list — no all-pairs, no driver-side graph."""
+    alive = sym.select(F.col("a").alias("node")).distinct()
+
+    def _restrict(al: DataFrame) -> DataFrame:
+        return (sym.join(F.broadcast(al.select(F.col("node").alias("a"))),
+                         "a", "left_semi")
+                .join(F.broadcast(al.select(F.col("node").alias("b"))),
+                      "b", "left_semi"))
+
+    for _ in range(rounds):
+        alive = (_restrict(alive)
+                 .groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+                 .filter(F.col("deg") >= k)
+                 .select(F.col("a").alias("node")))
+    return (_restrict(alive)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("core_degree")))

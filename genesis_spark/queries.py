@@ -8203,6 +8203,170 @@ FROM stats WHERE freq >= 5
 """
 
 
+def _kcore_sym(spark, sf_dir):
+    """Degree-HETEROGENEOUS host graph for the k-core row: node c<i>'s
+    out-fanout is 1 + (i % 7) (offsets +1 .. +1+(i%7)), so even when
+    every (orderkey, custkey) combination is covered at higher SFs the
+    degree distribution stays spread (the LPA edge rule saturates to a
+    uniform 14-regular circulant, which peeling can't discriminate)."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    off = c % (1 + (k % 80) % 7) + 1
+    e = (_t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("c"), (k % 80).cast("string")).alias("a"),
+        F.concat(F.lit("c"), ((k % 80 + off) % 80).cast("string")).alias("b"))
+        .filter(F.col("a") != F.col("b")).distinct())
+    return (e.unionByName(e.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+            .distinct())
+
+
+def q_graph_kcore(spark, sf_dir):
+    """k-core decomposition of the host link graph (Seidman 1983), the
+    node-density signal completing the graph family: components answer
+    reachability, LPA groups, triangles/modularity grade edge density —
+    coreness grades each NODE by how deep it sits in the well-linked
+    nucleus (crawl-priority / link-farm-periphery lens).  3 synchronous
+    peel rounds at k=6 over the heterogeneous host graph; output is the
+    surviving core with degrees restricted to the core.  Non-trivial at
+    every SF (80 -> ~65 -> ~55 -> ~50 nodes).
+
+    Plan/scale: operators/cc.kcore — the alive set is census-scale so
+    restriction semi-joins broadcast; one edge-list partial agg per
+    round, lineage linear in rounds."""
+    from genesis_spark.operators.cc import kcore
+
+    return (kcore(_kcore_sym(spark, sf_dir), k=6, rounds=3)
+            .select(F.col("node").alias("host_key"), "core_degree"))
+
+
+def _kcore_round_sql(prev: str, out: str, k: int) -> str:
+    return f"""{out} AS (
+  SELECT s.a AS node FROM sym s
+  JOIN {prev} x ON x.node = s.a JOIN {prev} y ON y.node = s.b
+  GROUP BY s.a HAVING count(*) >= {k})"""
+
+
+ORACLE_GRAPH_KCORE = f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || (o_orderkey % 80) AS a,
+         'c' || ((o_orderkey % 80 + o_custkey % (1 + (o_orderkey % 80) % 7)
+                  + 1) % 80) AS b
+  FROM orders
+  WHERE 'c' || (o_orderkey % 80)
+        <> 'c' || ((o_orderkey % 80 + o_custkey % (1 + (o_orderkey % 80) % 7)
+                    + 1) % 80)),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+a0 AS (SELECT DISTINCT a AS node FROM sym),
+{_kcore_round_sql("a0", "a1", 6)},
+{_kcore_round_sql("a1", "a2", 6)},
+{_kcore_round_sql("a2", "a3", 6)}
+SELECT s.a AS host_key, count(*) AS core_degree
+FROM sym s JOIN a3 x ON x.node = s.a JOIN a3 y ON y.node = s.b
+GROUP BY s.a
+"""
+
+
+#: Bloom-eval geometry: m bits / k=4 md5-derived positions per URL.
+#: m=512 against the ~100-URL seen set gives ~54% fill, so the measured
+#: false-positive rate is a real number (~8%), not a degenerate zero.
+_BLOOM_EVAL_M = 512
+
+
+def q_url_bloom_eval(spark, sf_dir):
+    """Measured false-positive rate of the URL-seen Bloom prefilter —
+    the estimator-vs-truth row for the filter family (the pattern
+    dedup_minhash_eval / ann_recall_eval set): a 512-bit / 4-hash Bloom
+    built from the seen set probes every candidate, and the verdicts
+    are graded against the exact anti-join truth.  ``n_false_neg`` is
+    the no-false-negatives contract the engine's prefilter path relies
+    on — both engines must compute it as literally zero — and
+    ``fpr_ppm`` (exact integer parts-per-million) is the number the
+    operators/bloom.py sizing knobs trade memory against.  Hash
+    positions are md5-substring-derived (the repo's engine-portable
+    construction), so DuckDB replays the filter bit-for-bit.
+
+    Plan/scale: the bit set is DISTINCT positions (<= m rows —
+    broadcast); probing is one semi-join + per-URL count; grading one
+    anti-join. At 10^10 URLs this exact shape is the bloom.py sharded
+    path; here the SQL-expressible single-shard geometry is what gets
+    oracle-graded."""
+    m = _BLOOM_EVAL_M
+    cand = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("http://u"), (F.col("l_orderkey") % 1000).cast("string"),
+                 F.lit(".onion")).alias("url")).distinct()
+    seen = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0) \
+        .select(F.concat(F.lit("http://u"),
+                         (F.col("o_orderkey") % 300).cast("string"),
+                         F.lit(".onion")).alias("url")).distinct()
+
+    def positions(df):
+        return df.select("url", F.explode(F.array(*[
+            (F.conv(F.substring(F.md5("url"), 1 + 8 * i, 8), 16, 10)
+             .cast("long") % m).alias(f"p{i}") for i in range(4)]))
+            .alias("pos"))
+
+    bits = positions(seen).select("pos").distinct()
+    hits = (positions(cand)
+            .join(F.broadcast(bits), "pos", "left_semi")
+            .groupBy("url").agg(F.count(F.lit(1)).alias("nhit")))
+    new = (cand.join(seen, "url", "left_anti")
+           .select("url", F.lit(1).alias("is_new")))
+    graded = (cand.join(hits, "url", "left").join(new, "url", "left")
+              .select(
+                  (F.coalesce("nhit", F.lit(0)) == 4).cast("int")
+                  .alias("maybe"),
+                  F.coalesce("is_new", F.lit(0)).alias("is_new")))
+    agg = graded.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.sum("maybe").cast("long").alias("n_maybe"),
+        F.sum(((1 - F.col("is_new")) * (1 - F.col("maybe"))))
+        .cast("long").alias("n_false_neg"),
+        F.sum(F.col("is_new") * F.col("maybe")).cast("long")
+        .alias("n_false_pos"))
+    return agg.select(
+        "n_candidates", "n_new", "n_maybe", "n_false_neg", "n_false_pos",
+        F.floor(F.col("n_false_pos") * 1000000 / F.col("n_new"))
+        .cast("long").alias("fpr_ppm"))
+
+
+ORACLE_URL_BLOOM_EVAL = f"""
+WITH cand AS (
+  SELECT DISTINCT 'http://u' || (l_orderkey % 1000) || '.onion' AS url
+  FROM lineitem),
+seen AS (
+  SELECT DISTINCT 'http://u' || (o_orderkey % 300) || '.onion' AS url
+  FROM orders WHERE o_orderkey % 3 = 0),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(url), 1 + 8 * i, 8))::BIGINT
+           % {_BLOOM_EVAL_M} AS pos
+  FROM seen CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+probe AS (
+  SELECT c.url,
+         ('0x' || substr(md5(c.url), 1 + 8 * i, 8))::BIGINT
+           % {_BLOOM_EVAL_M} AS pos
+  FROM cand c CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+hits AS (
+  SELECT url, count(*) AS nhit FROM probe
+  WHERE pos IN (SELECT pos FROM bits) GROUP BY url),
+graded AS (
+  SELECT CASE WHEN coalesce(h.nhit, 0) = 4 THEN 1 ELSE 0 END AS maybe,
+         CASE WHEN s.url IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM cand c
+  LEFT JOIN hits h ON h.url = c.url
+  LEFT JOIN seen s ON s.url = c.url)
+SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(is_new) AS BIGINT) AS n_new,
+       CAST(sum(maybe) AS BIGINT) AS n_maybe,
+       CAST(sum((1 - is_new) * (1 - maybe)) AS BIGINT) AS n_false_neg,
+       CAST(sum(is_new * maybe) AS BIGINT) AS n_false_pos,
+       CAST(sum(is_new * maybe) * 1000000 // sum(is_new) AS BIGINT)
+         AS fpr_ppm
+FROM graded
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -8367,6 +8531,8 @@ QUERIES = {
     "corpus_domain_cap": q_corpus_domain_cap,
     "frontier_ucb": q_frontier_ucb,
     "text_rake": q_text_rake,
+    "graph_kcore": q_graph_kcore,
+    "url_bloom_eval": q_url_bloom_eval,
 }
 
 ORACLES = {
@@ -8533,6 +8699,8 @@ ORACLES = {
     "corpus_domain_cap": ORACLE_CORPUS_DOMAIN_CAP,
     "frontier_ucb": ORACLE_FRONTIER_UCB,
     "text_rake": ORACLE_TEXT_RAKE,
+    "graph_kcore": ORACLE_GRAPH_KCORE,
+    "url_bloom_eval": ORACLE_URL_BLOOM_EVAL,
 }
 
 
