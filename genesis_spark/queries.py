@@ -2620,15 +2620,11 @@ def q_host_pagerank(spark, sf_dir):
     enough that no lineage cut is needed; the iterative-loop form with
     localCheckpoint lives in operators/cc.py's pattern."""
     S, BASE = 1_000_000_000, 150_000_000
-    k, c = F.col("o_orderkey"), F.col("o_custkey")
     # no persist: the unrolled plan repeats the edges subplan, and
     # whole-plan execution dedupes it via ReusedExchange — a persist here
     # would either leak cache blocks or (if unpersisted at build time)
     # never exist during execution
-    edges = (_t(spark, sf_dir, "orders").select(
-        F.concat(F.lit("h"), (k % 50).cast("string")).alias("src"),
-        F.concat(F.lit("h"), (c % 50).cast("string")).alias("dst"))
-        .filter(F.col("src") != F.col("dst")).distinct())
+    edges = _host_edges50(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
@@ -2651,6 +2647,9 @@ def q_host_pagerank(spark, sf_dir):
                         F.col("rank").alias("pagerank"))
 
 
+# The e CTE must stay textually identical to _HOST_E50_SQL (defined later
+# in the module, interpolated into ORACLE_HOST_TRUSTRANK) — both rank rows
+# grade the SAME graph.
 ORACLE_HOST_PAGERANK = """
 WITH e AS (
   SELECT DISTINCT 'h' || (o_orderkey % 50) AS src,
@@ -8367,6 +8366,235 @@ FROM graded
 """
 
 
+def _host_edges50(spark, sf_dir):
+    """The 50-node host link graph shared by the link-analysis rank rows
+    (q_host_pagerank / q_host_trustrank): distinct
+    (orderkey%50 -> custkey%50) host pairs, self-loops dropped. Factored
+    so the two rows rank the SAME graph (anti-drift, and the comparison
+    between global and seeded rank is meaningful)."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return (_t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (k % 50).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (c % 50).cast("string")).alias("dst"))
+        .filter(F.col("src") != F.col("dst")).distinct())
+
+
+#: SQL mirror of _host_edges50 (shared by the pagerank/trustrank oracles).
+_HOST_E50_SQL = """SELECT DISTINCT 'h' || (o_orderkey % 50) AS src,
+                  'h' || (o_custkey % 50) AS dst
+  FROM orders
+  WHERE 'h' || (o_orderkey % 50) <> 'h' || (o_custkey % 50)"""
+
+
+def q_host_trustrank(spark, sf_dir):
+    """Seeded TrustRank over the host link graph (Gyongyi, Garcia-Molina
+    & Pedersen, VLDB 2004): PageRank's teleport mass restricted to a
+    trusted seed set (every 5th host), so trust decays with link distance
+    from the seeds — the spam-demotion complement to q_host_pagerank's
+    global popularity (a link farm unreachable from any seed scores
+    EXACTLY 0, which no global-rank variant guarantees). Same
+    exact-integer discipline as the pagerank row (rank in 1e-9 units,
+    DIV for every division) so Spark and DuckDB agree bit-for-bit;
+    3 unrolled power iterations over the SAME _host_edges50 graph.
+
+    Plan/scale: the node census is tiny vs the edge list so the rank and
+    outdeg join sides broadcast under AQE; one edge-list partial agg per
+    iteration; lineage linear in the 3 unrolled rounds (the iterative
+    localCheckpoint form lives in operators/cc.py)."""
+    S, BASE = 1_000_000_000, 150_000_000
+    edges = _host_edges50(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct()
+             .withColumn("seed",
+                         (F.expr("CAST(substring(node, 2) AS INT)") % 5
+                          == 0).cast("long")))
+    ranks = nodes.select(
+        "node", "seed", (F.col("seed") * F.lit(S)).cast("long").alias("rank"))
+    for _ in range(3):
+        contrib = (edges
+                   .join(ranks.select(F.col("node").alias("src"), "rank"),
+                         "src")
+                   .join(deg, "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("rank DIV outdeg").alias("share"))
+                   .groupBy("node")
+                   .agg(F.sum("share").alias("c")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select("node", "seed",
+                         (F.col("seed") * F.lit(BASE) +
+                          F.expr("(85 * coalesce(c, 0)) DIV 100"))
+                         .cast("long").alias("rank")))
+    return ranks.select(F.col("node").alias("host_key"),
+                        F.col("rank").alias("trustrank"))
+
+
+def _trust_round_sql(prev: str, cn: str, out: str) -> str:
+    return f"""{cn} AS (
+  SELECT e.dst AS node, sum({prev}.rank // deg.outdeg) AS c
+  FROM e JOIN {prev} ON {prev}.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst),
+{out} AS (
+  SELECT n.node,
+         CAST(n.seed * 150000000 + (85 * coalesce({cn}.c, 0)) // 100
+              AS BIGINT) AS rank
+  FROM n LEFT JOIN {cn} ON {cn}.node = n.node)"""
+
+
+ORACLE_HOST_TRUSTRANK = f"""
+WITH e AS ({_HOST_E50_SQL}),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+n AS (SELECT node,
+             CASE WHEN CAST(substr(node, 2) AS INT) % 5 = 0
+                  THEN 1 ELSE 0 END AS seed
+      FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+r0 AS (SELECT node, seed, CAST(seed * 1000000000 AS BIGINT) AS rank FROM n),
+{_trust_round_sql("r0", "c1", "r1")},
+{_trust_round_sql("r1", "c2", "r2")},
+{_trust_round_sql("r2", "c3", "r3")}
+SELECT node AS host_key, rank AS trustrank FROM r3
+"""
+
+
+def q_frontier_crawl_delay(spark, sf_dir):
+    """Latency-adaptive per-host crawl delay — the auto-tuning layer over
+    the fixed politeness buckets (crawler/politeness.py pins the pacing
+    interval; this row derives it from observed server behavior, the way
+    production crawlers back off slow hosts): EWMA (alpha = 1/2) of each
+    host's last 8 fetch latencies sets the delay, clamped to
+    [500 ms, 10 s]. Alpha = 1/2 makes every EWMA weight a power of two,
+    so the smoothing is EXACT integer arithmetic — for chronological
+    observations x_1..x_n, ewma = (x_1 + sum_{i>=2} x_i * 2^(i-2))
+    / 2^(n-1) — and Spark/DuckDB agree bit-for-bit with no float
+    accumulation-order hazard. Latency observations derive
+    deterministically from events (latency_ms = event_id % 900 + 100).
+
+    Plan/scale: one bounded window (top-8 per host — the rank cut runs
+    BEFORE the weight math, so per-host state is O(8) rows no matter how
+    deep the event history) + one partial agg."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"))
+        .alias("host_key"),
+        (F.col("event_id") % 900 + 100).cast("long").alias("latency_ms"),
+        "ts", "event_id")
+    w = Window.partitionBy("host_key").orderBy(F.col("ts").desc(),
+                                               F.col("event_id").desc())
+    kept = (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 8))
+    nw = Window.partitionBy("host_key")
+    weighted = (kept
+                .withColumn("n_obs", F.count("*").over(nw).cast("int"))
+                .withColumn("idx", (F.col("n_obs") - F.col("rn") + 1)
+                            .cast("int"))
+                .withColumn("wgt", F.expr(
+                    "CASE WHEN idx = 1 THEN CAST(1 AS BIGINT) "
+                    "ELSE shiftleft(CAST(1 AS BIGINT), idx - 2) END")))
+    stats = weighted.groupBy("host_key").agg(
+        F.max("n_obs").alias("n_obs"),
+        F.sum(F.col("latency_ms") * F.col("wgt")).alias("numer"))
+    return stats.select(
+        "host_key",
+        F.col("n_obs").cast("int").alias("n_obs"),
+        F.expr("numer DIV shiftleft(CAST(1 AS BIGINT), n_obs - 1)")
+        .cast("long").alias("ewma_ms"),
+        F.expr("greatest(CAST(500 AS BIGINT), least(CAST(10000 AS BIGINT), "
+               "3 * (numer DIV shiftleft(CAST(1 AS BIGINT), n_obs - 1))))")
+        .cast("long").alias("crawl_delay_ms"))
+
+
+ORACLE_FRONTIER_CRAWL_DELAY = """
+WITH ev AS (
+  SELECT 'h' || (user_id % 40) AS host_key,
+         CAST(event_id % 900 + 100 AS BIGINT) AS latency_ms, ts, event_id
+  FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host_key
+              ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev),
+kept AS (SELECT * FROM ranked WHERE rn <= 8),
+idxd AS (
+  SELECT host_key, latency_ms,
+         count(*) OVER (PARTITION BY host_key) AS n_obs,
+         count(*) OVER (PARTITION BY host_key) - rn + 1 AS idx
+  FROM kept),
+agg AS (
+  SELECT host_key, CAST(max(n_obs) AS INT) AS n_obs,
+         sum(latency_ms * (CASE WHEN idx = 1 THEN CAST(1 AS BIGINT)
+              ELSE (CAST(1 AS BIGINT) << CAST(idx - 2 AS INT)) END))
+           AS numer
+  FROM idxd GROUP BY host_key)
+SELECT host_key, n_obs,
+       CAST(numer // (CAST(1 AS BIGINT) << (n_obs - 1)) AS BIGINT)
+         AS ewma_ms,
+       CAST(greatest(500, least(10000,
+            3 * (numer // (CAST(1 AS BIGINT) << (n_obs - 1)))))
+         AS BIGINT) AS crawl_delay_ms
+FROM agg
+"""
+
+
+def q_spans_stats(spark, sf_dir):
+    """Per-document modality-mix census over the interleaved span table
+    (the input_hint shape) — what a multimodal mixture/packing stage
+    reads before weighting text-vs-media tokens: span counts by class,
+    kind-transition count (how INTERLEAVED the doc actually is, not just
+    how much media it carries — a doc with all images appended at the end
+    has the same n_media but 1 transition), text chars, and integer media
+    density per 100k chars.
+
+    Plan/scale: entirely per-row array codegen (filter / aggregate /
+    element_at lambdas over the spans array) — ZERO shuffle at any scale;
+    the census is map-side and column-pruned to (doc_id, text)."""
+    from genesis_spark.sources.interleaved import interleaved_docs
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.size("spans")
+    stats = interleaved_docs(docs).select(
+        "doc_id",
+        n.cast("int").alias("n_spans"),
+        F.size(F.expr("filter(spans, s -> s.media_ref IS NULL)"))
+        .cast("int").alias("n_text"),
+        F.size(F.expr("filter(spans, s -> s.media_ref IS NOT NULL "
+                      "AND s.kind <> 'link')")).cast("int").alias("n_media"),
+        F.when(n >= 2, F.size(F.expr(
+            "filter(sequence(1, size(spans) - 1), "
+            "i -> element_at(spans, i).kind "
+            "<> element_at(spans, i + 1).kind)")))
+        .otherwise(F.lit(0)).cast("int").alias("n_transitions"),
+        F.expr("aggregate(filter(spans, s -> s.media_ref IS NULL), "
+               "CAST(0 AS BIGINT), (acc, s) -> acc + length(s.text))")
+        .cast("long").alias("text_chars"))
+    return stats.withColumn(
+        "media_per_100k",
+        F.expr("CAST(n_media AS BIGINT) * 100000 "
+               "DIV greatest(text_chars, CAST(1 AS BIGINT))").cast("long"))
+
+
+ORACLE_SPANS_STATS = f"""
+WITH {_SPANS_EX_SQL},
+st AS (
+  SELECT doc_id,
+         CAST(len(spans) AS INT) AS n_spans,
+         CAST(len(list_filter(spans, s -> s.media_ref IS NULL)) AS INT)
+           AS n_text,
+         CAST(len(list_filter(spans, s -> s.media_ref IS NOT NULL
+                              AND s.kind <> 'link')) AS INT) AS n_media,
+         CAST(CASE WHEN len(spans) >= 2 THEN
+                len(list_filter(range(1, len(spans)),
+                    i -> spans[CAST(i AS INT)].kind
+                         <> spans[CAST(i + 1 AS INT)].kind))
+              ELSE 0 END AS INT) AS n_transitions,
+         CAST(coalesce(list_sum(list_transform(
+                list_filter(spans, s -> s.media_ref IS NULL),
+                s -> len(s.text))), 0) AS BIGINT) AS text_chars
+  FROM il)
+SELECT doc_id, n_spans, n_text, n_media, n_transitions, text_chars,
+       CAST(n_media * 100000 // greatest(text_chars, 1) AS BIGINT)
+         AS media_per_100k
+FROM st
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -8533,6 +8761,9 @@ QUERIES = {
     "text_rake": q_text_rake,
     "graph_kcore": q_graph_kcore,
     "url_bloom_eval": q_url_bloom_eval,
+    "host_trustrank": q_host_trustrank,
+    "frontier_crawl_delay": q_frontier_crawl_delay,
+    "spans_stats": q_spans_stats,
 }
 
 ORACLES = {
@@ -8701,6 +8932,9 @@ ORACLES = {
     "text_rake": ORACLE_TEXT_RAKE,
     "graph_kcore": ORACLE_GRAPH_KCORE,
     "url_bloom_eval": ORACLE_URL_BLOOM_EVAL,
+    "host_trustrank": ORACLE_HOST_TRUSTRANK,
+    "frontier_crawl_delay": ORACLE_FRONTIER_CRAWL_DELAY,
+    "spans_stats": ORACLE_SPANS_STATS,
 }
 
 
