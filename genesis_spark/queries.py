@@ -8595,6 +8595,218 @@ FROM st
 """
 
 
+def q_fetch_revalidate(spark, sf_dir):
+    """HTTP conditional-revalidation planning — the bandwidth half of a
+    recrawl scheduler (reference fetches unconditionally per round,
+    crawl_man.py's fetch loop; a 10^10-URL frontier cannot): join the
+    scheduled fetch wave against the previous crawl snapshot's cache
+    validators (ETag per URL) and classify each URL as `304` (validator
+    match — skip the body), `200_changed` (stale validator — refetch),
+    or `200_new` (no history — first fetch), then roll up per host the
+    request counts and the exact bytes the conditional protocol saves.
+
+    Deterministic simulation: every order row is a scheduled URL; the
+    previous snapshot holds URLs with o_orderkey % 3 != 0 (two-thirds
+    have history); the content "version" is o_orderkey % 7, bumped when
+    o_orderkey % 13 == 0 (the page changed since last round); body size
+    is o_orderkey % 4000 + 500 bytes. All integers — Spark and DuckDB
+    agree exactly.
+
+    Plan/scale: one equi-join on url_id (both sides partition-pruned
+    projections of the same scan — AQE plans a shuffle join that scales
+    with the wave, not the frontier) + one partial agg; the snapshot
+    side at 10^10 URLs lives bucketed-by-url_id next to the frontier so
+    the join co-locates (frontier_install_bucketed's layout)."""
+    k = F.col("o_orderkey")
+    wave = _t(spark, sf_dir, "orders").select(
+        k.alias("url_id"),
+        F.concat(F.lit("h"), (F.col("o_custkey") % 40).cast("string"))
+        .alias("host_key"),
+        (k % 7).cast("long").alias("ver_prev"),
+        ((k % 7) + F.when(k % 13 == 0, 1).otherwise(0)).cast("long")
+        .alias("ver_now"),
+        (k % 4000 + 500).cast("long").alias("body_bytes"))
+    snap = (wave.filter(F.col("url_id") % 3 != 0)
+            .select("url_id", F.col("ver_prev").alias("etag_ver")))
+    joined = wave.drop("ver_prev").join(snap, "url_id", "left")
+    klass = (F.when(F.col("etag_ver").isNull(), F.lit("200_new"))
+             .when(F.col("etag_ver") == F.col("ver_now"), F.lit("304"))
+             .otherwise(F.lit("200_changed")))
+    tagged = joined.withColumn("klass", klass)
+    return (tagged.groupBy("host_key").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum((F.col("klass") == "304").cast("long")).cast("long")
+        .alias("n_304"),
+        F.sum((F.col("klass") == "200_changed").cast("long")).cast("long")
+        .alias("n_changed"),
+        F.sum((F.col("klass") == "200_new").cast("long")).cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("klass") == "304", F.col("body_bytes"))
+              .otherwise(F.lit(0))).cast("long").alias("bytes_saved"),
+        F.sum(F.when(F.col("klass") != "304", F.col("body_bytes"))
+              .otherwise(F.lit(0))).cast("long").alias("bytes_fetched")))
+
+
+ORACLE_FETCH_REVALIDATE = """
+WITH wave AS (
+  SELECT o_orderkey AS url_id,
+         'h' || (o_custkey % 40) AS host_key,
+         CAST(o_orderkey % 7 AS BIGINT) AS ver_prev,
+         CAST(o_orderkey % 7
+              + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END
+              AS BIGINT) AS ver_now,
+         CAST(o_orderkey % 4000 + 500 AS BIGINT) AS body_bytes
+  FROM orders),
+snap AS (SELECT url_id, ver_prev AS etag_ver FROM wave
+         WHERE url_id % 3 <> 0),
+tagged AS (
+  SELECT w.host_key, w.body_bytes,
+         CASE WHEN s.etag_ver IS NULL THEN '200_new'
+              WHEN s.etag_ver = w.ver_now THEN '304'
+              ELSE '200_changed' END AS klass
+  FROM wave w LEFT JOIN snap s ON s.url_id = w.url_id)
+SELECT host_key,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN klass = '304' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_304,
+       CAST(sum(CASE WHEN klass = '200_changed' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN klass = '200_new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN klass = '304' THEN body_bytes ELSE 0 END)
+            AS BIGINT) AS bytes_saved,
+       CAST(sum(CASE WHEN klass <> '304' THEN body_bytes ELSE 0 END)
+            AS BIGINT) AS bytes_fetched
+FROM tagged
+GROUP BY host_key
+"""
+
+
+def q_host_anchor_text(spark, sf_dir):
+    """Per-target-host anchor-text aggregation — the classic off-page
+    relevance signal a crawl corpus feeds a ranker (what OTHER pages'
+    link text says a host is about): every lineitem is a link whose
+    anchor text is the linked part's name, exploded into terms, counted
+    per (target host, term), top-3 terms per host by count DESC then
+    term ASC (deterministic tie-break).
+
+    Plan/scale: the part side is a broadcast candidate at TPC-H shape
+    (|part| << |lineitem|) — at web scale the anchor table is the big
+    side and the join becomes a bucketed equi-join; explode is map-side;
+    the term count is a two-phase partial agg; the per-host top-3 is a
+    bounded window AFTER the agg (cardinality hosts x terms, never raw
+    links)."""
+    links = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_key"))
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("p_key"),
+        F.concat(F.lit("h"), (F.col("p_partkey") % 50).cast("string"))
+        .alias("dst_host"),
+        "p_name")
+    terms = (links.join(F.broadcast(part), "p_key")
+             .select("dst_host",
+                     F.explode(F.split("p_name", " ")).alias("term"))
+             .filter(F.col("term") != ""))
+    counts = terms.groupBy("dst_host", "term").agg(
+        F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("dst_host").orderBy(F.col("n").desc(),
+                                               F.col("term").asc())
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select(F.col("dst_host").alias("host_key"),
+                    F.col("rk").cast("int").alias("rank"),
+                    "term", "n"))
+
+
+ORACLE_HOST_ANCHOR_TEXT = """
+WITH terms AS (
+  SELECT 'h' || (p.p_partkey % 50) AS dst_host,
+         unnest(string_split(p.p_name, ' ')) AS term
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+counts AS (
+  SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n
+  FROM terms WHERE term <> '' GROUP BY dst_host, term),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY dst_host
+              ORDER BY n DESC, term ASC) AS rk
+  FROM counts)
+SELECT dst_host AS host_key, CAST(rk AS INT) AS rank, term, n
+FROM ranked WHERE rk <= 3
+"""
+
+
+def q_graph_harmonic(spark, sf_dir):
+    """Bounded-hop harmonic centrality (Boldi & Vigna's preferred
+    centrality for web graphs — "Axioms for Centrality", Internet Math
+    2014) over the shared 50-node host graph: for each host v, sum of
+    1/d(u, v) over hosts u that reach v within 3 hops, in EXACT sixths
+    (d=1 -> 6, d=2 -> 3, d=3 -> 2 units) so Spark and DuckDB agree
+    bit-for-bit and no float division appears anywhere. Unreachable and
+    >3-hop pairs contribute 0 — exactly the truncated harmonic sum a
+    HyperBall-style sketch estimates at full scale.
+
+    Plan/scale: level-synchronous BFS as set algebra — each frontier is
+    (prev frontier JOIN edges) EXCEPT already-seen pairs; 3 bounded
+    rounds = 2 joins + 2 distincts + per-level anti-joins, then one
+    partial agg per level. At web scale the exact pair sets become the
+    HLL counters of HyperBall; the row pins the exact semantics those
+    sketches approximate."""
+    edges = _host_edges50(spark, sf_dir)
+    d1 = edges                                      # pairs at distance 1
+    two = (d1.withColumnRenamed("dst", "mid")
+           .join(edges.withColumnRenamed("src", "mid"), "mid")
+           .select("src", "dst").distinct()
+           .filter(F.col("src") != F.col("dst")))
+    d2 = two.join(d1, ["src", "dst"], "left_anti")
+    three = (d2.withColumnRenamed("dst", "mid")
+             .join(edges.withColumnRenamed("src", "mid"), "mid")
+             .select("src", "dst").distinct()
+             .filter(F.col("src") != F.col("dst")))
+    d3 = (three.join(d1, ["src", "dst"], "left_anti")
+          .join(d2, ["src", "dst"], "left_anti"))
+    scored = (d1.select("dst", F.lit(6).alias("w"))
+              .unionByName(d2.select("dst", F.lit(3).alias("w")))
+              .unionByName(d3.select("dst", F.lit(2).alias("w"))))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    agg = scored.groupBy("dst").agg(
+        F.sum("w").cast("long").alias("harmonic_x6"))
+    return (nodes.join(agg.withColumnRenamed("dst", "node"),
+                       "node", "left")
+            .select(F.col("node").alias("host_key"),
+                    F.coalesce("harmonic_x6", F.lit(0)).cast("long")
+                    .alias("harmonic_x6")))
+
+
+ORACLE_GRAPH_HARMONIC = f"""
+WITH e AS ({_HOST_E50_SQL}),
+d1 AS (SELECT src, dst FROM e),
+two AS (
+  SELECT DISTINCT a.src, b.dst
+  FROM d1 a JOIN e b ON b.src = a.dst
+  WHERE a.src <> b.dst),
+d2 AS (SELECT src, dst FROM two
+       EXCEPT SELECT src, dst FROM d1),
+three AS (
+  SELECT DISTINCT a.src, b.dst
+  FROM d2 a JOIN e b ON b.src = a.dst
+  WHERE a.src <> b.dst),
+d3 AS (SELECT src, dst FROM three
+       EXCEPT SELECT src, dst FROM d1
+       EXCEPT SELECT src, dst FROM d2),
+scored AS (
+  SELECT dst, 6 AS w FROM d1
+  UNION ALL SELECT dst, 3 FROM d2
+  UNION ALL SELECT dst, 2 FROM d3),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+SELECT n.node AS host_key,
+       CAST(coalesce(sum(s.w), 0) AS BIGINT) AS harmonic_x6
+FROM n LEFT JOIN scored s ON s.dst = n.node
+GROUP BY n.node
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -8764,6 +8976,9 @@ QUERIES = {
     "host_trustrank": q_host_trustrank,
     "frontier_crawl_delay": q_frontier_crawl_delay,
     "spans_stats": q_spans_stats,
+    "fetch_revalidate": q_fetch_revalidate,
+    "host_anchor_text": q_host_anchor_text,
+    "graph_harmonic": q_graph_harmonic,
 }
 
 ORACLES = {
@@ -8935,6 +9150,9 @@ ORACLES = {
     "host_trustrank": ORACLE_HOST_TRUSTRANK,
     "frontier_crawl_delay": ORACLE_FRONTIER_CRAWL_DELAY,
     "spans_stats": ORACLE_SPANS_STATS,
+    "fetch_revalidate": ORACLE_FETCH_REVALIDATE,
+    "host_anchor_text": ORACLE_HOST_ANCHOR_TEXT,
+    "graph_harmonic": ORACLE_GRAPH_HARMONIC,
 }
 
 
