@@ -8807,6 +8807,219 @@ GROUP BY n.node
 """
 
 
+def q_url_redirect_resolve(spark, sf_dir):
+    """Bounded redirect-chain resolution — what a fetcher does with 301s
+    before a URL may enter the frontier (the reference follows redirects
+    inline per fetch, crawler_instance's response handling; a batch
+    engine resolves the whole wave at once): follow each URL's redirect
+    edge up to 3 hops; a URL still redirecting after 3 hops (loop or
+    over-long chain) is classified `redirect_limit`, otherwise `ok` with
+    the hop count and final URL.
+
+    Deterministic edge rule over url_id = o_orderkey: id % 97 == 5 ->
+    id+1 and id % 97 == 6 -> id-1 (adjacent pairs form 2-cycles — real
+    loops), else id % 7 in (1,2,3) -> id+1 (chains of length up to 3
+    that terminate at id % 7 == 4). Targets outside the key set are
+    terminal (no edge row). All-integer.
+
+    Plan/scale: the resolver is 3 unrolled left equi-joins on the
+    current URL plus one membership probe — each join keys on a LONG, so
+    at 10^10 URLs it bucket-co-locates with the frontier layout; no
+    iteration state, no driver loop; AQE handles the shrinking matched
+    side per hop."""
+    k = F.col("o_orderkey")
+    urls = _t(spark, sf_dir, "orders").select(k.alias("url_id")).distinct()
+    dst = (F.when(k % 97 == 5, k + 1)
+           .when(k % 97 == 6, k - 1)
+           .when((k % 7).isin(1, 2, 3), k + 1))
+    edges = (_t(spark, sf_dir, "orders")
+             .select(k.alias("src"), dst.cast("long").alias("dst"))
+             .filter(F.col("dst").isNotNull()).distinct())
+    cur = urls.select("url_id", F.col("url_id").alias("cur"),
+                      F.lit(0).alias("hops"))
+    for _ in range(3):
+        e = edges.withColumnRenamed("src", "cur")
+        cur = (cur.join(e, "cur", "left")
+               .select("url_id",
+                       F.coalesce("dst", "cur").alias("cur"),
+                       (F.col("hops")
+                        + F.col("dst").isNotNull().cast("int"))
+                       .alias("hops")))
+    probe = edges.select(F.col("src").alias("cur"),
+                         F.lit(1).alias("more"))
+    out = cur.join(probe, "cur", "left")
+    return out.select(
+        "url_id",
+        F.col("cur").cast("long").alias("final_url"),
+        F.col("hops").cast("int").alias("n_hops"),
+        F.when(F.col("more").isNotNull(), F.lit("redirect_limit"))
+        .otherwise(F.lit("ok")).alias("status"))
+
+
+ORACLE_URL_REDIRECT_RESOLVE = """
+WITH u AS (SELECT DISTINCT o_orderkey AS url_id FROM orders),
+e AS (
+  SELECT DISTINCT o_orderkey AS src,
+         CASE WHEN o_orderkey % 97 = 5 THEN o_orderkey + 1
+              WHEN o_orderkey % 97 = 6 THEN o_orderkey - 1
+              WHEN o_orderkey % 7 IN (1, 2, 3) THEN o_orderkey + 1
+         END AS dst
+  FROM orders
+  WHERE CASE WHEN o_orderkey % 97 = 5 THEN o_orderkey + 1
+             WHEN o_orderkey % 97 = 6 THEN o_orderkey - 1
+             WHEN o_orderkey % 7 IN (1, 2, 3) THEN o_orderkey + 1
+        END IS NOT NULL),
+h1 AS (SELECT u.url_id, coalesce(e.dst, u.url_id) AS cur,
+              CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops
+       FROM u LEFT JOIN e ON e.src = u.url_id),
+h2 AS (SELECT h1.url_id, coalesce(e.dst, h1.cur) AS cur,
+              h1.hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops
+       FROM h1 LEFT JOIN e ON e.src = h1.cur),
+h3 AS (SELECT h2.url_id, coalesce(e.dst, h2.cur) AS cur,
+              h2.hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops
+       FROM h2 LEFT JOIN e ON e.src = h2.cur)
+SELECT h3.url_id,
+       CAST(h3.cur AS BIGINT) AS final_url,
+       CAST(h3.hops AS INT) AS n_hops,
+       CASE WHEN e.src IS NULL THEN 'ok' ELSE 'redirect_limit' END
+         AS status
+FROM h3 LEFT JOIN e ON e.src = h3.cur
+"""
+
+
+def q_host_ip_colocation(spark, sf_dir):
+    """IP-colocation host clustering — the crawler spam/farm signal DNS
+    gives for free (hundreds of "distinct" hosts resolving into one /24
+    are one operator, and should share ONE politeness budget, not
+    hundreds): resolve each host to a deterministic fake /24 subnet,
+    count co-located hosts per subnet, and flag subnets over the farm
+    threshold. The resolution rule (subnet = (n % 8) * ((n div 8) % 8))
+    is intentionally SKEWED — products collapse onto composite-rich
+    values, so subnet 0 absorbs every host with either factor 0, the
+    way real bulletproof-hosting /24s absorb link farms.
+
+    Plan/scale: distinct hosts -> one tiny subnet agg -> broadcast
+    join-back; the agg output is O(#subnets), so the join-back side
+    always broadcasts no matter how many hosts exist."""
+    n = F.col("c_custkey") % 500
+    hosts = (_t(spark, sf_dir, "customer")
+             .select(F.concat(F.lit("h"), n.cast("string"))
+                     .alias("host_key"),
+                     ((n % 8) * ((n / 8).cast("long") % 8)).cast("int")
+                     .alias("subnet"))
+             .distinct())
+    per_subnet = hosts.groupBy("subnet").agg(
+        F.count("*").cast("long").alias("n_colocated"))
+    return (hosts.join(F.broadcast(per_subnet), "subnet")
+            .select("host_key",
+                    "subnet",
+                    F.concat(F.lit("10.0."), F.col("subnet").cast("string"),
+                             F.lit(".0/24")).alias("cidr"),
+                    "n_colocated",
+                    (F.col("n_colocated") >= 12).alias("is_farm")))
+
+
+ORACLE_HOST_IP_COLOCATION = """
+WITH hosts AS (
+  SELECT DISTINCT 'h' || (c_custkey % 500) AS host_key,
+         CAST(((c_custkey % 500) % 8)
+              * (((c_custkey % 500) // 8) % 8) AS INT) AS subnet
+  FROM customer),
+per_subnet AS (
+  SELECT subnet, CAST(count(*) AS BIGINT) AS n_colocated
+  FROM hosts GROUP BY subnet)
+SELECT h.host_key, h.subnet,
+       '10.0.' || h.subnet || '.0/24' AS cidr,
+       p.n_colocated,
+       p.n_colocated >= 12 AS is_farm
+FROM hosts h JOIN per_subnet p ON p.subnet = h.subnet
+"""
+
+
+def q_spans_caption_pairs(spark, sf_dir):
+    """Image-caption candidate mining over the interleaved span table —
+    how multimodal training pairs (image, surrounding text) are lifted
+    out of interleaved documents (the LAION/alt-text recipe, but from
+    document STRUCTURE: the nearest text spans around each image, with
+    their span distances, so a downstream filter can keep dist-1
+    captions and drop far-context pairs): for every media span, the
+    nearest preceding and nearest following text span and both span
+    distances (NULL when the image opens/closes the document).
+
+    Plan/scale: per-row array codegen (aggregate lambdas over the spans
+    array) + one explode — ZERO shuffle at any scale; cost is O(spans^2)
+    per doc in the worst case, bounded by the span count of a single
+    document, never by the corpus."""
+    from genesis_spark.sources.interleaved import interleaved_docs
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    il = interleaved_docs(docs)
+    pairs = il.select(
+        "doc_id", "spans",
+        F.explode(F.expr(
+            "transform("
+            "  filter(sequence(1, size(spans)),"
+            "         i -> element_at(spans, i).media_ref IS NOT NULL"
+            "              AND element_at(spans, i).kind <> 'link'),"
+            "  i -> struct("
+            "    i AS img_idx,"
+            "    aggregate(sequence(1, size(spans)), 0,"
+            "      (acc, j) -> IF(j < i AND element_at(spans, j).media_ref"
+            "                     IS NULL, j, acc)) AS prev_idx,"
+            "    aggregate(sequence(1, size(spans)), 0,"
+            "      (acc, j) -> IF(acc = 0 AND j > i AND"
+            "                     element_at(spans, j).media_ref IS NULL,"
+            "                     j, acc)) AS next_idx))"
+        )).alias("p"))
+    # boundary images (no text before/after) use sentinels '' / -1 instead
+    # of NULL — the registry convention for nullable output columns (the
+    # driver compare sorts mixed-type cells)
+    return pairs.select(
+        "doc_id",
+        F.expr("element_at(spans, p.img_idx).media_ref").alias("media_ref"),
+        F.expr("CASE WHEN p.prev_idx > 0 THEN"
+               " element_at(spans, p.prev_idx).text ELSE '' END")
+        .alias("caption_prev"),
+        F.expr("CASE WHEN p.next_idx > 0 THEN"
+               " element_at(spans, p.next_idx).text ELSE '' END")
+        .alias("caption_next"),
+        F.expr("CASE WHEN p.prev_idx > 0 THEN p.img_idx - p.prev_idx "
+               "ELSE -1 END")
+        .cast("int").alias("prev_dist"),
+        F.expr("CASE WHEN p.next_idx > 0 THEN p.next_idx - p.img_idx "
+               "ELSE -1 END")
+        .cast("int").alias("next_dist"))
+
+
+ORACLE_SPANS_CAPTION_PAIRS = f"""
+WITH {_SPANS_EX_SQL},
+imgs AS (
+  SELECT doc_id, off, s.media_ref AS media_ref FROM ex
+  WHERE s.media_ref IS NOT NULL AND s.kind <> 'link'),
+texts AS (
+  SELECT doc_id, off, s.text AS text FROM ex WHERE s.media_ref IS NULL),
+prevs AS (
+  SELECT i.doc_id, i.off, max(t.off) AS prev_off
+  FROM imgs i LEFT JOIN texts t
+    ON t.doc_id = i.doc_id AND t.off < i.off
+  GROUP BY i.doc_id, i.off),
+nexts AS (
+  SELECT i.doc_id, i.off, min(t.off) AS next_off
+  FROM imgs i LEFT JOIN texts t
+    ON t.doc_id = i.doc_id AND t.off > i.off
+  GROUP BY i.doc_id, i.off)
+SELECT i.doc_id, i.media_ref,
+       coalesce(tp.text, '') AS caption_prev,
+       coalesce(tn.text, '') AS caption_next,
+       CAST(coalesce(i.off - p.prev_off, -1) AS INT) AS prev_dist,
+       CAST(coalesce(n.next_off - i.off, -1) AS INT) AS next_dist
+FROM imgs i
+JOIN prevs p ON p.doc_id = i.doc_id AND p.off = i.off
+JOIN nexts n ON n.doc_id = i.doc_id AND n.off = i.off
+LEFT JOIN texts tp ON tp.doc_id = i.doc_id AND tp.off = p.prev_off
+LEFT JOIN texts tn ON tn.doc_id = i.doc_id AND tn.off = n.next_off
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -8979,6 +9192,9 @@ QUERIES = {
     "fetch_revalidate": q_fetch_revalidate,
     "host_anchor_text": q_host_anchor_text,
     "graph_harmonic": q_graph_harmonic,
+    "url_redirect_resolve": q_url_redirect_resolve,
+    "host_ip_colocation": q_host_ip_colocation,
+    "spans_caption_pairs": q_spans_caption_pairs,
 }
 
 ORACLES = {
@@ -9153,6 +9369,9 @@ ORACLES = {
     "fetch_revalidate": ORACLE_FETCH_REVALIDATE,
     "host_anchor_text": ORACLE_HOST_ANCHOR_TEXT,
     "graph_harmonic": ORACLE_GRAPH_HARMONIC,
+    "url_redirect_resolve": ORACLE_URL_REDIRECT_RESOLVE,
+    "host_ip_colocation": ORACLE_HOST_IP_COLOCATION,
+    "spans_caption_pairs": ORACLE_SPANS_CAPTION_PAIRS,
 }
 
 
