@@ -9020,6 +9020,207 @@ LEFT JOIN texts tn ON tn.doc_id = i.doc_id AND tn.off = n.next_off
 """
 
 
+def q_text_quality_pr(spark, sf_dir):
+    """Quality-filter calibration — the eval row for the text_quality
+    rubric (the eval-family pattern of ann_recall_eval /
+    dedup_minhash_eval / url_bloom_eval, applied to the quality gate a
+    corpus-clean pipeline thresholds on): sweep 5 score thresholds and
+    report exact precision/recall in ppm against an independent weak
+    label (doc length >= 200 chars — the signal the score must NOT just
+    restate, since length contributes at most 30 of 100 points). This is
+    the table an operator reads to PICK the corpus_clean threshold
+    instead of guessing.
+
+    Plan/scale: one scan scores every doc (all codegen), a 5-row
+    threshold literal cross-joins (broadcast-trivial), one partial agg —
+    counts only, ppm division exact-integer."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = d.select(
+        TS.quality_score_expr(F.col("text")).alias("q"),
+        (F.length("text") >= 200).cast("long").alias("label"))
+    thr = spark.range(1, 6).select(
+        (F.col("id") * 20 - 10).cast("int").alias("threshold"))  # 10..90
+    graded = scored.crossJoin(F.broadcast(thr)).select(
+        "threshold",
+        ((F.col("q") >= F.col("threshold")).cast("long")).alias("pred"),
+        "label")
+    agg = graded.groupBy("threshold").agg(
+        F.sum(F.col("pred") * F.col("label")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("label")).alias("fn"))
+    return agg.select(
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.expr("tp * 1000000 DIV greatest(tp + fp, 1)").cast("long")
+        .alias("precision_ppm"),
+        F.expr("tp * 1000000 DIV greatest(tp + fn, 1)").cast("long")
+        .alias("recall_ppm"))
+
+
+ORACLE_TEXT_QUALITY_PR = f"""
+WITH {_quality_cte("doc_id", "documents")},
+lbl AS (
+  SELECT qs.q,
+         CASE WHEN qm.n >= 200 THEN 1 ELSE 0 END AS label
+  FROM qs JOIN qm ON qm.doc_id = qs.doc_id
+  WHERE qm.n IS NOT NULL),
+thr AS (SELECT CAST(i * 20 - 10 AS INT) AS threshold
+        FROM range(1, 6) t(i)),
+graded AS (
+  SELECT t.threshold,
+         CASE WHEN l.q >= t.threshold THEN 1 ELSE 0 END AS pred,
+         l.label
+  FROM lbl l CROSS JOIN thr t),
+agg AS (
+  SELECT threshold,
+         CAST(sum(pred * label) AS BIGINT) AS tp,
+         CAST(sum(pred * (1 - label)) AS BIGINT) AS fp,
+         CAST(sum((1 - pred) * label) AS BIGINT) AS fn
+  FROM graded GROUP BY threshold)
+SELECT threshold, tp, fp, fn,
+       CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT)
+         AS precision_ppm,
+       CAST(tp * 1000000 // greatest(tp + fn, 1) AS BIGINT)
+         AS recall_ppm
+FROM agg
+"""
+
+
+def q_text_inverted_index(spark, sf_dir):
+    """Inverted-index construction — the posting lists a search layer
+    (and the BM25 row) reads, built as a bounded driver row: distinct
+    (term, doc) pairs for terms of length >= 3, document frequency per
+    term, the 20 highest-df terms (ties broken by term ASC), and each
+    one's posting list truncated to the 10 lowest doc_ids, emitted as a
+    comma-joined string (engine-portable — no array hashing in the
+    compare).
+
+    Plan/scale: explode -> distinct (the shuffle is on (term, doc_id),
+    never raw text), df partial agg, top-20 via sort-limit (tiny), then
+    a BROADCAST semi-join back so posting collection touches only the
+    20 surviving terms' pairs; collect_list is bounded by df and sliced
+    to 10 after an explicit array_sort — order is deterministic, not
+    collection-order."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pairs = (d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.explode(F.split(F.lower("text"), " "))
+                      .alias("term"))
+             .filter(F.length("term") >= 3)
+             .distinct())
+    df_ = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    top = (df_.orderBy(F.col("df").desc(), F.col("term").asc()).limit(20))
+    postings = (pairs.join(F.broadcast(top), "term")
+                .groupBy("term")
+                .agg(F.max("df").alias("df"),
+                     F.slice(F.array_sort(F.collect_list("doc_id")),
+                             1, 10).alias("plist")))
+    return postings.select(
+        "term", F.col("df").cast("long").alias("df"),
+        F.size("plist").cast("int").alias("n_posted"),
+        F.array_join(F.transform("plist", lambda x: x.cast("string")),
+                     ",").alias("postings"))
+
+
+ORACLE_TEXT_INVERTED_INDEX = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents WHERE text IS NOT NULL),
+flt AS (SELECT * FROM pairs WHERE length(term) >= 3),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       FROM flt GROUP BY term),
+top AS (
+  SELECT term, df,
+         row_number() OVER (ORDER BY df DESC, term ASC) AS rk
+  FROM df QUALIFY rk <= 20),
+plists AS (
+  SELECT f.term, max(t.df) AS df,
+         list_slice(list(f.doc_id ORDER BY f.doc_id), 1, 10) AS plist
+  FROM flt f JOIN top t ON t.term = f.term
+  GROUP BY f.term)
+SELECT term, df,
+       CAST(len(plist) AS INT) AS n_posted,
+       array_to_string(plist, ',') AS postings
+FROM plists
+"""
+
+
+def q_warc_revisit(spark, sf_dir):
+    """WARC revisit-record deduplication — the archive-side half of
+    recrawl economics (WARC/1.1 §6.7: a recapture whose payload digest
+    matches an earlier capture is stored as a bodyless `revisit` record
+    pointing at the original; Common Crawl and Heritrix both do this):
+    two crawl rounds capture every URI, round-2 bodies change only for
+    doc_id % 3 == 0, and each capture is classified `response` (first
+    capture of its digest) or `revisit` (same digest seen in an earlier
+    round, carrying revisit_of = the original round).
+
+    Plan/scale: digests are md5 over the payload so the dedup window
+    keys on (uri, digest) — 48 bytes/row, the wide payload never
+    shuffles; one bounded window (<= #rounds rows per key) classifies
+    every capture."""
+    i = F.col("doc_id")
+    base = _t(spark, sf_dir, "documents").select(
+        i.cast("long").alias("doc_id"),
+        F.concat(F.lit("http://h"), (i % 50).cast("string"),
+                 F.lit(".onion/p"), i.cast("string")).alias("uri"))
+    r1 = base.select(
+        "uri", F.lit(1).alias("crawl_round"),
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"),
+                 F.lit("-body-"), (i % 7).cast("string")).alias("body"))
+    v2 = F.when(i % 3 == 0, i % 7 + 1).otherwise(i % 7)
+    r2 = base.select(
+        "uri", F.lit(2).alias("crawl_round"),
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"),
+                 F.lit("-body-"), v2.cast("string")).alias("body"))
+    caps = (r1.unionByName(r2)
+            .select("uri", "crawl_round", F.md5("body").alias("digest")))
+    w = Window.partitionBy("uri", "digest").orderBy("crawl_round")
+    return (caps
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("first_round", F.min("crawl_round").over(
+                Window.partitionBy("uri", "digest")))
+            .select("uri",
+                    F.col("crawl_round").cast("int").alias("crawl_round"),
+                    "digest",
+                    F.when(F.col("rn") == 1, F.lit("response"))
+                    .otherwise(F.lit("revisit")).alias("rec_type"),
+                    F.when(F.col("rn") == 1, F.lit(-1))
+                    .otherwise(F.col("first_round")).cast("int")
+                    .alias("revisit_of")))
+
+
+ORACLE_WARC_REVISIT = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'http://h' || (doc_id % 50) || '.onion/p' || doc_id AS uri
+  FROM documents),
+caps AS (
+  SELECT uri, 1 AS crawl_round,
+         md5('doc-' || doc_id || '-body-' || (doc_id % 7)) AS digest
+  FROM base
+  UNION ALL
+  SELECT uri, 2,
+         md5('doc-' || doc_id || '-body-' ||
+             (CASE WHEN doc_id % 3 = 0 THEN doc_id % 7 + 1
+                   ELSE doc_id % 7 END))
+  FROM base),
+marked AS (
+  SELECT uri, crawl_round, digest,
+         row_number() OVER (PARTITION BY uri, digest
+                            ORDER BY crawl_round) AS rn,
+         min(crawl_round) OVER (PARTITION BY uri, digest) AS first_round
+  FROM caps)
+SELECT uri, CAST(crawl_round AS INT) AS crawl_round, digest,
+       CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS rec_type,
+       CAST(CASE WHEN rn = 1 THEN -1 ELSE first_round END AS INT)
+         AS revisit_of
+FROM marked
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -9195,6 +9396,9 @@ QUERIES = {
     "url_redirect_resolve": q_url_redirect_resolve,
     "host_ip_colocation": q_host_ip_colocation,
     "spans_caption_pairs": q_spans_caption_pairs,
+    "text_quality_pr": q_text_quality_pr,
+    "text_inverted_index": q_text_inverted_index,
+    "warc_revisit": q_warc_revisit,
 }
 
 ORACLES = {
@@ -9372,6 +9576,9 @@ ORACLES = {
     "url_redirect_resolve": ORACLE_URL_REDIRECT_RESOLVE,
     "host_ip_colocation": ORACLE_HOST_IP_COLOCATION,
     "spans_caption_pairs": ORACLE_SPANS_CAPTION_PAIRS,
+    "text_quality_pr": ORACLE_TEXT_QUALITY_PR,
+    "text_inverted_index": ORACLE_TEXT_INVERTED_INDEX,
+    "warc_revisit": ORACLE_WARC_REVISIT,
 }
 
 
