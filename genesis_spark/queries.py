@@ -9221,6 +9221,183 @@ FROM marked
 """
 
 
+def q_corpus_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — the tokenizer-eval metric
+    (tokens per word / bytes per token) a multilingual data pipeline
+    tracks per language bucket, because a tokenizer that fragments one
+    language 3x more than another silently re-weights the training mix:
+    per declared lang, total whitespace words, BPE-ish tokens (the
+    shared token_counts_exprs segmentation), chars, fertility
+    (bpe/word) and chars-per-token in exact ppm.
+
+    Plan/scale: single scan, all-codegen token exprs, one partial agg —
+    the same shape as text_token_count with the eval arithmetic on
+    top."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tc = TS.token_counts_exprs(F.col("text"))
+    per = d.select("lang", tc["n_tokens_ws"].alias("ws"),
+                   tc["n_tokens_bpe"].alias("bpe"),
+                   F.length("text").alias("chars"))
+    agg = per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("n_words"),
+        F.sum("bpe").cast("long").alias("n_tokens"),
+        F.sum("chars").cast("long").alias("n_chars"))
+    return agg.select(
+        "lang", "n_docs", "n_words", "n_tokens", "n_chars",
+        F.expr("n_tokens * 1000000 DIV greatest(n_words, 1)").cast("long")
+        .alias("fertility_ppm"),
+        F.expr("n_chars * 1000000 DIV greatest(n_tokens, 1)").cast("long")
+        .alias("chars_per_token_ppm"))
+
+
+ORACLE_CORPUS_TOKENIZER_FERTILITY = r"""
+WITH agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+         CAST(sum(len(regexp_extract_all(text,
+             '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+           AS n_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM documents WHERE text IS NOT NULL GROUP BY lang)
+SELECT lang, n_docs, n_words, n_tokens, n_chars,
+       CAST(n_tokens * 1000000 // greatest(n_words, 1) AS BIGINT)
+         AS fertility_ppm,
+       CAST(n_chars * 1000000 // greatest(n_tokens, 1) AS BIGINT)
+         AS chars_per_token_ppm
+FROM agg
+"""
+
+
+def q_jsonl_ingest(spark, sf_dir):
+    """JSONL source ingestion with corrupt-record accounting — the other
+    at-rest format a crawl/data pipeline reads beside WARC/CDX/parquet
+    (exports, API dumps, log shipping are all JSON-lines, and a 100 TB
+    read ALWAYS contains torn lines): synthesize one JSON line per doc
+    (every 17th truncated mid-object — a torn write), parse with the
+    engine's JSON reader (from_json: malformed -> NULL, the PERMISSIVE
+    contract), and report per-lang line/good/corrupt counts plus the
+    field sum recovered from good lines. The oracle re-parses the same
+    lines with DuckDB's JSON engine — a value-hash match proves both
+    engines agree on what is and isn't recoverable.
+
+    Plan/scale: synthesis and parse are per-row codegen + one JSON parse
+    per line (JVM Jackson, no Python); one partial agg. Corrupt rows
+    cost a failed parse, never a task."""
+    i = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    line_full = F.concat(
+        F.lit('{"id":'), i.cast("string"),
+        F.lit(',"lang":"'), F.col("lang"),
+        F.lit('","n":'), F.col("n_chars").cast("string"), F.lit("}"))
+    line = F.when(i % 17 == 0,
+                  F.expr("substring(line_full, 1, length(line_full) - 5)")
+                  ).otherwise(F.col("line_full"))
+    lines = (d.withColumn("line_full", line_full)
+             .select("lang", line.alias("line")))
+    parsed = lines.withColumn(
+        "j", F.from_json("line", "id BIGINT, lang STRING, n BIGINT"))
+    return (parsed.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("j.id").isNotNull().cast("long")).cast("long")
+        .alias("n_good"),
+        F.sum(F.col("j.id").isNull().cast("long")).cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.coalesce(F.col("j.n"), F.lit(0))).cast("long")
+        .alias("sum_n_good")))
+
+
+ORACLE_JSONL_INGEST = """
+WITH src AS (
+  SELECT lang,
+         '{"id":' || doc_id || ',"lang":"' || lang || '","n":'
+           || n_chars || '}' AS line_full,
+         doc_id % 17 = 0 AS torn
+  FROM documents WHERE text IS NOT NULL),
+lines AS (
+  SELECT lang,
+         CASE WHEN torn
+              THEN substring(line_full, 1, length(line_full) - 5)
+              ELSE line_full END AS line
+  FROM src),
+parsed AS (
+  SELECT lang,
+         CASE WHEN json_valid(line)
+              THEN CAST(json_extract(line, '$.id') AS BIGINT) END AS id,
+         CASE WHEN json_valid(line)
+              THEN CAST(json_extract(line, '$.n') AS BIGINT) END AS n
+  FROM lines)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(sum(coalesce(n, 0)) AS BIGINT) AS sum_n_good
+FROM parsed GROUP BY lang
+"""
+
+
+def q_host_lang_mix(spark, sf_dir):
+    """Site-level language routing — per-language crawls and per-language
+    corpus builds need to know whether a HOST is monolingual before
+    routing it to a language pipeline (a host serving 40% en / 60% de
+    must not be bulk-labelled by its majority): per host, distinct
+    language count, the majority language (count DESC, lang ASC
+    tie-break), its exact share in ppm, and the mixed-site flag
+    (majority < 80%).
+
+    Plan/scale: one (host, lang) partial agg, then a bounded per-host
+    window over <= #languages rows — never over raw docs."""
+    i = F.col("doc_id")
+    d = (_t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+         .select(F.concat(F.lit("h"), (i % 50).cast("string"))
+                 .alias("host_key"), "lang"))
+    counts = d.groupBy("host_key", "lang").agg(
+        F.count("*").cast("long").alias("n"))
+    tot = Window.partitionBy("host_key")
+    w = Window.partitionBy("host_key").orderBy(F.col("n").desc(),
+                                               F.col("lang").asc())
+    return (counts
+            .withColumn("n_docs", F.sum("n").over(tot))
+            .withColumn("n_langs", F.count("*").over(tot))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("host_key",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_langs").cast("int").alias("n_langs"),
+                    F.col("lang").alias("majority_lang"),
+                    F.expr("n * 1000000 DIV n_docs").cast("long")
+                    .alias("majority_ppm"),
+                    (F.expr("n * 1000000 DIV n_docs") < 800000)
+                    .alias("is_mixed")))
+
+
+ORACLE_HOST_LANG_MIX = """
+WITH d AS (
+  SELECT 'h' || (doc_id % 50) AS host_key, lang
+  FROM documents WHERE text IS NOT NULL),
+counts AS (
+  SELECT host_key, lang, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY host_key, lang),
+stats AS (
+  SELECT host_key, lang, n,
+         sum(n) OVER (PARTITION BY host_key) AS n_docs,
+         count(*) OVER (PARTITION BY host_key) AS n_langs,
+         row_number() OVER (PARTITION BY host_key
+                            ORDER BY n DESC, lang ASC) AS rk
+  FROM counts)
+SELECT host_key,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_langs AS INT) AS n_langs,
+       lang AS majority_lang,
+       CAST(n * 1000000 // n_docs AS BIGINT) AS majority_ppm,
+       (n * 1000000 // n_docs) < 800000 AS is_mixed
+FROM stats WHERE rk = 1
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -9399,6 +9576,9 @@ QUERIES = {
     "text_quality_pr": q_text_quality_pr,
     "text_inverted_index": q_text_inverted_index,
     "warc_revisit": q_warc_revisit,
+    "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
+    "jsonl_ingest": q_jsonl_ingest,
+    "host_lang_mix": q_host_lang_mix,
 }
 
 ORACLES = {
@@ -9579,6 +9759,9 @@ ORACLES = {
     "text_quality_pr": ORACLE_TEXT_QUALITY_PR,
     "text_inverted_index": ORACLE_TEXT_INVERTED_INDEX,
     "warc_revisit": ORACLE_WARC_REVISIT,
+    "corpus_tokenizer_fertility": ORACLE_CORPUS_TOKENIZER_FERTILITY,
+    "jsonl_ingest": ORACLE_JSONL_INGEST,
+    "host_lang_mix": ORACLE_HOST_LANG_MIX,
 }
 
 
