@@ -9398,6 +9398,282 @@ FROM stats WHERE rk = 1
 """
 
 
+def q_http_content_type(spark, sf_dir):
+    """Content-Type header parsing and parser routing — the dispatch
+    decision a fetcher makes per response before anything downstream
+    runs (the reference routes on HTML-ness inside its parse loop; a
+    batch engine classifies the whole wave): parse `mime; charset=...`
+    with real-world messiness (case, spacing, quoting variants),
+    normalize mime and charset, and route to parse / parse_text / media
+    / skip. Header synthesis cycles 5 representative shapes, including
+    quoted and upper-cased charset parameters.
+
+    Plan/scale: per-row codegen (split + (?i) regexp_extract) + one
+    partial agg — one scan, no Python."""
+    i = F.col("doc_id")
+    hdr = (F.when(i % 5 == 0, F.lit("text/html; charset=UTF-8"))
+           .when(i % 5 == 1, F.lit("text/html;charset=iso-8859-1"))
+           .when(i % 5 == 2, F.lit("application/pdf"))
+           .when(i % 5 == 3, F.lit("image/png"))
+           .otherwise(F.lit('Text/Plain; CHARSET="utf-8"')))
+    d = (_t(spark, sf_dir, "documents")
+         .select(hdr.alias("content_type")))
+    mime = F.lower(F.trim(F.split("content_type", ";").getItem(0)))
+    charset = F.lower(F.regexp_extract(
+        "content_type", '(?i)charset\\s*=\\s*"?([A-Za-z0-9_-]+)', 1))
+    parsed = d.select(
+        mime.alias("mime"),
+        F.when(charset == "", F.lit("none")).otherwise(charset)
+        .alias("charset"))
+    route = (F.when(F.col("mime") == "text/html", F.lit("parse"))
+             .when(F.col("mime").startswith("text/"), F.lit("parse_text"))
+             .when(F.col("mime").startswith("image/") |
+                   F.col("mime").startswith("audio/") |
+                   F.col("mime").startswith("video/"), F.lit("media"))
+             .otherwise(F.lit("skip")))
+    return (parsed.withColumn("route", route)
+            .groupBy("mime", "charset", "route")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+ORACLE_HTTP_CONTENT_TYPE = """
+WITH d AS (
+  SELECT CASE doc_id % 5
+           WHEN 0 THEN 'text/html; charset=UTF-8'
+           WHEN 1 THEN 'text/html;charset=iso-8859-1'
+           WHEN 2 THEN 'application/pdf'
+           WHEN 3 THEN 'image/png'
+           ELSE 'Text/Plain; CHARSET="utf-8"' END AS content_type
+  FROM documents),
+parsed AS (
+  SELECT lower(trim(string_split(content_type, ';')[1])) AS mime,
+         CASE WHEN regexp_extract(content_type,
+                '(?i)charset\\s*=\\s*"?([A-Za-z0-9_-]+)', 1) = ''
+              THEN 'none'
+              ELSE lower(regexp_extract(content_type,
+                '(?i)charset\\s*=\\s*"?([A-Za-z0-9_-]+)', 1)) END
+           AS charset
+  FROM d),
+routed AS (
+  SELECT mime, charset,
+         CASE WHEN mime = 'text/html' THEN 'parse'
+              WHEN mime LIKE 'text/%' THEN 'parse_text'
+              WHEN mime LIKE 'image/%' OR mime LIKE 'audio/%'
+                   OR mime LIKE 'video/%' THEN 'media'
+              ELSE 'skip' END AS route
+  FROM parsed)
+SELECT mime, charset, route, CAST(count(*) AS BIGINT) AS n
+FROM routed GROUP BY mime, charset, route
+"""
+
+
+def q_host_outlink_diversity(spark, sf_dir):
+    """Outlink-diversity profile per source host — the hub-vs-silo signal
+    frontier prioritization reads (a host whose links all point at one
+    target is a silo/mirror; a diverse hub seeds breadth): per src host
+    over the link multiset, link count, distinct targets, the top
+    target's share, and the Simpson diversity index 1 - Σ n_i²/N² — all
+    in EXACT ppm integer arithmetic (no entropy/log, so Spark and DuckDB
+    agree bit-for-bit).
+
+    Plan/scale: one (src, dst) partial agg, then a per-host agg over
+    <= #distinct-targets rows; both map-side combinable."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    links = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (k % 50).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (c % 50).cast("string")).alias("dst"))
+    per_dst = links.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n"))
+    agg = per_dst.groupBy("src").agg(
+        F.sum("n").alias("n_links"),
+        F.count("*").cast("long").alias("n_targets"),
+        F.max("n").alias("top_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"))
+    return agg.select(
+        F.col("src").alias("host_key"),
+        F.col("n_links").cast("long").alias("n_links"),
+        "n_targets",
+        F.expr("top_n * 1000000 DIV n_links").cast("long")
+        .alias("top_share_ppm"),
+        F.expr("(n_links * n_links - sum_sq) * 1000000 "
+               "DIV (n_links * n_links)").cast("long")
+        .alias("simpson_ppm"))
+
+
+ORACLE_HOST_OUTLINK_DIVERSITY = """
+WITH links AS (
+  SELECT 'h' || (o_orderkey % 50) AS src,
+         'h' || (o_custkey % 50) AS dst
+  FROM orders),
+per_dst AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM links GROUP BY src, dst),
+agg AS (
+  SELECT src, sum(n) AS n_links,
+         CAST(count(*) AS BIGINT) AS n_targets,
+         max(n) AS top_n, sum(n * n) AS sum_sq
+  FROM per_dst GROUP BY src)
+SELECT src AS host_key,
+       CAST(n_links AS BIGINT) AS n_links,
+       n_targets,
+       CAST(top_n * 1000000 // n_links AS BIGINT) AS top_share_ppm,
+       CAST((n_links * n_links - sum_sq) * 1000000
+            // (n_links * n_links) AS BIGINT) AS simpson_ppm
+FROM agg
+"""
+
+
+def _mmr_cos(a_col: str, b_col: str):
+    """Exact cosine between two embedding array columns (doubles)."""
+    num = F.expr(f"aggregate(zip_with({a_col}, {b_col}, "
+                 "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                 "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    def nrm(c):
+        return F.sqrt(F.expr(
+            f"aggregate(transform({c}, x -> CAST(x AS DOUBLE) "
+            f"* CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + v)"))
+    return num / (nrm(a_col) * nrm(b_col))
+
+
+def q_embeddings_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the diversity pass retrieval stacks run AFTER top-k:
+    from each query's 10 nearest neighbors, pick 5 greedily by
+    MMR = 2*rel(c) - max_{s in selected} sim(c, s) (lambda = 1/2,
+    doubled to avoid fractions), so near-duplicate neighbors are demoted
+    in favor of coverage. Ties break by neighbor_id ASC; output is
+    rank-only (query_id, mmr_rank, neighbor_id) — the float scores order
+    but never leave the plan, the ann-family exactness discipline.
+
+    Plan/scale: candidate generation is the brute-force top-10 (swap for
+    ann_lsh/ann_ivf buckets at scale — MMR only ever sees k' = 10 rows
+    per query); the candidate-pair sim matrix is 10x10 PER QUERY, built
+    with one self-join; 4 unrolled greedy rounds, each one bounded
+    window + one max-per-key agg over <= 10 rows per query. Nothing in
+    the loop scales with corpus size."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("e"))
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("e").alias("qe")))
+    scored = (q.join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                                F.col("e").alias("ne")),
+                     F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id", "qe", "ne",
+                      _mmr_cos("qe", "ne").alias("rel")))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id").asc())
+    cand = (scored.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= 10)
+            .select("query_id", "neighbor_id", "ne", "rel")).persist()
+    sims = (cand.select("query_id", F.col("neighbor_id").alias("a"),
+                        F.col("ne").alias("ae"))
+            .join(cand.select(F.col("query_id").alias("query_id"),
+                              F.col("neighbor_id").alias("b"),
+                              F.col("ne").alias("be")), "query_id")
+            .filter(F.col("a") != F.col("b"))
+            .select("query_id", "a", "b",
+                    _mmr_cos("ae", "be").alias("sim"))).persist()
+    pool = cand.select("query_id", "neighbor_id", "rel")
+    sel = (pool.withColumn("rk", F.row_number().over(wk))
+           .filter(F.col("rk") == 1)
+           .select("query_id", "neighbor_id",
+                   F.lit(1).alias("mmr_rank")))
+    for t in range(2, 6):
+        remaining = pool.join(sel.select("query_id", "neighbor_id"),
+                              ["query_id", "neighbor_id"], "left_anti")
+        pen = (sims.join(sel.select("query_id",
+                                    F.col("neighbor_id").alias("b")),
+                         ["query_id", "b"])
+               .groupBy("query_id", F.col("a").alias("neighbor_id"))
+               .agg(F.max("sim").alias("pen")))
+        scored_t = (remaining.join(pen, ["query_id", "neighbor_id"])
+                    .select("query_id", "neighbor_id",
+                            (F.lit(2) * F.col("rel") - F.col("pen"))
+                            .alias("mmr")))
+        wm = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), F.col("neighbor_id").asc())
+        pick = (scored_t.withColumn("rk", F.row_number().over(wm))
+                .filter(F.col("rk") == 1)
+                .select("query_id", "neighbor_id",
+                        F.lit(t).alias("mmr_rank")))
+        sel = sel.unionByName(pick)
+    out = sel.select("query_id",
+                     F.col("mmr_rank").cast("int").alias("mmr_rank"),
+                     "neighbor_id")
+    cand.unpersist()
+    sims.unpersist()
+    return out
+
+
+def _mmr_round_sql(prev_sel: str, t: int) -> str:
+    return f"""pen{t} AS (
+  SELECT s.query_id, s.a AS neighbor_id, max(s.sim) AS pen
+  FROM sims s JOIN {prev_sel} p
+    ON p.query_id = s.query_id AND p.neighbor_id = s.b
+  GROUP BY s.query_id, s.a),
+sc{t} AS (
+  SELECT c.query_id, c.neighbor_id, 2 * c.rel - p.pen AS mmr
+  FROM cand c
+  JOIN pen{t} p ON p.query_id = c.query_id
+    AND p.neighbor_id = c.neighbor_id
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_sel} q
+                    WHERE q.query_id = c.query_id
+                      AND q.neighbor_id = c.neighbor_id)),
+pick{t} AS (
+  SELECT query_id, neighbor_id, {t} AS mmr_rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY mmr DESC, neighbor_id ASC) AS rk
+    FROM sc{t}) WHERE rk = 1),
+sel{t} AS (SELECT * FROM {prev_sel}
+           UNION ALL SELECT * FROM pick{t})"""
+
+
+ORACLE_EMBEDDINGS_MMR = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, b.embedding AS ne,
+         list_sum(list_transform(range(len(q.embedding)),
+             i -> q.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(len(q.embedding)),
+             i -> q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(len(b.embedding)),
+             i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))))
+         AS rel
+  FROM embeddings q JOIN embeddings b ON b.vec_id != q.vec_id
+  WHERE q.vec_id < 10),
+cand AS (
+  SELECT query_id, neighbor_id, ne, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rel DESC, neighbor_id ASC) AS rk
+    FROM scored) WHERE rk <= 10),
+sims AS (
+  SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+         list_sum(list_transform(range(len(x.ne)),
+             i -> x.ne[i+1]::DOUBLE * y.ne[i+1]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(len(x.ne)),
+             i -> x.ne[i+1]::DOUBLE * x.ne[i+1]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(len(y.ne)),
+             i -> y.ne[i+1]::DOUBLE * y.ne[i+1]::DOUBLE))))
+         AS sim
+  FROM cand x JOIN cand y ON y.query_id = x.query_id
+   AND y.neighbor_id != x.neighbor_id),
+sel1 AS (
+  SELECT query_id, neighbor_id, 1 AS mmr_rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, neighbor_id ASC) AS rk
+    FROM cand) WHERE rk = 1),
+{_mmr_round_sql("sel1", 2)},
+{_mmr_round_sql("sel2", 3)},
+{_mmr_round_sql("sel3", 4)},
+{_mmr_round_sql("sel4", 5)}
+SELECT query_id, CAST(mmr_rank AS INT) AS mmr_rank, neighbor_id
+FROM sel5
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -9579,6 +9855,9 @@ QUERIES = {
     "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
     "jsonl_ingest": q_jsonl_ingest,
     "host_lang_mix": q_host_lang_mix,
+    "http_content_type": q_http_content_type,
+    "host_outlink_diversity": q_host_outlink_diversity,
+    "embeddings_mmr_rerank": q_embeddings_mmr_rerank,
 }
 
 ORACLES = {
@@ -9762,6 +10041,9 @@ ORACLES = {
     "corpus_tokenizer_fertility": ORACLE_CORPUS_TOKENIZER_FERTILITY,
     "jsonl_ingest": ORACLE_JSONL_INGEST,
     "host_lang_mix": ORACLE_HOST_LANG_MIX,
+    "http_content_type": ORACLE_HTTP_CONTENT_TYPE,
+    "host_outlink_diversity": ORACLE_HOST_OUTLINK_DIVERSITY,
+    "embeddings_mmr_rerank": ORACLE_EMBEDDINGS_MMR,
 }
 
 
