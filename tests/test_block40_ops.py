@@ -85,6 +85,10 @@ def _mmr_python_replay(sf_dir, k_cand=10, k_sel=5):
     return out
 
 
+import pytest
+
+
+@pytest.mark.slow  # deep unrolled greedy plan + O(|Q| x |corpus|) replay
 def test_mmr_matches_python_replay(spark):
     got = {(r["query_id"], r["mmr_rank"]): r["neighbor_id"]
            for r in q_embeddings_mmr_rerank(spark, SF).collect()}
