@@ -9674,6 +9674,213 @@ FROM sel5
 """
 
 
+def q_events_ohlc(spark, sf_dir):
+    """OHLC bar aggregation — the first/last/extremes rollup every
+    time-series telemetry store runs per bucket (fetch-latency bars per
+    host work identically to price bars per symbol): per (series, hour),
+    open = first value in (ts, event_id) order, close = last, high/low =
+    extremes, volume = sum. Values are integers (event_id-derived) so
+    the bars are engine-exact; (ts, event_id) is a total order so
+    open/close are deterministic.
+
+    Plan/scale: one window pass per (series, hour) partition — bounded
+    by bucket occupancy — then one partial agg; no self-joins."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("s"), (F.col("user_id") % 10).cast("string"))
+        .alias("series"),
+        F.date_trunc("hour", F.col("ts")).alias("bar_hour"),
+        "ts", "event_id",
+        (F.col("event_id") % 1000 + 100).cast("long").alias("price"))
+    wa = Window.partitionBy("series", "bar_hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("series", "bar_hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    marked = (ev.withColumn("rna", F.row_number().over(wa))
+              .withColumn("rnd", F.row_number().over(wd)))
+    return (marked.groupBy("series", "bar_hour").agg(
+        F.max(F.when(F.col("rna") == 1, F.col("price"))).cast("long")
+        .alias("open"),
+        F.max("price").cast("long").alias("high"),
+        F.min("price").cast("long").alias("low"),
+        F.max(F.when(F.col("rnd") == 1, F.col("price"))).cast("long")
+        .alias("close"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("price").cast("long").alias("volume")))
+
+
+ORACLE_EVENTS_OHLC = """
+WITH ev AS (
+  SELECT 's' || (user_id % 10) AS series,
+         date_trunc('hour', ts) AS bar_hour,
+         ts, event_id,
+         CAST(event_id % 1000 + 100 AS BIGINT) AS price
+  FROM events),
+marked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY series, bar_hour
+                            ORDER BY ts, event_id) AS rna,
+         row_number() OVER (PARTITION BY series, bar_hour
+                            ORDER BY ts DESC, event_id DESC) AS rnd
+  FROM ev)
+SELECT series, bar_hour,
+       CAST(max(CASE WHEN rna = 1 THEN price END) AS BIGINT) AS open,
+       CAST(max(price) AS BIGINT) AS high,
+       CAST(min(price) AS BIGINT) AS low,
+       CAST(max(CASE WHEN rnd = 1 THEN price END) AS BIGINT) AS close,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(price) AS BIGINT) AS volume
+FROM marked GROUP BY series, bar_hour
+"""
+
+
+def q_frontier_age_stats(spark, sf_dir):
+    """Frontier queue-age health — the staleness dashboard a crawl
+    operator watches (a host whose p95 queue age explodes is starved by
+    its politeness budget; the fix is splitting the host or raising its
+    budget): per host, exact age histogram (0-7 / 8-30 / 31-90 / 90+
+    days vs the 2002-01-01 reference instant) and EXACT p50/p95 ages by
+    position (value at row ceil(q*n) of the age-ordered queue — the
+    nearest-rank percentile definition, no interpolation, no floats).
+
+    Plan/scale: one window rank per host partition (bounded by queue
+    depth) + one agg; percentile selection is a filter on rank, not a
+    sort of the whole frontier."""
+    k = F.col("o_orderkey")
+    fr = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 40).cast("string"))
+        .alias("host_key"),
+        k.alias("seq"),
+        F.datediff(F.lit("2002-01-01").cast("date"),
+                   F.col("o_orderdate").cast("date")).cast("long")
+        .alias("age_days"))
+    w = Window.partitionBy("host_key").orderBy("age_days", "seq")
+    ranked = (fr.withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(
+                  Window.partitionBy("host_key"))))
+    hist = fr.groupBy("host_key").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum((F.col("age_days") <= 7).cast("long")).cast("long")
+        .alias("b_0_7"),
+        F.sum(((F.col("age_days") > 7) & (F.col("age_days") <= 30))
+              .cast("long")).cast("long").alias("b_8_30"),
+        F.sum(((F.col("age_days") > 30) & (F.col("age_days") <= 90))
+              .cast("long")).cast("long").alias("b_31_90"),
+        F.sum((F.col("age_days") > 90).cast("long")).cast("long")
+        .alias("b_90_plus"))
+    p50 = (ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+           .select("host_key", F.col("age_days").alias("p50_age_days")))
+    p95 = (ranked.filter(F.col("rn") == F.expr("(95 * n + 99) DIV 100"))
+           .select("host_key", F.col("age_days").alias("p95_age_days")))
+    return (hist.join(p50, "host_key").join(p95, "host_key")
+            .select("host_key", "n_urls", "b_0_7", "b_8_30", "b_31_90",
+                    "b_90_plus", "p50_age_days", "p95_age_days"))
+
+
+ORACLE_FRONTIER_AGE_STATS = """
+WITH fr AS (
+  SELECT 'h' || (o_custkey % 40) AS host_key,
+         o_orderkey AS seq,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        DATE '2002-01-01') AS BIGINT) AS age_days
+  FROM orders),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY host_key
+                            ORDER BY age_days, seq) AS rn,
+         count(*) OVER (PARTITION BY host_key) AS n
+  FROM fr),
+hist AS (
+  SELECT host_key,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(sum(CASE WHEN age_days <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+           AS b_0_7,
+         CAST(sum(CASE WHEN age_days > 7 AND age_days <= 30
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b_8_30,
+         CAST(sum(CASE WHEN age_days > 30 AND age_days <= 90
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b_31_90,
+         CAST(sum(CASE WHEN age_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+           AS b_90_plus
+  FROM fr GROUP BY host_key),
+p50 AS (SELECT host_key, age_days AS p50_age_days FROM ranked
+        WHERE rn = (n + 1) // 2),
+p95 AS (SELECT host_key, age_days AS p95_age_days FROM ranked
+        WHERE rn = (95 * n + 99) // 100)
+SELECT h.host_key, h.n_urls, h.b_0_7, h.b_8_30, h.b_31_90, h.b_90_plus,
+       p50.p50_age_days, p95.p95_age_days
+FROM hist h
+JOIN p50 ON p50.host_key = h.host_key
+JOIN p95 ON p95.host_key = h.host_key
+"""
+
+
+def q_embeddings_norm_audit(spark, sf_dir):
+    """Embedding ingest audit — the data-quality gate an embedding
+    pipeline runs before vectors enter an index (zeroed vectors poison
+    IVF centroids; mis-scaled vectors break cosine assumptions): each
+    vector's squared norm in EXACT 1e-12 integer units (elements
+    quantized to 1e-6 like embeddings_standardize, so summation order
+    is free), classified zero / low / high / ok against fixed
+    thresholds. Corruption is injected deterministically: vec_id % 29
+    zeroed, % 31 scaled x3 (norm2 x9 — exact integer), % 37 truncated
+    to its first 4 dims.
+
+    Plan/scale: per-row array codegen + one 4-row agg; nothing
+    shuffles but the class key."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    xu = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6)" \
+         " AS BIGINT))"
+    full = (f"aggregate({xu}, CAST(0 AS BIGINT), "
+            "(acc, v) -> acc + v * v)")
+    head4 = (f"aggregate(slice({xu}, 1, 4), CAST(0 AS BIGINT), "
+             "(acc, v) -> acc + v * v)")
+    norm2 = F.when(F.col("vec_id") % 29 == 0, F.lit(0).cast("long")) \
+        .when(F.col("vec_id") % 31 == 0, F.expr(f"9 * ({full})")) \
+        .when(F.col("vec_id") % 37 == 0, F.expr(head4)) \
+        .otherwise(F.expr(full))
+    LOW, HIGH = 250_000_000_000, 4_000_000_000_000
+    klass = (F.when(F.col("norm2") == 0, F.lit("zero"))
+             .when(F.col("norm2") < LOW, F.lit("low"))
+             .when(F.col("norm2") > HIGH, F.lit("high"))
+             .otherwise(F.lit("ok")))
+    audited = e.select("vec_id", norm2.alias("norm2")) \
+        .withColumn("audit_class", klass)
+    return audited.groupBy("audit_class").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("norm2").cast("long").alias("min_norm2"),
+        F.max("norm2").cast("long").alias("max_norm2"))
+
+
+ORACLE_EMBEDDINGS_NORM_AUDIT = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xu
+  FROM embeddings),
+norms AS (
+  SELECT vec_id,
+         CAST(CASE
+           WHEN vec_id % 29 = 0 THEN 0
+           WHEN vec_id % 31 = 0 THEN
+             9 * list_sum(list_transform(xu, v -> v * v))
+           WHEN vec_id % 37 = 0 THEN
+             coalesce(list_sum(list_transform(xu[1:4], v -> v * v)), 0)
+           ELSE list_sum(list_transform(xu, v -> v * v))
+         END AS BIGINT) AS norm2
+  FROM base),
+classed AS (
+  SELECT CASE WHEN norm2 = 0 THEN 'zero'
+              WHEN norm2 < 250000000000 THEN 'low'
+              WHEN norm2 > 4000000000000 THEN 'high'
+              ELSE 'ok' END AS audit_class,
+         norm2
+  FROM norms)
+SELECT audit_class,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(norm2) AS BIGINT) AS min_norm2,
+       CAST(max(norm2) AS BIGINT) AS max_norm2
+FROM classed GROUP BY audit_class
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -9858,6 +10065,9 @@ QUERIES = {
     "http_content_type": q_http_content_type,
     "host_outlink_diversity": q_host_outlink_diversity,
     "embeddings_mmr_rerank": q_embeddings_mmr_rerank,
+    "events_ohlc": q_events_ohlc,
+    "frontier_age_stats": q_frontier_age_stats,
+    "embeddings_norm_audit": q_embeddings_norm_audit,
 }
 
 ORACLES = {
@@ -10044,6 +10254,9 @@ ORACLES = {
     "http_content_type": ORACLE_HTTP_CONTENT_TYPE,
     "host_outlink_diversity": ORACLE_HOST_OUTLINK_DIVERSITY,
     "embeddings_mmr_rerank": ORACLE_EMBEDDINGS_MMR,
+    "events_ohlc": ORACLE_EVENTS_OHLC,
+    "frontier_age_stats": ORACLE_FRONTIER_AGE_STATS,
+    "embeddings_norm_audit": ORACLE_EMBEDDINGS_NORM_AUDIT,
 }
 
 
