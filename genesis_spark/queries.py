@@ -9881,6 +9881,215 @@ FROM classed GROUP BY audit_class
 """
 
 
+def q_spans_token_budget(spark, sf_dir):
+    """Multimodal context budgeting over the interleaved span table —
+    the packing arithmetic a vision-language training pipeline runs
+    before sequence assembly (each image costs a FIXED patch budget; a
+    doc that exceeds the context must split): per doc, text tokens
+    (whitespace), media spans x 256 patch tokens, total, whether it fits
+    a 4096-token context, and the exact split count ceil(total/4096).
+
+    Plan/scale: zero-shuffle array codegen per row (the spans census
+    shape); the downstream packer (corpus_pack) consumes these
+    numbers."""
+    from genesis_spark.sources.interleaved import interleaved_docs
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    il = interleaved_docs(docs)
+    text_tokens = F.expr(
+        "aggregate(filter(spans, s -> s.media_ref IS NULL), "
+        "CAST(0 AS BIGINT), "
+        "(acc, s) -> acc + size(split(s.text, ' ')))")
+    n_media = F.size(F.expr(
+        "filter(spans, s -> s.media_ref IS NOT NULL "
+        "AND s.kind <> 'link')"))
+    budgeted = il.select(
+        "doc_id",
+        text_tokens.alias("text_tokens"),
+        (n_media.cast("long") * 256).alias("media_tokens"))
+    return budgeted.select(
+        "doc_id", "text_tokens", "media_tokens",
+        (F.col("text_tokens") + F.col("media_tokens")).cast("long")
+        .alias("total_tokens"),
+        ((F.col("text_tokens") + F.col("media_tokens")) <= 4096)
+        .alias("fits_context"),
+        F.expr("CAST((text_tokens + media_tokens + 4095) DIV 4096 "
+               "AS BIGINT)").alias("n_splits"))
+
+
+ORACLE_SPANS_TOKEN_BUDGET = f"""
+WITH {_SPANS_EX_SQL},
+budgeted AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(list_transform(
+                list_filter(spans, s -> s.media_ref IS NULL),
+                s -> len(string_split(s.text, ' ')))), 0) AS BIGINT)
+           AS text_tokens,
+         CAST(len(list_filter(spans, s -> s.media_ref IS NOT NULL
+                              AND s.kind <> 'link')) * 256 AS BIGINT)
+           AS media_tokens
+  FROM il)
+SELECT doc_id, text_tokens, media_tokens,
+       CAST(text_tokens + media_tokens AS BIGINT) AS total_tokens,
+       (text_tokens + media_tokens) <= 4096 AS fits_context,
+       CAST((text_tokens + media_tokens + 4095) // 4096 AS BIGINT)
+         AS n_splits
+FROM budgeted
+"""
+
+
+def q_host_mirror_detect(spark, sf_dir):
+    """Mirror-host detection — cross-HOST dedup at site granularity (the
+    reference's leak boards live behind mirror lists — zone_board's
+    mirror-archive shape — and a crawler that treats 5 mirrors as 5
+    hosts wastes 5x fetch budget and 5x corpus weight): hosts whose
+    document-fingerprint SETS overlap. Mirrors are synthesized
+    deterministically (every 4th doc also "appears" on host+50), then
+    detected from content alone: md5 doc fingerprints, host-fp distinct
+    pairs, shared-fp equi-join, exact set Jaccard in ppm, mirror flag
+    at >= 200000 ppm.
+
+    Plan/scale: the pair join keys on the fingerprint — cost is
+    Σ df(fp)² like the dedup family, never #hosts² — and wide text never
+    shuffles (16-byte digests do)."""
+    i = F.col("doc_id")
+    base = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(i.alias("doc_id"), F.md5("text").alias("fp")))
+    primary = base.select((i % 50).cast("int").alias("hostnum"), "fp")
+    mirrored = (base.filter(i % 4 == 0)
+                .select((i % 50 + 50).cast("int").alias("hostnum"), "fp"))
+    hostfp = (primary.unionByName(mirrored)
+              .select(F.concat(F.lit("h"), F.col("hostnum").cast("string"))
+                      .alias("host_key"), "fp", "hostnum")
+              .distinct())
+    sizes = hostfp.groupBy("host_key").agg(
+        F.count("*").cast("long").alias("n_fp"))
+    shared = (hostfp.select("host_key", "fp", "hostnum")
+              .join(hostfp.select(F.col("host_key").alias("host_b"),
+                                  "fp",
+                                  F.col("hostnum").alias("hostnum_b")),
+                    "fp")
+              .filter(F.col("hostnum") < F.col("hostnum_b"))
+              .groupBy("host_key", "host_b")
+              .agg(F.count("*").cast("long").alias("n_shared")))
+    return (shared
+            .join(sizes, "host_key")
+            .join(sizes.select(F.col("host_key").alias("host_b"),
+                               F.col("n_fp").alias("n_fp_b")), "host_b")
+            .select(F.col("host_key").alias("host_a"), "host_b",
+                    "n_shared",
+                    F.expr("n_shared * 1000000 "
+                           "DIV (n_fp + n_fp_b - n_shared)").cast("long")
+                    .alias("jaccard_ppm"),
+                    (F.expr("n_shared * 1000000 "
+                            "DIV (n_fp + n_fp_b - n_shared)") >= 200000)
+                    .alias("is_mirror")))
+
+
+ORACLE_HOST_MIRROR_DETECT = """
+WITH base AS (
+  SELECT doc_id, md5(text) AS fp
+  FROM documents WHERE text IS NOT NULL),
+hostfp AS (
+  SELECT DISTINCT hostnum, 'h' || hostnum AS host_key, fp FROM (
+    SELECT CAST(doc_id % 50 AS INT) AS hostnum, fp FROM base
+    UNION ALL
+    SELECT CAST(doc_id % 50 + 50 AS INT), fp FROM base
+    WHERE doc_id % 4 = 0)),
+sizes AS (
+  SELECT host_key, CAST(count(*) AS BIGINT) AS n_fp
+  FROM hostfp GROUP BY host_key),
+shared AS (
+  SELECT a.host_key AS host_a, b.host_key AS host_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM hostfp a JOIN hostfp b
+    ON b.fp = a.fp AND a.hostnum < b.hostnum
+  GROUP BY a.host_key, b.host_key)
+SELECT s.host_a, s.host_b, s.n_shared,
+       CAST(s.n_shared * 1000000
+            // (sa.n_fp + sb.n_fp - s.n_shared) AS BIGINT)
+         AS jaccard_ppm,
+       (s.n_shared * 1000000 // (sa.n_fp + sb.n_fp - s.n_shared))
+         >= 200000 AS is_mirror
+FROM shared s
+JOIN sizes sa ON sa.host_key = s.host_a
+JOIN sizes sb ON sb.host_key = s.host_b
+"""
+
+
+def q_text_code_detect(spark, sf_dir):
+    """Code-vs-prose routing — the corpus-composition gate every LLM
+    data pipeline runs (code goes to a code pipeline with different
+    dedup/quality rules; prose goes to text cleaning): symbol density,
+    code-keyword hits, and digit density vote on each doc; 2+ votes
+    route to `code`. Code docs are synthesized deterministically (every
+    11th doc gains a code tail) so both routes materialize and the
+    detector is judged against a known plant.
+
+    Plan/scale: per-row regexp codegen + one 2-row agg — one scan, no
+    Python, the same shape as the C4/Gopher filter rows."""
+    i = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    code_tail = (" def run(): return {x[i]; i += 1}"
+                 " if (a == b) { return 0; } // end")
+    text = F.when(i % 11 == 0,
+                  F.concat(F.col("text"), F.lit(code_tail))
+                  ).otherwise(F.col("text"))
+    t = d.select(i.alias("doc_id"), text.alias("t"))
+    n_chars = F.greatest(F.length("t"), F.lit(1))
+    n_sym = F.length(F.regexp_replace("t", "[^{}();=\\[\\]<>]", ""))
+    kw_hits = F.size(F.expr(
+        r"regexp_extract_all(t, '\\b(def|return|if|else|for|while"
+        r"|var|let|const|function|import)\\b', 0)"))
+    n_digit = F.length(F.regexp_replace("t", "[^0-9]", ""))
+    feat = t.select(
+        "doc_id",
+        (n_sym * 1000 / n_chars >= 10).cast("int").alias("v_sym"),
+        (kw_hits >= 3).cast("int").alias("v_kw"),
+        (n_digit * 1000 / n_chars >= 5).cast("int").alias("v_digit"))
+    routed = feat.select(
+        F.when(F.col("v_sym") + F.col("v_kw") + F.col("v_digit") >= 2,
+               F.lit("code")).otherwise(F.lit("prose")).alias("route"),
+        "v_sym", "v_kw", "v_digit")
+    return routed.groupBy("route").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("v_sym").cast("long").alias("n_sym_votes"),
+        F.sum("v_kw").cast("long").alias("n_kw_votes"),
+        F.sum("v_digit").cast("long").alias("n_digit_votes"))
+
+
+ORACLE_TEXT_CODE_DETECT = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text ||
+           ' def run(): return {x[i]; i += 1} if (a == b) { return 0; } // end'
+         ELSE text END AS t
+  FROM documents WHERE text IS NOT NULL),
+feat AS (
+  SELECT doc_id,
+    CASE WHEN length(regexp_replace(t, '[^{}();=\[\]<>]', '', 'g'))
+              * 1000 / greatest(length(t), 1) >= 10
+         THEN 1 ELSE 0 END AS v_sym,
+    CASE WHEN len(regexp_extract_all(t, '\b(def|return|if|else|for'
+              || '|while|var|let|const|function|import)\b')) >= 3
+         THEN 1 ELSE 0 END AS v_kw,
+    CASE WHEN length(regexp_replace(t, '[^0-9]', '', 'g'))
+              * 1000 / greatest(length(t), 1) >= 5
+         THEN 1 ELSE 0 END AS v_digit
+  FROM t),
+routed AS (
+  SELECT CASE WHEN v_sym + v_kw + v_digit >= 2 THEN 'code'
+              ELSE 'prose' END AS route,
+         v_sym, v_kw, v_digit
+  FROM feat)
+SELECT route, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(v_sym) AS BIGINT) AS n_sym_votes,
+       CAST(sum(v_kw) AS BIGINT) AS n_kw_votes,
+       CAST(sum(v_digit) AS BIGINT) AS n_digit_votes
+FROM routed GROUP BY route
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -10068,6 +10277,9 @@ QUERIES = {
     "events_ohlc": q_events_ohlc,
     "frontier_age_stats": q_frontier_age_stats,
     "embeddings_norm_audit": q_embeddings_norm_audit,
+    "spans_token_budget": q_spans_token_budget,
+    "host_mirror_detect": q_host_mirror_detect,
+    "text_code_detect": q_text_code_detect,
 }
 
 ORACLES = {
@@ -10257,6 +10469,9 @@ ORACLES = {
     "events_ohlc": ORACLE_EVENTS_OHLC,
     "frontier_age_stats": ORACLE_FRONTIER_AGE_STATS,
     "embeddings_norm_audit": ORACLE_EMBEDDINGS_NORM_AUDIT,
+    "spans_token_budget": ORACLE_SPANS_TOKEN_BUDGET,
+    "host_mirror_detect": ORACLE_HOST_MIRROR_DETECT,
+    "text_code_detect": ORACLE_TEXT_CODE_DETECT,
 }
 
 
