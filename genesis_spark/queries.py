@@ -9564,9 +9564,13 @@ def q_embeddings_mmr_rerank(spark, sf_dir):
                       _mmr_cos("qe", "ne").alias("rel")))
     wk = Window.partitionBy("query_id").orderBy(
         F.col("rel").desc(), F.col("neighbor_id").asc())
+    # no persist: the contract returns an unexecuted DataFrame, so a
+    # build-time persist/unpersist pair would either leak cache blocks or
+    # never exist during execution (q_host_pagerank's precedent) — the
+    # repeated cand/sims subplans dedupe via ReusedExchange instead
     cand = (scored.withColumn("rk", F.row_number().over(wk))
             .filter(F.col("rk") <= 10)
-            .select("query_id", "neighbor_id", "ne", "rel")).persist()
+            .select("query_id", "neighbor_id", "ne", "rel"))
     sims = (cand.select("query_id", F.col("neighbor_id").alias("a"),
                         F.col("ne").alias("ae"))
             .join(cand.select(F.col("query_id").alias("query_id"),
@@ -9574,7 +9578,7 @@ def q_embeddings_mmr_rerank(spark, sf_dir):
                               F.col("ne").alias("be")), "query_id")
             .filter(F.col("a") != F.col("b"))
             .select("query_id", "a", "b",
-                    _mmr_cos("ae", "be").alias("sim"))).persist()
+                    _mmr_cos("ae", "be").alias("sim")))
     pool = cand.select("query_id", "neighbor_id", "rel")
     sel = (pool.withColumn("rk", F.row_number().over(wk))
            .filter(F.col("rk") == 1)
@@ -9599,12 +9603,9 @@ def q_embeddings_mmr_rerank(spark, sf_dir):
                 .select("query_id", "neighbor_id",
                         F.lit(t).alias("mmr_rank")))
         sel = sel.unionByName(pick)
-    out = sel.select("query_id",
-                     F.col("mmr_rank").cast("int").alias("mmr_rank"),
-                     "neighbor_id")
-    cand.unpersist()
-    sims.unpersist()
-    return out
+    return sel.select("query_id",
+                      F.col("mmr_rank").cast("int").alias("mmr_rank"),
+                      "neighbor_id")
 
 
 def _mmr_round_sql(prev_sel: str, t: int) -> str:
