@@ -10091,6 +10091,261 @@ FROM routed GROUP BY route
 """
 
 
+def q_graph_hop_histogram(spark, sf_dir):
+    """Hop-distance distribution of the host graph — the
+    neighbourhood-function summary web-graph analyses lead with (Broder
+    et al.'s bow-tie paper; HyperBall computes exactly this at scale):
+    pair counts at min-distance 1/2/3 over the shared 50-host graph,
+    reachable-pair ratio vs all ordered pairs (ppm), and the effective
+    diameter d90 — the smallest hop count covering >= 90% of reachable
+    (<= 3 hop) pairs. Level-synchronous BFS set algebra (the
+    graph_harmonic machinery) keeps everything exact-integer.
+
+    Plan/scale: 2 bounded joins + per-level anti-joins + one global agg;
+    at web scale the pair sets become HyperBall HLL counters — this row
+    pins the semantics those sketches estimate."""
+    edges = _host_edges50(spark, sf_dir)
+    d1 = edges
+    two = (d1.withColumnRenamed("dst", "mid")
+           .join(edges.withColumnRenamed("src", "mid"), "mid")
+           .select("src", "dst").distinct()
+           .filter(F.col("src") != F.col("dst")))
+    d2 = two.join(d1, ["src", "dst"], "left_anti")
+    three = (d2.withColumnRenamed("dst", "mid")
+             .join(edges.withColumnRenamed("src", "mid"), "mid")
+             .select("src", "dst").distinct()
+             .filter(F.col("src") != F.col("dst")))
+    d3 = (three.join(d1, ["src", "dst"], "left_anti")
+          .join(d2, ["src", "dst"], "left_anti"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    counts = (d1.select(F.lit(1).alias("d"))
+              .unionByName(d2.select(F.lit(2).alias("d")))
+              .unionByName(d3.select(F.lit(3).alias("d")))
+              .groupBy("d").agg(F.count("*").cast("long").alias("n")))
+    tot = counts.agg(
+        F.sum("n").alias("n_reach"),
+        F.sum(F.when(F.col("d") <= 1, F.col("n")).otherwise(0))
+        .alias("c1"),
+        F.sum(F.when(F.col("d") <= 2, F.col("n")).otherwise(0))
+        .alias("c2"))
+    nn = nodes.agg(F.count("*").alias("n_nodes"))
+    return (counts.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(nn))
+            .select("d", "n",
+                    F.expr("n_reach * 1000000 "
+                           "DIV (n_nodes * (n_nodes - 1))").cast("long")
+                    .alias("reach_ppm"),
+                    F.expr("CASE WHEN c1 * 10 >= n_reach * 9 THEN 1 "
+                           "WHEN c2 * 10 >= n_reach * 9 THEN 2 "
+                           "ELSE 3 END").cast("int").alias("d90")))
+
+
+ORACLE_GRAPH_HOP_HISTOGRAM = f"""
+WITH e AS ({_HOST_E50_SQL}),
+d1 AS (SELECT src, dst FROM e),
+two AS (
+  SELECT DISTINCT a.src, b.dst
+  FROM d1 a JOIN e b ON b.src = a.dst WHERE a.src <> b.dst),
+d2 AS (SELECT src, dst FROM two EXCEPT SELECT src, dst FROM d1),
+three AS (
+  SELECT DISTINCT a.src, b.dst
+  FROM d2 a JOIN e b ON b.src = a.dst WHERE a.src <> b.dst),
+d3 AS (SELECT src, dst FROM three
+       EXCEPT SELECT src, dst FROM d1
+       EXCEPT SELECT src, dst FROM d2),
+counts AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT 1 AS d FROM d1
+    UNION ALL SELECT 2 FROM d2
+    UNION ALL SELECT 3 FROM d3) GROUP BY d),
+tot AS (
+  SELECT sum(n) AS n_reach,
+         sum(CASE WHEN d <= 1 THEN n ELSE 0 END) AS c1,
+         sum(CASE WHEN d <= 2 THEN n ELSE 0 END) AS c2
+  FROM counts),
+nn AS (
+  SELECT count(*) AS n_nodes FROM (
+    SELECT src AS node FROM e UNION SELECT dst FROM e))
+SELECT c.d, c.n,
+       CAST(t.n_reach * 1000000
+            // (nn.n_nodes * (nn.n_nodes - 1)) AS BIGINT) AS reach_ppm,
+       CAST(CASE WHEN t.c1 * 10 >= t.n_reach * 9 THEN 1
+                 WHEN t.c2 * 10 >= t.n_reach * 9 THEN 2
+                 ELSE 3 END AS INT) AS d90
+FROM counts c CROSS JOIN tot t CROSS JOIN nn
+"""
+
+
+def q_embeddings_mrl_eval(spark, sf_dir):
+    """Matryoshka truncation eval — modern embedding pipelines store
+    MRL-trained vectors and serve a truncated prefix for cheap
+    retrieval; before turning that on you measure what truncation costs:
+    top-5 cosine neighbors using only the FIRST 16 of 64 dims, graded
+    against full-dim top-5 (recall@5 in exact ppm per query + the
+    aggregate). The fixture's embeddings are NOT MRL-trained, so recall
+    is expectedly mediocre — the row is the measurement harness, and
+    the rank-only comparison keeps it engine-exact.
+
+    Plan/scale: two brute-force scorings of the same broadcast query
+    set (swap the full-dim side for an ANN path at scale), one
+    rank-window each, one join on the pair key, one agg."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe")))
+    b = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("ne"))
+    scored = (q.join(b, F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("qe16", F.slice("qe", 1, 16))
+              .withColumn("ne16", F.slice("ne", 1, 16))
+              .select("query_id", "neighbor_id",
+                      _mmr_cos("qe", "ne").alias("cos_full"),
+                      _mmr_cos("qe16", "ne16").alias("cos_16")))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id").asc())
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cos_16").desc(), F.col("neighbor_id").asc())
+    full5 = (scored.withColumn("rk", F.row_number().over(wf))
+             .filter(F.col("rk") <= 5)
+             .select("query_id", "neighbor_id"))
+    trunc5 = (scored.withColumn("rk", F.row_number().over(wt))
+              .filter(F.col("rk") <= 5)
+              .select("query_id", "neighbor_id",
+                      F.lit(1).alias("hit_flag")))
+    return (full5.join(trunc5, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce("hit_flag", F.lit(0))).cast("long")
+                 .alias("n_hits"))
+            .select("query_id", "n_hits",
+                    F.expr("n_hits * 1000000 DIV 5").cast("long")
+                    .alias("recall_ppm")))
+
+
+ORACLE_EMBEDDINGS_MRL_EVAL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(range(len(q.embedding)),
+             i -> q.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(len(q.embedding)),
+             i -> q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(len(b.embedding)),
+             i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))))
+           AS cos_full,
+         list_sum(list_transform(range(16),
+             i -> q.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(16),
+             i -> q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(16),
+             i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))))
+           AS cos_16
+  FROM embeddings q JOIN embeddings b ON b.vec_id != q.vec_id
+  WHERE q.vec_id < 10),
+full5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_full DESC, neighbor_id ASC) AS rk
+    FROM scored) WHERE rk <= 5),
+trunc5 AS (
+  SELECT query_id, neighbor_id, 1 AS hit_flag FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_16 DESC, neighbor_id ASC) AS rk
+    FROM scored) WHERE rk <= 5)
+SELECT f.query_id,
+       CAST(sum(coalesce(t.hit_flag, 0)) AS BIGINT) AS n_hits,
+       CAST(sum(coalesce(t.hit_flag, 0)) * 1000000 // 5 AS BIGINT)
+         AS recall_ppm
+FROM full5 f LEFT JOIN trunc5 t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+"""
+
+
+def q_frontier_dga_hosts(spark, sf_dir):
+    """Random-hostname (DGA/onion-style) detection — a dark-web frontier
+    is full of machine-generated hostnames, and treating them like
+    editorial domains skews per-host trust and budget policy (the
+    reference's whole universe is 56-char random .onion labels):
+    hostnames are synthesized (every 13th an md5-derived random label,
+    the rest word-built store domains), then detected from the LABEL
+    alone by exact length + digit-ratio + vowel-ratio features — the
+    classic DGA heuristic triple, conjoined so hyphen-word domains with
+    incidental digits never trip it (digit-heavy AND vowel-poor AND
+    long). Output: per class, count and exact mean feature ppms.
+
+    Plan/scale: one scan of per-row string codegen + a 2-row agg; the
+    feature exprs are shared with the detector's vote, computed once."""
+    k = F.col("o_orderkey")
+    host = F.when(k % 13 == 0,
+                  F.concat(F.substring(F.md5(k.cast("string")), 1, 16),
+                           F.lit(".onion"))
+                  ).otherwise(
+        F.concat(F.lit("shop-"), (k % 100).cast("string"),
+                 F.lit("-store.com")))
+    d = _t(spark, sf_dir, "orders").select(host.alias("hostname"))
+    label = F.split("hostname", "\\.").getItem(0)
+    t = d.select("hostname", label.alias("label"))
+    n = F.greatest(F.length("label"), F.lit(1))
+    n_vowel = F.length(F.regexp_replace("label", "[^aeiou]", ""))
+    n_digit = F.length(F.regexp_replace("label", "[^0-9]", ""))
+    feat = t.select(
+        "label",
+        F.length("label").cast("long").alias("len"),
+        (n_vowel * 1000000).cast("long").alias("v_num"),
+        (n_digit * 1000000).cast("long").alias("d_num"),
+        n.cast("long").alias("n"))
+    classed = feat.select(
+        F.when((F.expr("d_num DIV n") >= 250000)
+               & (F.expr("v_num DIV n") < 300000)
+               & (F.col("len") >= 12),
+               F.lit("dga")).otherwise(F.lit("benign"))
+        .alias("host_class"),
+        "len", "v_num", "d_num", "n")
+    return classed.groupBy("host_class").agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.expr("sum(len) * 1 DIV count(*)").cast("long")
+        .alias("mean_len"),
+        F.expr("sum(v_num DIV n) DIV count(*)").cast("long")
+        .alias("mean_vowel_ppm"),
+        F.expr("sum(d_num DIV n) DIV count(*)").cast("long")
+        .alias("mean_digit_ppm"))
+
+
+ORACLE_FRONTIER_DGA_HOSTS = """
+WITH d AS (
+  SELECT CASE WHEN o_orderkey % 13 = 0
+              THEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 16)
+                   || '.onion'
+              ELSE 'shop-' || (o_orderkey % 100) || '-store.com'
+         END AS hostname
+  FROM orders),
+feat AS (
+  SELECT string_split(hostname, '.')[1] AS label FROM d),
+scored AS (
+  SELECT CAST(length(label) AS BIGINT) AS len,
+         CAST(length(regexp_replace(label, '[^aeiou]', '', 'g'))
+              * 1000000 AS BIGINT) AS v_num,
+         CAST(length(regexp_replace(label, '[^0-9]', '', 'g'))
+              * 1000000 AS BIGINT) AS d_num,
+         CAST(greatest(length(label), 1) AS BIGINT) AS n
+  FROM feat),
+classed AS (
+  SELECT CASE WHEN d_num // n >= 250000 AND v_num // n < 300000
+                   AND len >= 12
+              THEN 'dga' ELSE 'benign' END AS host_class,
+         len, v_num, d_num, n
+  FROM scored)
+SELECT host_class,
+       CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(sum(len) // count(*) AS BIGINT) AS mean_len,
+       CAST(sum(v_num // n) // count(*) AS BIGINT) AS mean_vowel_ppm,
+       CAST(sum(d_num // n) // count(*) AS BIGINT) AS mean_digit_ppm
+FROM classed GROUP BY host_class
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -10281,6 +10536,9 @@ QUERIES = {
     "spans_token_budget": q_spans_token_budget,
     "host_mirror_detect": q_host_mirror_detect,
     "text_code_detect": q_text_code_detect,
+    "graph_hop_histogram": q_graph_hop_histogram,
+    "embeddings_mrl_eval": q_embeddings_mrl_eval,
+    "frontier_dga_hosts": q_frontier_dga_hosts,
 }
 
 ORACLES = {
@@ -10473,6 +10731,9 @@ ORACLES = {
     "spans_token_budget": ORACLE_SPANS_TOKEN_BUDGET,
     "host_mirror_detect": ORACLE_HOST_MIRROR_DETECT,
     "text_code_detect": ORACLE_TEXT_CODE_DETECT,
+    "graph_hop_histogram": ORACLE_GRAPH_HOP_HISTOGRAM,
+    "embeddings_mrl_eval": ORACLE_EMBEDDINGS_MRL_EVAL,
+    "frontier_dga_hosts": ORACLE_FRONTIER_DGA_HOSTS,
 }
 
 
