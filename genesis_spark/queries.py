@@ -10346,6 +10346,827 @@ FROM classed GROUP BY host_class
 """
 
 
+def q_sitemap_staleness(spark, sf_dir):
+    """Sitemap-driven recrawl prioritization — what a crawler does with
+    sitemap <lastmod> beyond seed discovery (sitemap_ingest): join the
+    sitemap's lastmod against the crawl ledger's last-fetch date and
+    bucket every URL as uncrawled / stale (lastmod after the last fetch)
+    / fresh, with exact staleness-day totals per host — the per-host
+    work-queue the recrawl scheduler drains first.
+
+    Deterministic synthesis: lastmod = o_orderdate; the crawl ledger
+    covers o_orderkey % 5 != 0 with last_crawled = lastmod + (key % 120
+    - 60) days, so both stale and fresh populations exist by
+    construction.
+
+    Plan/scale: one equi-join on url_id (ledger bucketable next to the
+    frontier) + one partial agg; date math is integer days."""
+    k = F.col("o_orderkey")
+    sm = _t(spark, sf_dir, "orders").select(
+        k.alias("url_id"),
+        F.concat(F.lit("h"), (F.col("o_custkey") % 40).cast("string"))
+        .alias("host_key"),
+        F.col("o_orderdate").cast("date").alias("lastmod"))
+    ledger = (_t(spark, sf_dir, "orders")
+              .filter(k % 5 != 0)
+              .select(k.alias("url_id"),
+                      F.expr("date_add(CAST(o_orderdate AS DATE), "
+                             "CAST(o_orderkey % 120 - 60 AS INT))")
+                      .alias("last_crawled")))
+    j = sm.join(ledger, "url_id", "left")
+    klass = (F.when(F.col("last_crawled").isNull(), F.lit("uncrawled"))
+             .when(F.col("lastmod") > F.col("last_crawled"),
+                   F.lit("stale"))
+             .otherwise(F.lit("fresh")))
+    tagged = j.select(
+        "host_key", klass.alias("klass"),
+        F.when(F.col("last_crawled").isNotNull()
+               & (F.col("lastmod") > F.col("last_crawled")),
+               F.datediff("lastmod", "last_crawled"))
+        .otherwise(F.lit(0)).cast("long").alias("stale_days"))
+    return tagged.groupBy("host_key").agg(
+        F.count("*").cast("long").alias("n_sitemap_urls"),
+        F.sum((F.col("klass") == "uncrawled").cast("long")).cast("long")
+        .alias("n_uncrawled"),
+        F.sum((F.col("klass") == "stale").cast("long")).cast("long")
+        .alias("n_stale"),
+        F.sum((F.col("klass") == "fresh").cast("long")).cast("long")
+        .alias("n_fresh"),
+        F.sum("stale_days").cast("long").alias("sum_stale_days"),
+        F.max("stale_days").cast("long").alias("max_stale_days"))
+
+
+ORACLE_SITEMAP_STALENESS = """
+WITH sm AS (
+  SELECT o_orderkey AS url_id,
+         'h' || (o_custkey % 40) AS host_key,
+         CAST(o_orderdate AS DATE) AS lastmod
+  FROM orders),
+ledger AS (
+  SELECT o_orderkey AS url_id,
+         CAST(o_orderdate AS DATE)
+           + CAST(o_orderkey % 120 - 60 AS INT) AS last_crawled
+  FROM orders WHERE o_orderkey % 5 <> 0),
+tagged AS (
+  SELECT s.host_key,
+         CASE WHEN l.last_crawled IS NULL THEN 'uncrawled'
+              WHEN s.lastmod > l.last_crawled THEN 'stale'
+              ELSE 'fresh' END AS klass,
+         CASE WHEN l.last_crawled IS NOT NULL
+                   AND s.lastmod > l.last_crawled
+              THEN date_diff('day', l.last_crawled, s.lastmod)
+              ELSE 0 END AS stale_days
+  FROM sm s LEFT JOIN ledger l ON l.url_id = s.url_id)
+SELECT host_key,
+       CAST(count(*) AS BIGINT) AS n_sitemap_urls,
+       CAST(sum(CASE WHEN klass = 'uncrawled' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_uncrawled,
+       CAST(sum(CASE WHEN klass = 'stale' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stale,
+       CAST(sum(CASE WHEN klass = 'fresh' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fresh,
+       CAST(sum(stale_days) AS BIGINT) AS sum_stale_days,
+       CAST(max(stale_days) AS BIGINT) AS max_stale_days
+FROM tagged GROUP BY host_key
+"""
+
+
+def q_spans_ref_integrity(spark, sf_dir):
+    """Media referential-integrity audit over the interleaved span table
+    — the table-maintenance check a lakehouse runs between the span rows
+    and the media-blob table (a span pointing at a missing blob breaks
+    training reads; an unreferenced blob is storage leak + compaction
+    debt): per doc, span-side media refs, DANGLING refs (no media row —
+    every (doc_id + ordinal) % 7 == 0 blob is deterministically absent)
+    and ORPHAN media rows (no referencing span — every doc_id % 9 == 0
+    doc carries one extra blob).
+
+    Plan/scale: both sides derive per-row (zero shuffle), then two
+    anti-join-shaped left joins keyed on the ref string and one agg —
+    the exact shape of an Iceberg orphan-file sweep."""
+    from genesis_spark.sources.interleaved import interleaved_docs
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    il = interleaved_docs(docs)
+    refs = il.select(
+        "doc_id",
+        F.explode(F.expr("transform(filter(spans, "
+                         "s -> s.media_ref IS NOT NULL), "
+                         "s -> s.media_ref)")).alias("media_ref"))
+    base = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr("greatest(CAST(ceil(size(split(text, ' ')) / 8.0) AS INT)"
+               ", 1)").alias("n_chunks"))
+    m = F.expr("n_chunks DIV 3")
+    media = (base.withColumn("m", m)
+             .select("doc_id", F.explode(F.expr(
+                 "IF(m >= 1, sequence(1, m), array())")).alias("ord"))
+             .filter((F.expr("CAST(doc_id AS BIGINT)") + F.col("ord"))
+                     % 7 != 0)
+             .select("doc_id",
+                     F.concat("doc_id", F.lit("/img/"),
+                              F.col("ord").cast("string"))
+                     .alias("media_ref")))
+    orphans = (base.filter(F.expr("CAST(doc_id AS BIGINT)") % 9 == 0)
+               .select("doc_id",
+                       F.concat("doc_id", F.lit("/img/"),
+                                (F.expr("n_chunks DIV 3") + 1)
+                                .cast("string")).alias("media_ref")))
+    media_all = media.unionByName(orphans)
+    dangling = (refs.join(media_all, ["doc_id", "media_ref"], "left_anti")
+                .groupBy("doc_id")
+                .agg(F.count("*").cast("long").alias("n_dangling")))
+    orphan_ct = (media_all.join(refs, ["doc_id", "media_ref"],
+                                "left_anti")
+                 .groupBy("doc_id")
+                 .agg(F.count("*").cast("long").alias("n_orphans")))
+    per_doc = refs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_refs"))
+    return (per_doc
+            .join(dangling, "doc_id", "left")
+            .join(orphan_ct, "doc_id", "left")
+            .select("doc_id", "n_refs",
+                    F.coalesce("n_dangling", F.lit(0)).cast("long")
+                    .alias("n_dangling"),
+                    F.coalesce("n_orphans", F.lit(0)).cast("long")
+                    .alias("n_orphans")))
+
+
+ORACLE_SPANS_REF_INTEGRITY = f"""
+WITH {_SPANS_EX_SQL},
+refs AS (
+  SELECT doc_id, s.media_ref AS media_ref FROM ex
+  WHERE s.media_ref IS NOT NULL),
+base2 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS doc_num,
+         greatest(CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT),
+                  1) AS n_chunks
+  FROM documents WHERE text IS NOT NULL),
+media AS (
+  SELECT doc_id, doc_id || '/img/' || CAST(ord AS VARCHAR) AS media_ref
+  FROM (SELECT doc_id, doc_num,
+               unnest(range(1, n_chunks // 3 + 1)) AS ord
+        FROM base2)
+  WHERE (doc_num + ord) % 7 <> 0
+  UNION ALL
+  SELECT doc_id,
+         doc_id || '/img/' || CAST(n_chunks // 3 + 1 AS VARCHAR)
+  FROM base2 WHERE doc_num % 9 = 0),
+dangling AS (
+  SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_dangling
+  FROM refs r LEFT JOIN media m
+    ON m.doc_id = r.doc_id AND m.media_ref = r.media_ref
+  WHERE m.media_ref IS NULL GROUP BY r.doc_id),
+orphan_ct AS (
+  SELECT m.doc_id, CAST(count(*) AS BIGINT) AS n_orphans
+  FROM media m LEFT JOIN refs r
+    ON r.doc_id = m.doc_id AND r.media_ref = m.media_ref
+  WHERE r.media_ref IS NULL GROUP BY m.doc_id),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_refs
+  FROM refs GROUP BY doc_id)
+SELECT p.doc_id, p.n_refs,
+       CAST(coalesce(d.n_dangling, 0) AS BIGINT) AS n_dangling,
+       CAST(coalesce(o.n_orphans, 0) AS BIGINT) AS n_orphans
+FROM per_doc p
+LEFT JOIN dangling d ON d.doc_id = p.doc_id
+LEFT JOIN orphan_ct o ON o.doc_id = p.doc_id
+"""
+
+
+def q_events_heartbeat_gaps(spark, sf_dir):
+    """Heartbeat-gap monitoring per host — fleet-health telemetry for a
+    distributed crawler (a host whose event stream goes quiet had its
+    fetcher die; the reference's remote monitor is a service, this is
+    the batch audit): per host, event count, the MAX inter-event gap in
+    exact microseconds (unix_micros/epoch_us — no float epoch), and how
+    many gaps exceed the 600 s outage threshold.
+
+    Plan/scale: one lag window per host partition + one partial agg —
+    the canonical gap-scan shape (same as sessionize without the
+    session assembly)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"))
+        .alias("host_key"),
+        # unix_micros rejects TIMESTAMP_NTZ on Spark 4; session tz is
+        # pinned UTC so the cast is shift-free (and gaps cancel shifts)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id")
+    w = Window.partitionBy("host_key").orderBy("us", "event_id")
+    gapped = ev.withColumn(
+        "gap_us", F.col("us") - F.lag("us").over(w))
+    return (gapped.groupBy("host_key").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.sum((F.col("gap_us") > 600_000_000).cast("long")).cast("long")
+        .alias("n_outages")))
+
+
+ORACLE_EVENTS_HEARTBEAT_GAPS = """
+WITH ev AS (
+  SELECT 'h' || (user_id % 40) AS host_key,
+         epoch_us(ts) AS us, event_id
+  FROM events),
+gapped AS (
+  SELECT host_key,
+         us - lag(us) OVER (PARTITION BY host_key
+                            ORDER BY us, event_id) AS gap_us
+  FROM ev)
+SELECT host_key,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(CASE WHEN gap_us > 600000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outages
+FROM gapped GROUP BY host_key
+"""
+
+
+def q_text_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix — the eval row for the marker-word
+    lang_id detector (the eval-family discipline: a detector without a
+    confusion matrix is a guess): declared corpus language vs detected
+    language, pair counts, and the exact per-pair share of the declared
+    language's docs in ppm. The diagonal is accuracy; off-diagonal mass
+    says WHICH languages bleed into which (what you tune markers by).
+
+    Plan/scale: one scan with the shared lang_id_expr + one two-key
+    partial agg + one bounded window over <= #languages² rows."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pairs = (d.select(F.col("lang").alias("lang_declared"),
+                      TS.lang_id_expr(F.col("text"))
+                      .alias("lang_detected"))
+             .groupBy("lang_declared", "lang_detected")
+             .agg(F.count("*").cast("long").alias("n")))
+    tot = Window.partitionBy("lang_declared")
+    return pairs.select(
+        "lang_declared", "lang_detected", "n",
+        (F.col("lang_declared") == F.col("lang_detected"))
+        .alias("is_match"),
+        F.expr("n * 1000000").cast("long").alias("num"),
+        F.sum("n").over(tot).alias("den")
+    ).select("lang_declared", "lang_detected", "n", "is_match",
+             F.expr("num DIV den").cast("long").alias("share_ppm"))
+
+
+def _lang_confusion_oracle() -> str:
+    def hits(markers):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        return ("len(list_filter(string_split(lower(text), ' '), "
+                f"t -> t IN ({lst})))")
+    en = hits(TS.LANG_MARKERS["en"])
+    fr = hits(TS.LANG_MARKERS["fr"])
+    es = hits(TS.LANG_MARKERS["es"])
+    de = hits(TS.LANG_MARKERS["de"])
+    return f"""
+WITH c AS (
+  SELECT lang AS lang_declared,
+         {en} AS en, {fr} AS fr, {es} AS es, {de} AS de,
+         regexp_matches(text, '[一-鿿]') AS zh
+  FROM documents WHERE text IS NOT NULL),
+det AS (
+  SELECT lang_declared,
+         CASE WHEN zh THEN 'zh'
+              WHEN en > 0 AND en >= fr AND en >= es AND en >= de THEN 'en'
+              WHEN fr > 0 AND fr >= es AND fr >= de THEN 'fr'
+              WHEN es > 0 AND es >= de THEN 'es'
+              WHEN de > 0 THEN 'de'
+              ELSE 'und' END AS lang_detected
+  FROM c),
+pairs AS (
+  SELECT lang_declared, lang_detected,
+         CAST(count(*) AS BIGINT) AS n
+  FROM det GROUP BY lang_declared, lang_detected)
+SELECT lang_declared, lang_detected, n,
+       lang_declared = lang_detected AS is_match,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang_declared)
+            AS BIGINT) AS share_ppm
+FROM pairs
+"""
+
+
+ORACLE_TEXT_LANG_CONFUSION = _lang_confusion_oracle()
+
+
+def q_warc_cdx_audit(spark, sf_dir):
+    """WARC ↔ CDX cross-archive consistency audit — the integrity sweep
+    an archive operator runs between the record store and its index
+    (Common Crawl publishes both; an unindexed record is unreachable,
+    a dangling index line 404s, a wrong offset corrupts range reads):
+    classify every URI as indexed_ok / missing_cdx (record without an
+    index line — every 13th) / dangling_cdx (index line without a
+    record — synthetic deletions) / offset_mismatch (both sides exist
+    but disagree on the byte offset — every 23rd).
+
+    Plan/scale: one full outer equi-join on uri + one 4-row agg; both
+    sides derive per-row."""
+    i = F.col("doc_id")
+    base = _t(spark, sf_dir, "documents").select(
+        i.cast("long").alias("doc_id"),
+        F.concat(F.lit("http://h"), (i % 50).cast("string"),
+                 F.lit(".onion/p"), i.cast("string")).alias("uri"))
+    warc = base.select(
+        "uri", (F.col("doc_id") * 1000).alias("w_offset"))
+    cdx_main = (base.filter(i % 13 != 0)
+                .select("uri",
+                        (F.col("doc_id") * 1000
+                         + F.when(i % 23 == 0, 8).otherwise(0))
+                        .alias("c_offset")))
+    cdx_dangling = (base.filter(i % 17 == 0)
+                    .select(F.concat(F.lit("http://h"),
+                                     (i % 50).cast("string"),
+                                     F.lit(".onion/deleted"),
+                                     i.cast("string")).alias("uri"),
+                            (F.col("doc_id") * 1000 + 500)
+                            .alias("c_offset")))
+    cdx = cdx_main.unionByName(cdx_dangling)
+    j = warc.join(cdx, "uri", "full_outer")
+    klass = (F.when(F.col("c_offset").isNull(), F.lit("missing_cdx"))
+             .when(F.col("w_offset").isNull(), F.lit("dangling_cdx"))
+             .when(F.col("w_offset") != F.col("c_offset"),
+                   F.lit("offset_mismatch"))
+             .otherwise(F.lit("indexed_ok")))
+    return (j.select(klass.alias("audit_class"))
+            .groupBy("audit_class")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+ORACLE_WARC_CDX_AUDIT = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'http://h' || (doc_id % 50) || '.onion/p' || doc_id AS uri
+  FROM documents),
+warc AS (SELECT uri, doc_id * 1000 AS w_offset FROM base),
+cdx AS (
+  SELECT uri, doc_id * 1000
+           + CASE WHEN doc_id % 23 = 0 THEN 8 ELSE 0 END AS c_offset
+  FROM base WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT 'http://h' || (doc_id % 50) || '.onion/deleted' || doc_id,
+         doc_id * 1000 + 500
+  FROM base WHERE doc_id % 17 = 0),
+j AS (
+  SELECT CASE WHEN c.c_offset IS NULL THEN 'missing_cdx'
+              WHEN w.w_offset IS NULL THEN 'dangling_cdx'
+              WHEN w.w_offset <> c.c_offset THEN 'offset_mismatch'
+              ELSE 'indexed_ok' END AS audit_class
+  FROM warc w FULL OUTER JOIN cdx c ON c.uri = w.uri)
+SELECT audit_class, CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY audit_class
+"""
+
+
+def q_politeness_audit(spark, sf_dir):
+    """Politeness-violation audit over a fetch log — the compliance
+    check behind the politeness contract (scheduling politely is
+    necessary, PROVING the fleet fetched politely is what this row
+    does): per host, consecutive-fetch gaps vs the host's crawl delay
+    (the frontier_schedule fixture rule 500 + (host % 5) * 250 ms);
+    count violations (gap < delay), the worst (minimum) gap, and the
+    violation share in ppm.
+
+    Deterministic fetch log: fetch_at_ms = (o_orderkey % 100000) * 37 —
+    a scrambled-but-exact timeline with collisions broken by seq.
+
+    Plan/scale: one lag window per host + one partial agg — the
+    heartbeat-gap shape pointed at the politeness contract."""
+    k = F.col("o_orderkey")
+    host_num = (F.col("o_custkey") % 40).cast("int")
+    log = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), host_num.cast("string")).alias("host_key"),
+        ((host_num % 5) * 250 + 500).cast("long").alias("delay_ms"),
+        (k % 100000 * 37).cast("long").alias("fetch_at_ms"),
+        k.alias("seq"))
+    w = Window.partitionBy("host_key").orderBy("fetch_at_ms", "seq")
+    gapped = log.withColumn(
+        "gap_ms", F.col("fetch_at_ms") - F.lag("fetch_at_ms").over(w))
+    agg = gapped.groupBy("host_key").agg(
+        F.max("delay_ms").alias("delay_ms"),
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum((F.col("gap_ms") < F.col("delay_ms")).cast("long"))
+        .cast("long").alias("n_violations"),
+        F.min("gap_ms").cast("long").alias("min_gap_ms"))
+    return agg.select(
+        "host_key", F.col("delay_ms").cast("long").alias("delay_ms"),
+        "n_fetches", "n_violations", "min_gap_ms",
+        F.expr("n_violations * 1000000 DIV greatest(n_fetches - 1, 1)")
+        .cast("long").alias("violation_ppm"))
+
+
+ORACLE_POLITENESS_AUDIT = """
+WITH log AS (
+  SELECT 'h' || (o_custkey % 40) AS host_key,
+         CAST(((o_custkey % 40) % 5) * 250 + 500 AS BIGINT) AS delay_ms,
+         CAST(o_orderkey % 100000 * 37 AS BIGINT) AS fetch_at_ms,
+         o_orderkey AS seq
+  FROM orders),
+gapped AS (
+  SELECT host_key, delay_ms,
+         fetch_at_ms - lag(fetch_at_ms) OVER (
+           PARTITION BY host_key ORDER BY fetch_at_ms, seq) AS gap_ms
+  FROM log),
+agg AS (
+  SELECT host_key, max(delay_ms) AS delay_ms,
+         CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(sum(CASE WHEN gap_ms < delay_ms THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violations,
+         CAST(min(gap_ms) AS BIGINT) AS min_gap_ms
+  FROM gapped GROUP BY host_key)
+SELECT host_key, CAST(delay_ms AS BIGINT) AS delay_ms, n_fetches,
+       n_violations, min_gap_ms,
+       CAST(n_violations * 1000000 // greatest(n_fetches - 1, 1)
+            AS BIGINT) AS violation_ppm
+FROM agg
+"""
+
+
+def q_url_shard_handoff(spark, sf_dir):
+    """Resharding-movement planning — what happens to a 10^10-URL
+    frontier when the shard count changes (8 -> 12 here): under naive
+    mod-hashing almost every key changes owner (a full-frontier
+    re-shuffle); under rendezvous/HRW hashing (Thaler & Ravishankar
+    1996 — argmax of md5(key, shard) over shards) only keys whose new
+    shard WINS move, ~new/(old+new) of them. The row computes both
+    schemes' exact moved counts side by side — the table that justifies
+    consistent hashing before an ops change, not after.
+
+    Plan/scale: the HRW argmax is a 12-way literal explode + one
+    bounded window per url (12 rows); mod is pure codegen; one 2-row
+    agg."""
+    k = F.col("o_orderkey")
+    urls = _t(spark, sf_dir, "orders").select(k.alias("url_id"))
+    mod = urls.select(
+        F.lit("mod").alias("scheme"),
+        ((F.col("url_id") % 8) != (F.col("url_id") % 12)).cast("long")
+        .alias("moved"))
+    shards = spark.range(0, 12).select(F.col("id").cast("int")
+                                       .alias("shard"))
+    cand = (urls.crossJoin(F.broadcast(shards))
+            .select("url_id", "shard",
+                    F.md5(F.concat(F.col("url_id").cast("string"),
+                                   F.lit("-"),
+                                   F.col("shard").cast("string")))
+                    .alias("h")))
+    w_old = Window.partitionBy("url_id").orderBy(F.col("h").desc(),
+                                                 F.col("shard").asc())
+    old = (cand.filter(F.col("shard") < 8)
+           .withColumn("rk", F.row_number().over(w_old))
+           .filter(F.col("rk") == 1)
+           .select("url_id", F.col("shard").alias("old_shard")))
+    new = (cand.withColumn("rk", F.row_number().over(w_old))
+           .filter(F.col("rk") == 1)
+           .select("url_id", F.col("shard").alias("new_shard")))
+    hrw = (old.join(new, "url_id")
+           .select(F.lit("rendezvous").alias("scheme"),
+                   (F.col("old_shard") != F.col("new_shard"))
+                   .cast("long").alias("moved")))
+    return (mod.unionByName(hrw)
+            .groupBy("scheme")
+            .agg(F.count("*").cast("long").alias("n_urls"),
+                 F.sum("moved").cast("long").alias("n_moved"))
+            .select("scheme", "n_urls", "n_moved",
+                    F.expr("n_moved * 1000000 DIV n_urls").cast("long")
+                    .alias("moved_ppm")))
+
+
+ORACLE_URL_SHARD_HANDOFF = """
+WITH urls AS (SELECT o_orderkey AS url_id FROM orders),
+mod AS (
+  SELECT 'mod' AS scheme,
+         CASE WHEN url_id % 8 <> url_id % 12 THEN 1 ELSE 0 END AS moved
+  FROM urls),
+cand AS (
+  SELECT u.url_id, s.shard,
+         md5(CAST(u.url_id AS VARCHAR) || '-'
+             || CAST(s.shard AS VARCHAR)) AS h
+  FROM urls u CROSS JOIN
+       (SELECT CAST(i AS INT) AS shard FROM range(0, 12) t(i)) s),
+old AS (
+  SELECT url_id, shard AS old_shard FROM (
+    SELECT url_id, shard,
+           row_number() OVER (PARTITION BY url_id
+                              ORDER BY h DESC, shard ASC) AS rk
+    FROM cand WHERE shard < 8) WHERE rk = 1),
+new AS (
+  SELECT url_id, shard AS new_shard FROM (
+    SELECT url_id, shard,
+           row_number() OVER (PARTITION BY url_id
+                              ORDER BY h DESC, shard ASC) AS rk
+    FROM cand) WHERE rk = 1),
+hrw AS (
+  SELECT 'rendezvous' AS scheme,
+         CASE WHEN o.old_shard <> n.new_shard THEN 1 ELSE 0 END AS moved
+  FROM old o JOIN new n ON n.url_id = o.url_id),
+allr AS (SELECT * FROM mod UNION ALL SELECT * FROM hrw)
+SELECT scheme,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(moved) AS BIGINT) AS n_moved,
+       CAST(sum(moved) * 1000000 // count(*) AS BIGINT) AS moved_ppm
+FROM allr GROUP BY scheme
+"""
+
+
+def q_text_dup_ngram_coverage(spark, sf_dir):
+    """Cross-document duplicated-n-gram coverage — the RefinedWeb /
+    MassiveText line-level dedup metric (Penedo et al. 2023 §4.2:
+    "fraction of characters in duplicated n-grams") at word-8-gram
+    granularity: an 8-gram appearing in >= 2 distinct docs is
+    DUPLICATED, and each doc reports what fraction of its word
+    positions any duplicated 8-gram covers (exact ppm). This is the
+    cross-doc complement to text_repetition's intra-doc stats — the
+    number the near-dedup threshold is tuned against.
+
+    Plan/scale: grams hash to md5 BEFORE the shuffle (wide text stays
+    map-side), df is one partial agg, coverage explodes only DUP gram
+    windows (8 positions each) and distinct-counts per doc — cost
+    scales with duplicated mass, not corpus size."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.split("text", " ").alias("ws"))
+    grams = base.select(
+        "doc_id", F.size("ws").alias("n_words"),
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(size(ws) - 7, 0)), "
+            "i -> struct(i AS pos, "
+            "md5(array_join(slice(ws, i, 8), ' ')) AS g))")).alias("gr"))
+    occ = grams.select("doc_id", "n_words", F.col("gr.pos").alias("pos"),
+                       F.col("gr.g").alias("g"))
+    df_ = (occ.select("g", "doc_id").distinct()
+           .groupBy("g").agg(F.count("*").alias("df")))
+    dup = occ.join(df_.filter(F.col("df") >= 2), "g")
+    covered = (dup.select("doc_id", "n_words",
+                          F.explode(F.expr("sequence(pos, pos + 7)"))
+                          .alias("cov_pos"))
+               .groupBy("doc_id")
+               .agg(F.max("n_words").alias("n_words"),
+                    F.countDistinct("cov_pos").cast("long")
+                    .alias("n_dup_positions")))
+    sizes = base.select("doc_id", F.size("ws").cast("long")
+                        .alias("n_words"))
+    return (sizes.join(covered.select("doc_id", "n_dup_positions"),
+                       "doc_id", "left")
+            .select("doc_id", "n_words",
+                    F.coalesce("n_dup_positions", F.lit(0)).cast("long")
+                    .alias("n_dup_positions"))
+            .withColumn("dup_coverage_ppm",
+                        F.expr("n_dup_positions * 1000000 "
+                               "DIV greatest(n_words, 1)").cast("long")))
+
+
+ORACLE_TEXT_DUP_NGRAM_COVERAGE = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL),
+occ AS (
+  SELECT doc_id, len(ws) AS n_words,
+         CAST(i AS INT) AS pos,
+         md5(array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))
+           AS g
+  FROM base, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) t(i)),
+df AS (
+  SELECT g, count(DISTINCT doc_id) AS df FROM occ GROUP BY g),
+dup AS (
+  SELECT o.doc_id, o.n_words, o.pos
+  FROM occ o JOIN df ON df.g = o.g WHERE df.df >= 2),
+covered AS (
+  SELECT doc_id, count(DISTINCT cov_pos) AS n_dup_positions
+  FROM (SELECT doc_id, pos + x AS cov_pos
+        FROM dup, unnest(range(0, 8)) t(x))
+  GROUP BY doc_id),
+sizes AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM base)
+SELECT s.doc_id, s.n_words,
+       CAST(coalesce(c.n_dup_positions, 0) AS BIGINT)
+         AS n_dup_positions,
+       CAST(coalesce(c.n_dup_positions, 0) * 1000000
+            // greatest(s.n_words, 1) AS BIGINT) AS dup_coverage_ppm
+FROM sizes s LEFT JOIN covered c ON c.doc_id = s.doc_id
+"""
+
+
+def q_host_response_profile(spark, sf_dir):
+    """HTTP response-code profile per host with backoff policy — the
+    per-host health ledger a fetch scheduler feeds back into budget
+    decisions (a host throwing 10% server errors gets its budget cut
+    before it wastes fetch slots): status classes are synthesized with
+    HOST-DEPENDENT error rates (custkey % 3 picks a 0 / 5 / 10% 500-rate
+    tier), rolled up to per-host counts, exact server-error ppm, and
+    the backoff flag at >= 75000 ppm — only the 10% tier trips it.
+
+    Plan/scale: one scan of integer codegen + one partial agg per
+    host."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    status = (F.when((k + c) % 20 < (c % 3), F.lit("500"))
+              .when(k % 20 == 3, F.lit("301"))
+              .when((k % 20).isin(4, 5), F.lit("404"))
+              .otherwise(F.lit("200")))
+    log = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (c % 40).cast("string")).alias("host_key"),
+        status.alias("status"))
+    agg = log.groupBy("host_key").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum((F.col("status") == "200").cast("long")).cast("long")
+        .alias("n_200"),
+        F.sum((F.col("status") == "301").cast("long")).cast("long")
+        .alias("n_301"),
+        F.sum((F.col("status") == "404").cast("long")).cast("long")
+        .alias("n_404"),
+        F.sum((F.col("status") == "500").cast("long")).cast("long")
+        .alias("n_500"))
+    return agg.select(
+        "host_key", "n_fetches", "n_200", "n_301", "n_404", "n_500",
+        F.expr("n_500 * 1000000 DIV n_fetches").cast("long")
+        .alias("err_ppm"),
+        (F.expr("n_500 * 1000000 DIV n_fetches") >= 75000)
+        .alias("backoff"))
+
+
+ORACLE_HOST_RESPONSE_PROFILE = """
+WITH log AS (
+  SELECT 'h' || (o_custkey % 40) AS host_key,
+         CASE WHEN (o_orderkey + o_custkey) % 20 < (o_custkey % 3)
+              THEN '500'
+              WHEN o_orderkey % 20 = 3 THEN '301'
+              WHEN o_orderkey % 20 IN (4, 5) THEN '404'
+              ELSE '200' END AS status
+  FROM orders),
+agg AS (
+  SELECT host_key,
+         CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(sum(CASE WHEN status = '200' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_200,
+         CAST(sum(CASE WHEN status = '301' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_301,
+         CAST(sum(CASE WHEN status = '404' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_404,
+         CAST(sum(CASE WHEN status = '500' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_500
+  FROM log GROUP BY host_key)
+SELECT host_key, n_fetches, n_200, n_301, n_404, n_500,
+       CAST(n_500 * 1000000 // n_fetches AS BIGINT) AS err_ppm,
+       (n_500 * 1000000 // n_fetches) >= 75000 AS backoff
+FROM agg
+"""
+
+
+def q_text_rag_chunks(spark, sf_dir):
+    """Sliding-window chunking for retrieval indexing — the
+    chunk-with-overlap pass every RAG ingestion pipeline runs (64-token
+    windows, 16-token overlap = stride 48, so a fact straddling a
+    boundary survives in the next chunk): per chunk, the doc, ordinal,
+    start position, exact token count, and an md5 content hash (the
+    dedup/update key — chunk text itself never needs to leave the
+    scan).
+
+    Plan/scale: pure array codegen (sequence + slice per row) + one
+    explode; output cardinality ~n_tokens/48 per doc, no shuffle."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.split("text", " ").alias("ws"))
+    chunks = base.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(size(ws), 1), 48), "
+            "(s, i) -> struct(i AS chunk_id, s AS start_pos, "
+            "size(slice(ws, s, 64)) AS n_tokens, "
+            "md5(array_join(slice(ws, s, 64), ' ')) AS chunk_md5))"
+        )).alias("c"))
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.start_pos").cast("int").alias("start_pos"),
+        F.col("c.n_tokens").cast("int").alias("n_tokens"),
+        F.col("c.chunk_md5").alias("chunk_md5"))
+
+
+ORACLE_TEXT_RAG_CHUNKS = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+            AS INT) AS chunk_id,
+       CAST(s AS INT) AS start_pos,
+       CAST(len(ws[CAST(s AS INT):CAST(s + 63 AS INT)]) AS INT)
+         AS n_tokens,
+       md5(array_to_string(ws[CAST(s AS INT):CAST(s + 63 AS INT)], ' '))
+         AS chunk_md5
+FROM base, unnest(range(1, greatest(len(ws), 1) + 1, 48)) t(s)
+"""
+
+
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the host graph (Newman 2002) — do hubs
+    link to hubs (r > 0) or to the periphery (r < 0, the web's usual
+    signature)? Over the shared 50-host edge list with x = source
+    out-degree, y = target in-degree: all five moments are EXACT
+    integers (joins + sums of BIGINT degrees), and the Pearson r
+    derives from those identical integers through the same IEEE double
+    expression in both engines, quantized to 4 dp with the shared
+    floor(x*1e4 + 0.5) discipline — no order-dependent float
+    accumulation anywhere.
+
+    Plan/scale: two degree aggs, two broadcast join-backs onto the edge
+    list, one global moment agg — web-graph scale shapes."""
+    edges = _host_edges50(spark, sf_dir)
+    outd = edges.groupBy("src").agg(F.count("*").alias("x"))
+    ind = edges.groupBy("dst").agg(F.count("*").alias("y"))
+    xy = (edges.join(outd, "src").join(ind, "dst")
+          .select(F.col("x").cast("long").alias("x"),
+                  F.col("y").cast("long").alias("y")))
+    mom = xy.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    r = ("(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) "
+         "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+         "sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) "
+         "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+         "* (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) "
+         "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))")
+    return mom.select(
+        "m", "sx", "sy", "sxy", "sxx", "syy",
+        F.expr(f"floor(({r}) * 1e4 + 0.5) / 1e4").alias("r_4dp"))
+
+
+ORACLE_GRAPH_ASSORTATIVITY = f"""
+WITH e AS ({_HOST_E50_SQL}),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS x FROM e GROUP BY src),
+ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS y FROM e GROUP BY dst),
+xy AS (
+  SELECT o.x, i.y
+  FROM e JOIN outd o ON o.src = e.src JOIN ind i ON i.dst = e.dst),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy)
+SELECT m, sx, sy, sxy, sxx, syy,
+       floor(((m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / sqrt((m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  * (m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)))
+             * 1e4 + 0.5) / 1e4 AS r_4dp
+FROM mom
+"""
+
+
+def q_corpus_mix_temperature(spark, sf_dir):
+    """Temperature-scaled language mixing (the multilingual sampling rule
+    from mBERT/XLM-R: p_l^(1/T) re-weighting, T = 2, so rare languages
+    are up-sampled toward — but not onto — parity): per language, the
+    natural share and the T=2 weight, all in EXACT integer ppm — the
+    sqrt is quantized per LANGUAGE to 1e-6 units BEFORE the normalizing
+    sum, so no order-dependent float accumulation crosses an engine
+    boundary.
+
+    Plan/scale: one partial agg to per-lang counts (|langs| rows), all
+    remaining math over that tiny frame via one broadcast total."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    counts = d.groupBy("lang").agg(F.count("*").cast("long")
+                                   .alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n_total"))
+    scored = (counts.crossJoin(F.broadcast(tot))
+              .withColumn("s_q", F.expr(
+                  "CAST(floor(sqrt(CAST(n_docs AS DOUBLE) "
+                  "/ CAST(n_total AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)")))
+    ssum = scored.agg(F.sum("s_q").alias("s_total"))
+    return (scored.crossJoin(F.broadcast(ssum))
+            .select("lang", "n_docs",
+                    F.expr("n_docs * 1000000 DIV n_total").cast("long")
+                    .alias("natural_ppm"),
+                    F.expr("s_q * 1000000 DIV s_total").cast("long")
+                    .alias("t2_weight_ppm"),
+                    (F.expr("s_q * 1000000 DIV s_total")
+                     > F.expr("n_docs * 1000000 DIV n_total"))
+                    .alias("upsampled")))
+
+
+ORACLE_CORPUS_MIX_TEMPERATURE = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE text IS NOT NULL GROUP BY lang),
+tot AS (SELECT sum(n_docs) AS n_total FROM counts),
+scored AS (
+  SELECT c.lang, c.n_docs, t.n_total,
+         CAST(floor(sqrt(c.n_docs::DOUBLE / t.n_total::DOUBLE) * 1e6
+                    + 0.5) AS BIGINT) AS s_q
+  FROM counts c CROSS JOIN tot t),
+ssum AS (SELECT sum(s_q) AS s_total FROM scored)
+SELECT s.lang, s.n_docs,
+       CAST(s.n_docs * 1000000 // s.n_total AS BIGINT) AS natural_ppm,
+       CAST(s.s_q * 1000000 // m.s_total AS BIGINT) AS t2_weight_ppm,
+       (s.s_q * 1000000 // m.s_total)
+         > (s.n_docs * 1000000 // s.n_total) AS upsampled
+FROM scored s CROSS JOIN ssum m
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -10539,6 +11360,18 @@ QUERIES = {
     "graph_hop_histogram": q_graph_hop_histogram,
     "embeddings_mrl_eval": q_embeddings_mrl_eval,
     "frontier_dga_hosts": q_frontier_dga_hosts,
+    "sitemap_staleness": q_sitemap_staleness,
+    "spans_ref_integrity": q_spans_ref_integrity,
+    "events_heartbeat_gaps": q_events_heartbeat_gaps,
+    "text_lang_confusion": q_text_lang_confusion,
+    "warc_cdx_audit": q_warc_cdx_audit,
+    "politeness_audit": q_politeness_audit,
+    "url_shard_handoff": q_url_shard_handoff,
+    "text_dup_ngram_coverage": q_text_dup_ngram_coverage,
+    "host_response_profile": q_host_response_profile,
+    "text_rag_chunks": q_text_rag_chunks,
+    "graph_assortativity": q_graph_assortativity,
+    "corpus_mix_temperature": q_corpus_mix_temperature,
 }
 
 ORACLES = {
@@ -10734,6 +11567,18 @@ ORACLES = {
     "graph_hop_histogram": ORACLE_GRAPH_HOP_HISTOGRAM,
     "embeddings_mrl_eval": ORACLE_EMBEDDINGS_MRL_EVAL,
     "frontier_dga_hosts": ORACLE_FRONTIER_DGA_HOSTS,
+    "sitemap_staleness": ORACLE_SITEMAP_STALENESS,
+    "spans_ref_integrity": ORACLE_SPANS_REF_INTEGRITY,
+    "events_heartbeat_gaps": ORACLE_EVENTS_HEARTBEAT_GAPS,
+    "text_lang_confusion": ORACLE_TEXT_LANG_CONFUSION,
+    "warc_cdx_audit": ORACLE_WARC_CDX_AUDIT,
+    "politeness_audit": ORACLE_POLITENESS_AUDIT,
+    "url_shard_handoff": ORACLE_URL_SHARD_HANDOFF,
+    "text_dup_ngram_coverage": ORACLE_TEXT_DUP_NGRAM_COVERAGE,
+    "host_response_profile": ORACLE_HOST_RESPONSE_PROFILE,
+    "text_rag_chunks": ORACLE_TEXT_RAG_CHUNKS,
+    "graph_assortativity": ORACLE_GRAPH_ASSORTATIVITY,
+    "corpus_mix_temperature": ORACLE_CORPUS_MIX_TEMPERATURE,
 }
 
 

@@ -1,0 +1,93 @@
+"""Block-44 operators: sitemap staleness, ref integrity, heartbeat gaps."""
+
+from __future__ import annotations
+
+import duckdb
+
+from genesis_spark.queries import (q_events_heartbeat_gaps,
+                                   q_sitemap_staleness,
+                                   q_spans_ref_integrity)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sitemap_staleness_matches_python_replay(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) "
+        f"FROM '{SF}/orders.parquet'").fetchall()
+    agg = {}
+    for k, c, lastmod in rows:
+        host = f"h{c % 40}"
+        st = agg.setdefault(host, [0, 0, 0, 0, 0, 0])
+        st[0] += 1
+        if k % 5 == 0:
+            st[1] += 1                       # uncrawled
+            continue
+        delta = k % 120 - 60                 # last_crawled - lastmod
+        if delta < 0:                        # crawled BEFORE lastmod
+            st[2] += 1                       # stale
+            st[4] += -delta
+            st[5] = max(st[5], -delta)
+        else:
+            st[3] += 1                       # fresh
+    want = {h: tuple(v) for h, v in agg.items()}
+    got = {r["host_key"]: (r["n_sitemap_urls"], r["n_uncrawled"],
+                           r["n_stale"], r["n_fresh"],
+                           r["sum_stale_days"], r["max_stale_days"])
+           for r in q_sitemap_staleness(spark, SF).collect()}
+    assert got == want
+    # all three populations exist by construction
+    tot = [sum(v[i] for v in got.values()) for i in range(6)]
+    assert tot[1] > 0 and tot[2] > 0 and tot[3] > 0 and tot[4] > 0
+
+
+def test_ref_integrity_matches_python_replay(spark):
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' "
+        "WHERE text IS NOT NULL").fetchall()
+    want = {}
+    for doc_id, text in docs:
+        n_chunks = max((len(text.split(" ")) + 7) // 8, 1)
+        n_imgs = n_chunks // 3
+        refs = {f"{doc_id}/img/{j}" for j in range(1, n_imgs + 1)}
+        media = {f"{doc_id}/img/{j}" for j in range(1, n_imgs + 1)
+                 if (doc_id + j) % 7 != 0}
+        if doc_id % 9 == 0:
+            media.add(f"{doc_id}/img/{n_imgs + 1}")
+        if refs:
+            want[str(doc_id)] = (len(refs), len(refs - media),
+                                 len(media - refs))
+    got = {r["doc_id"]: (r["n_refs"], r["n_dangling"], r["n_orphans"])
+           for r in q_spans_ref_integrity(spark, SF).collect()}
+    assert got == want
+    # both defect classes are detected somewhere on the fixture
+    assert any(v[1] > 0 for v in got.values())
+    assert any(v[2] > 0 for v in got.values())
+
+
+def test_heartbeat_gaps_matches_python_replay(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, ts, event_id FROM '{SF}/events.parquet'"
+    ).fetchall()
+    per = {}
+    for uid, ts, eid in rows:
+        us = int(ts.timestamp() * 1_000_000)
+        # exact micros: rebuild from components to avoid float epoch
+        import calendar
+        us = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+        per.setdefault(f"h{uid % 40}", []).append((us, eid))
+    want = {}
+    for host, obs in per.items():
+        obs.sort()
+        gaps = [b[0] - a[0] for a, b in zip(obs, obs[1:])]
+        want[host] = (len(obs), max(gaps) if gaps else None,
+                      sum(1 for g in gaps if g > 600_000_000))
+    got = {r["host_key"]: (r["n_events"], r["max_gap_us"], r["n_outages"])
+           for r in q_events_heartbeat_gaps(spark, SF).collect()}
+    assert got == want
+    # microsecond precision is real (some max gap is not second-aligned)
+    assert any(g is not None and g % 1_000_000 for _, g, _ in
+               got.values())
