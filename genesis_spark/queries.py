@@ -11167,6 +11167,251 @@ FROM scored s CROSS JOIN ssum m
 """
 
 
+def _scc_edges(spark, sf_dir):
+    """Directed 60-host link graph with known cycle structure: nodes
+    g0..g19 form one 20-cycle (one SCC of 20), g20..g39 each feed into
+    the cycle (20 singleton SCCs), g40..g59 form four 5-cycles. Derived
+    from o_orderkey alone so both engines synthesize it identically."""
+    i = F.col("o_orderkey") % 60
+    dst = (F.when(i < 20, (i + 1) % 20)
+           .when(i < 40, i - 20)
+           .otherwise(F.lit(40) + ((i - 40) % 5 + 1) % 5
+                      + ((i - 40) - (i - 40) % 5)))
+    return (_t(spark, sf_dir, "orders")
+            .select(F.concat(F.lit("g"), i.cast("string")).alias("src"),
+                    F.concat(F.lit("g"), dst.cast("string")).alias("dst"))
+            .distinct())
+
+
+_SCC_EDGES_SQL = """
+  SELECT DISTINCT 'g' || i AS src,
+         'g' || (CASE WHEN i < 20 THEN (i + 1) % 20
+                      WHEN i < 40 THEN i - 20
+                      ELSE 40 + ((i - 40) % 5 + 1) % 5
+                           + ((i - 40) - (i - 40) % 5) END) AS dst
+  FROM (SELECT o_orderkey % 60 AS i FROM orders)
+"""
+
+
+def q_graph_scc(spark, sf_dir):
+    """Strongly connected components of the directed host link graph —
+    the cycle detector WCC can't be (host_components finds mirror
+    farms; SCC finds redirect/link CYCLES, the structures that trap a
+    depth-capped crawler and that URL-seen must absorb): scc_id =
+    min(w : w reachable from u AND u reachable from w), per-host, with
+    SCC sizes. A host in an SCC of size > 1 sits on a directed cycle.
+
+    Algorithm: bounded transitive closure by iterated join-expansion
+    (one shuffle + distinct per round, localCheckpoint lineage cuts —
+    same discipline as operators/cc.py), then scc_id from the
+    closure ∩ reversed-closure self-pairs. Scale honesty: closure is
+    O(V·reach) — this variant is for the bounded SITE-LOCAL subgraphs a
+    crawler actually cycles within (per-registered-domain graphs after
+    partitioning, 10²-10⁴ nodes each, run per-group); whole-web SCC
+    needs FW-BW pivoting, which this row deliberately does not claim.
+    Oracle: recursive-CTE closure, same min rule."""
+    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    reach = edges.select(F.col("src").alias("node"),
+                         F.col("dst").alias("reach"))
+    # diameter of the synthetic graph is 20 (the big cycle); squaring
+    # (reach ∘ reach) doubles max path length per round: 6 rounds
+    # cover paths up to 2^6 = 64 >= 21
+    for _ in range(6):
+        step = (reach
+                .join(reach.select(F.col("node").alias("reach"),
+                                   F.col("reach").alias("nxt")), "reach")
+                .select("node", F.col("nxt").alias("reach")))
+        reach = reach.unionByName(step).distinct() \
+            .localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))).distinct()
+    closure = reach.unionByName(
+        nodes.select("node", F.col("node").alias("reach"))).distinct()
+    back = closure.select(F.col("reach").alias("node"),
+                          F.col("node").alias("reach"))
+    mutual = closure.join(back, ["node", "reach"])
+    comp = mutual.groupBy("node").agg(F.min("reach").alias("scc_id"))
+    sizes = comp.groupBy("scc_id").agg(
+        F.count("*").cast("long").alias("scc_size"))
+    return (comp.join(sizes, "scc_id")
+            .select(F.col("node").alias("host_key"), "scc_id",
+                    "scc_size", (F.col("scc_size") > 1).alias("on_cycle")))
+
+
+ORACLE_GRAPH_SCC = f"""
+WITH RECURSIVE e AS ({_SCC_EDGES_SQL}),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+reach AS (
+  SELECT src AS node, dst AS r FROM e
+  UNION
+  SELECT t.node, e.dst AS r FROM reach t JOIN e ON e.src = t.r),
+closure AS (
+  SELECT node, r FROM reach
+  UNION SELECT node, node AS r FROM nodes),
+mutual AS (
+  SELECT c.node, c.r FROM closure c
+  JOIN closure b ON b.node = c.r AND b.r = c.node),
+comp AS (SELECT node, min(r) AS scc_id FROM mutual GROUP BY node),
+sizes AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+          FROM comp GROUP BY scc_id)
+SELECT node AS host_key, scc_id, scc_size, scc_size > 1 AS on_cycle
+FROM comp JOIN sizes USING (scc_id)
+"""
+
+
+def q_dns_cache_plan(spark, sf_dir):
+    """Per-wave DNS resolution planning — before a fetch wave, every
+    pending host needs a live A-record: join the wave's hosts against
+    the resolver cache and classify MISS (never resolved) / EXPIRED
+    (now past resolved_at + ttl) / FRESH, then aggregate per resolver
+    shard (hosts hash-sharded across 16 resolver workers) the lookups
+    owed this wave and the URLs blocked behind them — the prefetch
+    batch a crawler issues while the previous wave drains.
+
+    Deterministic synthesis: 200 hosts from o_custkey; cache covers
+    host_id % 3 != 0 with resolved_at staggered by (host_id*7) % 900 s and
+    a 600 s TTL against a fixed now-epoch, so all three classes exist
+    by construction. Plan/scale: one small agg to hosts, one broadcast
+    join against the cache (cache rows ≈ live hosts << URLs), one
+    16-row rollup — no URL-grain shuffle."""
+    now = 1_700_000_000
+    host_id = F.col("o_custkey") % 200
+    pend = (_t(spark, sf_dir, "orders")
+            .select(host_id.alias("host_id"))
+            .groupBy("host_id")
+            .agg(F.count("*").cast("long").alias("n_urls")))
+    cache = (pend.select("host_id")
+             .filter(F.col("host_id") % 3 != 0)
+             .select("host_id",
+                     (F.lit(now) - 300 - (F.col("host_id") * 7) % 900)
+                     .alias("resolved_at"),
+                     F.lit(600).alias("ttl_s")))
+    j = pend.join(F.broadcast(cache), "host_id", "left")
+    klass = (F.when(F.col("resolved_at").isNull(), F.lit("miss"))
+             .when(F.lit(now) > F.col("resolved_at") + F.col("ttl_s"),
+                   F.lit("expired"))
+             .otherwise(F.lit("fresh")))
+    tagged = j.select((F.col("host_id") % 16).cast("long")
+                      .alias("resolver_shard"),
+                      klass.alias("klass"), "n_urls")
+    return tagged.groupBy("resolver_shard").agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum((F.col("klass") == "miss").cast("long")).cast("long")
+        .alias("n_miss"),
+        F.sum((F.col("klass") == "expired").cast("long")).cast("long")
+        .alias("n_expired"),
+        F.sum((F.col("klass") == "fresh").cast("long")).cast("long")
+        .alias("n_fresh"),
+        F.sum(F.when(F.col("klass") != "fresh", F.col("n_urls"))
+              .otherwise(F.lit(0))).cast("long").alias("n_urls_blocked"))
+
+
+ORACLE_DNS_CACHE_PLAN = """
+WITH pend AS (
+  SELECT o_custkey % 200 AS host_id, CAST(count(*) AS BIGINT) AS n_urls
+  FROM orders GROUP BY host_id),
+cache AS (
+  SELECT host_id, 1700000000 - 300 - (host_id * 7) % 900 AS resolved_at,
+         600 AS ttl_s
+  FROM pend WHERE host_id % 3 <> 0),
+tagged AS (
+  SELECT p.host_id % 16 AS resolver_shard,
+         CASE WHEN c.resolved_at IS NULL THEN 'miss'
+              WHEN 1700000000 > c.resolved_at + c.ttl_s THEN 'expired'
+              ELSE 'fresh' END AS klass,
+         p.n_urls
+  FROM pend p LEFT JOIN cache c ON c.host_id = p.host_id)
+SELECT CAST(resolver_shard AS BIGINT) AS resolver_shard,
+       CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(sum(CASE WHEN klass = 'miss' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_miss,
+       CAST(sum(CASE WHEN klass = 'expired' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_expired,
+       CAST(sum(CASE WHEN klass = 'fresh' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fresh,
+       CAST(sum(CASE WHEN klass <> 'fresh' THEN n_urls ELSE 0 END)
+            AS BIGINT) AS n_urls_blocked
+FROM tagged GROUP BY resolver_shard
+"""
+
+
+def q_fetch_backoff_plan(spark, sf_dir):
+    """Exponential-backoff scheduling after fetch failures — the retry
+    policy the reference hard-codes as a flat 4-attempt loop
+    (crawl_controller retry cap, conf.py:33), upgraded to what a
+    polite crawler at scale actually runs: per host, count the
+    CONSECUTIVE trailing failures (attempts after the last success)
+    and schedule next_allowed_at = last_attempt + min(base·2^k, cap)
+    with base 30 s and cap 3600 s; hosts with k ≥ 6 are quarantined.
+
+    Deterministic synthesis: an attempt ledger from lineitem (40 hosts,
+    ts staggered by line number, status 200 vs 503 from an integer
+    pattern that gives every host a different trailing-failure run).
+    Plan/scale: one window max per host partition (last success ts) +
+    one partial agg — no self-join, integer math throughout."""
+    lk, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    att = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("h"), (lk % 40).cast("string")).alias("host_key"),
+        (F.lit(1_700_000_000) + lk * 7 + ln).cast("long").alias("ts"),
+        F.when((lk + ln) % (lk % 9 + 2) == 0, F.lit(200))
+        .otherwise(F.lit(503)).cast("int").alias("status"))
+    w = Window.partitionBy("host_key")
+    scoped = att.withColumn(
+        "last_ok_ts",
+        F.max(F.when(F.col("status") == 200, F.col("ts"))).over(w))
+    agg = scoped.groupBy("host_key").agg(
+        F.count("*").cast("long").alias("n_attempts"),
+        F.max("ts").alias("last_attempt_ts"),
+        F.sum((F.col("status") != 200).cast("long")).cast("long")
+        .alias("n_failures"),
+        F.sum((F.col("last_ok_ts").isNull()
+               | (F.col("ts") > F.col("last_ok_ts"))).cast("long"))
+        .cast("long").alias("consec_failures"))
+    # F.shiftleft only takes a literal bit count; the SQL form shifts
+    # by a column
+    backoff = F.expr(
+        "least(30 * shiftleft(1, CAST(least(consec_failures, 20) "
+        "AS INT)), 3600)").cast("long")
+    return agg.select(
+        "host_key", "n_attempts", "n_failures", "consec_failures",
+        backoff.alias("backoff_s"),
+        (F.col("last_attempt_ts") + backoff).cast("long")
+        .alias("next_allowed_at"),
+        (F.col("consec_failures") >= 6).alias("quarantined"))
+
+
+ORACLE_FETCH_BACKOFF_PLAN = """
+WITH att AS (
+  SELECT 'h' || (l_orderkey % 40) AS host_key,
+         1700000000 + l_orderkey * 7 + l_linenumber AS ts,
+         CASE WHEN (l_orderkey + l_linenumber)
+                   % (l_orderkey % 9 + 2) = 0
+              THEN 200 ELSE 503 END AS status
+  FROM lineitem),
+scoped AS (
+  SELECT *, max(CASE WHEN status = 200 THEN ts END)
+              OVER (PARTITION BY host_key) AS last_ok_ts
+  FROM att),
+agg AS (
+  SELECT host_key,
+         CAST(count(*) AS BIGINT) AS n_attempts,
+         max(ts) AS last_attempt_ts,
+         CAST(sum(CASE WHEN status <> 200 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_failures,
+         CAST(sum(CASE WHEN last_ok_ts IS NULL OR ts > last_ok_ts
+                       THEN 1 ELSE 0 END) AS BIGINT) AS consec_failures
+  FROM scoped GROUP BY host_key)
+SELECT host_key, n_attempts, n_failures, consec_failures,
+       CAST(least(30 * (1 << CAST(least(consec_failures, 20) AS INT)),
+                  3600) AS BIGINT) AS backoff_s,
+       CAST(last_attempt_ts
+            + least(30 * (1 << CAST(least(consec_failures, 20) AS INT)),
+                    3600) AS BIGINT) AS next_allowed_at,
+       consec_failures >= 6 AS quarantined
+FROM agg
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -11372,6 +11617,9 @@ QUERIES = {
     "text_rag_chunks": q_text_rag_chunks,
     "graph_assortativity": q_graph_assortativity,
     "corpus_mix_temperature": q_corpus_mix_temperature,
+    "graph_scc": q_graph_scc,
+    "dns_cache_plan": q_dns_cache_plan,
+    "fetch_backoff_plan": q_fetch_backoff_plan,
 }
 
 ORACLES = {
@@ -11579,6 +11827,9 @@ ORACLES = {
     "text_rag_chunks": ORACLE_TEXT_RAG_CHUNKS,
     "graph_assortativity": ORACLE_GRAPH_ASSORTATIVITY,
     "corpus_mix_temperature": ORACLE_CORPUS_MIX_TEMPERATURE,
+    "graph_scc": ORACLE_GRAPH_SCC,
+    "dns_cache_plan": ORACLE_DNS_CACHE_PLAN,
+    "fetch_backoff_plan": ORACLE_FETCH_BACKOFF_PLAN,
 }
 
 
