@@ -11412,6 +11412,221 @@ FROM agg
 """
 
 
+def q_scan_prune_plan(spark, sf_dir):
+    """Stats-based scan pruning — the metadata-only planning step a
+    lakehouse table format (Iceberg/Delta manifests) runs before any
+    I/O: every data file carries column min/max stats; a range
+    predicate prunes a file when its [min, max] window cannot overlap.
+    Output per partition: files and rows scanned vs skipped — the
+    number that says whether the table's sort/cluster layout
+    (frontier_zorder's objective) is actually earning its keep.
+
+    Deterministic synthesis: 100-row files keyed by o_orderkey DIV 100
+    with a clustered stats column v = o_orderkey % 1000 (each file spans
+    a 100-wide v-window at every SF — a well-sorted layout), predicate
+    v BETWEEN 400 AND 800, so ~half the files prune at any scale. Plan/scale: one agg to the manifest
+    grain (metadata-sized — at 100 TB this is the ONLY full pass, and a
+    real table format has it precomputed), then a 20-row rollup; the
+    data plane is never touched."""
+    k = F.col("o_orderkey")
+    manifest = (_t(spark, sf_dir, "orders")
+                .select((k / 100).cast("long").alias("file_id"),
+                        (k % 1000).alias("ck"))
+                .groupBy("file_id")
+                .agg(F.count("*").cast("long").alias("n_rows"),
+                     F.min("ck").alias("min_ck"),
+                     F.max("ck").alias("max_ck")))
+    pruned = (F.col("max_ck") < 400) | (F.col("min_ck") > 800)
+    return (manifest
+            .select((F.col("file_id") % 20).alias("partition_id"),
+                    pruned.alias("pruned"), "n_rows")
+            .groupBy("partition_id")
+            .agg(F.count("*").cast("long").alias("n_files"),
+                 F.sum(F.col("pruned").cast("long")).cast("long")
+                 .alias("n_files_pruned"),
+                 F.sum(F.when(~F.col("pruned"), F.col("n_rows"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("rows_scanned"),
+                 F.sum(F.when(F.col("pruned"), F.col("n_rows"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("rows_skipped")))
+
+
+ORACLE_SCAN_PRUNE_PLAN = """
+WITH manifest AS (
+  SELECT o_orderkey // 100 AS file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         min(o_orderkey % 1000) AS min_ck,
+         max(o_orderkey % 1000) AS max_ck
+  FROM orders GROUP BY file_id),
+tagged AS (
+  SELECT file_id % 20 AS partition_id,
+         (max_ck < 400 OR min_ck > 800) AS pruned, n_rows
+  FROM manifest)
+SELECT partition_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_files_pruned,
+       CAST(sum(CASE WHEN NOT pruned THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_scanned,
+       CAST(sum(CASE WHEN pruned THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_skipped
+FROM tagged GROUP BY partition_id
+"""
+
+
+def q_snapshot_changelog(spark, sf_dir):
+    """Snapshot diff → CDC changelog — the INVERSE of events_cdc_apply
+    (that row consumes a changelog; this one produces it): given two
+    table snapshots, emit the insert/delete/update/unchanged census via
+    one full outer join on the key and a value-hash compare. This is
+    how incremental consumers are fed from a table that only keeps
+    snapshots (and how a crawl's per-round frontier delta would be
+    reconstructed if the engine ever lost its append log).
+
+    Deterministic snapshots from orders: B deletes key % 11 == 0,
+    bumps the cents value of key % 7 == 0, inserts key + 10^7 for
+    key % 13 == 0. Output per op: row count, bit_xor key checksum,
+    key range — compact, order-independent, hash-stable.
+
+    Plan/scale: ONE co-partitioned full outer join on the snapshot key
+    (both sides bucketable by it) + a 4-row rollup; value comparison is
+    an md5 on the serialized row, never a column-by-column shuffle."""
+    k = F.col("o_orderkey")
+    # hash an INTEGER cents rendering, never a raw double -> string
+    # (engines disagree on float formatting); floor(x*100 + 0.5) is the
+    # repo-wide quantization discipline
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    a = _t(spark, sf_dir, "orders").select(
+        k.alias("key"),
+        F.md5(F.concat_ws("|", k.cast("string"), cents.cast("string")))
+        .alias("val_a"))
+    b_base = _t(spark, sf_dir, "orders").filter(k % 11 != 0).select(
+        k.alias("key"),
+        F.md5(F.concat_ws(
+            "|", k.cast("string"),
+            F.when(k % 7 == 0, cents + 1).otherwise(cents)
+            .cast("string")))
+        .alias("val_b"))
+    b_ins = _t(spark, sf_dir, "orders").filter(k % 13 == 0).select(
+        (k + 10_000_000).alias("key"),
+        F.md5((k + 10_000_000).cast("string")).alias("val_b"))
+    b = b_base.unionByName(b_ins)
+    j = a.join(b, "key", "full_outer")
+    op = (F.when(F.col("val_a").isNull(), F.lit("insert"))
+          .when(F.col("val_b").isNull(), F.lit("delete"))
+          .when(F.col("val_a") != F.col("val_b"), F.lit("update"))
+          .otherwise(F.lit("unchanged")))
+    return (j.select(op.alias("op"), "key")
+            .groupBy("op")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.expr("bit_xor(key)").cast("long").alias("key_xor"),
+                 F.min("key").cast("long").alias("min_key"),
+                 F.max("key").cast("long").alias("max_key")))
+
+
+ORACLE_SNAPSHOT_CHANGELOG = """
+WITH a AS (
+  SELECT o_orderkey AS key,
+         md5(o_orderkey || '|' || CAST(
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             AS VARCHAR)) AS val_a
+  FROM orders),
+b AS (
+  SELECT o_orderkey AS key,
+         md5(o_orderkey || '|' || CAST(
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END
+             AS VARCHAR)) AS val_b
+  FROM orders WHERE o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS key,
+         md5(CAST(o_orderkey + 10000000 AS VARCHAR)) AS val_b
+  FROM orders WHERE o_orderkey % 13 = 0),
+j AS (
+  SELECT coalesce(a.key, b.key) AS key, val_a, val_b
+  FROM a FULL OUTER JOIN b ON a.key = b.key),
+tagged AS (
+  SELECT CASE WHEN val_a IS NULL THEN 'insert'
+              WHEN val_b IS NULL THEN 'delete'
+              WHEN val_a <> val_b THEN 'update'
+              ELSE 'unchanged' END AS op, key
+  FROM j)
+SELECT op, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(key) AS BIGINT) AS key_xor,
+       CAST(min(key) AS BIGINT) AS min_key,
+       CAST(max(key) AS BIGINT) AS max_key
+FROM tagged GROUP BY op
+"""
+
+
+def q_shuffle_skew_audit(spark, sf_dir):
+    """Hot-key skew diagnosis — the audit that tells you WHEN
+    join_salted's remediation is needed (Spark AQE flags skewed
+    partitions at runtime; a pipeline wants the table-level answer
+    before submitting): per-key row counts for a deliberately skewed
+    key (30% of rows collapse onto key 0), then the skew scorecard —
+    max/mean ratio, top-1 and top-5 key share, and the Gini
+    coefficient over key counts, all as exact ppm integers (Gini via
+    the rank formula G = (2·Σ rank·c)/(n·Σc) - (n+1)/n on counts
+    sorted ascending, ties broken by key for cross-engine
+    determinism).
+
+    Plan/scale: one keyed partial agg (the census), then windows over
+    the per-key counts — #distinct-keys rows, not data rows."""
+    lk = F.col("l_orderkey")
+    key = F.when(lk % 10 < 3, F.lit(0)).otherwise(lk % 1000)
+    counts = (_t(spark, sf_dir, "lineitem")
+              .select(key.cast("long").alias("key"))
+              .groupBy("key")
+              .agg(F.count("*").cast("long").alias("c")))
+    w = Window.orderBy("c", "key")
+    ranked = counts.select(
+        "key", "c", F.row_number().over(w).alias("rank"),
+        F.count("*").over(
+            Window.partitionBy(F.lit(1))).alias("nk"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        F.expr("CAST(max(c) * 1000000 DIV (sum(c) DIV count(*)) "
+               "AS BIGINT)").alias("max_over_mean_ppm"),
+        F.expr("CAST(max(c) * 1000000 DIV sum(c) AS BIGINT)")
+        .alias("top1_share_ppm"),
+        F.expr("CAST(sum(CASE WHEN rank > nk - 5 THEN c ELSE 0 END) "
+               "* 1000000 DIV sum(c) AS BIGINT)")
+        .alias("top5_share_ppm"),
+        F.expr("CAST((2 * sum(rank * c) * 1000000 "
+               "DIV (count(*) * sum(c))) "
+               "- ((count(*) + 1) * 1000000 DIV count(*)) AS BIGINT)")
+        .alias("gini_ppm"))
+
+
+ORACLE_SHUFFLE_SKEW_AUDIT = """
+WITH counts AS (
+  SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0
+              ELSE l_orderkey % 1000 END AS key,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY key),
+ranked AS (
+  SELECT key, c, row_number() OVER (ORDER BY c, key) AS rank,
+         count(*) OVER () AS nk
+  FROM counts)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(max(c) AS BIGINT) AS max_key_rows,
+       CAST(max(c) * 1000000 // (sum(c) // count(*)) AS BIGINT)
+         AS max_over_mean_ppm,
+       CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top1_share_ppm,
+       CAST(sum(CASE WHEN rank > nk - 5 THEN c ELSE 0 END) * 1000000
+            // sum(c) AS BIGINT) AS top5_share_ppm,
+       CAST((2 * sum(rank * c) * 1000000 // (count(*) * sum(c)))
+            - ((count(*) + 1) * 1000000 // count(*)) AS BIGINT)
+         AS gini_ppm
+FROM ranked
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -11620,6 +11835,9 @@ QUERIES = {
     "graph_scc": q_graph_scc,
     "dns_cache_plan": q_dns_cache_plan,
     "fetch_backoff_plan": q_fetch_backoff_plan,
+    "scan_prune_plan": q_scan_prune_plan,
+    "snapshot_changelog": q_snapshot_changelog,
+    "shuffle_skew_audit": q_shuffle_skew_audit,
 }
 
 ORACLES = {
@@ -11830,6 +12048,9 @@ ORACLES = {
     "graph_scc": ORACLE_GRAPH_SCC,
     "dns_cache_plan": ORACLE_DNS_CACHE_PLAN,
     "fetch_backoff_plan": ORACLE_FETCH_BACKOFF_PLAN,
+    "scan_prune_plan": ORACLE_SCAN_PRUNE_PLAN,
+    "snapshot_changelog": ORACLE_SNAPSHOT_CHANGELOG,
+    "shuffle_skew_audit": ORACLE_SHUFFLE_SKEW_AUDIT,
 }
 
 
