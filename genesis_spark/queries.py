@@ -11627,6 +11627,218 @@ FROM ranked
 """
 
 
+def q_url_kmv_overlap(spark, sf_dir):
+    """KMV set-operation sketch BETWEEN two crawl snapshots — the
+    mergeable-sketch algebra url_kmv_distinct only hints at: crawl A
+    and crawl B each keep their k smallest URL hashes; the union
+    sketch (k smallest of A∪B) estimates |A∪B| from its kth minimum,
+    and the fraction of union-sketch members present in BOTH sets
+    estimates Jaccard (Beyer et al. 2007) — how much of tonight's
+    crawl is yesterday's, without ever joining the two URL sets at
+    full width. Exact counterparts computed alongside so the row
+    grades its own sketch error.
+
+    All-integer estimator (31 · (2^60 DIV kth_min); ppm Jaccard) —
+    both engines run the identical expression, so even the ESTIMATE
+    matches bit-for-bit. Plan/scale: per-side distinct on the hash
+    (the only URL-grain shuffle), a global top-k (TakeOrderedAndProject
+    — never a full sort), and a 1-row agg."""
+    k = 32
+    u = F.col("o_orderkey") % 1500
+    urls = (_t(spark, sf_dir, "orders")
+            .select(u.alias("u"),
+                    (u % 3 != 0).alias("in_a"),
+                    (u % 2 != 0).alias("in_b"))
+            .filter(F.col("in_a") | F.col("in_b"))
+            .groupBy("u")
+            .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+            .select("u", "in_a", "in_b",
+                    F.conv(F.substring(F.md5(
+                        F.concat(F.lit("http://site/u"),
+                                 F.col("u").cast("string"))), 1, 15),
+                        16, 10).cast("long").alias("h")))
+    exact = urls.agg(
+        F.sum(F.col("in_a").cast("long")).cast("long").alias("exact_a"),
+        F.sum(F.col("in_b").cast("long")).cast("long").alias("exact_b"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).cast("long")
+        .alias("exact_inter"),
+        F.count("*").cast("long").alias("exact_union"))
+    sketch = (urls.orderBy("h").limit(k)
+              .agg(F.max("h").alias("kth"),
+                   F.sum((F.col("in_a") & F.col("in_b")).cast("long"))
+                   .alias("n_both")))
+    # integer DIV everywhere — float division would round differently
+    # across engines
+    est_union = "(31 * (1152921504606846976 DIV kth))"
+    return (exact.crossJoin(sketch).select(
+        "exact_a", "exact_b", "exact_inter", "exact_union",
+        F.expr(f"CAST({est_union} AS BIGINT)").alias("est_union"),
+        F.expr(f"CAST(n_both * {est_union} DIV 32 AS BIGINT)")
+        .alias("est_inter"),
+        F.expr("CAST(n_both * 1000000 DIV 32 AS BIGINT)")
+        .alias("jaccard_est_ppm"),
+        F.expr("CAST(exact_inter * 1000000 DIV exact_union AS BIGINT)")
+        .alias("jaccard_exact_ppm")))
+
+
+ORACLE_URL_KMV_OVERLAP = """
+WITH urls AS (
+  SELECT u, max(in_a) AS in_a, max(in_b) AS in_b,
+         ('0x' || substr(md5('http://site/u' || u), 1, 15))::BIGINT AS h
+  FROM (SELECT o_orderkey % 1500 AS u,
+               o_orderkey % 1500 % 3 <> 0 AS in_a,
+               o_orderkey % 1500 % 2 <> 0 AS in_b
+        FROM orders)
+  WHERE in_a OR in_b
+  GROUP BY u),
+exact AS (
+  SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_a,
+         CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_b,
+         CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_inter,
+         CAST(count(*) AS BIGINT) AS exact_union
+  FROM urls),
+sk AS (
+  SELECT max(h) AS kth,
+         sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS n_both
+  FROM (SELECT * FROM urls ORDER BY h LIMIT 32))
+SELECT exact_a, exact_b, exact_inter, exact_union,
+       CAST(31 * (1152921504606846976 // kth) AS BIGINT) AS est_union,
+       CAST(n_both * (31 * (1152921504606846976 // kth)) // 32
+            AS BIGINT) AS est_inter,
+       CAST(n_both * 1000000 // 32 AS BIGINT) AS jaccard_est_ppm,
+       CAST(exact_inter * 1000000 // exact_union AS BIGINT)
+         AS jaccard_exact_ppm
+FROM exact CROSS JOIN sk
+"""
+
+
+def q_split_leakage_audit(spark, sf_dir):
+    """Train/eval split-leakage audit — the check every training
+    pipeline owes its benchmark numbers: corpus_split assigns splits
+    by doc_id hash, but the dedup corpus carries byte-identical twins
+    under DIFFERENT doc_ids, so an exact-dup cluster can span the
+    train/val/test boundary and leak training text into eval. Cluster
+    on md5(text), split by the same split-v1 hash, and count per
+    split: docs, docs sitting in multi-doc clusters, and eval docs
+    whose cluster also contains a train member (the leaked ones).
+
+    Plan/scale: one groupBy on the content hash (the exact-dedup
+    shuffle the pipeline already runs), a window over cluster members,
+    one census agg — leakage audit costs nothing beyond dedup."""
+    c = _corpus(spark, sf_dir).filter(F.col("text").isNotNull())
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit("split-v1|"),
+                       F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 100
+    split = (F.when(bucket < 90, "train")
+             .when(bucket < 95, "val").otherwise("test"))
+    tagged = c.select("doc_id", split.alias("split"),
+                      F.md5("text").alias("chash"))
+    w = Window.partitionBy("chash")
+    scoped = tagged.select(
+        "doc_id", "split",
+        F.count("*").over(w).alias("cluster_size"),
+        F.max((F.col("split") == "train").cast("int")).over(w)
+        .alias("has_train"))
+    return (scoped.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("cluster_size") > 1).cast("long")).cast("long")
+        .alias("n_in_multi_clusters"),
+        F.sum(((F.col("split") != "train") & (F.col("has_train") == 1)
+               & (F.col("cluster_size") > 1)).cast("long")).cast("long")
+        .alias("n_leaked_from_train")))
+
+
+ORACLE_SPLIT_LEAKAGE_AUDIT = f"""
+WITH {_CORPUS_SQL},
+tagged AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5('split-v1|' || doc_id), 1, 8))
+                   ::BIGINT % 100 < 90 THEN 'train'
+              WHEN ('0x' || substr(md5('split-v1|' || doc_id), 1, 8))
+                   ::BIGINT % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         md5(text) AS chash
+  FROM corpus WHERE text IS NOT NULL),
+scoped AS (
+  SELECT doc_id, split,
+         count(*) OVER (PARTITION BY chash) AS cluster_size,
+         max(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY chash) AS has_train
+  FROM tagged)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_in_multi_clusters,
+       CAST(sum(CASE WHEN split <> 'train' AND has_train = 1
+                     AND cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked_from_train
+FROM scoped GROUP BY split
+"""
+
+
+def q_frontier_discovery_curve(spark, sf_dir):
+    """URL-discovery saturation curve — the stop-crawling signal: per
+    wave, how many URLs were seen for the FIRST time vs total
+    encounters, the cumulative distinct frontier, and the novelty rate
+    in ppm. A crawl whose novelty rate collapses has exhausted its
+    seed basin; budget should move elsewhere (the per-wave macro view
+    that frontier_change_rate's per-URL estimator rolls up into).
+
+    Deterministic synthesis: wave = o_custkey % 8, url = a skewed mix
+    (o_orderkey·(o_custkey+1)) % 2000 so later waves increasingly
+    re-encounter old URLs. Plan/scale: one groupBy url for first-seen
+    wave (the URL-seen shuffle the engine already pays), one per-wave
+    agg, one 8-row cumulative window."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    enc = _t(spark, sf_dir, "orders").select(
+        (c % 8).cast("long").alias("wave"),
+        ((k * (c + 1)) % 2000).alias("url"))
+    first = (enc.groupBy("url")
+             .agg(F.min("wave").alias("first_wave")))
+    disc = (first.groupBy("first_wave")
+            .agg(F.count("*").cast("long").alias("n_discovered"))
+            .withColumnRenamed("first_wave", "wave"))
+    encs = enc.groupBy("wave").agg(
+        F.count("*").cast("long").alias("n_encounters"))
+    w = Window.orderBy("wave").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (encs.join(disc, "wave", "left")
+            .select("wave", "n_encounters",
+                    F.coalesce("n_discovered", F.lit(0)).cast("long")
+                    .alias("n_discovered"))
+            .withColumn("cum_distinct",
+                        F.sum("n_discovered").over(w).cast("long"))
+            .withColumn("novelty_ppm",
+                        F.expr("n_discovered * 1000000 DIV n_encounters")
+                        .cast("long")))
+
+
+ORACLE_FRONTIER_DISCOVERY_CURVE = """
+WITH enc AS (
+  SELECT o_custkey % 8 AS wave,
+         (o_orderkey * (o_custkey + 1)) % 2000 AS url
+  FROM orders),
+first AS (
+  SELECT url, min(wave) AS first_wave FROM enc GROUP BY url),
+disc AS (
+  SELECT first_wave AS wave, CAST(count(*) AS BIGINT) AS n_discovered
+  FROM first GROUP BY first_wave),
+encs AS (
+  SELECT wave, CAST(count(*) AS BIGINT) AS n_encounters
+  FROM enc GROUP BY wave)
+SELECT CAST(e.wave AS BIGINT) AS wave, e.n_encounters,
+       CAST(coalesce(d.n_discovered, 0) AS BIGINT) AS n_discovered,
+       CAST(sum(coalesce(d.n_discovered, 0))
+              OVER (ORDER BY e.wave) AS BIGINT) AS cum_distinct,
+       CAST(coalesce(d.n_discovered, 0) * 1000000 // e.n_encounters
+            AS BIGINT) AS novelty_ppm
+FROM encs e LEFT JOIN disc d ON d.wave = e.wave
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -11838,6 +12050,9 @@ QUERIES = {
     "scan_prune_plan": q_scan_prune_plan,
     "snapshot_changelog": q_snapshot_changelog,
     "shuffle_skew_audit": q_shuffle_skew_audit,
+    "url_kmv_overlap": q_url_kmv_overlap,
+    "split_leakage_audit": q_split_leakage_audit,
+    "frontier_discovery_curve": q_frontier_discovery_curve,
 }
 
 ORACLES = {
@@ -12051,6 +12266,9 @@ ORACLES = {
     "scan_prune_plan": ORACLE_SCAN_PRUNE_PLAN,
     "snapshot_changelog": ORACLE_SNAPSHOT_CHANGELOG,
     "shuffle_skew_audit": ORACLE_SHUFFLE_SKEW_AUDIT,
+    "url_kmv_overlap": ORACLE_URL_KMV_OVERLAP,
+    "split_leakage_audit": ORACLE_SPLIT_LEAKAGE_AUDIT,
+    "frontier_discovery_curve": ORACLE_FRONTIER_DISCOVERY_CURVE,
 }
 
 
