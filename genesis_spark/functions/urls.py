@@ -322,3 +322,36 @@ def politeness_bucket_expr(host_key: Column,
     """Deterministic host->bucket assignment replacing the reference's shared
     Redis round-robin counter (tor_controller.py:106-111): pmod(xxhash64,B)."""
     return F.pmod(F.xxhash64(host_key), F.lit(buckets))
+
+
+def blocklist_match(hosts_df, entries_df, host_col: str = 'host'):
+    """Domain-suffix blocklist matching (UT1/Shallalist semantics): a host
+    matches an entry when it EQUALS the entry or sits under it as a
+    subdomain — label-boundary only, so ``notads4.com`` never matches
+    ``ads4.com``. Capability the reference's admission gates lack (its only
+    host filters are same-domain + extension, generic_parser admission).
+
+    Scale shape: run this on the DISTINCT-host census, not the URL stream —
+    the suffix explode is bounded by the label count (every suffix of >= 2
+    labels, entries are never bare TLDs), and the entry join broadcasts the
+    blocklist. Returns ``hosts_df`` + ``matched_entry`` (min matching entry,
+    NULL when admitted)."""
+    h = F.col(host_col)
+    # Guard: sequence(2, n) DESCENDS when n < 2 (single-label / empty / null
+    # hosts), driving slice's start to 0 — such hosts have no >=2-label
+    # suffix and yield an empty candidate set instead.
+    sufs = F.expr(
+        f"CASE WHEN size(split({host_col}, '\\\\.')) >= 2 THEN "
+        f"transform(sequence(2, size(split({host_col}, '\\\\.'))), "
+        f"j -> array_join(slice(split({host_col}, '\\\\.'), "
+        f"size(split({host_col}, '\\\\.')) - j + 1, j), '.')) "
+        f"ELSE array() END")
+    exploded = (hosts_df.select(h.alias(host_col))
+                .distinct()
+                .select(host_col, F.explode(sufs).alias('suf')))
+    matched = (exploded
+               .join(F.broadcast(entries_df),
+                     exploded['suf'] == entries_df['entry'])
+               .groupBy(host_col)
+               .agg(F.min('entry').alias('matched_entry')))
+    return hosts_df.join(matched, host_col, 'left')

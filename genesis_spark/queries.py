@@ -11839,6 +11839,237 @@ FROM encs e LEFT JOIN disc d ON d.wave = e.wave
 """
 
 
+# ---------------------------------------------------------------------------
+# block 51 — crawl admission + content integrity
+# ---------------------------------------------------------------------------
+
+#: UT1-style blocklist of registrable domains (one 3-label entry exercises
+#: depth-3 suffix matching; mal4.io is unsatisfiable by the synth congruences
+#: so a no-match entry costs nothing).
+_BLOCKLIST51 = ["ads4.com", "track3.org", "spam2.net", "shop9.io",
+                "cdn6.net", "www.site8.com", "mal4.io"]
+
+
+def q_url_blocklist_filter(spark, sf_dir):
+    """Blocklist admission over the frontier candidate stream: hosts are
+    blocked when they equal a blocklist entry or sit under it as a
+    subdomain (label-boundary match via urls.blocklist_match — the
+    admission gate the reference lacks; its only host filters are
+    same-domain + extension, generic_parser admission caps).
+
+    Deterministic synthesis: host = [www.|sK.|''] + name(c%6) + (k%10)
+    + '.' + tld(k%4). Plan/scale: URL stream collapses to the
+    DISTINCT-host census FIRST (one groupBy — the shuffle a 10^10-URL
+    stream owes its per-host stats anyway); the suffix explode
+    (<= label count) and the broadcast entry join run on the census
+    only. Output: per-entry blocked census + the ALLOWED remainder."""
+    from genesis_spark.functions import urls as _U
+
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    name = F.element_at(
+        F.array(F.lit("ads"), F.lit("track"), F.lit("spam"),
+                F.lit("cdn"), F.lit("site"), F.lit("shop")),
+        (c % 6 + 1).cast("int"))
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net"), F.lit("io")),
+        (k % 4 + 1).cast("int"))
+    sub = (F.when(k % 3 == 0, F.lit("www."))
+           .when(k % 3 == 1,
+                 F.concat(F.lit("s"), (c % 5).cast("string"), F.lit(".")))
+           .otherwise(F.lit("")))
+    host = F.concat(sub, name, (k % 10).cast("string"), F.lit("."), tld)
+    urls = _t(spark, sf_dir, "orders").select(host.alias("host"))
+    census = urls.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"))
+    entries = spark.createDataFrame([(e,) for e in _BLOCKLIST51],
+                                    "entry string")
+    tagged = _U.blocklist_match(census, entries)
+    return (tagged
+            .groupBy(F.coalesce("matched_entry", F.lit("ALLOWED"))
+                     .alias("matched_entry"))
+            .agg(F.count("*").cast("long").alias("n_hosts"),
+                 F.sum("n_urls").cast("long").alias("n_urls")))
+
+
+ORACLE_URL_BLOCKLIST_FILTER = """
+WITH hosts AS (
+  SELECT (CASE WHEN o_orderkey % 3 = 0 THEN 'www.'
+               WHEN o_orderkey % 3 = 1 THEN 's' || (o_custkey % 5) || '.'
+               ELSE '' END)
+         || (CASE o_custkey % 6 WHEN 0 THEN 'ads' WHEN 1 THEN 'track'
+                 WHEN 2 THEN 'spam' WHEN 3 THEN 'cdn' WHEN 4 THEN 'site'
+                 ELSE 'shop' END)
+         || (o_orderkey % 10)
+         || '.'
+         || (CASE o_orderkey % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                 WHEN 2 THEN 'net' ELSE 'io' END) AS host
+  FROM orders),
+census AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM hosts GROUP BY 1),
+bl AS (
+  SELECT unnest(['ads4.com', 'track3.org', 'spam2.net', 'shop9.io',
+                 'cdn6.net', 'www.site8.com', 'mal4.io']) AS entry),
+matched AS (
+  SELECT c.host, min(b.entry) AS matched_entry
+  FROM census c JOIN bl b
+    ON c.host = b.entry OR c.host LIKE '%.' || b.entry
+  GROUP BY c.host)
+SELECT coalesce(m.matched_entry, 'ALLOWED') AS matched_entry,
+       CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(sum(c.n_urls) AS BIGINT) AS n_urls
+FROM census c LEFT JOIN matched m ON c.host = m.host
+GROUP BY 1
+"""
+
+
+#: (magic-bytes hex, media type) table shared by the mismatch query's synth
+#: and sniffer — PNG/JPEG/GIF/PDF/ZIP/HTML, the formats a crawler actually
+#: meets. Sniff prefixes (<= 4 bytes) are mutually exclusive.
+_MAGIC51 = [("89504E470D0A1A0A", "image/png"),
+            ("FFD8FFE0", "image/jpeg"),
+            ("474946383961", "image/gif"),
+            ("25504446", "application/pdf"),
+            ("504B0304", "application/zip"),
+            ("3C21444F43545950", "text/html")]
+
+
+def q_fetch_mime_mismatch(spark, sf_dir):
+    """Magic-byte MIME sniffing vs the declared Content-Type — the
+    polyglot/mislabel audit (a .jpg that is really a ZIP is how
+    archives smuggle through media pipelines; a crawler routing parsers
+    on declared type alone mis-parses every such blob). Complements
+    http_content_type (header string parsing) with CONTENT truth.
+
+    Real binary on the Spark side: blobs are built with unhex(magic ||
+    md5-payload) and sniffed from hex(substring(blob)) — the oracle
+    states the same decisions from the hex strings directly. Every
+    7th blob (partkey % 7 = 0) declares its neighbour format (planted
+    mismatch). Plan/scale: pure codegen map + one census groupBy —
+    sniffing fuses into the fetch-result scan at 100 TB."""
+    fmt = (F.col("l_orderkey") % 6).cast("int")
+    magic_hex = F.element_at(
+        F.array(*[F.lit(m) for m, _ in _MAGIC51]), fmt + 1)
+    payload = F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8)
+    blob = F.unhex(F.concat(magic_hex, F.upper(payload)))
+    decl_id = (F.when(F.col("l_partkey") % 7 == 0, (fmt + 1) % 6)
+               .otherwise(fmt)).cast("int")
+    declared = F.element_at(
+        F.array(*[F.lit(t) for _, t in _MAGIC51]), decl_id + 1)
+    rows = _t(spark, sf_dir, "lineitem").select(
+        blob.alias("blob"), declared.alias("declared"))
+    hx = F.upper(F.hex(F.col("blob")))
+    sniffed = (F.when(hx.startswith("89504E47"), F.lit("image/png"))
+               .when(hx.startswith("FFD8FF"), F.lit("image/jpeg"))
+               .when(hx.startswith("474946"), F.lit("image/gif"))
+               .when(hx.startswith("25504446"), F.lit("application/pdf"))
+               .when(hx.startswith("504B0304"), F.lit("application/zip"))
+               .when(hx.startswith("3C21444F"), F.lit("text/html"))
+               .otherwise(F.lit("application/octet-stream")))
+    return (rows.select("declared", sniffed.alias("sniffed"))
+            .groupBy("declared", "sniffed")
+            .agg(F.count("*").cast("long").alias("n_blobs"))
+            .withColumn("is_mismatch",
+                        F.col("declared") != F.col("sniffed")))
+
+
+ORACLE_FETCH_MIME_MISMATCH = """
+WITH b AS (
+  SELECT (CASE l_orderkey % 6
+            WHEN 0 THEN '89504E470D0A1A0A' WHEN 1 THEN 'FFD8FFE0'
+            WHEN 2 THEN '474946383961' WHEN 3 THEN '25504446'
+            WHEN 4 THEN '504B0304' ELSE '3C21444F43545950' END)
+         || upper(substr(md5(l_partkey::VARCHAR), 1, 8)) AS hx,
+         (CASE (CASE WHEN l_partkey % 7 = 0 THEN (l_orderkey % 6 + 1) % 6
+                     ELSE l_orderkey % 6 END)
+            WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+            WHEN 2 THEN 'image/gif' WHEN 3 THEN 'application/pdf'
+            WHEN 4 THEN 'application/zip' ELSE 'text/html' END) AS declared
+  FROM lineitem),
+s AS (
+  SELECT declared,
+         CASE WHEN hx LIKE '89504E47%' THEN 'image/png'
+              WHEN hx LIKE 'FFD8FF%' THEN 'image/jpeg'
+              WHEN hx LIKE '474946%' THEN 'image/gif'
+              WHEN hx LIKE '25504446%' THEN 'application/pdf'
+              WHEN hx LIKE '504B0304%' THEN 'application/zip'
+              WHEN hx LIKE '3C21444F%' THEN 'text/html'
+              ELSE 'application/octet-stream' END AS sniffed
+  FROM b)
+SELECT declared, sniffed, CAST(count(*) AS BIGINT) AS n_blobs,
+       declared <> sniffed AS is_mismatch
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_url_pattern_mine(spark, sf_dir):
+    """URL template mining: collapse digit runs to {N} and long hex ids
+    to {H}, then rank each host's top-3 templates by URL volume — the
+    structure inventory crawl rules are written from (which listing/
+    pagination/profile patterns dominate a host), the per-template
+    complement to url_trap_detect's per-host explosion ratio.
+
+    variability_ppm = distinct raw URLs per template occurrence: ~1e6
+    means every hit is a fresh URL (id-bearing template), small means a
+    static page re-encountered. Plan/scale: one groupBy (host,
+    template) with count-distinct, one per-host top-3 window over the
+    TEMPLATE census (bounded rows/host), never a global URL sort."""
+    lk, pk, ln = (F.col("l_orderkey"), F.col("l_partkey"),
+                  F.col("l_linenumber"))
+    m = lk % 4
+    path = (F.when(m == 0, F.concat(F.lit("/item/"),
+                                    (pk % 90000).cast("string"),
+                                    F.lit("/v"), ln.cast("string")))
+            .when(m == 1, F.concat(F.lit("/p"), (pk % 15).cast("string")))
+            .when(m == 2, F.concat(F.lit("/u/"),
+                                   F.substring(F.md5(pk.cast("string")),
+                                               1, 6),
+                                   F.lit("/profile")))
+            .otherwise(F.lit("/static/css")))
+    urls = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("h"), (lk % 25).cast("string")).alias("host_key"),
+        path.alias("path"))
+    tmpl = F.regexp_replace(
+        F.regexp_replace("path", "[0-9a-f]{6,}", "{H}"), "[0-9]+", "{N}")
+    agg = (urls.groupBy("host_key", tmpl.alias("template"))
+           .agg(F.count("*").cast("long").alias("n_urls"),
+                F.countDistinct("path").cast("long").alias("n_distinct")))
+    w = Window.partitionBy("host_key").orderBy(F.desc("n_urls"),
+                                               "template")
+    return (agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 3)
+            .withColumn("variability_ppm",
+                        F.expr("n_distinct * 1000000 DIV n_urls")
+                        .cast("long")))
+
+
+ORACLE_URL_PATTERN_MINE = """
+WITH u AS (
+  SELECT 'h' || (l_orderkey % 25) AS host_key,
+         CASE l_orderkey % 4
+           WHEN 0 THEN '/item/' || (l_partkey % 90000) || '/v'
+                       || l_linenumber
+           WHEN 1 THEN '/p' || (l_partkey % 15)
+           WHEN 2 THEN '/u/' || substr(md5(l_partkey::VARCHAR), 1, 6)
+                       || '/profile'
+           ELSE '/static/css' END AS path
+  FROM lineitem),
+a AS (
+  SELECT host_key,
+         regexp_replace(regexp_replace(path, '[0-9a-f]{6,}', '{H}', 'g'),
+                        '[0-9]+', '{N}', 'g') AS template,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT path) AS BIGINT) AS n_distinct
+  FROM u GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY host_key
+              ORDER BY n_urls DESC, template) AS rnk
+  FROM a)
+SELECT host_key, template, n_urls, n_distinct, CAST(rnk AS BIGINT) AS rnk,
+       CAST(n_distinct * 1000000 // n_urls AS BIGINT) AS variability_ppm
+FROM r WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -12053,6 +12284,9 @@ QUERIES = {
     "url_kmv_overlap": q_url_kmv_overlap,
     "split_leakage_audit": q_split_leakage_audit,
     "frontier_discovery_curve": q_frontier_discovery_curve,
+    "url_blocklist_filter": q_url_blocklist_filter,
+    "fetch_mime_mismatch": q_fetch_mime_mismatch,
+    "url_pattern_mine": q_url_pattern_mine,
 }
 
 ORACLES = {
@@ -12269,6 +12503,9 @@ ORACLES = {
     "url_kmv_overlap": ORACLE_URL_KMV_OVERLAP,
     "split_leakage_audit": ORACLE_SPLIT_LEAKAGE_AUDIT,
     "frontier_discovery_curve": ORACLE_FRONTIER_DISCOVERY_CURVE,
+    "url_blocklist_filter": ORACLE_URL_BLOCKLIST_FILTER,
+    "fetch_mime_mismatch": ORACLE_FETCH_MIME_MISMATCH,
+    "url_pattern_mine": ORACLE_URL_PATTERN_MINE,
 }
 
 
