@@ -12070,6 +12070,354 @@ FROM r WHERE rnk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# block 52 — web-graph macro structure + attribution
+# ---------------------------------------------------------------------------
+
+
+def _bowtie_edges(spark, sf_dir):
+    """Directed 60-node host graph with a KNOWN bow-tie anatomy (each
+    i = o_orderkey % 60 contributes one edge, so both engines build it
+    identically): b0..b9 a 10-cycle (the CORE SCC), b10..b19 point in,
+    b20..b24 chain behind them (2-hop IN), core feeds b25..b34 with
+    b35..b39 chained behind (2-hop OUT), b10..b14 -> b40..b44 tendril
+    stubs, b45..b49 a disconnected 5-cycle, and b55..b64 tendril leaves
+    hanging off IN (b10..b19). Expected census: 10 CORE / 15 IN /
+    15 OUT / 15 TENDRIL / 5 DISCONNECTED."""
+    i = F.col("o_orderkey") % 60
+    src = (F.when(i < 25, i)
+           .when(i < 35, i - 25)
+           .when(i < 40, i - 10)
+           .when(i < 45, F.lit(10) + (i - 40))
+           .when(i < 50, i)
+           .otherwise(F.lit(10) + (i - 50)))
+    dst = (F.when(i < 10, (i + 1) % 10)
+           .when(i < 25, i - 10)
+           .when(i < 45, i)
+           .when(i < 50, F.lit(45) + ((i - 45) + 1) % 5)
+           .otherwise(F.lit(55) + (i - 50)))
+    return (_t(spark, sf_dir, "orders")
+            .select(F.concat(F.lit("b"), src.cast("string")).alias("src"),
+                    F.concat(F.lit("b"), dst.cast("string")).alias("dst"))
+            .distinct())
+
+
+_BOWTIE_EDGES_SQL = """
+  SELECT DISTINCT
+    'b' || (CASE WHEN i < 25 THEN i WHEN i < 35 THEN i - 25
+                 WHEN i < 40 THEN i - 10 WHEN i < 45 THEN 10 + (i - 40)
+                 WHEN i < 50 THEN i ELSE 10 + (i - 50) END) AS src,
+    'b' || (CASE WHEN i < 10 THEN (i + 1) % 10 WHEN i < 25 THEN i - 10
+                 WHEN i < 45 THEN i
+                 WHEN i < 50 THEN 45 + ((i - 45) + 1) % 5
+                 ELSE 55 + (i - 50) END) AS dst
+  FROM (SELECT o_orderkey % 60 AS i FROM orders)
+"""
+
+
+def q_graph_bowtie(spark, sf_dir):
+    """Bow-tie decomposition of the host link graph (Broder et al.,
+    WWW 2000 — the canonical macro-map of the web): CORE (the largest
+    SCC), IN (reaches the core), OUT (reached from it), TENDRILS
+    (attached but neither), DISCONNECTED. For a crawler the classes ARE
+    the reachability budget: seeds in IN eventually cover CORE+OUT,
+    seeds in OUT see only OUT, and DISCONNECTED mass is invisible
+    without fresh seeds.
+
+    Algorithm: one bounded join-expansion closure for directed
+    reachability (same squared-doubling + localCheckpoint discipline as
+    q_graph_scc), SCC ids from closure ∩ reversed closure, core = max
+    SCC (min-id tie-break), then one symmetric closure for
+    undirected attachment. Scale honesty identical to graph_scc: for
+    site-local subgraphs (10^2-10^4 nodes per registered domain);
+    whole-web bow-tie needs FW-BW pivoting."""
+    edges = _bowtie_edges(spark, sf_dir).localCheckpoint(eager=True)
+
+    def closure_of(e):
+        reach = e.select(F.col("src").alias("node"),
+                         F.col("dst").alias("reach"))
+        for _ in range(5):  # paths up to 2^5 = 32 >= diameter (~16)
+            step = (reach
+                    .join(reach.select(F.col("node").alias("reach"),
+                                       F.col("reach").alias("nxt")),
+                          "reach")
+                    .select("node", F.col("nxt").alias("reach")))
+            reach = reach.unionByName(step).distinct() \
+                .localCheckpoint(eager=True)
+        return reach
+
+    reach = closure_of(edges)
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))).distinct()
+    closure = reach.unionByName(
+        nodes.select("node", F.col("node").alias("reach"))).distinct()
+    back = closure.select(F.col("reach").alias("node"),
+                          F.col("node").alias("reach"))
+    comp = (closure.join(back, ["node", "reach"])
+            .groupBy("node").agg(F.min("reach").alias("scc_id")))
+    sizes = comp.groupBy("scc_id").agg(F.count("*").alias("sz"))
+    core_id = (sizes.orderBy(F.desc("sz"), "scc_id").limit(1)
+               .select("scc_id"))
+    core = comp.join(F.broadcast(core_id), "scc_id").select("node")
+    reaches = (closure.join(F.broadcast(
+        core.select(F.col("node").alias("reach"))), "reach")
+        .select("node").distinct())
+    reached = (closure.join(F.broadcast(
+        core.select(F.col("node").alias("node"))), "node")
+        .select(F.col("reach").alias("node")).distinct())
+    sym = edges.unionByName(edges.select(F.col("dst").alias("src"),
+                                         F.col("src").alias("dst")))
+    und = closure_of(sym)
+    attached = (und.join(F.broadcast(
+        core.select(F.col("node").alias("reach"))), "reach")
+        .select("node").distinct())
+    tag = (nodes
+           .join(core.withColumn("in_core", F.lit(1)), "node", "left")
+           .join(reaches.withColumn("to_core", F.lit(1)), "node", "left")
+           .join(reached.withColumn("from_core", F.lit(1)), "node",
+                 "left")
+           .join(attached.withColumn("att", F.lit(1)), "node", "left"))
+    cls = (F.when(F.col("in_core") == 1, "CORE")
+           .when(F.col("to_core") == 1, "IN")
+           .when(F.col("from_core") == 1, "OUT")
+           .when(F.col("att") == 1, "TENDRIL")
+           .otherwise("DISCONNECTED"))
+    return tag.select(F.col("node").alias("host_key"),
+                      cls.alias("bowtie_class"))
+
+
+ORACLE_GRAPH_BOWTIE = f"""
+WITH RECURSIVE e AS ({_BOWTIE_EDGES_SQL}),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+reach AS (
+  SELECT src AS node, dst AS r FROM e
+  UNION
+  SELECT t.node, e.dst AS r FROM reach t JOIN e ON e.src = t.r),
+closure AS (
+  SELECT node, r FROM reach UNION SELECT node, node AS r FROM nodes),
+comp AS (
+  SELECT c.node, min(c.r) AS scc_id FROM closure c
+  JOIN closure b ON b.node = c.r AND b.r = c.node
+  GROUP BY c.node),
+core_id AS (
+  SELECT scc_id FROM (
+    SELECT scc_id, count(*) AS sz FROM comp GROUP BY scc_id)
+  ORDER BY sz DESC, scc_id LIMIT 1),
+core AS (SELECT node FROM comp WHERE scc_id IN (SELECT * FROM core_id)),
+reaches AS (
+  SELECT DISTINCT c.node FROM closure c
+  WHERE c.r IN (SELECT node FROM core)),
+reached AS (
+  SELECT DISTINCT c.r AS node FROM closure c
+  WHERE c.node IN (SELECT node FROM core)),
+se AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+ureach AS (
+  SELECT src AS node, dst AS r FROM se
+  UNION
+  SELECT t.node, se.dst AS r FROM ureach t JOIN se ON se.src = t.r),
+attached AS (
+  SELECT DISTINCT node FROM ureach
+  WHERE r IN (SELECT node FROM core))
+SELECT n.node AS host_key,
+       CASE WHEN n.node IN (SELECT node FROM core) THEN 'CORE'
+            WHEN n.node IN (SELECT node FROM reaches) THEN 'IN'
+            WHEN n.node IN (SELECT node FROM reached) THEN 'OUT'
+            WHEN n.node IN (SELECT node FROM attached) THEN 'TENDRIL'
+            ELSE 'DISCONNECTED' END AS bowtie_class
+FROM (SELECT DISTINCT node FROM nodes) n
+"""
+# NB: under WITH RECURSIVE, DuckDB 1.0 does NOT dedupe a plain
+# `X UNION Y` CTE across its branches (SELECT 1 UNION SELECT 1 -> 2
+# rows), so `nodes` carries src/dst duplicates — hence the DISTINCT
+# wrapper above (graph_scc's oracle absorbs the same quirk via its
+# GROUP BY).
+
+
+def q_graph_degree_powerlaw(spark, sf_dir):
+    """Power-law fit of the host in-degree distribution — the web-graph
+    twin of text_zipf_fit (Broder et al. report gamma ~ 2.1 in-degree;
+    a crawl whose frontier degree exponent drifts is biased toward or
+    away from hubs): OLS of ln(#hosts with in-degree d) on ln(d).
+
+    Fitting the CCDF (#hosts with degree >= d), not the raw histogram —
+    the histogram's tail is all-ones and flattens a log-log OLS
+    (the standard Clauset/Shalizi/Newman critique); the CCDF is
+    monotone and smooth, and for P(d) ~ d^-gamma falls as d^-(gamma-1).
+    Synthesis plants the law: hub = 1024 DIV x for x = o_orderkey %
+    1024 + 1 gives in-degree(h) ~ 1024/h^2 => CCDF ~ d^-0.5.
+    Same 1e-6-integer-unit OLS discipline as text_zipf_fit (summation
+    order cannot flip the hash). Plan/scale: distinct-edge census ->
+    in-degree groupBy -> degree-histogram groupBy -> cumulative window
+    over <= |distinct degrees| rows (census-scale)."""
+    x = F.col("o_orderkey") % 1024 + 1
+    edges = (_t(spark, sf_dir, "orders")
+             .select(F.concat(F.lit("s"), x.cast("string")).alias("src"),
+                     F.concat(F.lit("d"),
+                              F.expr("1024 DIV (o_orderkey % 1024 + 1)")
+                              .cast("string")).alias("dst"))
+             .distinct())
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("deg"))
+    hist = indeg.groupBy("deg").agg(F.count("*").alias("n_nodes"))
+    wc = Window.orderBy(F.desc("deg")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    hist = hist.withColumn("n_ge", F.sum("n_nodes").over(wc))
+    xl = F.log(F.col("deg").cast("double"))
+    yl = F.log(F.col("n_ge").cast("double"))
+    u = lambda col: F.round(col * 1e6).cast("long")  # noqa: E731
+    s = hist.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(u(xl)).alias("sx"), F.sum(u(yl)).alias("sy"),
+                 F.sum(u(xl * yl)).alias("sxy"),
+                 F.sum(u(xl * xl)).alias("sxx"),
+                 F.sum(u(yl * yl)).alias("syy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx") / 1e6, F.col("sy") / 1e6
+    sxy, sxx, syy = (F.col("sxy") / 1e6, F.col("sxx") / 1e6,
+                     F.col("syy") / 1e6)
+    cov, vx, vy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    return s.select(
+        "n",
+        F.round(cov / vx, 4).alias("slope"),
+        F.round((sy - (cov / vx) * sx) / n, 4).alias("intercept"),
+        F.round(cov * cov / (vx * vy), 4).alias("r2"))
+
+
+ORACLE_GRAPH_DEGREE_POWERLAW = """
+WITH e AS (
+  SELECT DISTINCT 's' || (o_orderkey % 1024 + 1) AS src,
+         'd' || (1024 // (o_orderkey % 1024 + 1)) AS dst
+  FROM orders),
+indeg AS (SELECT dst, count(*) AS deg FROM e GROUP BY dst),
+hist AS (SELECT deg, count(*) AS n_nodes FROM indeg GROUP BY deg),
+ccdf AS (
+  SELECT deg, sum(n_nodes) OVER (ORDER BY deg DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_ge
+  FROM hist),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(ln(deg) * 1000000.0) AS BIGINT)) AS sx,
+         sum(CAST(round(ln(n_ge) * 1000000.0) AS BIGINT)) AS sy,
+         sum(CAST(round(ln(deg) * ln(n_ge) * 1000000.0) AS BIGINT))
+           AS sxy,
+         sum(CAST(round(ln(deg) * ln(deg) * 1000000.0) AS BIGINT)) AS sxx,
+         sum(CAST(round(ln(n_ge) * ln(n_ge) * 1000000.0) AS BIGINT))
+           AS syy
+  FROM ccdf)
+SELECT n,
+       round((n * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+             / (n * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6)), 4) AS slope,
+       round(((sy / 1e6) - ((n * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+                            / (n * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6)))
+                           * (sx / 1e6)) / n, 4) AS intercept,
+       round((n * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+             * (n * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+             / ((n * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6))
+                * (n * (syy / 1e6) - (sy / 1e6) * (sy / 1e6))), 4) AS r2
+FROM s
+"""
+
+
+def q_events_attribution(spark, sf_dir):
+    """Multi-touch conversion attribution: every 'purchase' distributes
+    its value over the user's preceding 7 days of 'click'/'view'
+    touches — last-touch (all credit to the latest touch) and linear
+    (equal split, integer remainder to the latest touch so credit sums
+    EXACTLY to conversion value) side by side; untouched conversions
+    land in channel 'none'. Exact integer cents throughout.
+
+    Plan/scale: the touch x purchase pairing is a per-user time-range
+    join (user groups are session-sized; the day-bucket bin trick of
+    events_range_join applies verbatim at 100 TB), then one window per
+    purchase and one census agg per channel."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("user_id").alias("u"),
+                     F.col("event_id").alias("p_id"),
+                     F.col("ts").alias("p_ts"), cents.alias("cents")))
+    channel = F.element_at(
+        F.array(F.lit("email"), F.lit("search"), F.lit("social"),
+                F.lit("direct")),
+        (F.col("event_id") % 4 + 1).cast("int"))
+    touch = (ev.filter(F.col("event_type").isin("click", "view"))
+             .select(F.col("user_id").alias("u"),
+                     F.col("event_id").alias("t_id"),
+                     F.col("ts").alias("t_ts"),
+                     channel.alias("channel")))
+    pairs = touch.join(
+        purch,
+        (touch["u"] == purch["u"])
+        & (touch["t_ts"] <= purch["p_ts"])
+        & (touch["t_ts"] >= purch["p_ts"] - F.expr("INTERVAL 7 DAYS")))
+    w = Window.partitionBy("p_id").orderBy(F.desc("t_ts"), F.desc("t_id"))
+    wn = Window.partitionBy("p_id")
+    scored = (pairs.select("p_id", "t_id", "t_ts", "channel", "cents")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("nt", F.count("*").over(wn)))
+    last_c = F.when(F.col("rn") == 1, F.col("cents")).otherwise(F.lit(0))
+    lin_c = (F.expr("cents DIV nt")
+             + F.when(F.col("rn") == 1, F.expr("cents % nt"))
+             .otherwise(F.lit(0)))
+    credited = (scored
+                .select("p_id", "channel", last_c.alias("lc"),
+                        lin_c.alias("nc"))
+                .groupBy("channel")
+                .agg(F.count("*").cast("long").alias("n_touches"),
+                     F.countDistinct("p_id").cast("long")
+                     .alias("n_conversions"),
+                     F.sum("lc").cast("long").alias("last_touch_cents"),
+                     F.sum("nc").cast("long").alias("linear_cents")))
+    untouched = (purch.join(pairs.select("p_id").distinct(), "p_id",
+                            "left_anti")
+                 .agg(F.lit("none").alias("channel"),
+                      F.lit(0).cast("long").alias("n_touches"),
+                      F.count("*").cast("long").alias("n_conversions"),
+                      F.sum("cents").cast("long")
+                      .alias("last_touch_cents"),
+                      F.sum("cents").cast("long").alias("linear_cents")))
+    return credited.unionByName(untouched)
+
+
+ORACLE_EVENTS_ATTRIBUTION = """
+WITH purch AS (
+  SELECT user_id AS u, event_id AS p_id, ts AS p_ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT user_id AS u, event_id AS t_id, ts AS t_ts,
+         CASE event_id % 4 WHEN 0 THEN 'email' WHEN 1 THEN 'search'
+              WHEN 2 THEN 'social' ELSE 'direct' END AS channel
+  FROM events WHERE event_type IN ('click', 'view')),
+pairs AS (
+  SELECT p.p_id, t.t_id, t.channel, p.cents, t.t_ts
+  FROM touch t JOIN purch p
+    ON t.u = p.u AND t.t_ts <= p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+scored AS (
+  SELECT p_id, channel, cents,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY t_ts DESC, t_id DESC) AS rn,
+         count(*) OVER (PARTITION BY p_id) AS nt
+  FROM pairs),
+credited AS (
+  SELECT channel,
+         CAST(count(*) AS BIGINT) AS n_touches,
+         CAST(count(DISTINCT p_id) AS BIGINT) AS n_conversions,
+         CAST(sum(CASE WHEN rn = 1 THEN cents ELSE 0 END) AS BIGINT)
+           AS last_touch_cents,
+         CAST(sum(cents // nt + CASE WHEN rn = 1 THEN cents % nt
+                                     ELSE 0 END) AS BIGINT)
+           AS linear_cents
+  FROM scored GROUP BY channel),
+untouched AS (
+  SELECT 'none' AS channel, CAST(0 AS BIGINT) AS n_touches,
+         CAST(count(*) AS BIGINT) AS n_conversions,
+         CAST(sum(cents) AS BIGINT) AS last_touch_cents,
+         CAST(sum(cents) AS BIGINT) AS linear_cents
+  FROM purch WHERE p_id NOT IN (SELECT p_id FROM pairs))
+SELECT * FROM credited UNION ALL SELECT * FROM untouched
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -12287,6 +12635,9 @@ QUERIES = {
     "url_blocklist_filter": q_url_blocklist_filter,
     "fetch_mime_mismatch": q_fetch_mime_mismatch,
     "url_pattern_mine": q_url_pattern_mine,
+    "graph_bowtie": q_graph_bowtie,
+    "graph_degree_powerlaw": q_graph_degree_powerlaw,
+    "events_attribution": q_events_attribution,
 }
 
 ORACLES = {
@@ -12506,6 +12857,9 @@ ORACLES = {
     "url_blocklist_filter": ORACLE_URL_BLOCKLIST_FILTER,
     "fetch_mime_mismatch": ORACLE_FETCH_MIME_MISMATCH,
     "url_pattern_mine": ORACLE_URL_PATTERN_MINE,
+    "graph_bowtie": ORACLE_GRAPH_BOWTIE,
+    "graph_degree_powerlaw": ORACLE_GRAPH_DEGREE_POWERLAW,
+    "events_attribution": ORACLE_EVENTS_ATTRIBUTION,
 }
 
 
