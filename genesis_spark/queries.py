@@ -12418,6 +12418,279 @@ SELECT * FROM credited UNION ALL SELECT * FROM untouched
 """
 
 
+def q_events_ab_lift(spark, sf_dir):
+    """A/B experiment readout over the event stream — the harness every
+    crawl-policy or ranking change ships behind: deterministic variant
+    assignment (user_id parity — the hash-bucket split of
+    corpus_split/split_leakage_audit), exposure = any view/click,
+    conversion = exposed user with >=1 purchase. One row: per-variant
+    user/conversion census, exact-ppm conversion rates and lift, a
+    sample-ratio-mismatch guard (srm_ppm — the first thing to check
+    before believing any lift), exposed-user revenue cents, and the
+    pooled two-proportion z statistic. Counts/cents/ppm are exact
+    integers; z is the one IEEE expression, built identically in both
+    engines from those integers and rounded to 4 dp.
+
+    Plan/scale: one user_id-keyed partial agg (map-side combine over
+    the raw stream), then a single-row census — no join anywhere. At
+    100 TB of events this is one shuffle of |users| rows."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    per_user = (ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type").isin("view", "click"), 1)
+              .otherwise(0)).alias("exposed"),
+        F.max(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0)).alias("purchased"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents)
+              .otherwise(F.lit(0))).cast("long").alias("rev_cents")))
+    u = (per_user.filter(F.col("exposed") == 1)
+         .withColumn("is_b", (F.col("user_id") % 2).cast("int")))
+    row = u.agg(
+        F.sum(F.when(F.col("is_b") == 0, 1).otherwise(0))
+        .cast("long").alias("a_users"),
+        F.sum(F.when(F.col("is_b") == 1, 1).otherwise(0))
+        .cast("long").alias("b_users"),
+        F.sum(F.when((F.col("is_b") == 0) & (F.col("purchased") == 1), 1)
+              .otherwise(0)).cast("long").alias("a_conv"),
+        F.sum(F.when((F.col("is_b") == 1) & (F.col("purchased") == 1), 1)
+              .otherwise(0)).cast("long").alias("b_conv"),
+        F.sum(F.when(F.col("is_b") == 0, F.col("rev_cents"))
+              .otherwise(F.lit(0))).cast("long").alias("a_rev_cents"),
+        F.sum(F.when(F.col("is_b") == 1, F.col("rev_cents"))
+              .otherwise(F.lit(0))).cast("long").alias("b_rev_cents"))
+    row = (row
+           .withColumn("a_conv_ppm", F.expr(
+               "(a_conv * 1000000) DIV greatest(a_users, 1)"))
+           .withColumn("b_conv_ppm", F.expr(
+               "(b_conv * 1000000) DIV greatest(b_users, 1)"))
+           .withColumn("lift_ppm",
+                       F.col("b_conv_ppm") - F.col("a_conv_ppm"))
+           .withColumn("srm_ppm", F.expr(
+               "(abs(a_users - b_users) * 1000000)"
+               " DIV greatest(a_users + b_users, 1)")))
+    # pooled two-proportion z — the single IEEE expression, mirrored
+    # verbatim in the oracle so both engines evaluate the same tree;
+    # degenerate pools (0% or 100% conversion -> se = 0) emit z = 0
+    na = F.expr("greatest(a_users, 1)")
+    nb = F.expr("greatest(b_users, 1)")
+    pc = (F.col("a_conv") + F.col("b_conv")) / (na + nb)
+    se = F.sqrt(pc * (1 - pc) * (1.0 / na + 1.0 / nb))
+    diff = F.col("b_conv") / nb - F.col("a_conv") / na
+    z = F.when(se > 0, F.round(diff / se, 4)).otherwise(F.lit(0.0))
+    return row.withColumn("z_stat", z)
+
+
+ORACLE_EVENTS_AB_LIFT = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type IN ('view', 'click') THEN 1
+                  ELSE 0 END) AS exposed,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS purchased,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev_cents
+  FROM events GROUP BY user_id),
+u AS (SELECT *, CAST(user_id % 2 AS INT) AS is_b
+      FROM per_user WHERE exposed = 1),
+census AS (
+  SELECT CAST(sum(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS a_users,
+         CAST(sum(CASE WHEN is_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS b_users,
+         CAST(sum(CASE WHEN is_b = 0 AND purchased = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a_conv,
+         CAST(sum(CASE WHEN is_b = 1 AND purchased = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b_conv,
+         CAST(sum(CASE WHEN is_b = 0 THEN rev_cents ELSE 0 END) AS BIGINT)
+           AS a_rev_cents,
+         CAST(sum(CASE WHEN is_b = 1 THEN rev_cents ELSE 0 END) AS BIGINT)
+           AS b_rev_cents
+  FROM u),
+rates AS (
+  SELECT *,
+         (a_conv * 1000000) // greatest(a_users, 1) AS a_conv_ppm,
+         (b_conv * 1000000) // greatest(b_users, 1) AS b_conv_ppm,
+         (abs(a_users - b_users) * 1000000)
+           // greatest(a_users + b_users, 1) AS srm_ppm
+  FROM census),
+z AS (
+  SELECT *,
+         sqrt((a_conv + b_conv)
+              / (greatest(a_users, 1) + greatest(b_users, 1))
+              * (1 - (a_conv + b_conv)
+                 / (greatest(a_users, 1) + greatest(b_users, 1)))
+              * (1.0 / greatest(a_users, 1)
+                 + 1.0 / greatest(b_users, 1))) AS se
+  FROM rates)
+SELECT a_users, b_users, a_conv, b_conv, a_rev_cents, b_rev_cents,
+       a_conv_ppm, b_conv_ppm,
+       b_conv_ppm - a_conv_ppm AS lift_ppm, srm_ppm,
+       CASE WHEN se > 0
+            THEN round((b_conv / greatest(b_users, 1)
+                        - a_conv / greatest(a_users, 1)) / se, 4)
+            ELSE 0.0 END AS z_stat
+FROM z
+"""
+
+
+def q_embeddings_pca_power(spark, sf_dir):
+    """One matrix-free power-iteration step toward the corpus's top
+    principal direction: y = X^T (X v0) with v0 = the all-ones probe —
+    the Gram-vector product computed WITHOUT materializing the DxD
+    covariance (the only way at 10^10 x 1024-dim scale; Halko et al.
+    2011's randomized-SVD building block). Elements quantize to 1e-4
+    integer units so every sum is exact (summation order free): the
+    per-row projection t = x.v0 folds inside the array (F.aggregate,
+    no explode/join), then y_d = sum(x_d * t) is ONE dim-keyed agg.
+    Output per dim: exact y in integer units and its share of total
+    |y| mass in exact ppm — the energy profile that decides how many
+    PCA/MRL dimensions the embedding column actually needs.
+
+    Plan/scale: zero joins; one shuffle of |dims| keys (64 here, 1024
+    in prod) with map-side combine doing all the work. Subsequent
+    iterations broadcast the 64-row v back — same shape."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    xu = F.transform(
+        "embedding",
+        lambda v: F.round(v.cast("double") * 1e4).cast("long"))
+    e2 = e.select(xu.alias("xu"))
+    e2 = e2.withColumn(
+        "t", F.aggregate("xu", F.lit(0).cast("long"),
+                         lambda acc, x: acc + x))
+    ex = e2.select(F.posexplode("xu").alias("dim", "x_u"), "t")
+    y = (ex.groupBy("dim")
+         .agg(F.sum(F.col("x_u") * F.col("t")).cast("long").alias("y_u")))
+    tot = y.agg(F.sum(F.abs(F.col("y_u"))).cast("long").alias("ta"))
+    return (y.crossJoin(F.broadcast(tot))
+            .select("dim", "y_u",
+                    F.expr("(abs(y_u) * 1000000) DIV greatest(ta, 1)")
+                    .alias("share_ppm")))
+
+
+ORACLE_EMBEDDINGS_PCA_POWER = """
+WITH ex AS (
+  SELECT vec_id, CAST(dim AS INT) AS dim,
+         CAST(round(embedding[dim + 1]::DOUBLE * 10000.0) AS BIGINT)
+           AS x_u
+  FROM (SELECT vec_id, embedding,
+               unnest(range(len(embedding))) AS dim
+        FROM embeddings)),
+t AS (SELECT vec_id, CAST(sum(x_u) AS BIGINT) AS t
+      FROM ex GROUP BY vec_id),
+y AS (SELECT dim, CAST(sum(ex.x_u * t.t) AS BIGINT) AS y_u
+      FROM ex JOIN t USING (vec_id) GROUP BY dim),
+tot AS (SELECT CAST(sum(abs(y_u)) AS BIGINT) AS ta FROM y)
+SELECT dim, y_u,
+       (abs(y_u) * 1000000) // greatest(ta, 1) AS share_ppm
+FROM y, tot
+"""
+
+
+def q_graph_pagerank_delta(spark, sf_dir):
+    """Incremental-rank telemetry: PageRank before vs after a wave of
+    newly discovered links, per host — 'whose crawl priority did this
+    wave actually move' (the signal that decides whether the frontier
+    re-sorts or keeps its order). Base graph = the shared 50-host link
+    graph; the delta wave adds reversed links from every 9th order
+    (new backlinks a deeper crawl surfaces). Both ranks are the exact
+    integer 3-iteration kernel of q_host_pagerank (1e-9 units, DIV
+    divisions), so before/after/movement compare bit-for-bit.
+
+    Plan/scale: the two unrolled rank chains share the base-edge scan
+    (ReusedExchange); the final compare is one 50-row join. At 10^10
+    edges real incremental PR would localize to the delta's forward
+    cone — this row is the exact-recompute harness that GRADES such an
+    approximation (same shape as url_bloom_eval vs the exact set)."""
+    S, BASE = 1_000_000_000, 150_000_000
+
+    def pr3(edges):
+        deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+        nodes = (edges.select(F.col("src").alias("node"))
+                 .unionByName(edges.select(F.col("dst").alias("node")))
+                 .distinct())
+        ranks = nodes.withColumn("rank", F.lit(S).cast("long"))
+        for _ in range(3):
+            contrib = (edges
+                       .join(ranks.withColumnRenamed("node", "src"), "src")
+                       .join(deg, "src")
+                       .select(F.col("dst").alias("node"),
+                               F.expr("rank DIV outdeg").alias("share"))
+                       .groupBy("node")
+                       .agg(F.sum("share").alias("c")))
+            ranks = (nodes.join(contrib, "node", "left")
+                     .select("node",
+                             (F.lit(BASE) +
+                              F.expr("(85 * coalesce(c, 0)) DIV 100"))
+                             .cast("long").alias("rank")))
+        return ranks
+
+    base = _host_edges50(spark, sf_dir)
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    delta = (_t(spark, sf_dir, "orders")
+             .filter(k % 9 == 0)
+             .select(F.concat(F.lit("h"), (c % 50).cast("string"))
+                     .alias("src"),
+                     F.concat(F.lit("h"), ((k + 13) % 50).cast("string"))
+                     .alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    after_edges = base.unionByName(delta).distinct()
+    before = pr3(base).withColumnRenamed("rank", "pr_before")
+    after = pr3(after_edges).withColumnRenamed("rank", "pr_after")
+    return (before.join(after, "node", "full")
+            .select(F.col("node").alias("host_key"),
+                    F.coalesce("pr_before", F.lit(0)).cast("long")
+                    .alias("pr_before"),
+                    F.coalesce("pr_after", F.lit(0)).cast("long")
+                    .alias("pr_after"))
+            .withColumn("delta_units",
+                        F.col("pr_after") - F.col("pr_before")))
+
+
+def _pr3_sql(e_cte: str, prefix: str) -> str:
+    """Unrolled 3-iteration integer-PageRank CTE chain (oracle mirror of
+    the pr3 kernel in q_graph_pagerank_delta); returns CTE text ending
+    in '{prefix}r3(node, rank)'."""
+    p = prefix
+    out = [f"{p}deg AS (SELECT src, count(*) AS outdeg FROM {e_cte} "
+           f"GROUP BY src)",
+           f"{p}n AS (SELECT src AS node FROM {e_cte} "
+           f"UNION SELECT dst FROM {e_cte})",
+           f"{p}r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank "
+           f"FROM {p}n)"]
+    for i in (1, 2, 3):
+        out.append(
+            f"{p}c{i} AS (SELECT e.dst AS node, "
+            f"sum({p}r{i-1}.rank // {p}deg.outdeg) AS c "
+            f"FROM {e_cte} e JOIN {p}r{i-1} ON {p}r{i-1}.node = e.src "
+            f"JOIN {p}deg ON {p}deg.src = e.src GROUP BY e.dst)")
+        out.append(
+            f"{p}r{i} AS (SELECT n.node, CAST(150000000 + "
+            f"(85 * coalesce({p}c{i}.c, 0)) // 100 AS BIGINT) AS rank "
+            f"FROM {p}n n LEFT JOIN {p}c{i} ON {p}c{i}.node = n.node)")
+    return ",\n".join(out)
+
+
+ORACLE_GRAPH_PAGERANK_DELTA = f"""
+WITH e AS ({_HOST_E50_SQL}),
+d AS (
+  SELECT 'h' || (o_custkey % 50) AS src,
+         'h' || ((o_orderkey + 13) % 50) AS dst
+  FROM orders
+  WHERE o_orderkey % 9 = 0
+    AND 'h' || (o_custkey % 50) <> 'h' || ((o_orderkey + 13) % 50)),
+e2 AS (SELECT src, dst FROM e UNION SELECT src, dst FROM d),
+{_pr3_sql('e', 'b')},
+{_pr3_sql('e2', 'a')}
+SELECT coalesce(b.node, a.node) AS host_key,
+       CAST(coalesce(b.rank, 0) AS BIGINT) AS pr_before,
+       CAST(coalesce(a.rank, 0) AS BIGINT) AS pr_after,
+       CAST(coalesce(a.rank, 0) - coalesce(b.rank, 0) AS BIGINT)
+         AS delta_units
+FROM br3 b FULL OUTER JOIN ar3 a ON a.node = b.node
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -12638,6 +12911,9 @@ QUERIES = {
     "graph_bowtie": q_graph_bowtie,
     "graph_degree_powerlaw": q_graph_degree_powerlaw,
     "events_attribution": q_events_attribution,
+    "events_ab_lift": q_events_ab_lift,
+    "embeddings_pca_power": q_embeddings_pca_power,
+    "graph_pagerank_delta": q_graph_pagerank_delta,
 }
 
 ORACLES = {
@@ -12860,6 +13136,9 @@ ORACLES = {
     "graph_bowtie": ORACLE_GRAPH_BOWTIE,
     "graph_degree_powerlaw": ORACLE_GRAPH_DEGREE_POWERLAW,
     "events_attribution": ORACLE_EVENTS_ATTRIBUTION,
+    "events_ab_lift": ORACLE_EVENTS_AB_LIFT,
+    "embeddings_pca_power": ORACLE_EMBEDDINGS_PCA_POWER,
+    "graph_pagerank_delta": ORACLE_GRAPH_PAGERANK_DELTA,
 }
 
 
