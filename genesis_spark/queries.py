@@ -12691,6 +12691,235 @@ FROM br3 b FULL OUTER JOIN ar3 a ON a.node = b.node
 """
 
 
+def q_events_bot_detect(spark, sf_dir):
+    """Automated-traffic detection from event cadence — the log-side
+    mirror of the crawler's own politeness: humans arrive bursty, bots
+    tick. Per user: inter-event gaps (epoch-second lag, day-capped so a
+    vacation doesn't drown the signal), then the squared coefficient of
+    variation CV^2 = (n*sum(g^2) - S^2) / S^2 in exact integer ppm — the
+    scale-free regularity score (0 = metronome). Bot flag = enough
+    events + sub-10-min mean cadence + CV^2 below threshold. The gap cap
+    keeps every accumulator in bigint range (g<=86400 -> n*ssg<=7.5e15
+    at 1k gaps/user); the one DIV denominator is pre-shrunk by 1e6 so
+    the ppm never multiplies past 63 bits.
+
+    Plan/scale: ONE shuffle (user_id window), per-user agg reuses the
+    same partitioning — the events_cdc_apply shape. At 100 TB of logs
+    this is the standard sessionless per-key scan."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("es"))
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    # least() skips nulls in both engines, so guard the first event
+    # explicitly or it would grow a phantom 86400 "gap"
+    g = (ev.withColumn("prev", F.lag("es").over(w))
+         .withColumn("gap", F.when(
+             F.col("prev").isNotNull(),
+             F.least(F.col("es") - F.col("prev"),
+                     F.lit(86400).cast("long")))))
+    agg = (g.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.count("gap").cast("long").alias("n_gaps"),
+                F.coalesce(F.sum("gap"), F.lit(0)).cast("long")
+                .alias("sg"),
+                F.coalesce(F.sum(F.col("gap") * F.col("gap")),
+                           F.lit(0)).cast("long").alias("ssg")))
+    out = (agg
+           .withColumn("mean_gap_s",
+                       F.expr("sg DIV greatest(n_gaps, 1)"))
+           .withColumn("cv2_ppm", F.expr(
+               "greatest(n_gaps * ssg - sg * sg, 0)"
+               " DIV greatest((sg * sg) DIV 1000000, 1)"))
+           .withColumn("is_bot",
+                       (F.col("n_events") >= 20)
+                       & (F.col("mean_gap_s") < 600)
+                       & (F.col("cv2_ppm") < 500_000)))
+    return out.select("user_id", "n_events", "n_gaps", "mean_gap_s",
+                      "cv2_ppm", "is_bot")
+
+
+ORACLE_EVENTS_BOT_DETECT = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+              THEN NULL
+              ELSE least(CAST(floor(epoch(ts)) AS BIGINT)
+                         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                         86400) END AS gap
+  FROM events),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(gap) AS BIGINT) AS n_gaps,
+         CAST(coalesce(sum(gap), 0) AS BIGINT) AS sg,
+         CAST(coalesce(sum(gap * gap), 0) AS BIGINT) AS ssg
+  FROM g GROUP BY user_id),
+sc AS (
+  SELECT *,
+         sg // greatest(n_gaps, 1) AS mean_gap_s,
+         greatest(n_gaps * ssg - sg * sg, 0)
+           // greatest((sg * sg) // 1000000, 1) AS cv2_ppm
+  FROM agg)
+SELECT user_id, n_events, n_gaps, mean_gap_s, cv2_ppm,
+       (n_events >= 20 AND mean_gap_s < 600 AND cv2_ppm < 500000)
+         AS is_bot
+FROM sc
+"""
+
+
+def q_embeddings_pq_distortion(spark, sf_dir):
+    """Reconstruction-error grading of the PQ quantizer — the eval row
+    that tells you whether the 16x compression of embeddings_pq is
+    survivable (same grade-the-sketch shape as url_bloom_eval /
+    dedup_minhash_eval): per subspace, the exact squared-L2 error
+    between each subvector and its chosen centroid, quantized per row
+    to 1e-6 units (the err expression is the identical IEEE tree in
+    both engines; sums over rows are then exact integers). Output per
+    subspace: vector count, total and mean squared error, worst case —
+    the numbers that size k (centroids) per subspace and flag subspaces
+    whose codebook underfits.
+
+    Plan/scale: codebooks are plan literals (pq_codes_sql rationale),
+    the err map is zero-shuffle, then ONE m-key agg. Never touches a
+    join at any corpus size."""
+    sub = _PQ_DIM // _PQ_M
+    cents = SIM.pq_centroids(_PQ_M, _PQ_K, sub)
+    cols = []
+    for j, codebook in enumerate(cents):
+        d = SIM._sub_dists_sql("`embedding`", codebook, j * sub, sub)
+        xn = (f"aggregate(transform(slice(`embedding`, {j * sub + 1}, "
+              f"{sub}), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+              f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+        cols.append(f"CAST(round(({xn} + array_min({d})) * 1000000) "
+                    f"AS BIGINT)")
+    errs = F.expr("array(" + ", ".join(cols) + ")")
+    ex = (_t(spark, sf_dir, "embeddings").select(errs.alias("errs"))
+          .select(F.posexplode("errs").alias("subspace", "err_u")))
+    return (ex.groupBy("subspace")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.sum("err_u").cast("long").alias("sse_u"),
+                 F.max("err_u").cast("long").alias("max_err_u"))
+            .withColumn("mse_u", F.expr("sse_u DIV greatest(n_vecs, 1)"))
+            .select("subspace", "n_vecs", "sse_u", "mse_u", "max_err_u"))
+
+
+def _pq_distortion_oracle() -> str:
+    sub = _PQ_DIM // _PQ_M
+    cents = SIM.pq_centroids(_PQ_M, _PQ_K, sub)
+    rows = []
+    for j, codebook in enumerate(cents):
+        for c, vec in enumerate(codebook):
+            lit = "[" + ", ".join(repr(x) for x in vec) + "]"
+            cnorm2 = float(sum(x * x for x in vec))
+            rows.append(f"({j}, {c}, {lit}::DOUBLE[], {cnorm2!r})")
+    values = ",\n   ".join(rows)
+    return f"""
+WITH cb(j, c, cvec, cnorm2) AS (VALUES
+   {values}),
+dots AS (
+  SELECT e.vec_id, cb.j,
+         cb.cnorm2 - 2 * list_sum(list_transform(range({sub}),
+             i -> e.embedding[{sub} * cb.j + i + 1]::DOUBLE
+                  * cb.cvec[i + 1])) AS d
+  FROM embeddings e CROSS JOIN cb),
+best AS (
+  SELECT vec_id, j, min(d) AS dmin FROM dots GROUP BY vec_id, j),
+xn AS (
+  SELECT vec_id, CAST(j AS INT) AS j,
+         list_sum(list_transform(range({sub}),
+             i -> e.embedding[{sub} * j + i + 1]::DOUBLE
+                  * e.embedding[{sub} * j + i + 1]::DOUBLE)) AS xnorm2
+  FROM embeddings e, unnest(range({_PQ_M})) AS t(j)),
+err AS (
+  SELECT xn.vec_id, xn.j,
+         CAST(round((xn.xnorm2 + best.dmin) * 1000000) AS BIGINT)
+           AS err_u
+  FROM xn JOIN best ON best.vec_id = xn.vec_id AND best.j = xn.j)
+SELECT j AS subspace, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(err_u) AS BIGINT) AS sse_u,
+       CAST(sum(err_u) AS BIGINT) // greatest(count(*), 1) AS mse_u,
+       CAST(max(err_u) AS BIGINT) AS max_err_u
+FROM err GROUP BY j
+"""
+
+
+ORACLE_EMBEDDINGS_PQ_DISTORTION = _pq_distortion_oracle()
+
+
+def q_frontier_makespan(spark, sf_dir):
+    """Politeness-constrained drain ETA per scheduler bucket — 'when
+    does this wave finish, and which host is the critical path': each
+    host's drain time = pending URLs x its crawl delay (politeness
+    makes per-host fetches strictly sequential, so host ETA is exact,
+    not a model); a bucket's makespan is its slowest host, and
+    balance_ppm = sum(eta) / (makespan x n_hosts) is the bucket's
+    parallel efficiency (1e6 = perfectly level, low = one hub host
+    starves the lane — the signal that triggers host re-sharding).
+    Exact integer milliseconds end-to-end.
+
+    Plan/scale: URL-scale work is ONE host-keyed census agg; everything
+    after runs on |hosts| rows (window per bucket for the critical
+    host). The bucket key is host%8 — the politeness-lane shard of
+    crawler/politeness.py."""
+    k = F.col("o_orderkey")
+    hosts = (_t(spark, sf_dir, "orders")
+             .select((k % 50).cast("long").alias("hn"))
+             .groupBy("hn").agg(F.count(F.lit(1)).alias("pending")))
+    per_host = hosts.select(
+        F.concat(F.lit("h"), F.col("hn").cast("string")).alias("host"),
+        (F.col("hn") % 8).cast("int").alias("bucket"),
+        "pending",
+        (F.lit(200) + 100 * (F.col("hn") % 7)).cast("long")
+        .alias("delay_ms")).withColumn(
+            "eta_ms", F.col("pending") * F.col("delay_ms"))
+    w = Window.partitionBy("bucket").orderBy(F.desc("eta_ms"),
+                                             F.asc("host"))
+    ranked = per_host.withColumn("rn", F.row_number().over(w))
+    agg = (per_host.groupBy("bucket")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_hosts"),
+                F.sum("pending").cast("long").alias("total_pending"),
+                F.max("eta_ms").cast("long").alias("makespan_ms"),
+                F.sum("eta_ms").cast("long").alias("work_ms")))
+    crit = (ranked.filter(F.col("rn") == 1)
+            .select("bucket", F.col("host").alias("critical_host")))
+    return (agg.join(crit, "bucket")
+            .withColumn("balance_ppm", F.expr(
+                "(work_ms * 1000000)"
+                " DIV greatest(makespan_ms * n_hosts, 1)"))
+            .select("bucket", "n_hosts", "total_pending", "makespan_ms",
+                    "critical_host", "balance_ppm"))
+
+
+ORACLE_FRONTIER_MAKESPAN = """
+WITH h AS (
+  SELECT o_orderkey % 50 AS hn, count(*) AS pending
+  FROM orders GROUP BY 1),
+per_host AS (
+  SELECT 'h' || hn AS host, CAST(hn % 8 AS INT) AS bucket, pending,
+         CAST(200 + 100 * (hn % 7) AS BIGINT) AS delay_ms,
+         CAST(pending * (200 + 100 * (hn % 7)) AS BIGINT) AS eta_ms
+  FROM h),
+agg AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_hosts,
+         CAST(sum(pending) AS BIGINT) AS total_pending,
+         CAST(max(eta_ms) AS BIGINT) AS makespan_ms,
+         CAST(sum(eta_ms) AS BIGINT) AS work_ms
+  FROM per_host GROUP BY bucket),
+crit AS (
+  SELECT bucket, host AS critical_host FROM (
+    SELECT bucket, host,
+           row_number() OVER (PARTITION BY bucket
+                              ORDER BY eta_ms DESC, host ASC) AS rn
+    FROM per_host) WHERE rn = 1)
+SELECT agg.bucket, n_hosts, total_pending, makespan_ms, critical_host,
+       (work_ms * 1000000) // greatest(makespan_ms * n_hosts, 1)
+         AS balance_ppm
+FROM agg JOIN crit ON crit.bucket = agg.bucket
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -12914,6 +13143,9 @@ QUERIES = {
     "events_ab_lift": q_events_ab_lift,
     "embeddings_pca_power": q_embeddings_pca_power,
     "graph_pagerank_delta": q_graph_pagerank_delta,
+    "events_bot_detect": q_events_bot_detect,
+    "embeddings_pq_distortion": q_embeddings_pq_distortion,
+    "frontier_makespan": q_frontier_makespan,
 }
 
 ORACLES = {
@@ -13139,6 +13371,9 @@ ORACLES = {
     "events_ab_lift": ORACLE_EVENTS_AB_LIFT,
     "embeddings_pca_power": ORACLE_EMBEDDINGS_PCA_POWER,
     "graph_pagerank_delta": ORACLE_GRAPH_PAGERANK_DELTA,
+    "events_bot_detect": ORACLE_EVENTS_BOT_DETECT,
+    "embeddings_pq_distortion": ORACLE_EMBEDDINGS_PQ_DISTORTION,
+    "frontier_makespan": ORACLE_FRONTIER_MAKESPAN,
 }
 
 
