@@ -12920,6 +12920,213 @@ FROM agg JOIN crit ON crit.bucket = agg.bucket
 """
 
 
+def q_text_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit — the companion diagnostic to
+    text_zipf_fit: V(N) = K * N^beta (beta ~ 0.4-0.6 for natural text;
+    template/machine-generated corpora flatten it, OCR noise inflates
+    it). Per doc in doc_id order: cumulative tokens consumed N and
+    cumulative distinct types V (a type's birth doc = min(doc_id) over
+    its occurrences), then OLS of ln V on ln N. The ln terms are taken
+    on exact integer cumsums and quantized to 1e-6 units before
+    summing, so slope/intercept/r2 derive from exact integer sums —
+    the text_zipf_fit recipe verbatim.
+
+    Plan/scale: token explode -> two census-scale aggs (per-type birth,
+    per-doc counts); the cumsum window runs over |docs| census rows,
+    never the token stream. Same census-then-rank shape as zipf."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.lower("text"), "[^a-z]+"))
+                     .alias("w"))
+            .filter(F.length("w") >= 2))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"))
+    births = (toks.groupBy("w").agg(F.min("doc_id").alias("birth"))
+              .groupBy("birth").agg(F.count(F.lit(1)).alias("new_types"))
+              .withColumnRenamed("birth", "doc_id"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (per_doc.join(births, "doc_id", "left")
+           .select("doc_id", "n_tokens",
+                   F.coalesce("new_types", F.lit(0)).alias("new_types"))
+           .withColumn("nn", F.sum("n_tokens").over(w))
+           .withColumn("vv", F.sum("new_types").over(w))
+           .filter((F.col("nn") >= 10) & (F.col("vv") >= 1)))
+    x = F.log(F.col("nn").cast("double"))
+    y = F.log(F.col("vv").cast("double"))
+    u = lambda col: F.round(col * 1e6).cast("long")  # noqa: E731
+    s = pts.agg(F.count(F.lit(1)).alias("n"),
+                F.sum(u(x)).alias("sx"), F.sum(u(y)).alias("sy"),
+                F.sum(u(x * y)).alias("sxy"),
+                F.sum(u(x * x)).alias("sxx"),
+                F.sum(u(y * y)).alias("syy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx") / 1e6, F.col("sy") / 1e6
+    sxy, sxx, syy = (F.col("sxy") / 1e6, F.col("sxx") / 1e6,
+                     F.col("syy") / 1e6)
+    cov, vx, vy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    return s.select(
+        "n",
+        F.round(cov / vx, 4).alias("beta"),
+        F.round((sy - (cov / vx) * sx) / n, 4).alias("ln_k"),
+        F.round(cov * cov / (vx * vy), 4).alias("r2"))
+
+
+ORACLE_TEXT_HEAPS_FIT = r"""
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents)
+  WHERE len(w) >= 2),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY doc_id),
+births AS (
+  SELECT birth AS doc_id, CAST(count(*) AS BIGINT) AS new_types FROM (
+    SELECT w, min(doc_id) AS birth FROM toks GROUP BY w)
+  GROUP BY birth),
+pts AS (
+  SELECT sum(n_tokens) OVER (ORDER BY p.doc_id
+                             ROWS UNBOUNDED PRECEDING) AS nn,
+         sum(coalesce(new_types, 0))
+           OVER (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING) AS vv
+  FROM per_doc p LEFT JOIN births b ON b.doc_id = p.doc_id),
+f AS (SELECT nn, vv FROM pts WHERE nn >= 10 AND vv >= 1),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(ln(nn) * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sx,
+         CAST(sum(CAST(round(ln(vv) * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sy,
+         CAST(sum(CAST(round(ln(nn) * ln(vv) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS sxy,
+         CAST(sum(CAST(round(ln(nn) * ln(nn) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS sxx,
+         CAST(sum(CAST(round(ln(vv) * ln(vv) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS syy
+  FROM f)
+SELECT n,
+       round((n * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+             / (n * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6)), 4) AS beta,
+       round(((sy / 1e6) - ((n * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+                            / (n * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6)))
+              * (sx / 1e6)) / n, 4) AS ln_k,
+       round((n * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+             * (n * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+             / ((n * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6))
+                * (n * (syy / 1e6) - (sy / 1e6) * (sy / 1e6))), 4) AS r2
+FROM s
+"""
+
+
+def q_events_path_trigrams(spark, sf_dir):
+    """Common-journey mining: the top-10 three-step event-type paths
+    across all user timelines (the sequence-mining extension of
+    events_markov's bigram transition matrix — funnels you did NOT
+    design, discovered from the log). Two leads per user timeline,
+    exact counts, rank on (count DESC, path ASC).
+
+    Plan/scale: ONE shuffle (user_id window; leads reuse the same sort),
+    path census agg, then a top-k window over the CENSUS (|distinct
+    trigrams| <= |event types|^3 = tiny at any log size)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts",
+                                            "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (ev.withColumn("e2", F.lead("event_type", 1).over(w))
+         .withColumn("e3", F.lead("event_type", 2).over(w))
+         .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+         .select(F.concat_ws(">", "event_type", "e2", "e3")
+                 .alias("path")))
+    census = p.groupBy("path").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("n_paths"))
+    r = Window.orderBy(F.col("n_paths").desc(), F.col("path").asc())
+    return (census.withColumn("rank", F.row_number().over(r))
+            .filter(F.col("rank") <= 10)
+            .select("path", "n_paths", "rank"))
+
+
+ORACLE_EVENTS_PATH_TRIGRAMS = """
+WITH p AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS path FROM (
+    SELECT event_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS e2,
+           lead(event_type, 2) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS e3
+    FROM events)
+  WHERE e2 IS NOT NULL AND e3 IS NOT NULL),
+census AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_paths FROM p GROUP BY path)
+SELECT path, n_paths, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY n_paths DESC, path ASC) AS rank
+  FROM census)
+WHERE rank <= 10
+"""
+
+
+def q_url_scheme_consolidate(spark, sf_dir):
+    """http<->https duplicate consolidation census — the canonical-
+    scheme cleanup every URL-seen set needs (the same page crawled
+    under both schemes is the cheapest duplicate class there is):
+    per (host, path), which schemes were seen; per host, how much of
+    the URL space is dual-scheme (consolidatable to https), https-only
+    (done), or http-only (the migration backlog). Exact counts + ppm.
+
+    Plan/scale: one (host, path)-keyed agg over the URL stream, then a
+    host census agg — both map-side combinable; no joins."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    urls = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (c % 20).cast("string")).alias("host"),
+        F.concat(F.lit("/p"), (k % 30).cast("string")).alias("path"),
+        F.when(F.expr("(o_orderkey DIV 30) % 2 = 0"), "https")
+        .otherwise("http").alias("scheme"))
+    pages = (urls.groupBy("host", "path")
+             .agg(F.max(F.when(F.col("scheme") == "http", 1).otherwise(0))
+                  .alias("has_http"),
+                  F.max(F.when(F.col("scheme") == "https", 1).otherwise(0))
+                  .alias("has_https")))
+    return (pages.groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_paths"),
+                 F.sum(F.when((F.col("has_http") == 1)
+                              & (F.col("has_https") == 1), 1)
+                       .otherwise(0)).cast("long").alias("n_dual"),
+                 F.sum(F.when((F.col("has_http") == 1)
+                              & (F.col("has_https") == 0), 1)
+                       .otherwise(0)).cast("long").alias("n_http_only"),
+                 F.sum(F.when((F.col("has_http") == 0)
+                              & (F.col("has_https") == 1), 1)
+                       .otherwise(0)).cast("long").alias("n_https_only"))
+            .withColumn("dual_ppm", F.expr(
+                "(n_dual * 1000000) DIV greatest(n_paths, 1)")))
+
+
+ORACLE_URL_SCHEME_CONSOLIDATE = """
+WITH urls AS (
+  SELECT 'h' || (o_custkey % 20) AS host,
+         '/p' || (o_orderkey % 30) AS path,
+         CASE WHEN (o_orderkey // 30) % 2 = 0 THEN 'https' ELSE 'http'
+           END AS scheme
+  FROM orders),
+pages AS (
+  SELECT host, path,
+         max(CASE WHEN scheme = 'http' THEN 1 ELSE 0 END) AS has_http,
+         max(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END) AS has_https
+  FROM urls GROUP BY host, path)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(sum(CASE WHEN has_http = 1 AND has_https = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dual,
+       CAST(sum(CASE WHEN has_http = 1 AND has_https = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_http_only,
+       CAST(sum(CASE WHEN has_http = 0 AND has_https = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_https_only,
+       (CAST(sum(CASE WHEN has_http = 1 AND has_https = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         // greatest(count(*), 1) AS dual_ppm
+FROM pages GROUP BY host
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -13146,6 +13353,9 @@ QUERIES = {
     "events_bot_detect": q_events_bot_detect,
     "embeddings_pq_distortion": q_embeddings_pq_distortion,
     "frontier_makespan": q_frontier_makespan,
+    "text_heaps_fit": q_text_heaps_fit,
+    "events_path_trigrams": q_events_path_trigrams,
+    "url_scheme_consolidate": q_url_scheme_consolidate,
 }
 
 ORACLES = {
@@ -13374,6 +13584,9 @@ ORACLES = {
     "events_bot_detect": ORACLE_EVENTS_BOT_DETECT,
     "embeddings_pq_distortion": ORACLE_EMBEDDINGS_PQ_DISTORTION,
     "frontier_makespan": ORACLE_FRONTIER_MAKESPAN,
+    "text_heaps_fit": ORACLE_TEXT_HEAPS_FIT,
+    "events_path_trigrams": ORACLE_EVENTS_PATH_TRIGRAMS,
+    "url_scheme_consolidate": ORACLE_URL_SCHEME_CONSOLIDATE,
 }
 
 
