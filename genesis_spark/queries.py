@@ -13127,6 +13127,313 @@ FROM pages GROUP BY host
 """
 
 
+#: Adamic-Adar wedge weights, indexed 1-based by common-neighbor degree.
+#: round(1e6 / ln(d)) precomputed ONCE in Python and injected as the same
+#: literal array into BOTH engines, so no cross-engine ln() of a runtime
+#: value can flip a rounding boundary (deg >= 2 always holds for a common
+#: neighbor of two distinct nodes; slot 1 is an unused 0).
+import math as _math  # noqa: E402  (stdlib, used for literal tables only)
+
+_AA_UNITS = [0] + [round(1e6 / _math.log(d)) for d in range(2, 61)]
+_AA_UNITS[0] = 0
+_AA_ARRAY_SQL = "[" + ", ".join(str(v) for v in _AA_UNITS) + "]"
+
+
+def q_graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (Adamic & Adar, Social Networks 2003)
+    over the shared 50-node host graph: for every NON-adjacent unordered
+    host pair, score = sum over common neighbors w of 1/ln(deg(w)) — the
+    classic 'which links is the crawl graph missing' signal (rare shared
+    neighbors count more than hubs), feeding seed discovery the way
+    host_pagerank feeds priority. Top-20 predicted links.
+
+    Exactness: each wedge contributes _AA_UNITS[deg(w)] — quantized
+    1e-6-unit integers from a literal table shared verbatim with the
+    oracle — so the score is an exact integer sum (order-free) and the
+    cross-engine ln() hazard class is eliminated at the source.
+
+    Plan/scale: distinct symmetric edge list -> degree census -> wedge
+    self-join keyed ON THE COMMON NEIGHBOR (per-key fan-out deg(w)^2,
+    the df-cappable shape every dedup join here uses; never all-pairs)
+    -> existing-edge anti-join -> top-k window over the candidate
+    census.
+
+    Graph note: NOT _host_edges50 — that graph saturates to complete at
+    sf>=0.01 (every host pair realized), leaving nothing to predict.
+    This row's 200-node graph admits a pair (i,j) as an edge only when
+    (i*7 + j) % 13 == 0, so 12/13 of the pair space is structurally
+    non-adjacent at every SF and predictions always exist."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    e = (_t(spark, sf_dir, "orders")
+         .select((k % 200).alias("i"), (c % 200).alias("j"))
+         .filter((F.col("i") != F.col("j"))
+                 & ((F.col("i") * 7 + F.col("j")) % 13 == 0))
+         .select(F.concat(F.lit("g"), F.col("i").cast("string"))
+                 .alias("src"),
+                 F.concat(F.lit("g"), F.col("j").cast("string"))
+                 .alias("dst"))
+         .distinct())
+    und = (e.union(e.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+           .distinct())
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    arr = F.expr("array(" + ", ".join(str(v) for v in _AA_UNITS) + ")")
+    wt = deg.select(F.col("src").alias("w"),
+                    F.element_at(arr, F.col("deg").cast("int"))
+                    .alias("aa_units"))
+    a = und.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    b = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedges = (a.join(b, "w").filter(F.col("u") < F.col("v"))
+              .join(F.broadcast(wt), "w"))
+    cand = (wedges.groupBy("u", "v")
+            .agg(F.sum("aa_units").cast("long").alias("score_units")))
+    adj = und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    missing = cand.join(adj, ["u", "v"], "left_anti")
+    r = Window.orderBy(F.col("score_units").desc(), "u", "v")
+    return (missing.withColumn("rank", F.row_number().over(r))
+            .filter(F.col("rank") <= 20)
+            .select("u", "v", "score_units", "rank"))
+
+
+ORACLE_GRAPH_ADAMIC_ADAR = f"""
+WITH e AS (
+  SELECT DISTINCT 'g' || i AS src, 'g' || j AS dst FROM (
+    SELECT o_orderkey % 200 AS i, o_custkey % 200 AS j FROM orders)
+  WHERE i <> j AND (i * 7 + j) % 13 = 0),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),
+wt AS (SELECT src AS w, ({_AA_ARRAY_SQL})[deg] AS aa_units FROM deg),
+wedges AS (
+  SELECT a.dst AS u, b.dst AS v, wt.aa_units
+  FROM und a JOIN und b ON a.src = b.src AND a.dst < b.dst
+  JOIN wt ON wt.w = a.src),
+cand AS (
+  SELECT u, v, CAST(sum(aa_units) AS BIGINT) AS score_units
+  FROM wedges GROUP BY u, v),
+missing AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM und WHERE src = c.u AND dst = c.v))
+SELECT u, v, score_units, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score_units DESC, u, v) AS rank
+  FROM missing)
+WHERE rank <= 20
+"""
+
+
+def q_events_survival(spark, sf_dir):
+    """Kaplan-Meier repurchase-latency curve (Kaplan & Meier, JASA
+    1958): each purchase event is a subject whose duration is the days
+    until that user's NEXT purchase; a user's final purchase is
+    right-CENSORED by the end of the log (its true gap is unknown, but
+    it stays in the at-risk set — the bias a naive mean-gap estimate
+    gets wrong). Emits the KM step table: gap day, at-risk count,
+    deaths (observed next purchases), product-limit survival estimate.
+
+    Exactness: n_risk and n_deaths are exact integer censuses; each
+    step's hazard factor (n_risk - d)/n_risk is a division of exact
+    integers (bit-identical IEEE result in both engines), its ln is
+    quantized to 1e-9-unit integers BEFORE the running sum (the
+    text_heaps_fit recipe), and survival_ppm = floor(exp(sum)*1e6+0.5).
+    The one factor that can be 0 (everyone left dies on the last step)
+    is special-cased to survival 0 without touching ln.
+
+    Plan/scale: ONE per-user window (lead) over purchases, then every
+    later window runs over the GAP-DAY CENSUS (<= max gap in days),
+    never the event stream."""
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase")
+          .select("user_id", "event_id", "ts"))
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gmax = ev.agg(F.max("ts").alias("gmax_ts"))
+    subj = (ev.withColumn("next_ts", F.lead("ts").over(w_u))
+            .crossJoin(F.broadcast(gmax))
+            .select(F.datediff(F.to_date(F.coalesce("next_ts",
+                                                    "gmax_ts")),
+                               F.to_date("ts")).cast("int").alias("gap_d"),
+                    F.when(F.col("next_ts").isNotNull(), 1)
+                    .otherwise(0).alias("observed")))
+    census = subj.groupBy("gap_d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("observed").cast("long").alias("n_deaths"))
+    w_all = Window.orderBy("gap_d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    w_prev = Window.orderBy("gap_d").rowsBetween(
+        Window.unboundedPreceding, -1)
+    steps = (census
+             .withColumn("n_risk",
+                         (F.sum("n_all").over(w_all) -
+                          F.coalesce(F.sum("n_all").over(w_prev),
+                                     F.lit(0))).cast("long"))
+             .filter(F.col("n_deaths") > 0))
+    f = ((F.col("n_risk") - F.col("n_deaths")).cast("double") /
+         F.col("n_risk").cast("double"))
+    steps = steps.withColumn(
+        "lnq", F.when(f > 0, F.round(F.log(f) * 1e9).cast("long"))
+        .otherwise(F.lit(0)))
+    w_cum = Window.orderBy("gap_d").rowsBetween(
+        Window.unboundedPreceding, 0)
+    srv = F.when(f == 0, F.lit(0)).otherwise(
+        F.floor(F.exp(F.sum("lnq").over(w_cum).cast("double") / 1e9)
+                * 1e6 + F.lit(0.5))).cast("long")
+    return steps.select("gap_d", "n_risk", "n_deaths",
+                        srv.alias("survival_ppm"))
+
+
+ORACLE_EVENTS_SURVIVAL = """
+WITH ev AS (
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_type = 'purchase'),
+gmax AS (SELECT max(ts) AS gmax_ts FROM ev),
+subj AS (
+  SELECT CAST(date_diff('day', CAST(ts AS DATE),
+                        CAST(coalesce(next_ts, gmax_ts) AS DATE)) AS INT)
+           AS gap_d,
+         CASE WHEN next_ts IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM (SELECT ts, lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_ts
+        FROM ev), gmax),
+census AS (
+  SELECT gap_d, CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(observed) AS BIGINT) AS n_deaths
+  FROM subj GROUP BY gap_d),
+steps AS (
+  SELECT gap_d, n_deaths,
+         CAST(sum(n_all) OVER () -
+              coalesce(sum(n_all) OVER (ORDER BY gap_d
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM census),
+d AS (
+  SELECT gap_d, n_risk, n_deaths,
+         CASE WHEN n_risk > n_deaths
+              THEN CAST(round(ln((CAST(n_risk - n_deaths AS DOUBLE))
+                                 / CAST(n_risk AS DOUBLE)) * 1e9)
+                        AS BIGINT)
+              ELSE 0 END AS lnq
+  FROM steps WHERE n_deaths > 0)
+SELECT gap_d, n_risk, n_deaths,
+       CASE WHEN n_risk = n_deaths THEN 0
+            ELSE CAST(floor(exp(CAST(sum(lnq) OVER (ORDER BY gap_d
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                                / 1e9) * 1e6 + 0.5) AS BIGINT)
+         END AS survival_ppm
+FROM d
+"""
+
+
+def q_http_cache_headers(spark, sf_dir):
+    """HTTP response-cache freshness planning (RFC 9111): parse
+    Cache-Control directives + Age from synthesized response headers and
+    compute what a polite recrawler may reuse — the header-driven
+    complement to fetch_revalidate's ETag path. Rules encoded:
+    no-store -> not cacheable at all; private -> shared caches (the
+    crawler fleet's) get ttl 0 but a private ttl stands; no-cache ->
+    stored but must revalidate (effective ttl 0); s-maxage overrides
+    max-age FOR SHARED CACHES only; Age already consumed is subtracted
+    from remaining freshness (floor 0). Per-response classification,
+    exact integer seconds.
+
+    Plan/scale: pure codegen regexp extraction + CASE ladder, zero
+    shuffles — fuses into the header scan at 100 TB."""
+    k = F.col("o_orderkey")
+    hdr = (F.when(k % 6 == 0,
+                  F.concat(F.lit("Cache-Control: public, max-age="),
+                           ((k % 7) * 600).cast("string"),
+                           F.lit("\r\nAge: "),
+                           ((k % 3) * 150).cast("string")))
+           .when(k % 6 == 1, F.lit("Cache-Control: no-store"))
+           .when(k % 6 == 2,
+                 F.concat(F.lit("Cache-Control: private, max-age=120, "
+                                "s-maxage="),
+                          ((k % 5) * 900).cast("string")))
+           .when(k % 6 == 3,
+                 F.lit("Cache-Control: no-cache, max-age=3600"))
+           .when(k % 6 == 4,
+                 F.concat(F.lit("Cache-Control: s-maxage="),
+                          ((k % 4) * 450).cast("string"),
+                          F.lit(", max-age=60\r\nAge: 30")))
+           .otherwise(F.lit("X-Served-By: edge")))
+    h = _t(spark, sf_dir, "orders").select(k.alias("req_id"),
+                                           hdr.alias("header"))
+    cc = F.col("header")
+    max_age = F.regexp_extract(cc, "max-age=([0-9]+)", 1)
+    s_maxage = F.regexp_extract(cc, "s-maxage=([0-9]+)", 1)
+    age = F.regexp_extract(cc, "Age: ([0-9]+)", 1)
+    max_age_s = F.when(max_age != "", max_age.cast("long"))
+    s_maxage_s = F.when(s_maxage != "", s_maxage.cast("long"))
+    age_s = F.coalesce(F.when(age != "", age.cast("long")), F.lit(0))
+    no_store = cc.contains("no-store")
+    no_cache = cc.contains("no-cache")
+    private = cc.contains("private")
+    cacheable = F.when(no_store, 0).otherwise(1)
+    revalidate = F.when(no_store | no_cache, 1).otherwise(0)
+    base_private = F.coalesce(max_age_s, F.lit(0))
+    base_shared = F.coalesce(s_maxage_s, max_age_s, F.lit(0))
+    private_ttl = (F.when(no_store | no_cache, F.lit(0))
+                   .otherwise(F.greatest(base_private - age_s, F.lit(0))))
+    shared_ttl = (F.when(no_store | no_cache | private, F.lit(0))
+                  .otherwise(F.greatest(base_shared - age_s, F.lit(0))))
+    return h.select("req_id", "header",
+                    cacheable.cast("int").alias("cacheable"),
+                    revalidate.cast("int").alias("must_revalidate"),
+                    private_ttl.cast("long").alias("private_ttl_s"),
+                    shared_ttl.cast("long").alias("shared_ttl_s"))
+
+
+ORACLE_HTTP_CACHE_HEADERS = """
+WITH h AS (
+  SELECT o_orderkey AS req_id,
+         CASE
+           WHEN o_orderkey % 6 = 0 THEN
+             'Cache-Control: public, max-age=' || ((o_orderkey % 7) * 600)
+             || chr(13) || chr(10) || 'Age: ' || ((o_orderkey % 3) * 150)
+           WHEN o_orderkey % 6 = 1 THEN 'Cache-Control: no-store'
+           WHEN o_orderkey % 6 = 2 THEN
+             'Cache-Control: private, max-age=120, s-maxage='
+             || ((o_orderkey % 5) * 900)
+           WHEN o_orderkey % 6 = 3 THEN 'Cache-Control: no-cache, max-age=3600'
+           WHEN o_orderkey % 6 = 4 THEN
+             'Cache-Control: s-maxage=' || ((o_orderkey % 4) * 450)
+             || ', max-age=60' || chr(13) || chr(10) || 'Age: 30'
+           ELSE 'X-Served-By: edge'
+         END AS header
+  FROM orders),
+p AS (
+  SELECT req_id, header,
+         regexp_extract(header, 'max-age=([0-9]+)', 1) AS max_age,
+         regexp_extract(header, 's-maxage=([0-9]+)', 1) AS s_maxage,
+         regexp_extract(header, 'Age: ([0-9]+)', 1) AS age,
+         contains(header, 'no-store') AS no_store,
+         contains(header, 'no-cache') AS no_cache,
+         contains(header, 'private') AS private
+  FROM h),
+t AS (
+  SELECT req_id, header, no_store, no_cache, private,
+         CASE WHEN max_age <> '' THEN CAST(max_age AS BIGINT) END
+           AS max_age_s,
+         CASE WHEN s_maxage <> '' THEN CAST(s_maxage AS BIGINT) END
+           AS s_maxage_s,
+         coalesce(CASE WHEN age <> '' THEN CAST(age AS BIGINT) END, 0)
+           AS age_s
+  FROM p)
+SELECT req_id, header,
+       CAST(CASE WHEN no_store THEN 0 ELSE 1 END AS INT) AS cacheable,
+       CAST(CASE WHEN no_store OR no_cache THEN 1 ELSE 0 END AS INT)
+         AS must_revalidate,
+       CAST(CASE WHEN no_store OR no_cache THEN 0
+                 ELSE greatest(coalesce(max_age_s, 0) - age_s, 0)
+            END AS BIGINT) AS private_ttl_s,
+       CAST(CASE WHEN no_store OR no_cache OR private THEN 0
+                 ELSE greatest(coalesce(s_maxage_s, max_age_s, 0) - age_s,
+                               0)
+            END AS BIGINT) AS shared_ttl_s
+FROM t
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -13356,6 +13663,9 @@ QUERIES = {
     "text_heaps_fit": q_text_heaps_fit,
     "events_path_trigrams": q_events_path_trigrams,
     "url_scheme_consolidate": q_url_scheme_consolidate,
+    "graph_adamic_adar": q_graph_adamic_adar,
+    "events_survival": q_events_survival,
+    "http_cache_headers": q_http_cache_headers,
 }
 
 ORACLES = {
@@ -13587,6 +13897,9 @@ ORACLES = {
     "text_heaps_fit": ORACLE_TEXT_HEAPS_FIT,
     "events_path_trigrams": ORACLE_EVENTS_PATH_TRIGRAMS,
     "url_scheme_consolidate": ORACLE_URL_SCHEME_CONSOLIDATE,
+    "graph_adamic_adar": ORACLE_GRAPH_ADAMIC_ADAR,
+    "events_survival": ORACLE_EVENTS_SURVIVAL,
+    "http_cache_headers": ORACLE_HTTP_CACHE_HEADERS,
 }
 
 
