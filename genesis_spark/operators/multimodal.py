@@ -443,6 +443,54 @@ def ahash_media(df: DataFrame, blob_col: str = "media_blob") -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+def gray8_histogram(df: DataFrame, blob_col: str = "media_blob",
+                    bins: int = 16) -> DataFrame:
+    """Intensity histogram over gray8 blobs — the basic image-statistics
+    kernel (exposure/contrast screening, near-black or blown-out frame
+    detection before any expensive model sees the bytes): decode ->
+    ``np.bincount(px >> shift)`` -> one row per (doc_id, bin), zero
+    bins included so every image emits exactly ``bins`` rows. ``bins``
+    must divide 256; the bin of a pixel is ``px // (256 // bins)`` —
+    pure integer, engine-portable.
+
+    At 100 TB: per-row compute, no shuffle; the histogram rows are
+    256/bins x smaller than the pixels, so downstream exposure censuses
+    aggregate metadata, never imagery."""
+    import numpy as np
+    import pandas as pd
+
+    if 256 % bins:
+        raise ValueError("bins must divide 256")
+    width = 256 // bins
+
+    out_schema = T.StructType([
+        df.schema["doc_id"],
+        T.StructField("bin", T.IntegerType(), False),
+        T.StructField("n_px", T.LongType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            bs: list[int] = []
+            ns: list[int] = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None:
+                    continue
+                _, _, arr = decode_gray8(blob)
+                counts = np.bincount(arr.ravel() // width,
+                                     minlength=bins)
+                ids.extend([doc_id] * bins)
+                bs.extend(range(bins))
+                ns.extend(int(c) for c in counts)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "bin": pd.Series(bs, dtype="int32"),
+                "n_px": pd.Series(ns, dtype="int64")})
+
+    return df.mapInPandas(run, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # raw video: frame-sampling over a frame-array container
 # ---------------------------------------------------------------------------

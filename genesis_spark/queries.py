@@ -13434,6 +13434,222 @@ FROM t
 """
 
 
+def q_text_kn_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney, ICASSP 1995;
+    Chen & Goodman 1999) — the principled upgrade over text_bigram_lm's
+    add-0.5 smoothing: absolute discount D = 3/4 on observed bigram
+    counts, with the freed mass backed off to the CONTINUATION
+    probability (in how many distinct contexts does w2 appear), which
+    is what makes KN the default n-gram smoother.
+
+      P(w2|w1) = max(c12 - D, 0)/c1  +  (D * N1+(w1,.)/c1) * N1+(.,w2)/T
+
+    Exactness: D = 3/4 keeps everything rational — both terms are
+    integer-DIV quotients in 1e-9 units (decimal(38) intermediates so
+    the N1+ x N1+ x 1e9 product can't wrap at web vocab sizes), so the
+    probability is exact integer arithmetic on both engines.
+
+    Plan/scale: one bigram explode -> three census-scale groupBys
+    (c12, per-w1, per-w2) + a broadcast 1-row type count; the rank
+    window runs over the c12 >= 2 CENSUS, never the token stream."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("text"))
+    toks = d.select(F.filter(
+        F.split(F.lower("text"), "[^a-z]+"),
+        lambda x: F.length(x) >= 2).alias("w")).filter(F.size("w") >= 2)
+    bg = toks.select(F.explode(F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> struct(w[i - 1] AS w1, w[i] AS w2))")).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long")
+                                     .alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                               F.count(F.lit(1)).alias("n1p_w1"))
+    cw2 = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_w2"))
+    tt = c12.agg(F.count(F.lit(1)).alias("tt"))
+    j = (c12.join(c1, "w1").join(cw2, "w2")
+         .crossJoin(F.broadcast(tt)))
+    # exact integer DIV in 1e-6 units (ppm); 3 * N1+ * N1+ * 1e6 stays
+    # under long at ~5e4 distinct continuations per word — beyond that
+    # (full web vocab) promote to decimal(38,0) like
+    # embeddings_standardize
+    term1 = F.expr("((4 * c12 - 3) * 1000000L) DIV (4 * c1)")
+    term2 = F.expr("(3L * n1p_w1 * n1p_w2 * 1000000L) "
+                   "DIV (4L * c1 * tt)")
+    scored = (j.filter(F.col("c12") >= 2)
+              .select("w1", "w2", "c12",
+                      (term1 + term2).cast("long").alias("kn_ppm")))
+    r = Window.orderBy(F.col("kn_ppm").desc(), "w1", "w2")
+    return (scored.withColumn("rank", F.row_number().over(r))
+            .filter(F.col("rank") <= 50)
+            .select("w1", "w2", "c12", "kn_ppm", "rank"))
+
+
+ORACLE_TEXT_KN_BIGRAM = """
+WITH tok AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> len(x) >= 2) AS w
+  FROM documents WHERE text IS NOT NULL),
+tw AS (SELECT w FROM tok WHERE len(w) >= 2),
+bg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM tw, unnest(range(1, len(w))) u(i)),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+              CAST(count(*) AS BIGINT) AS n1p_w1
+       FROM c12 GROUP BY 1),
+cw2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_w2
+        FROM c12 GROUP BY 1),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM c12),
+scored AS (
+  SELECT c12.w1, c12.w2, c12.c12,
+         CAST((4::HUGEINT * c12.c12 - 3) * 1000000
+              // (4::HUGEINT * c1.c1)
+              + (3::HUGEINT * c1.n1p_w1 * cw2.n1p_w2 * 1000000)
+                // (4::HUGEINT * c1.c1 * tt.tt) AS BIGINT) AS kn_ppm
+  FROM c12 JOIN c1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN tt
+  WHERE c12.c12 >= 2)
+SELECT w1, w2, c12, kn_ppm, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY kn_ppm DESC, w1, w2) AS rank
+  FROM scored)
+WHERE rank <= 50
+"""
+
+
+def q_events_rfm(spark, sf_dir):
+    """RFM customer segmentation (Hughes 1994, the classic CRM
+    workhorse): per user, Recency = days since last purchase at log
+    end, Frequency = purchase count, Monetary = exact cent total;
+    each scored 1-5 by quintile (5 = best) and concatenated into the
+    three-digit segment (555 = champions, 111 = lost).
+
+    Exactness: monetary quantizes each event value to cents BEFORE the
+    sum (double-sum order can't touch the hash); quintiles are ntile(5)
+    over a UNIQUE total order (metric, then user_id), so the tile
+    boundaries are deterministic and the SQL-standard ntile agrees
+    across engines.
+
+    Plan/scale: one per-user agg, then three ntile windows over the
+    USER census (not the event stream); the global-window census is the
+    standard one-pass segmentation shape."""
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase")
+          .select("user_id", "ts", "value"))
+    gmax = ev.agg(F.max(F.to_date("ts")).alias("gmax_d"))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max(F.to_date("ts")).alias("last_d"),
+                     F.count(F.lit(1)).cast("long").alias("frequency"),
+                     F.sum(F.round(F.col("value") * 100).cast("long"))
+                     .cast("long").alias("monetary_cents"))
+                .crossJoin(F.broadcast(gmax))
+                .select("user_id",
+                        F.datediff("gmax_d", "last_d").cast("int")
+                        .alias("recency_d"),
+                        "frequency", "monetary_cents"))
+    w_r = Window.orderBy(F.col("recency_d").desc(), "user_id")
+    w_f = Window.orderBy(F.col("frequency").asc(), "user_id")
+    w_m = Window.orderBy(F.col("monetary_cents").asc(), "user_id")
+    scored = (per_user
+              .withColumn("r_score", F.ntile(5).over(w_r))
+              .withColumn("f_score", F.ntile(5).over(w_f))
+              .withColumn("m_score", F.ntile(5).over(w_m)))
+    return scored.select(
+        "user_id", "recency_d", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10
+         + F.col("m_score")).cast("int").alias("segment"))
+
+
+ORACLE_EVENTS_RFM = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+gmax AS (SELECT max(d) AS gmax_d FROM ev),
+per_user AS (
+  SELECT user_id,
+         CAST(date_diff('day', max(d), (SELECT gmax_d FROM gmax))
+              AS INT) AS recency_d,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(cents) AS BIGINT) AS monetary_cents
+  FROM ev GROUP BY user_id),
+scored AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY recency_d DESC, user_id) AS r_score,
+         ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+         ntile(5) OVER (ORDER BY monetary_cents ASC, user_id) AS m_score
+  FROM per_user)
+SELECT user_id, recency_d, frequency, monetary_cents,
+       CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+FROM scored
+"""
+
+
+def q_media_color_histogram(spark, sf_dir):
+    """Per-image intensity histogram over the gray8 bitmap corpus —
+    the exposure/contrast screening pass (near-black scans, blown-out
+    frames, flat synthetic fills) that gates imagery BEFORE any model
+    decode: mapInPandas encodes the deterministic bitmaps, the
+    operators.multimodal.gray8_histogram numpy kernel bins pixels
+    (px // 16 -> 16 bins, zero bins emitted), and each bin ships with
+    its exact ppm share of the image. The oracle restates synth +
+    binning in integer SQL over an unnested pixel-index range — a
+    value-hash match proves the Arrow plumbing and the bincount kernel
+    end to end (the media_resize/media_phash convention).
+
+    Plan/scale: per-row kernel, no shuffle until the per-doc ppm window
+    (partitioned by doc_id — politeness-bucket sized); histogram rows
+    are 16x-per-image metadata, never pixels."""
+    import pandas as pd
+
+    from genesis_spark.operators import multimodal as MM
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_blob": [MM.gray8_by_doc_id(int(i))
+                               for i in pdf["doc_id"]]})
+
+    blobs = d.mapInPandas(encode, "doc_id long, media_blob binary")
+    hist = MM.gray8_histogram(blobs, bins=16)
+    w_doc = Window.partitionBy("doc_id")
+    return (hist
+            .withColumn("total", F.sum("n_px").over(w_doc))
+            .select("doc_id", "bin", "n_px",
+                    F.expr("(n_px * 1000000) DIV total").cast("long")
+                    .alias("ppm")))
+
+
+ORACLE_MEDIA_COLOR_HISTOGRAM = """
+WITH d AS (
+  SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS w,
+         CAST(8 + (doc_id // 3) % 16 AS INT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w * h AS n_total,
+         CAST(((doc_id * 31 + i * 7) % 256) // 16 AS INT) AS bin
+  FROM d, unnest(range(w * h)) u(i)),
+counts AS (
+  SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS n_px,
+         any_value(n_total) AS n_total
+  FROM px GROUP BY doc_id, bin),
+grid AS (
+  SELECT d.doc_id, CAST(b AS INT) AS bin, d.w * d.h AS n_total
+  FROM d, unnest(range(16)) g(b))
+SELECT grid.doc_id, grid.bin,
+       coalesce(counts.n_px, 0) AS n_px,
+       CAST(coalesce(counts.n_px, 0) * 1000000 // grid.n_total
+            AS BIGINT) AS ppm
+FROM grid LEFT JOIN counts
+  ON counts.doc_id = grid.doc_id AND counts.bin = grid.bin
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -13666,6 +13882,9 @@ QUERIES = {
     "graph_adamic_adar": q_graph_adamic_adar,
     "events_survival": q_events_survival,
     "http_cache_headers": q_http_cache_headers,
+    "text_kn_bigram": q_text_kn_bigram,
+    "events_rfm": q_events_rfm,
+    "media_color_histogram": q_media_color_histogram,
 }
 
 ORACLES = {
@@ -13900,6 +14119,9 @@ ORACLES = {
     "graph_adamic_adar": ORACLE_GRAPH_ADAMIC_ADAR,
     "events_survival": ORACLE_EVENTS_SURVIVAL,
     "http_cache_headers": ORACLE_HTTP_CACHE_HEADERS,
+    "text_kn_bigram": ORACLE_TEXT_KN_BIGRAM,
+    "events_rfm": ORACLE_EVENTS_RFM,
+    "media_color_histogram": ORACLE_MEDIA_COLOR_HISTOGRAM,
 }
 
 

@@ -41,6 +41,8 @@ PANDAS_SANCTIONED = {
     "media_decode": "image container header decode (binary kernel)",
     "media_resize": "pixel-buffer resize (numpy kernel)",
     "media_phash": "perceptual hash over pixel buffers",
+    "media_color_histogram": "per-image intensity bincount "
+                             "(numpy kernel; ppm window is JVM)",
     "media_phash_pairs": "same _phash_segs pixel-buffer kernel as "
                          "media_phash; pairing itself is JVM band joins",
     "media_framesample": "video frame sampling (binary kernel)",
