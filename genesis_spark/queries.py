@@ -13650,6 +13650,209 @@ FROM grid LEFT JOIN counts
 """
 
 
+def q_text_calibration_ece(spark, sf_dir):
+    """Reliability table for the quality rubric (Guo et al., ICML 2017
+    calibration methodology): treat score/100 as the rubric's
+    'confidence' that a doc is good, bin into 10 confidence deciles,
+    and compare each bin's mean confidence against its empirical
+    accuracy on the independent length>=200 label (the same weak label
+    text_quality_pr calibrates thresholds on). |conf - acc| per bin is
+    the reliability-diagram gap whose n-weighted sum is ECE — the
+    standard 'is the scorer over-confident' diagnostic run before
+    trusting corpus_clean's gate at 100 TB.
+
+    Exactness: confidence = score * 10000 ppm (integer), bins by
+    integer DIV, per-bin means as exact integer DIV of integer sums —
+    no floats anywhere.
+
+    Plan/scale: one codegen scoring scan -> ONE partial agg to a
+    10-row census."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = d.select(
+        TS.quality_score_expr(F.col("text")).alias("q"),
+        (F.length("text") >= 200).cast("long").alias("label"))
+    binned = scored.select(
+        F.least(F.expr("q DIV 10"), F.lit(9)).cast("int").alias("bin"),
+        (F.col("q") * 10000).cast("long").alias("conf_ppm"), "label")
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conf_ppm").alias("sum_conf"),
+        F.sum("label").alias("n_pos"))
+    return agg.select(
+        "bin", "n",
+        F.expr("sum_conf DIV n").cast("long").alias("mean_conf_ppm"),
+        F.expr("(n_pos * 1000000) DIV n").cast("long").alias("acc_ppm"),
+        F.abs(F.expr("sum_conf DIV n")
+              - F.expr("(n_pos * 1000000) DIV n")).cast("long")
+        .alias("gap_ppm"))
+
+
+ORACLE_TEXT_CALIBRATION_ECE = f"""
+WITH {_quality_cte("doc_id", "documents")},
+b AS (
+  SELECT least(qs.q // 10, 9) AS bin,
+         CAST(qs.q * 10000 AS BIGINT) AS conf_ppm,
+         CASE WHEN qm.n >= 200 THEN 1 ELSE 0 END AS label
+  FROM qs JOIN qm USING (doc_id)
+  WHERE qm.n IS NOT NULL),
+agg AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(conf_ppm) AS BIGINT) AS sum_conf,
+         CAST(sum(label) AS BIGINT) AS n_pos
+  FROM b GROUP BY bin)
+SELECT CAST(bin AS INT) AS bin, n,
+       CAST(sum_conf // n AS BIGINT) AS mean_conf_ppm,
+       CAST((n_pos * 1000000) // n AS BIGINT) AS acc_ppm,
+       CAST(abs(sum_conf // n - (n_pos * 1000000) // n) AS BIGINT)
+         AS gap_ppm
+FROM agg
+"""
+
+
+def q_events_changepoint(spark, sf_dir):
+    """Mean-shift change-point detection per event type — the first
+    binary-segmentation step (Scott & Knott 1974; the batch CUSUM
+    alternative whose recurrence can't distribute): over each type's
+    daily count series, every boundary t is scored by the split
+    statistic |mean(left) - mean(right)| and the argmax day is the
+    candidate change point — the volume-regime-shift monitor for a
+    crawl's fetch/error logs.
+
+    Exactness: the statistic is |S_t*(n-t) - (S_n-S_t)*t| * 1e6 DIV
+    (t*(n-t)) — exact integer arithmetic on cumulative-sum censuses
+    (both engines DIV identically); argmax tie-breaks on earliest day.
+
+    Plan/scale: daily census agg (map-side combinable), then ALL
+    windows run over the per-type day census (~30 rows/type), never
+    the event stream. Days with zero events of a type don't appear in
+    the series (documented: the statistic is over observed days)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"))
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = (Window.partitionBy("event_type").orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = (Window.partitionBy("event_type").orderBy("day")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    cand = (daily
+            .withColumn("st", F.sum("c").over(w_cum))
+            .withColumn("sn", F.sum("c").over(w_all))
+            .withColumn("t", F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day")))
+            .withColumn("n", F.count(F.lit(1)).over(w_all))
+            .filter(F.col("t") < F.col("n"))
+            .withColumn("stat_ppm", F.expr(
+                "abs(st * (n - t) - (sn - st) * t) * 1000000 "
+                "DIV (t * (n - t))").cast("long")))
+    r = Window.partitionBy("event_type").orderBy(
+        F.col("stat_ppm").desc(), "day")
+    return (cand.withColumn("rk", F.row_number().over(r))
+            .filter(F.col("rk") == 1)
+            .select("event_type", F.col("day").alias("split_day"),
+                    "stat_ppm", F.col("st").alias("left_sum"),
+                    (F.col("sn") - F.col("st")).alias("right_sum"),
+                    F.col("n").cast("long").alias("n_days")))
+
+
+ORACLE_EVENTS_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+cand AS (
+  SELECT event_type, day,
+         sum(c) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS st,
+         sum(c) OVER (PARTITION BY event_type) AS sn,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily),
+scored AS (
+  SELECT event_type, day,
+         CAST(abs(st * (n - t) - (sn - st) * t) * 1000000
+              // (t * (n - t)) AS BIGINT) AS stat_ppm,
+         st, sn, n
+  FROM cand WHERE t < n)
+SELECT event_type, split_day, stat_ppm, left_sum, right_sum, n_days
+FROM (
+  SELECT event_type, day AS split_day, stat_ppm,
+         CAST(st AS BIGINT) AS left_sum,
+         CAST(sn - st AS BIGINT) AS right_sum,
+         CAST(n AS BIGINT) AS n_days,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY stat_ppm DESC, day) AS rk
+  FROM scored)
+WHERE rk = 1
+"""
+
+
+def q_host_wilson_rank(spark, sf_dir):
+    """Wilson-score lower-bound ranking of per-host fetch success
+    (Wilson 1927; the 'how not to sort by average rating' fix): a host
+    with 3/3 successes must NOT outrank one with 97/100, so hosts are
+    ordered by the 95% lower confidence bound of their success rate —
+    the retry/dead-host scheduler's robust health signal.
+
+    Exactness: s and n are exact integer censuses; the Wilson bound
+    uses only +,-,*,/ and sqrt of doubles derived from them — every one
+    of those ops (sqrt included) is IEEE-754 correctly rounded, so both
+    engines produce bit-identical doubles (no ln/exp in sight); the
+    final floor(x*1e6+0.5) quantization is therefore safe.
+
+    Plan/scale: one partial agg over the fetch log to a host census,
+    then pure per-row math + one census-scale rank window."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    log = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (c % 40).cast("string")).alias("host"),
+        F.when((k * 13 + c * 7) % (11 + c % 17) != 0, 1)
+        .otherwise(0).alias("ok"))
+    agg = log.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ok").cast("long").alias("s"))
+    p = F.col("s").cast("double") / F.col("n").cast("double")
+    nn = F.col("n").cast("double")
+    z2 = F.lit(1.96) * F.lit(1.96)
+    lb = ((p + z2 / (2 * nn)
+           - F.lit(1.96) * F.sqrt(p * (1 - p) / nn + z2 / (4 * nn * nn)))
+          / (1 + z2 / nn))
+    scored = agg.select(
+        "host", "n", "s",
+        F.floor(lb * 1e6 + F.lit(0.5)).cast("long").alias("wilson_ppm"))
+    r = Window.orderBy(F.col("wilson_ppm").desc(), "host")
+    return (scored.withColumn("rank", F.row_number().over(r))
+            .select("host", "n", "s", "wilson_ppm", "rank"))
+
+
+ORACLE_HOST_WILSON_RANK = """
+WITH log AS (
+  SELECT 'h' || (o_custkey % 40) AS host,
+         CASE WHEN (o_orderkey * 13 + o_custkey * 7)
+                   % (11 + o_custkey % 17) <> 0 THEN 1 ELSE 0
+           END AS ok
+  FROM orders),
+agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ok) AS BIGINT) AS s
+  FROM log GROUP BY host),
+scored AS (
+  SELECT host, n, s,
+         CAST(floor((
+           (CAST(s AS DOUBLE) / n + (1.96 * 1.96) / (2 * CAST(n AS DOUBLE))
+            - 1.96 * sqrt((CAST(s AS DOUBLE) / n)
+                          * (1 - CAST(s AS DOUBLE) / n)
+                          / CAST(n AS DOUBLE)
+                          + (1.96 * 1.96)
+                            / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           / (1 + (1.96 * 1.96) / CAST(n AS DOUBLE))) * 1e6 + 0.5)
+           AS BIGINT) AS wilson_ppm
+  FROM agg)
+SELECT host, n, s, wilson_ppm, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY wilson_ppm DESC, host) AS rank
+  FROM scored)
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -13885,6 +14088,9 @@ QUERIES = {
     "text_kn_bigram": q_text_kn_bigram,
     "events_rfm": q_events_rfm,
     "media_color_histogram": q_media_color_histogram,
+    "text_calibration_ece": q_text_calibration_ece,
+    "events_changepoint": q_events_changepoint,
+    "host_wilson_rank": q_host_wilson_rank,
 }
 
 ORACLES = {
@@ -14122,6 +14328,9 @@ ORACLES = {
     "text_kn_bigram": ORACLE_TEXT_KN_BIGRAM,
     "events_rfm": ORACLE_EVENTS_RFM,
     "media_color_histogram": ORACLE_MEDIA_COLOR_HISTOGRAM,
+    "text_calibration_ece": ORACLE_TEXT_CALIBRATION_ECE,
+    "events_changepoint": ORACLE_EVENTS_CHANGEPOINT,
+    "host_wilson_rank": ORACLE_HOST_WILSON_RANK,
 }
 
 
