@@ -1411,7 +1411,10 @@ def q_ann_ivf_topk(spark, sf_dir):
                         dim=_IVF_DIM)
 
 
-def _ivf_oracle() -> str:
+def _ivf_cells_sql() -> str:
+    """cents/dots/base_cells CTE prefix assigning every embedding to its
+    nearest seeded-centroid cell — shared by the ivf_topk oracle and the
+    cell-balance audit so the assignment replay can't drift."""
     import math
 
     cents = SIM.seeded_centroids(_IVF_CENTROIDS, _IVF_DIM)
@@ -1421,8 +1424,7 @@ def _ivf_oracle() -> str:
         norm = math.sqrt(sum(x * x for x in vec)) or 1.0
         rows.append(f"({c}, {lit}::DOUBLE[], {norm!r})")
     values = ",\n   ".join(rows)
-    return f"""
-WITH cents(cell, cvec, cnorm) AS (VALUES
+    return f"""cents(cell, cvec, cnorm) AS (VALUES
    {values}),
 dots AS (
   SELECT e.vec_id, c.cell,
@@ -1434,7 +1436,12 @@ base_cells AS (
     SELECT vec_id, cell,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY s DESC, cell ASC) AS rn
-    FROM dots) WHERE rn = 1),
+    FROM dots) WHERE rn = 1)"""
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH {_ivf_cells_sql()},
 q_probes AS (
   SELECT vec_id AS query_id, cell FROM (
     SELECT vec_id, cell,
@@ -13853,6 +13860,180 @@ SELECT host, n, s, wilson_ppm, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_text_ttr_sttr(spark, sf_dir):
+    """Standardized type-token ratio (Johnson 1944's STTR fix for TTR's
+    length bias): per doc, tokens are cut into non-overlapping 50-token
+    chunks (trailing partial chunk dropped), distinct types are counted
+    per chunk, and the doc's lexical diversity is the mean chunk TTR —
+    comparable ACROSS documents of different lengths, which raw TTR is
+    not. The low-diversity tail is template/boilerplate text the
+    repetition and novelty filters each see differently.
+
+    Exactness: sttr_ppm = (sum of per-chunk distinct counts) * 1e6 DIV
+    (n_chunks * 50) — all exact integers. Docs under 50 tokens drop out
+    on both engines.
+
+    Plan/scale: posexplode -> (doc, chunk) distinct-count agg ->
+    per-doc agg; everything keys on (doc_id, chunk), so the shuffle is
+    politeness-bucket sized — no giant keys, no windows."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    toks = d.select("doc_id", F.filter(
+        F.split(F.lower("text"), "[^a-z]+"),
+        lambda x: F.length(x) >= 2).alias("w"))
+    pos = (toks.select("doc_id", F.posexplode("w").alias("pos", "tok"))
+           .withColumn("chunk", F.expr("pos DIV 50"))
+           .withColumn("n_tok", F.count(F.lit(1)).over(
+               Window.partitionBy("doc_id")))
+           .filter(F.col("chunk") < F.expr("n_tok DIV 50")))
+    per_chunk = pos.groupBy("doc_id", "chunk").agg(
+        F.countDistinct("tok").cast("long").alias("types"))
+    return (per_chunk.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                 F.sum("types").cast("long").alias("sum_types"))
+            .select("doc_id", "n_chunks",
+                    F.expr("(sum_types * 1000000) DIV (n_chunks * 50)")
+                    .cast("long").alias("sttr_ppm")))
+
+
+ORACLE_TEXT_TTR_STTR = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> len(x) >= 2) AS w
+  FROM documents WHERE text IS NOT NULL),
+pos AS (
+  SELECT doc_id, i // 50 AS chunk, w[i + 1] AS tok,
+         len(w) AS n_tok
+  FROM toks, unnest(range(len(w))) u(i)
+  WHERE i // 50 < len(w) // 50),
+per_chunk AS (
+  SELECT doc_id, chunk,
+         CAST(count(DISTINCT tok) AS BIGINT) AS types
+  FROM pos GROUP BY doc_id, chunk)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST((sum(types) * 1000000) // (count(*) * 50) AS BIGINT)
+         AS sttr_ppm
+FROM per_chunk GROUP BY doc_id
+"""
+
+
+def q_events_lift_matrix(spark, sf_dir):
+    """Association lift between event types (the market-basket measure,
+    Brin et al. SIGMOD 1997): baskets are (user, day) activity windows;
+    for each unordered type pair, lift = P(a,b) / (P(a) * P(b)) > 1
+    means the types co-occur MORE than independence predicts — the
+    co-behavior matrix behind 'users who error also retry' readouts,
+    and the same shape as co-citation mining on the crawl side.
+
+    Exactness: lift_ppm = (n_ab * n_baskets * 1e6) DIV (n_a * n_b),
+    confidence both directions as exact DIV — counts only, no floats.
+
+    Plan/scale: distinct (basket, type) -> per-type census + ONE
+    self-equi-join on basket id (fan-out bounded by types-per-basket,
+    5 here) -> pair census. Never all-pairs across baskets."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.col("user_id").cast("string"), F.lit("@"),
+                 F.to_date("ts").cast("string")).alias("basket"),
+        "event_type")
+    bt = ev.distinct()
+    n_baskets = bt.select("basket").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets"))
+    per_type = bt.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t"))
+    a = bt.select("basket", F.col("event_type").alias("a"))
+    b = bt.select("basket", F.col("event_type").alias("b"))
+    pairs = (a.join(b, "basket").filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ab")))
+    ta = per_type.select(F.col("event_type").alias("a"),
+                         F.col("n_t").alias("n_a"))
+    tb = per_type.select(F.col("event_type").alias("b"),
+                         F.col("n_t").alias("n_b"))
+    return (pairs.join(F.broadcast(ta), "a").join(F.broadcast(tb), "b")
+            .crossJoin(F.broadcast(n_baskets))
+            .select("a", "b", "n_ab", "n_a", "n_b",
+                    F.expr("(n_ab * n_baskets * 1000000) DIV (n_a * n_b)")
+                    .cast("long").alias("lift_ppm"),
+                    F.expr("(n_ab * 1000000) DIV n_a").cast("long")
+                    .alias("conf_a_to_b_ppm"),
+                    F.expr("(n_ab * 1000000) DIV n_b").cast("long")
+                    .alias("conf_b_to_a_ppm")))
+
+
+ORACLE_EVENTS_LIFT_MATRIX = """
+WITH bt AS (
+  SELECT DISTINCT user_id || '@' || CAST(CAST(ts AS DATE) AS VARCHAR)
+           AS basket, event_type
+  FROM events),
+nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets
+       FROM bt),
+per_type AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+  FROM bt GROUP BY event_type),
+pairs AS (
+  SELECT x.event_type AS a, y.event_type AS b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM bt x JOIN bt y ON x.basket = y.basket
+                     AND x.event_type < y.event_type
+  GROUP BY 1, 2)
+SELECT a, b, n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+       CAST((n_ab * nb.n_baskets * 1000000) // (ta.n_t * tb.n_t)
+            AS BIGINT) AS lift_ppm,
+       CAST((n_ab * 1000000) // ta.n_t AS BIGINT) AS conf_a_to_b_ppm,
+       CAST((n_ab * 1000000) // tb.n_t AS BIGINT) AS conf_b_to_a_ppm
+FROM pairs JOIN per_type ta ON ta.event_type = pairs.a
+           JOIN per_type tb ON tb.event_type = pairs.b
+           CROSS JOIN nb
+"""
+
+
+def q_embeddings_cell_balance(spark, sf_dir):
+    """IVF cell-occupancy audit — the index-health readout for
+    ann_ivf_topk/ann_ivfpq_topk: assign every vector to its nearest
+    coarse cell (the SAME assignment the ANN rows use) and grade the
+    balance. A skewed cell is a skewed QUERY: probe latency follows
+    cell size, so imbalance_ppm = n_cell * n_cells * 1e6 DIV n_total
+    (1e6 = perfectly balanced) is the number that says 'retrain the
+    centroids' — the embedding-space twin of shuffle_skew_audit.
+
+    Plan/scale: codegen literal-centroid assignment (no Python), one
+    partial agg to an n_cells-row census."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = SIM.seeded_centroids(_IVF_CENTROIDS, _IVF_DIM)
+    cells = emb.select(
+        SIM.assign_cell_expr(F.col("embedding"), cents).alias("cell"))
+    agg = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    w = Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    return (agg.withColumn("n_total", F.sum("n_vecs").over(w))
+            .select(F.col("cell").cast("int").alias("cell"), "n_vecs",
+                    F.expr("(n_vecs * 1000000) DIV n_total").cast("long")
+                    .alias("share_ppm"),
+                    F.expr(f"(n_vecs * {_IVF_CENTROIDS} * 1000000) "
+                           "DIV n_total").cast("long")
+                    .alias("imbalance_ppm")))
+
+
+def _cell_balance_oracle() -> str:
+    return f"""
+WITH {_ivf_cells_sql()},
+agg AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM base_cells GROUP BY cell),
+tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM agg)
+SELECT CAST(cell AS INT) AS cell, n_vecs,
+       CAST((n_vecs * 1000000) // n_total AS BIGINT) AS share_ppm,
+       CAST((n_vecs * {_IVF_CENTROIDS} * 1000000) // n_total AS BIGINT)
+         AS imbalance_ppm
+FROM agg CROSS JOIN tot
+"""
+
+
+ORACLE_EMBEDDINGS_CELL_BALANCE = _cell_balance_oracle()
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -14091,6 +14272,9 @@ QUERIES = {
     "text_calibration_ece": q_text_calibration_ece,
     "events_changepoint": q_events_changepoint,
     "host_wilson_rank": q_host_wilson_rank,
+    "text_ttr_sttr": q_text_ttr_sttr,
+    "events_lift_matrix": q_events_lift_matrix,
+    "embeddings_cell_balance": q_embeddings_cell_balance,
 }
 
 ORACLES = {
@@ -14331,6 +14515,9 @@ ORACLES = {
     "text_calibration_ece": ORACLE_TEXT_CALIBRATION_ECE,
     "events_changepoint": ORACLE_EVENTS_CHANGEPOINT,
     "host_wilson_rank": ORACLE_HOST_WILSON_RANK,
+    "text_ttr_sttr": ORACLE_TEXT_TTR_STTR,
+    "events_lift_matrix": ORACLE_EVENTS_LIFT_MATRIX,
+    "embeddings_cell_balance": ORACLE_EMBEDDINGS_CELL_BALANCE,
 }
 
 
