@@ -14034,6 +14034,250 @@ FROM agg CROSS JOIN tot
 ORACLE_EMBEDDINGS_CELL_BALANCE = _cell_balance_oracle()
 
 
+def q_url_dot_segments(spark, sf_dir):
+    """RFC 3986 §5.2.4 dot-segment removal — the canonicalization step
+    relative-URL resolution forces on a crawler ('/a/./b/../c' and
+    '/a/c' are the SAME resource, and a URL-seen set that misses this
+    double-fetches): './' collapse, 'seg/../' collapse, trailing '/.'
+    and 'seg/..', and leading '/../' clamp to root. The spec's stack
+    algorithm is sequential; here it is a FIXED cascade of global
+    regexp passes (both engines scan the original string left-to-right,
+    non-overlapping — identical semantics), with enough passes for the
+    synth family's nesting depth; the unit test checks every output
+    against the real RFC stack algorithm in Python.
+
+    Plan/scale: zero-shuffle pure map — fuses into the URL scan."""
+    k = F.col("o_orderkey")
+    base = F.concat(F.lit("/s"), (k % 7).cast("string"),
+                    F.lit("/d"), (k % 3).cast("string"))
+    raw = (F.when(k % 5 == 0, base)
+           .when(k % 5 == 1,
+                 F.concat(F.lit("/s"), (k % 7).cast("string"),
+                          F.lit("/./d"), (k % 3).cast("string")))
+           .when(k % 5 == 2,
+                 F.concat(F.lit("/s"), (k % 7).cast("string"),
+                          F.lit("/x/../d"), (k % 3).cast("string")))
+           .when(k % 5 == 3, F.concat(base, F.lit("/.")))
+           .otherwise(F.concat(F.lit("/.."), base)))
+    d = _t(spark, sf_dir, "orders").select(k.alias("url_id"),
+                                           raw.alias("raw_path"))
+    p = F.col("raw_path")
+    for _ in range(3):  # './' then 'seg/../' collapse, 3 levels deep
+        p = F.regexp_replace(p, "/\\./", "/")
+        p = F.regexp_replace(p, "/[^/.][^/]*/\\.\\./", "/")
+    p = F.regexp_replace(p, "/[^/.][^/]*/\\.\\.$", "/")
+    p = F.regexp_replace(p, "/\\.$", "/")
+    for _ in range(2):  # leading '/../' clamps to root
+        p = F.regexp_replace(p, "^/\\.\\.(/|$)", "/")
+    return d.select("url_id", "raw_path", p.alias("clean_path"),
+                    (F.col("raw_path") != p).cast("int")
+                    .alias("changed"))
+
+
+def _dot_seg_sql() -> str:
+    p = "raw_path"
+    for _ in range(3):
+        p = f"regexp_replace({p}, '/\\./', '/', 'g')"
+        p = f"regexp_replace({p}, '/[^/.][^/]*/\\.\\./', '/', 'g')"
+    p = f"regexp_replace({p}, '/[^/.][^/]*/\\.\\.$', '/', 'g')"
+    p = f"regexp_replace({p}, '/\\.$', '/', 'g')"
+    for _ in range(2):
+        p = f"regexp_replace({p}, '^/\\.\\.(/|$)', '/', 'g')"
+    return p
+
+
+ORACLE_URL_DOT_SEGMENTS = f"""
+WITH d AS (
+  SELECT o_orderkey AS url_id,
+         CASE o_orderkey % 5
+           WHEN 0 THEN '/s' || (o_orderkey % 7) || '/d' || (o_orderkey % 3)
+           WHEN 1 THEN '/s' || (o_orderkey % 7) || '/./d'
+                       || (o_orderkey % 3)
+           WHEN 2 THEN '/s' || (o_orderkey % 7) || '/x/../d'
+                       || (o_orderkey % 3)
+           WHEN 3 THEN '/s' || (o_orderkey % 7) || '/d' || (o_orderkey % 3)
+                       || '/.'
+           ELSE '/..' || '/s' || (o_orderkey % 7) || '/d'
+                || (o_orderkey % 3)
+         END AS raw_path
+  FROM orders)
+SELECT url_id, raw_path, {_dot_seg_sql()} AS clean_path,
+       CAST(CASE WHEN raw_path <> {_dot_seg_sql()} THEN 1 ELSE 0 END
+            AS INT) AS changed
+FROM d
+"""
+
+
+def q_host_ssrf_guard(spark, sf_dir):
+    """Internal-address admission guard — the SSRF/loopback filter a
+    crawler runs on every candidate host BEFORE fetch (a seed list or a
+    redirect can point the fleet at 127.0.0.1, RFC 1918 space,
+    link-local, or the 169.254.169.254 cloud metadata endpoint; fetching
+    those from inside the cluster is the classic crawler-as-confused-
+    deputy bug). Pure-codegen classification: literal-IP parse via
+    regex + integer octet math, the named-host 'localhost' case, and a
+    block/allow verdict per candidate.
+
+    Classes (first match wins): metadata (exact 169.254.169.254) >
+    loopback (127/8) > private_10 (10/8) > private_172 (172.16/12) >
+    private_192 (192.168/16) > link_local (169.254/16) > localhost
+    (name) > public.
+
+    Plan/scale: zero-shuffle pure map (regex + CASE ladder)."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    host = (F.when(k % 9 == 0, F.lit("127.0.0.1"))
+            .when(k % 9 == 1,
+                  F.concat(F.lit("10."), (c % 256).cast("string"),
+                           F.lit("."), (k % 256).cast("string"),
+                           F.lit(".7")))
+            .when(k % 9 == 2,
+                  F.concat(F.lit("192.168."), (k % 256).cast("string"),
+                           F.lit(".9")))
+            .when(k % 9 == 3,
+                  F.concat(F.lit("172."), (16 + k % 16).cast("string"),
+                           F.lit(".0."), (c % 256).cast("string")))
+            .when(k % 9 == 4, F.lit("169.254.169.254"))
+            .when(k % 9 == 5,
+                  F.concat(F.lit("169.254."), (k % 169).cast("string"),
+                           F.lit(".1")))
+            .when(k % 9 == 6, F.lit("localhost"))
+            .when(k % 9 == 7,
+                  F.concat(F.lit("93.184."), (k % 256).cast("string"),
+                           F.lit("."), (c % 256).cast("string")))
+            .otherwise(F.concat(F.lit("site"), (k % 50).cast("string"),
+                                F.lit(".example.com"))))
+    d = _t(spark, sf_dir, "orders").select(k.alias("url_id"),
+                                           host.alias("host"))
+    is_ip = F.col("host").rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$")
+    oct_ = [F.when(is_ip, F.split("host", "\\.").getItem(i)
+                   .cast("int")) for i in range(4)]
+    cls = (F.when(F.col("host") == "169.254.169.254", "metadata")
+           .when(is_ip & (oct_[0] == 127), "loopback")
+           .when(is_ip & (oct_[0] == 10), "private_10")
+           .when(is_ip & (oct_[0] == 172)
+                 & oct_[1].between(16, 31), "private_172")
+           .when(is_ip & (oct_[0] == 192) & (oct_[1] == 168),
+                 "private_192")
+           .when(is_ip & (oct_[0] == 169) & (oct_[1] == 254),
+                 "link_local")
+           .when(F.col("host") == "localhost", "localhost")
+           .otherwise("public"))
+    return d.select("url_id", "host", cls.alias("cls"),
+                    (cls == "public").cast("int").alias("allowed"))
+
+
+ORACLE_HOST_SSRF_GUARD = """
+WITH d AS (
+  SELECT o_orderkey AS url_id,
+         CASE o_orderkey % 9
+           WHEN 0 THEN '127.0.0.1'
+           WHEN 1 THEN '10.' || (o_custkey % 256) || '.'
+                       || (o_orderkey % 256) || '.7'
+           WHEN 2 THEN '192.168.' || (o_orderkey % 256) || '.9'
+           WHEN 3 THEN '172.' || (16 + o_orderkey % 16) || '.0.'
+                       || (o_custkey % 256)
+           WHEN 4 THEN '169.254.169.254'
+           WHEN 5 THEN '169.254.' || (o_orderkey % 169) || '.1'
+           WHEN 6 THEN 'localhost'
+           WHEN 7 THEN '93.184.' || (o_orderkey % 256) || '.'
+                       || (o_custkey % 256)
+           ELSE 'site' || (o_orderkey % 50) || '.example.com'
+         END AS host
+  FROM orders),
+p AS (
+  SELECT url_id, host,
+         regexp_matches(host, '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$') AS is_ip,
+         CASE WHEN regexp_matches(host, '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$')
+              THEN CAST(string_split(host, '.')[1] AS INT) END AS o0,
+         CASE WHEN regexp_matches(host, '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$')
+              THEN CAST(string_split(host, '.')[2] AS INT) END AS o1
+  FROM d),
+c AS (
+  SELECT url_id, host,
+         CASE
+           WHEN host = '169.254.169.254' THEN 'metadata'
+           WHEN is_ip AND o0 = 127 THEN 'loopback'
+           WHEN is_ip AND o0 = 10 THEN 'private_10'
+           WHEN is_ip AND o0 = 172 AND o1 BETWEEN 16 AND 31
+             THEN 'private_172'
+           WHEN is_ip AND o0 = 192 AND o1 = 168 THEN 'private_192'
+           WHEN is_ip AND o0 = 169 AND o1 = 254 THEN 'link_local'
+           WHEN host = 'localhost' THEN 'localhost'
+           ELSE 'public'
+         END AS cls
+  FROM p)
+SELECT url_id, host, cls,
+       CAST(CASE WHEN cls = 'public' THEN 1 ELSE 0 END AS INT)
+         AS allowed
+FROM c
+"""
+
+
+def q_host_shard_family(spark, sf_dir):
+    """Numeric-shard hostname family detection: CDNs and large sites
+    shard assets across img1..img12.cdn.example-style hostnames; a
+    politeness scheduler that treats them as 12 independent hosts
+    over-fetches the ORIGIN 12x, and a URL-seen set keyed on host
+    misses cross-shard aliases. Family key = first label with digit
+    runs collapsed to '#' + the unchanged parent domain; families with
+    >= 3 member hosts are flagged as shard families (the per-origin
+    politeness unit).
+
+    Plan/scale: pure-map family key -> (family, host) distinct ->
+    family census agg; no joins, no windows over raw URLs."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    host = (F.when(c % 3 == 0,
+                   F.concat(F.lit("img"), (k % 12).cast("string"),
+                            F.lit(".cdn"), (c % 5).cast("string"),
+                            F.lit(".example")))
+            .when(c % 3 == 1,
+                  F.concat(F.lit("static.site"), (c % 40).cast("string"),
+                           F.lit(".com")))
+            .otherwise(F.concat(F.lit("www"), (k % 3).cast("string"),
+                                F.lit(".host"), (c % 20).cast("string"),
+                                F.lit(".net"))))
+    hosts = (_t(spark, sf_dir, "orders").select(host.alias("host"))
+             .groupBy("host").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("n_urls")))
+    first = F.substring_index("host", ".", 1)
+    rest = F.expr("substr(host, length(substring_index(host, '.', 1)) "
+                  "+ 1)")
+    fam = F.concat(F.regexp_replace(first, "[0-9]+", "#"), rest)
+    per_fam = (hosts.withColumn("family", fam)
+               .groupBy("family")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_hosts"),
+                    F.sum("n_urls").cast("long").alias("n_urls")))
+    return per_fam.select(
+        "family", "n_hosts", "n_urls",
+        (F.col("n_hosts") >= 3).cast("int").alias("is_shard_family"))
+
+
+ORACLE_HOST_SHARD_FAMILY = """
+WITH hosts AS (
+  SELECT CASE o_custkey % 3
+           WHEN 0 THEN 'img' || (o_orderkey % 12) || '.cdn'
+                       || (o_custkey % 5) || '.example'
+           WHEN 1 THEN 'static.site' || (o_custkey % 40) || '.com'
+           ELSE 'www' || (o_orderkey % 3) || '.host'
+                || (o_custkey % 20) || '.net'
+         END AS host
+  FROM orders),
+hu AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls
+       FROM hosts GROUP BY host),
+fam AS (
+  SELECT regexp_replace(string_split(host, '.')[1], '[0-9]+', '#', 'g')
+           || substr(host, length(string_split(host, '.')[1]) + 1)
+           AS family,
+         n_urls
+  FROM hu)
+SELECT family, CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(sum(n_urls) AS BIGINT) AS n_urls,
+       CAST(CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS INT)
+         AS is_shard_family
+FROM fam GROUP BY family
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -14275,6 +14519,9 @@ QUERIES = {
     "text_ttr_sttr": q_text_ttr_sttr,
     "events_lift_matrix": q_events_lift_matrix,
     "embeddings_cell_balance": q_embeddings_cell_balance,
+    "url_dot_segments": q_url_dot_segments,
+    "host_ssrf_guard": q_host_ssrf_guard,
+    "host_shard_family": q_host_shard_family,
 }
 
 ORACLES = {
@@ -14518,6 +14765,9 @@ ORACLES = {
     "text_ttr_sttr": ORACLE_TEXT_TTR_STTR,
     "events_lift_matrix": ORACLE_EVENTS_LIFT_MATRIX,
     "embeddings_cell_balance": ORACLE_EMBEDDINGS_CELL_BALANCE,
+    "url_dot_segments": ORACLE_URL_DOT_SEGMENTS,
+    "host_ssrf_guard": ORACLE_HOST_SSRF_GUARD,
+    "host_shard_family": ORACLE_HOST_SHARD_FAMILY,
 }
 
 
