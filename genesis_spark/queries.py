@@ -14278,6 +14278,245 @@ FROM fam GROUP BY family
 """
 
 
+# ---------------------------------------------------------------------------
+# block 61: typosquat host pairs, traffic seasonality, soft-404 detection
+# ---------------------------------------------------------------------------
+
+
+def q_host_typosquat(spark, sf_dir):
+    """Typosquat / lookalike hostname detection — edit-distance-1
+    neighbors of high-traffic hosts with a strong traffic asymmetry
+    (the phishing-infrastructure sweep a crawler runs over its own
+    host census: 'brnd3.com' sitting one deletion away from a popular
+    'brand3.com' with 1/10th the URLs is a squat candidate, while
+    'brand3.com' vs 'brand7.com' — symmetric traffic — is just a
+    brand family). Candidate pairs come from a PREFIX BLOCK
+    (first-2-chars + |len diff| <= 1, the standard blocking key for
+    edit-distance-1 since one edit can't change both of the first two
+    characters... it can change one, but squats that mangle the first
+    char are caught by the length block in a second pass at prod;
+    documented recall bound), then exact levenshtein()==1 on the
+    blocked pairs and victim_urls >= 5 * squat_urls directionality.
+
+    Exactness: levenshtein is integer in both engines; the asymmetry
+    ratio is exact integer DIV ppm.
+
+    Plan/scale: the self-join runs on the HOST CENSUS (|hosts| rows,
+    never |urls|), blocked so each comparison group is tiny; at web
+    scale this is a census-table merge join keyed on the block key."""
+    k = F.col("o_orderkey")
+    m, b = k % 50, k % 10
+    d = (k / 50).cast("long") % 10  # digit decoupled from m and b
+    host = (F.when(m < 30, F.concat(F.lit("brand"), b.cast("string"),
+                                    F.lit(".com")))
+            .when(m < 33, F.concat(F.lit("brnd"), d.cast("string"),
+                                   F.lit(".com")))
+            .when(m < 35, F.concat(F.lit("brandd"), d.cast("string"),
+                                   F.lit(".com")))
+            .otherwise(F.concat(F.lit("site"), (k % 20).cast("string"),
+                                F.lit(".example"))))
+    census = (_t(spark, sf_dir, "orders").select(host.alias("host"))
+              .groupBy("host")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+              .withColumn("blk", F.substring("host", 1, 2)))
+    a = census.select(F.col("host").alias("victim_host"),
+                      F.col("n_urls").alias("victim_urls"), "blk")
+    s = census.select(F.col("host").alias("squat_host"),
+                      F.col("n_urls").alias("squat_urls"), "blk")
+    pairs = (a.join(s, "blk")
+             .filter((F.col("victim_host") != F.col("squat_host"))
+                     & (F.abs(F.length("victim_host")
+                              - F.length("squat_host")) <= 1)
+                     & (F.levenshtein("victim_host", "squat_host") == 1)
+                     & (F.col("victim_urls") >= 5 * F.col("squat_urls"))
+                     & (F.col("victim_urls") >= 20)))
+    return pairs.select(
+        "squat_host", "victim_host", "squat_urls", "victim_urls",
+        F.expr("victim_urls * 1000000 DIV squat_urls").cast("long")
+        .alias("asym_ppm"))
+
+
+ORACLE_HOST_TYPOSQUAT = """
+WITH u AS (
+  SELECT CASE
+           WHEN o_orderkey % 50 < 30
+             THEN 'brand' || (o_orderkey % 10) || '.com'
+           WHEN o_orderkey % 50 < 33
+             THEN 'brnd' || ((o_orderkey // 50) % 10) || '.com'
+           WHEN o_orderkey % 50 < 35
+             THEN 'brandd' || ((o_orderkey // 50) % 10) || '.com'
+           ELSE 'site' || (o_orderkey % 20) || '.example'
+         END AS host
+  FROM orders),
+census AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+         substr(host, 1, 2) AS blk
+  FROM u GROUP BY host)
+SELECT s.host AS squat_host, a.host AS victim_host,
+       s.n_urls AS squat_urls, a.n_urls AS victim_urls,
+       CAST(a.n_urls * 1000000 // s.n_urls AS BIGINT) AS asym_ppm
+FROM census a JOIN census s USING (blk)
+WHERE a.host <> s.host
+  AND abs(length(a.host) - length(s.host)) <= 1
+  AND levenshtein(a.host, s.host) = 1
+  AND a.n_urls >= 5 * s.n_urls
+  AND a.n_urls >= 20
+"""
+
+
+def q_events_seasonality(spark, sf_dir):
+    """Hour-of-day x day-of-week traffic seasonality profile — the
+    capacity-planning / anomaly-baseline table every crawl or event
+    pipeline keeps (recrawl schedulers align to the trough hours;
+    anomaly detectors score against the (dow, hour) baseline, not the
+    global mean). Both day-of-week and hour derive from integer EPOCH
+    arithmetic — dow = (days + 3) % 7 with 0 = Monday (1970-01-01 was
+    a Thursday = 3) — sidestepping the engines' conflicting dayofweek
+    conventions entirely.
+
+    Exactness: counts are exact; shares are exact integer DIV ppm;
+    the per-dow peak hour tie-breaks on earliest hour.
+
+    Plan/scale: ONE map-side-combinable census agg over the event
+    stream into at most 168 cells; the peak window runs over the
+    168-row census."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("ep"))
+    cells = (ev.select(
+        (((F.col("ep") / 86400).cast("long") + 3) % 7).alias("dow"),
+        ((F.col("ep") % 86400) / 3600).cast("long").alias("hour"))
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    w_dow = Window.partitionBy("dow")
+    r = Window.partitionBy("dow").orderBy(F.col("n_events").desc(),
+                                          F.col("hour").asc())
+    return (cells
+            .withColumn("total", F.sum("n_events").over(w_all))
+            .withColumn("dow_total", F.sum("n_events").over(w_dow))
+            .withColumn("share_ppm", F.expr(
+                "n_events * 1000000 DIV total").cast("long"))
+            .withColumn("dow_share_ppm", F.expr(
+                "n_events * 1000000 DIV dow_total").cast("long"))
+            .withColumn("is_peak",
+                        (F.row_number().over(r) == 1).cast("int"))
+            .select("dow", "hour", "n_events", "share_ppm",
+                    "dow_share_ppm", "is_peak"))
+
+
+ORACLE_EVENTS_SEASONALITY = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+cells AS (
+  SELECT ((ep // 86400) + 3) % 7 AS dow,
+         (ep % 86400) // 3600 AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM e GROUP BY 1, 2),
+x AS (
+  SELECT dow, hour, n_events,
+         sum(n_events) OVER () AS total,
+         sum(n_events) OVER (PARTITION BY dow) AS dow_total,
+         row_number() OVER (PARTITION BY dow
+                            ORDER BY n_events DESC, hour ASC) AS rk
+  FROM cells)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+       n_events,
+       CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm,
+       CAST(n_events * 1000000 // dow_total AS BIGINT) AS dow_share_ppm,
+       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS is_peak
+FROM x
+"""
+
+
+def q_url_soft404_detect(spark, sf_dir):
+    """Soft-404 detection — pages that answer HTTP 200 but serve the
+    host's error page (the classic index-pollution bug: a CMS that
+    '200 OK's its not-found template poisons the URL-seen set AND the
+    training corpus with thousands of identical junk docs). Protocol:
+    each host gets a PROBE fetch of a known-nonexistent path; the
+    probe's content digest is the host's error fingerprint, and a
+    probe that answers 200 marks the host as a soft-404 server. Every
+    regular 200 page whose digest equals the host's error fingerprint
+    is then a soft-404 hit.
+
+    Exactness: digest equality + exact counts + integer DIV ppm.
+
+    Plan/scale: the probe census is |hosts| rows and broadcasts back
+    onto the page stream (one broadcast hash join, no shuffle of the
+    pages); the final per-host rollup is map-side combinable."""
+    k = F.col("o_orderkey")
+    host_id, seq = k % 40, (k / 40).cast("long")
+    soft = host_id % 7 == 0
+    is_probe = seq % 25 == 0
+    host = F.concat(F.lit("h"), host_id.cast("string"))
+    digest = (F.when(is_probe, F.concat(F.lit("err-"), host))
+              .when(soft & (seq % 5 == 0), F.concat(F.lit("err-"), host))
+              .otherwise(F.concat(F.lit("doc-"), k.cast("string"))))
+    status = (F.when(is_probe & soft, F.lit(200))
+              .when(is_probe, F.lit(404))
+              .otherwise(F.lit(200)))
+    fetches = _t(spark, sf_dir, "orders").select(
+        host.alias("host"), is_probe.cast("int").alias("is_probe"),
+        digest.alias("digest"), status.alias("status"))
+    probes = (fetches.filter(F.col("is_probe") == 1)
+              .groupBy("host")
+              .agg(F.min("digest").alias("err_digest"),
+                   F.max((F.col("status") == 200).cast("int"))
+                   .alias("soft_host")))
+    pages = fetches.filter(F.col("is_probe") == 0)
+    joined = pages.join(F.broadcast(probes), "host")
+    return (joined.groupBy("host", "soft_host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
+                 F.sum(((F.col("status") == 200)
+                        & (F.col("digest") == F.col("err_digest")))
+                       .cast("long")).alias("n_soft404"))
+            .select("host", "n_pages", "n_soft404",
+                    F.expr("n_soft404 * 1000000 DIV n_pages")
+                    .cast("long").alias("soft404_ppm"),
+                    F.col("soft_host").cast("int").alias("soft_host")))
+
+
+ORACLE_URL_SOFT404_DETECT = """
+WITH f AS (
+  SELECT 'h' || (o_orderkey % 40) AS host,
+         CASE WHEN (o_orderkey // 40) % 25 = 0 THEN 1 ELSE 0 END
+           AS is_probe,
+         CASE
+           WHEN (o_orderkey // 40) % 25 = 0
+             THEN 'err-h' || (o_orderkey % 40)
+           WHEN (o_orderkey % 40) % 7 = 0
+                AND (o_orderkey // 40) % 5 = 0
+             THEN 'err-h' || (o_orderkey % 40)
+           ELSE 'doc-' || o_orderkey
+         END AS digest,
+         CASE
+           WHEN (o_orderkey // 40) % 25 = 0
+                AND (o_orderkey % 40) % 7 = 0 THEN 200
+           WHEN (o_orderkey // 40) % 25 = 0 THEN 404
+           ELSE 200
+         END AS status
+  FROM orders),
+probes AS (
+  SELECT host, min(digest) AS err_digest,
+         max(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS soft_host
+  FROM f WHERE is_probe = 1 GROUP BY host),
+agg AS (
+  SELECT p.host, pr.soft_host,
+         CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(sum(CASE WHEN p.status = 200
+                        AND p.digest = pr.err_digest
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_soft404
+  FROM f p JOIN probes pr USING (host)
+  WHERE p.is_probe = 0
+  GROUP BY p.host, pr.soft_host)
+SELECT host, n_pages, n_soft404,
+       CAST(n_soft404 * 1000000 // n_pages AS BIGINT) AS soft404_ppm,
+       CAST(soft_host AS INT) AS soft_host
+FROM agg
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -14522,6 +14761,9 @@ QUERIES = {
     "url_dot_segments": q_url_dot_segments,
     "host_ssrf_guard": q_host_ssrf_guard,
     "host_shard_family": q_host_shard_family,
+    "host_typosquat": q_host_typosquat,
+    "events_seasonality": q_events_seasonality,
+    "url_soft404_detect": q_url_soft404_detect,
 }
 
 ORACLES = {
@@ -14768,6 +15010,9 @@ ORACLES = {
     "url_dot_segments": ORACLE_URL_DOT_SEGMENTS,
     "host_ssrf_guard": ORACLE_HOST_SSRF_GUARD,
     "host_shard_family": ORACLE_HOST_SHARD_FAMILY,
+    "host_typosquat": ORACLE_HOST_TYPOSQUAT,
+    "events_seasonality": ORACLE_EVENTS_SEASONALITY,
+    "url_soft404_detect": ORACLE_URL_SOFT404_DETECT,
 }
 
 
