@@ -14517,6 +14517,287 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# block 62: security-header posture, language-variant URL families, Gini
+# ---------------------------------------------------------------------------
+
+
+def q_http_security_headers(spark, sf_dir):
+    """Security-header posture census per host — HSTS /
+    Content-Security-Policy / X-Content-Type-Options / X-Frame-Options
+    presence over each host's responses (a crawler's cheap
+    trust/hygiene signal: hosts with zero security headers correlate
+    with abandoned or attacker-controlled properties, and the posture
+    grade feeds the same admission rubric as validity_rubric). Header
+    names are matched case-insensitively on the raw header blob (the
+    wire allows any case; the synth family mixes cases on purpose).
+
+    Grades: per host a header counts as DEPLOYED when >= 50% of its
+    responses carry it; grade = 'A' at 4 deployed .. 'F' at 0.
+
+    Exactness: counts + integer DIV ppm; the 50% cut is ppm >= 500000.
+
+    Plan/scale: pure-map header parse fused into the scan, ONE
+    map-side-combinable host census agg; no joins."""
+    k = F.col("o_orderkey")
+    host_id, seq = k % 30, (k / 30).cast("long")
+    tier = host_id % 5
+    mixed_on = (tier == 4) & (seq % 2 == 0)
+    lower_case = seq % 3 == 0
+    hsts = F.when(lower_case, "strict-transport-security: max-age=63072000"
+                  ).otherwise("Strict-Transport-Security: max-age=31536000")
+    csp = F.when(lower_case, "content-security-policy: default-src 'self'"
+                 ).otherwise("Content-Security-Policy: default-src 'none'")
+    xcto = F.lit("X-Content-Type-Options: nosniff")
+    xfo = F.when(lower_case, "x-frame-options: DENY"
+                 ).otherwise("X-Frame-Options: SAMEORIGIN")
+    base = F.lit("Server: nginx\nContent-Type: text/html")
+    blob = F.concat(
+        base,
+        F.when((tier == 0) | mixed_on,
+               F.concat(F.lit("\n"), hsts, F.lit("\n"), csp, F.lit("\n"),
+                        xcto, F.lit("\n"), xfo)).otherwise(F.lit("")),
+        F.when(tier == 1, F.concat(F.lit("\n"), hsts, F.lit("\n"), xcto))
+        .otherwise(F.lit("")),
+        F.when(tier == 2, F.concat(F.lit("\n"), csp)).otherwise(F.lit("")))
+    resp = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), host_id.cast("string")).alias("host"),
+        F.lower(blob).alias("hdrs"))
+    has = {name: F.contains("hdrs", F.lit(pat)).cast("long") for name, pat
+           in [("hsts", "strict-transport-security:"),
+               ("csp", "content-security-policy:"),
+               ("xcto", "x-content-type-options:"),
+               ("xfo", "x-frame-options:")]}
+    agg = (resp.groupBy("host")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_resp"),
+                *[F.sum(v).alias(f"n_{n}") for n, v in has.items()]))
+    cols = ["hsts", "csp", "xcto", "xfo"]
+    for c in cols:
+        agg = agg.withColumn(f"{c}_ppm", F.expr(
+            f"n_{c} * 1000000 DIV n_resp").cast("long"))
+    deployed = sum((F.col(f"{c}_ppm") >= 500000).cast("int") for c in cols)
+    grade = (F.when(deployed == 4, "A").when(deployed == 3, "B")
+             .when(deployed == 2, "C").when(deployed == 1, "D")
+             .otherwise("F"))
+    return agg.select("host", "n_resp",
+                      *[F.col(f"{c}_ppm") for c in cols],
+                      deployed.alias("n_deployed"), grade.alias("grade"))
+
+
+ORACLE_HTTP_SECURITY_HEADERS = """
+WITH r AS (
+  SELECT 'h' || (o_orderkey % 30) AS host,
+         lower(
+           'Server: nginx' || chr(10) || 'Content-Type: text/html'
+           || CASE WHEN (o_orderkey % 30) % 5 = 0
+                    OR ((o_orderkey % 30) % 5 = 4
+                        AND (o_orderkey // 30) % 2 = 0)
+               THEN chr(10) || CASE WHEN (o_orderkey // 30) % 3 = 0
+                 THEN 'strict-transport-security: max-age=63072000'
+                 ELSE 'Strict-Transport-Security: max-age=31536000' END
+                 || chr(10) || CASE WHEN (o_orderkey // 30) % 3 = 0
+                 THEN 'content-security-policy: default-src ''self'''
+                 ELSE 'Content-Security-Policy: default-src ''none''' END
+                 || chr(10) || 'X-Content-Type-Options: nosniff'
+                 || chr(10) || CASE WHEN (o_orderkey // 30) % 3 = 0
+                 THEN 'x-frame-options: DENY'
+                 ELSE 'X-Frame-Options: SAMEORIGIN' END
+               ELSE '' END
+           || CASE WHEN (o_orderkey % 30) % 5 = 1
+               THEN chr(10) || CASE WHEN (o_orderkey // 30) % 3 = 0
+                 THEN 'strict-transport-security: max-age=63072000'
+                 ELSE 'Strict-Transport-Security: max-age=31536000' END
+                 || chr(10) || 'X-Content-Type-Options: nosniff'
+               ELSE '' END
+           || CASE WHEN (o_orderkey % 30) % 5 = 2
+               THEN chr(10) || CASE WHEN (o_orderkey // 30) % 3 = 0
+                 THEN 'content-security-policy: default-src ''self'''
+                 ELSE 'Content-Security-Policy: default-src ''none''' END
+               ELSE '' END) AS hdrs
+  FROM orders),
+agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_resp,
+         sum(CASE WHEN contains(hdrs, 'strict-transport-security:')
+                  THEN 1 ELSE 0 END) AS n_hsts,
+         sum(CASE WHEN contains(hdrs, 'content-security-policy:')
+                  THEN 1 ELSE 0 END) AS n_csp,
+         sum(CASE WHEN contains(hdrs, 'x-content-type-options:')
+                  THEN 1 ELSE 0 END) AS n_xcto,
+         sum(CASE WHEN contains(hdrs, 'x-frame-options:')
+                  THEN 1 ELSE 0 END) AS n_xfo
+  FROM r GROUP BY host),
+p AS (
+  SELECT host, n_resp,
+         CAST(n_hsts * 1000000 // n_resp AS BIGINT) AS hsts_ppm,
+         CAST(n_csp * 1000000 // n_resp AS BIGINT) AS csp_ppm,
+         CAST(n_xcto * 1000000 // n_resp AS BIGINT) AS xcto_ppm,
+         CAST(n_xfo * 1000000 // n_resp AS BIGINT) AS xfo_ppm
+  FROM agg),
+g AS (
+  SELECT *,
+         CAST((CASE WHEN hsts_ppm >= 500000 THEN 1 ELSE 0 END)
+            + (CASE WHEN csp_ppm >= 500000 THEN 1 ELSE 0 END)
+            + (CASE WHEN xcto_ppm >= 500000 THEN 1 ELSE 0 END)
+            + (CASE WHEN xfo_ppm >= 500000 THEN 1 ELSE 0 END) AS INT)
+           AS n_deployed
+  FROM p)
+SELECT host, n_resp, hsts_ppm, csp_ppm, xcto_ppm, xfo_ppm, n_deployed,
+       CASE n_deployed WHEN 4 THEN 'A' WHEN 3 THEN 'B' WHEN 2 THEN 'C'
+                       WHEN 1 THEN 'D' ELSE 'F' END AS grade
+FROM g
+"""
+
+
+def q_url_lang_variant(spark, sf_dir):
+    """Language-variant URL families — /en/ /fr/ /de/ path-prefix
+    aliases of the same logical page (the hreflang-cluster dedup a
+    crawler needs: the variants are near-identical for URL-seen and
+    corpus purposes, and a politeness budget that treats them as
+    independent pages re-crawls each page up to |langs|+1 times).
+    Family key = (host, stem) where the stem is the path with the
+    leading language label stripped; emits the per-family variant
+    census and the consolidation win (dup_urls = variants - 1).
+
+    Exactness: regexp prefix strip is identical RE semantics in both
+    engines; lang list is a sorted-distinct join (total order).
+
+    Plan/scale: pure-map lang-prefix parse fused into the scan + ONE
+    (host, stem) census agg; family cardinality ~= |logical pages|."""
+    k = F.col("o_orderkey")
+    host = F.concat(F.lit("h"), (k % 10).cast("string"))
+    pid = (k / 40).cast("long") % 50
+    lv = (k / 10).cast("long") % 4  # decoupled from host parity
+    lang = (F.when(lv == 1, "/en").when(lv == 2, "/fr")
+            .when(lv == 3, "/de").otherwise(""))
+    path = F.concat(lang, F.lit("/p"), pid.cast("string"))
+    urls = _t(spark, sf_dir, "orders").select(
+        host.alias("host"), path.alias("path"))
+    parsed = urls.select(
+        "host",
+        F.regexp_extract("path", "^/(en|fr|de)/", 1).alias("lang"),
+        F.regexp_replace("path", "^/(en|fr|de)/", "/").alias("stem"))
+    return (parsed.groupBy("host", "stem")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_fetches"),
+                 F.countDistinct(
+                     F.when(F.col("lang") != "", F.col("lang")))
+                 .cast("long").alias("n_langs"),
+                 F.max((F.col("lang") == "").cast("int"))
+                 .alias("has_default"),
+                 F.array_join(F.array_sort(F.collect_set(
+                     F.when(F.col("lang") != "", F.col("lang")))), ",")
+                 .alias("langs"))
+            .withColumn("n_variants",
+                        (F.col("n_langs")
+                         + F.col("has_default").cast("long"))
+                        .cast("long"))
+            .withColumn("dup_urls", (F.col("n_variants") - 1)
+                        .cast("long"))
+            .select("host", "stem", "n_fetches", "n_variants", "n_langs",
+                    "has_default", "langs", "dup_urls"))
+
+
+ORACLE_URL_LANG_VARIANT = """
+WITH u AS (
+  SELECT 'h' || (o_orderkey % 10) AS host,
+         CASE (o_orderkey // 10) % 4 WHEN 1 THEN '/en' WHEN 2 THEN '/fr'
+                                     WHEN 3 THEN '/de' ELSE '' END
+           || '/p' || ((o_orderkey // 40) % 50) AS path
+  FROM orders),
+p AS (
+  SELECT host,
+         CASE WHEN regexp_matches(path, '^/(en|fr|de)/')
+              THEN regexp_extract(path, '^/(en|fr|de)/', 1) ELSE '' END
+           AS lang,
+         regexp_replace(path, '^/(en|fr|de)/', '/') AS stem
+  FROM u)
+SELECT host, stem,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(count(DISTINCT CASE WHEN lang <> '' THEN lang END)
+            AS BIGINT) AS n_langs,
+       CAST(max(CASE WHEN lang = '' THEN 1 ELSE 0 END) AS INT)
+         AS has_default,
+       coalesce(string_agg(DISTINCT CASE WHEN lang <> '' THEN lang END,
+                           ',' ORDER BY CASE WHEN lang <> ''
+                                             THEN lang END), '')
+         AS langs,
+       CAST(count(DISTINCT CASE WHEN lang <> '' THEN lang END)
+            + max(CASE WHEN lang = '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_variants,
+       CAST(count(DISTINCT CASE WHEN lang <> '' THEN lang END)
+            + max(CASE WHEN lang = '' THEN 1 ELSE 0 END) - 1 AS BIGINT)
+         AS dup_urls
+FROM p GROUP BY host, stem
+"""
+
+
+def q_events_gini(spark, sf_dir):
+    """Traffic-concentration audit — exact Gini coefficient of the
+    per-user event-count distribution plus the top-decile share (the
+    'is this log a few bots or a real population' check that gates
+    training-on-behavioral-data, and the skew early-warning for any
+    user-keyed shuffle: Gini -> 1 means one hot key owns the stage).
+    Gini = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over counts
+    sorted ascending; ties are order-insensitive for the Gini sum
+    (equal x swap freely), and the top-decile cut uses a full
+    (count DESC, user_id) tie-break so both engines cut identically.
+
+    Exactness: every term is an exact integer; ppm via integer DIV.
+
+    Plan/scale: ONE user census agg (map-side combinable), then the
+    rank windows run over the |users| census, never the event stream;
+    at 10^9 users the sort is a range-partitioned rank."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    census = (ev.groupBy("user_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    w_asc = Window.orderBy(F.col("x").asc(), F.col("user_id").asc())
+    w_desc = Window.orderBy(F.col("x").desc(), F.col("user_id").asc())
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    ranked = (census
+              .withColumn("i", F.row_number().over(w_asc).cast("long"))
+              .withColumn("r", F.row_number().over(w_desc).cast("long"))
+              .withColumn("n", F.count(F.lit(1)).over(w_all).cast("long")))
+    return (ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("s_ix"),
+        F.sum(F.when(F.col("r") <= F.greatest(
+            F.lit(1).cast("long"), F.expr("n DIV 10")), F.col("x"))
+            .otherwise(F.lit(0))).cast("long").alias("top_decile_events"))
+        .select("n_users", "total_events",
+                F.expr("(2 * s_ix - (n_users + 1) * total_events) "
+                       "* 1000000 DIV (n_users * total_events)")
+                .cast("long").alias("gini_ppm"),
+                F.expr("top_decile_events * 1000000 DIV total_events")
+                .cast("long").alias("top_decile_ppm")))
+
+
+ORACLE_EVENTS_GINI = """
+WITH census AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT x,
+         row_number() OVER (ORDER BY x ASC, user_id ASC) AS i,
+         row_number() OVER (ORDER BY x DESC, user_id ASC) AS r,
+         count(*) OVER () AS n
+  FROM census),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS total_events,
+         CAST(sum(i * x) AS BIGINT) AS s_ix,
+         CAST(sum(CASE WHEN r <= greatest(1, n // 10) THEN x ELSE 0 END)
+              AS BIGINT) AS top_decile_events
+  FROM ranked)
+SELECT n_users, total_events,
+       CAST((2 * s_ix - (n_users + 1) * total_events) * 1000000
+            // (n_users * total_events) AS BIGINT) AS gini_ppm,
+       CAST(top_decile_events * 1000000 // total_events AS BIGINT)
+         AS top_decile_ppm
+FROM agg
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -14764,6 +15045,9 @@ QUERIES = {
     "host_typosquat": q_host_typosquat,
     "events_seasonality": q_events_seasonality,
     "url_soft404_detect": q_url_soft404_detect,
+    "http_security_headers": q_http_security_headers,
+    "url_lang_variant": q_url_lang_variant,
+    "events_gini": q_events_gini,
 }
 
 ORACLES = {
@@ -15013,6 +15297,9 @@ ORACLES = {
     "host_typosquat": ORACLE_HOST_TYPOSQUAT,
     "events_seasonality": ORACLE_EVENTS_SEASONALITY,
     "url_soft404_detect": ORACLE_URL_SOFT404_DETECT,
+    "http_security_headers": ORACLE_HTTP_SECURITY_HEADERS,
+    "url_lang_variant": ORACLE_URL_LANG_VARIANT,
+    "events_gini": ORACLE_EVENTS_GINI,
 }
 
 
