@@ -355,3 +355,58 @@ def blocklist_match(hosts_df, entries_df, host_col: str = 'host'):
                .groupBy(host_col)
                .agg(F.min('entry').alias('matched_entry')))
     return hosts_df.join(matched, host_col, 'left')
+
+
+# --- RFC 3986 section 6.2.2.2 percent-encoding normalization -------------
+
+_PCT_TOKEN_RE = "%[0-9A-Fa-f]{2}|%|[^%]+"
+_HEX = "0123456789ABCDEF"
+
+
+def pct_normalize_expr(col_name: str) -> Column:
+    """RFC 3986 §6.2.2.2 percent-encoding normalization as ONE pure
+    codegen expression: decode escapes of UNRESERVED characters
+    (ALPHA / DIGIT / ``-`` ``.`` ``_`` ``~``) back to their literal
+    form, uppercase the hex digits of every escape that must stay
+    encoded, and pass malformed escapes (bare ``%`` not followed by
+    two hex digits) through untouched — the normalization a URL-seen
+    set needs so ``/%7euser`` and ``/~user`` stop being two frontier
+    entries.
+
+    Engine-neutral by construction: the string is tokenized with
+    ``regexp_extract_all`` into (escape | bare-% | literal-run)
+    tokens (leftmost-first alternation — identical in Java regex and
+    RE2), and the hex value is computed by strpos arithmetic over a
+    literal alphabet instead of engine-specific conv()/unhex(), so a
+    DuckDB oracle can restate the same transform verbatim."""
+    code = (f"(instr('{_HEX}', upper(substr(t, 2, 1))) - 1) * 16"
+            f" + (instr('{_HEX}', upper(substr(t, 3, 1))) - 1)")
+    unreserved = (f"(({code}) BETWEEN 48 AND 57"
+                  f" OR ({code}) BETWEEN 65 AND 90"
+                  f" OR ({code}) BETWEEN 97 AND 122"
+                  f" OR ({code}) IN (45, 46, 95, 126))")
+    return F.expr(
+        f"array_join(transform("
+        f"regexp_extract_all({col_name}, '{_PCT_TOKEN_RE}', 0), t -> "
+        f"CASE WHEN substr(t, 1, 1) = '%' AND length(t) = 3 THEN "
+        f"  CASE WHEN {unreserved} THEN char({code}) "
+        f"       ELSE concat('%', upper(substr(t, 2, 2))) END "
+        f"ELSE t END), '')")
+
+
+def pct_normalize_one(url: str) -> str:
+    """Pure-Python reference for pct_normalize_expr (parity tests)."""
+    import re
+
+    out = []
+    for t in re.findall(_PCT_TOKEN_RE, url):
+        if t.startswith("%") and len(t) == 3:
+            code = int(t[1:], 16)
+            if (48 <= code <= 57 or 65 <= code <= 90
+                    or 97 <= code <= 122 or code in (45, 46, 95, 126)):
+                out.append(chr(code))
+            else:
+                out.append("%" + t[1:].upper())
+        else:
+            out.append(t)
+    return "".join(out)

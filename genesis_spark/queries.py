@@ -14798,6 +14798,514 @@ FROM agg
 """
 
 
+def q_url_pct_normalize(spark, sf_dir):
+    """RFC 3986 §6.2.2.2 percent-encoding normalization
+    (functions/urls.py:pct_normalize_expr): unreserved escapes decode
+    (%7E -> ~, %41 -> A), reserved escapes keep their encoding but get
+    uppercase hex (%2f -> %2F), malformed escapes (bare % not followed
+    by two hex digits) pass through byte-identical. The missing half
+    of the P1 canonicalizer: without it /%7euser and /~user are two
+    frontier entries, two politeness slots, and two corpus docs.
+
+    Exactness: the kernel is engine-neutral by construction (strpos
+    arithmetic over a literal hex alphabet, leftmost-first regexp
+    tokenization — identical in Java regex and RE2); the oracle states
+    the expected normalized form per fixture branch CLOSED-FORM, so a
+    value-hash match proves the whole transform. Generality beyond the
+    fixture shapes is pinned by the pure-Python parity test
+    (tests/test_block63_ops.py) over adversarial escapes.
+
+    Plan/scale: zero-exchange pure map — fuses into the scan; the
+    tokenize/transform sits in a single project node."""
+    from genesis_spark.functions.urls import pct_normalize_expr
+
+    k = F.col("o_orderkey")
+    m = k % 6
+    host = F.concat(F.lit("http://ex"), (k % 7).cast("string"),
+                    F.lit(".com/"))
+    url = (F.when(m == 0, F.concat(host, F.lit("%7euser"),
+                                   (k % 10).cast("string")))
+           .when(m == 1, F.concat(host, F.lit("a%2fb/p"),
+                                  k.cast("string")))
+           .when(m == 2, F.concat(host, F.lit("%41%42c"),
+                                  (k % 10).cast("string")))
+           .when(m == 3, F.concat(host, F.lit("100%25off")))
+           .when(m == 4, F.concat(host, F.lit("a%zzq"),
+                                  (k % 10).cast("string")))
+           .otherwise(F.concat(host, F.lit("p"), k.cast("string"))))
+    urls = _t(spark, sf_dir, "orders").select(url.alias("url"))
+    return (urls
+            .withColumn("url_norm", pct_normalize_expr("url"))
+            .withColumn("changed",
+                        (F.col("url_norm") != F.col("url")).cast("int")))
+
+
+ORACLE_URL_PCT_NORMALIZE = """
+WITH u AS (
+  SELECT o_orderkey AS k,
+         'http://ex' || (o_orderkey % 7) || '.com/' AS h,
+         o_orderkey % 6 AS m
+  FROM orders)
+SELECT CASE m WHEN 0 THEN h || '%7euser' || (k % 10)
+              WHEN 1 THEN h || 'a%2fb/p' || k
+              WHEN 2 THEN h || '%41%42c' || (k % 10)
+              WHEN 3 THEN h || '100%25off'
+              WHEN 4 THEN h || 'a%zzq' || (k % 10)
+              ELSE h || 'p' || k END AS url,
+       CASE m WHEN 0 THEN h || '~user' || (k % 10)
+              WHEN 1 THEN h || 'a%2Fb/p' || k
+              WHEN 2 THEN h || 'ABc' || (k % 10)
+              WHEN 3 THEN h || '100%25off'
+              WHEN 4 THEN h || 'a%zzq' || (k % 10)
+              ELSE h || 'p' || k END AS url_norm,
+       CASE WHEN m IN (0, 1, 2) THEN 1 ELSE 0 END AS changed
+FROM u
+"""
+
+
+def q_robots_meta(spark, sf_dir):
+    """Page-level robots directives — the indexing/admission layer
+    robots.txt (robots_rfc) cannot express: ``<meta name=robots>`` in
+    the page head plus the ``X-Robots-Tag`` response header, combined
+    most-restrictive-wins (Google's documented semantics; ``none`` =
+    noindex + nofollow). A crawler that ignores nofollow pages leaks
+    their outlinks into the frontier; one that ignores noindex ships
+    opted-out pages into the corpus — this census is the audit for
+    both.
+
+    Exactness: both engines parse the SAME synthesized HTML/header
+    strings with the same case-insensitive regex and token-exact
+    directive matching (split + trim, never substring — 'nofollowed'
+    can't false-positive); counts and ppm are exact integers.
+
+    Plan/scale: directive extraction is a zero-exchange map over the
+    page stream; the rollup is ONE map-side-combinable census agg
+    into |hosts| rows."""
+    k = F.col("o_orderkey")
+    m, h = k % 8, k % 5
+    meta = (F.when(m == 0, F.lit(
+        '<meta name="robots" content="noindex, follow">'))
+        .when(m == 1, F.lit('<meta name="robots" content="index, nofollow">'))
+        .when(m == 2, F.lit('<meta name="robots" content="none">'))
+        .when(m == 3, F.lit('<meta name="ROBOTS" content="NOINDEX">'))
+        .when(m == 4, F.lit('<meta name="robots" content="noarchive">'))
+        .otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><head>"), meta, F.lit("</head><body>p"),
+                    k.cast("string"), F.lit("</body></html>"))
+    header = (F.when(h == 0, F.lit("X-Robots-Tag: nofollow"))
+              .when(h == 1, F.lit("X-Robots-Tag: noindex, noarchive"))
+              .otherwise(F.lit("")))
+    pages = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (k % 25).cast("string")).alias("host"),
+        html.alias("html"), header.alias("header"),
+        (k % 12).cast("long").alias("n_links"))
+    meta_dirs = F.lower(F.regexp_extract(
+        "html", '(?i)<meta name="robots" content="([^"]*)"', 1))
+    hdr_dirs = F.lower(F.regexp_extract(
+        "header", r"(?i)^x-robots-tag:\s*(.*)$", 1))
+    toks = F.expr("transform(split(concat(_md, ',', _hd), ','), "
+                  "x -> trim(x))")
+    flagged = (pages
+               .withColumn("_md", meta_dirs).withColumn("_hd", hdr_dirs)
+               .withColumn("_t", toks)
+               .withColumn("noindex",
+                           (F.array_contains("_t", "noindex")
+                            | F.array_contains("_t", "none")).cast("int"))
+               .withColumn("nofollow",
+                           (F.array_contains("_t", "nofollow")
+                            | F.array_contains("_t", "none")).cast("int"))
+               .withColumn("noarchive",
+                           F.array_contains("_t", "noarchive").cast("int")))
+    return (flagged.groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
+                 F.sum("noindex").cast("long").alias("n_noindex"),
+                 F.sum("nofollow").cast("long").alias("n_nofollow"),
+                 F.sum("noarchive").cast("long").alias("n_noarchive"),
+                 F.sum(F.when(F.col("nofollow") == 1, F.col("n_links"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("links_lost"))
+            .withColumn("noindex_ppm",
+                        F.expr("n_noindex * 1000000 DIV n_pages")
+                        .cast("long")))
+
+
+ORACLE_ROBOTS_META = """
+WITH p AS (
+  SELECT 'h' || (o_orderkey % 25) AS host,
+         '<html><head>' ||
+         CASE o_orderkey % 8
+           WHEN 0 THEN '<meta name="robots" content="noindex, follow">'
+           WHEN 1 THEN '<meta name="robots" content="index, nofollow">'
+           WHEN 2 THEN '<meta name="robots" content="none">'
+           WHEN 3 THEN '<meta name="ROBOTS" content="NOINDEX">'
+           WHEN 4 THEN '<meta name="robots" content="noarchive">'
+           ELSE '' END
+         || '</head><body>p' || o_orderkey || '</body></html>' AS html,
+         CASE o_orderkey % 5
+           WHEN 0 THEN 'X-Robots-Tag: nofollow'
+           WHEN 1 THEN 'X-Robots-Tag: noindex, noarchive'
+           ELSE '' END AS header,
+         CAST(o_orderkey % 12 AS BIGINT) AS n_links
+  FROM orders),
+d AS (
+  SELECT host, n_links,
+         list_transform(string_split(
+           lower(regexp_extract(html,
+             '(?i)<meta name="robots" content="([^"]*)"', 1))
+           || ',' ||
+           lower(regexp_extract(header,
+             '(?i)^x-robots-tag:\\s*(.*)$', 1)), ','),
+           x -> trim(x)) AS t
+  FROM p),
+f AS (
+  SELECT host, n_links,
+         CASE WHEN list_contains(t, 'noindex')
+                OR list_contains(t, 'none') THEN 1 ELSE 0 END AS noindex,
+         CASE WHEN list_contains(t, 'nofollow')
+                OR list_contains(t, 'none') THEN 1 ELSE 0 END AS nofollow,
+         CASE WHEN list_contains(t, 'noarchive') THEN 1 ELSE 0 END
+           AS noarchive
+  FROM d)
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(noindex) AS BIGINT) AS n_noindex,
+       CAST(sum(nofollow) AS BIGINT) AS n_nofollow,
+       CAST(sum(noarchive) AS BIGINT) AS n_noarchive,
+       CAST(sum(CASE WHEN nofollow = 1 THEN n_links ELSE 0 END) AS BIGINT)
+         AS links_lost,
+       CAST(sum(noindex) * 1000000 // count(*) AS BIGINT) AS noindex_ppm
+FROM f GROUP BY host
+"""
+
+
+def q_feed_ingest(spark, sf_dir):
+    """RSS/Atom feed source round-trip (sources/feeds.py): per-host
+    feed XML is synthesized in pure codegen (RSS 2.0 for even hosts,
+    Atom for odd — block per order, string-sorted concat per host),
+    parsed back by the one-pass dual-format regexp parser, then
+    aggregated to frontier candidates (dedupe by URL, earliest
+    declared publication wins). The oracle states the expected
+    candidate rows DIRECTLY from orders (never touching XML), so a
+    value-hash match proves the synth -> parse -> aggregate chain:
+    per-block format dispatch, <link>text vs <link href=> attribute
+    extraction, pubDate vs updated, and the min-published dedupe.
+
+    Plan/scale: one regexp explode per feed file (a file is an
+    independent unit — zero shuffles until the URL dedupe census);
+    the dedupe groupBy carries (url, date-string) only."""
+    from genesis_spark.sources.feeds import feed_candidates, parse_feed
+
+    k = F.col("o_orderkey")
+    host_id = k % 15
+    is_rss = host_id % 2 == 0
+    url = F.concat(F.lit("http://h"), host_id.cast("string"),
+                   F.lit(".onion/f"), (k % 89).cast("string"))
+    date = F.concat(F.lit("2024-0"), ((k % 9) + 1).cast("string"),
+                    F.lit("-"), F.lpad(((k % 28) + 1).cast("string"),
+                                       2, "0"))
+    block = F.when(is_rss, F.concat(
+        F.lit("<item><title>t"), k.cast("string"),
+        F.lit("</title><link>"), url, F.lit("</link><pubDate>"), date,
+        F.lit("</pubDate></item>"))) \
+        .otherwise(F.concat(
+            F.lit("<entry><title>t"), k.cast("string"),
+            F.lit('</title><link href="'), url,
+            F.lit('"/><updated>'), date,
+            F.lit("T00:00:00Z</updated></entry>")))
+    wrap_l = F.when(is_rss, F.lit("<rss><channel>")) \
+              .otherwise(F.lit("<feed>"))
+    wrap_r = F.when(is_rss, F.lit("</channel></rss>")) \
+              .otherwise(F.lit("</feed>"))
+    feeds = (_t(spark, sf_dir, "orders")
+             .select(F.concat(F.lit("h"), host_id.cast("string"))
+                     .alias("host"),
+                     block.alias("b"), wrap_l.alias("wl"),
+                     wrap_r.alias("wr"))
+             .groupBy("host")
+             .agg(F.concat(F.min("wl"),
+                           F.concat_ws("", F.array_sort(
+                               F.collect_list("b"))),
+                           F.min("wr")).alias("content")))
+    return feed_candidates(parse_feed(feeds, "content"))
+
+
+ORACLE_FEED_INGEST = """
+WITH r AS (
+  SELECT 'http://h' || (o_orderkey % 15) || '.onion/f'
+           || (o_orderkey % 89) AS url,
+         '2024-0' || (o_orderkey % 9 + 1) || '-'
+           || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
+           || CASE WHEN (o_orderkey % 15) % 2 = 0
+                   THEN '' ELSE 'T00:00:00Z' END AS published,
+         CASE WHEN (o_orderkey % 15) % 2 = 0 THEN 'rss' ELSE 'atom' END
+           AS fmt
+  FROM orders)
+SELECT url, min(published) AS published, min(fmt) AS fmt,
+       CAST(count(*) AS BIGINT) AS n_sightings
+FROM r GROUP BY url
+"""
+
+
+def q_http_cookies(spark, sf_dir):
+    """Set-Cookie posture audit (RFC 6265) — per-host census of cookie
+    security attributes and tracking cookies: Secure / HttpOnly /
+    SameSite flags, persistent-vs-session lifetime (Max-Age), and the
+    underscore-prefixed tracker convention (_ga, _fbp). The privacy /
+    compliance sweep a crawl archive runs before shipping pages into a
+    training corpus, and the fetch-layer audit for session handling.
+
+    Exactness: both engines parse the SAME synthesized header strings
+    with token-exact attribute matching (split ';' + trim + lower —
+    'SecureFlag' can't false-positive) and identical regex extracts
+    for SameSite/Max-Age; counts and ppm are exact integers.
+
+    Plan/scale: attribute extraction is a zero-exchange map over the
+    response stream; the rollup is ONE map-side-combinable census agg
+    into |hosts| rows."""
+    k = F.col("o_orderkey")
+    c = k % 6
+    sc = (F.when(c == 0, F.concat(
+        F.lit("sid=abc"), k.cast("string"),
+        F.lit("; Path=/; Secure; HttpOnly; SameSite=Strict")))
+        .when(c == 1, F.concat(
+            F.lit("_ga=GA1.2."), k.cast("string"),
+            F.lit("; Max-Age=63072000; SameSite=None; Secure")))
+        .when(c == 2, F.lit("pref=dark; Path=/; Max-Age=3600"))
+        .when(c == 3, F.concat(F.lit("sess="), k.cast("string"),
+                               F.lit("; HttpOnly")))
+        .when(c == 4, F.concat(
+            F.lit("_fbp=fb.1."), k.cast("string"),
+            F.lit("; Max-Age=7776000; SameSite=Lax")))
+        .otherwise(F.lit("")))
+    resp = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (k % 20).cast("string")).alias("host"),
+        sc.alias("sc"))
+    parsed = (resp
+              .withColumn("name",
+                          F.nullif(F.regexp_extract("sc", r"^([^=;]+)=", 1),
+                                   F.lit("")))
+              .withColumn("_t", F.expr(
+                  "transform(split(sc, ';'), x -> lower(trim(x)))"))
+              .withColumn("secure",
+                          F.array_contains("_t", "secure").cast("int"))
+              .withColumn("httponly",
+                          F.array_contains("_t", "httponly").cast("int"))
+              .withColumn("max_age",
+                          F.nullif(F.regexp_extract(
+                              F.lower("sc"), r"max-age=([0-9]+)", 1),
+                              F.lit("")).cast("long"))
+              .withColumn("samesite",
+                          F.coalesce(F.nullif(F.regexp_extract(
+                              F.lower("sc"), r"samesite=([a-z]+)", 1),
+                              F.lit("")), F.lit("-")))
+              .withColumn("tracker",
+                          F.col("name").startswith("_").cast("int")))
+    has = F.col("name").isNotNull()
+    return (parsed.groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_responses"),
+                 F.sum(has.cast("int")).cast("long").alias("n_cookies"),
+                 F.sum(F.when(has, F.col("secure")).otherwise(F.lit(0)))
+                 .cast("long").alias("n_secure"),
+                 F.sum(F.when(has, F.col("httponly")).otherwise(F.lit(0)))
+                 .cast("long").alias("n_httponly"),
+                 F.sum(F.when(has & F.col("max_age").isNotNull(),
+                              F.lit(1)).otherwise(F.lit(0)))
+                 .cast("long").alias("n_persistent"),
+                 F.sum(F.when(has, F.col("tracker")).otherwise(F.lit(0)))
+                 .cast("long").alias("n_trackers"),
+                 F.max(F.coalesce("max_age", F.lit(0).cast("long")))
+                 .cast("long").alias("max_lifetime_s"))
+            .withColumn("tracker_ppm",
+                        F.expr("n_trackers * 1000000 DIV n_cookies")
+                        .cast("long")))
+
+
+ORACLE_HTTP_COOKIES = """
+WITH resp AS (
+  SELECT 'h' || (o_orderkey % 20) AS host,
+         CASE o_orderkey % 6
+           WHEN 0 THEN 'sid=abc' || o_orderkey ||
+                '; Path=/; Secure; HttpOnly; SameSite=Strict'
+           WHEN 1 THEN '_ga=GA1.2.' || o_orderkey ||
+                '; Max-Age=63072000; SameSite=None; Secure'
+           WHEN 2 THEN 'pref=dark; Path=/; Max-Age=3600'
+           WHEN 3 THEN 'sess=' || o_orderkey || '; HttpOnly'
+           WHEN 4 THEN '_fbp=fb.1.' || o_orderkey ||
+                '; Max-Age=7776000; SameSite=Lax'
+           ELSE '' END AS sc
+  FROM orders),
+parsed AS (
+  SELECT host, sc,
+         nullif(regexp_extract(sc, '^([^=;]+)=', 1), '') AS name,
+         list_transform(string_split(sc, ';'), x -> lower(trim(x))) AS t,
+         TRY_CAST(nullif(regexp_extract(lower(sc), 'max-age=([0-9]+)', 1),
+                         '') AS BIGINT) AS max_age
+  FROM resp)
+SELECT host, CAST(count(*) AS BIGINT) AS n_responses,
+       CAST(sum(CASE WHEN name IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cookies,
+       CAST(sum(CASE WHEN name IS NOT NULL
+                      AND list_contains(t, 'secure') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_secure,
+       CAST(sum(CASE WHEN name IS NOT NULL
+                      AND list_contains(t, 'httponly') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_httponly,
+       CAST(sum(CASE WHEN name IS NOT NULL AND max_age IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_persistent,
+       CAST(sum(CASE WHEN name IS NOT NULL AND name LIKE '\\_%' ESCAPE '\\'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_trackers,
+       CAST(max(coalesce(max_age, 0)) AS BIGINT) AS max_lifetime_s,
+       CAST(sum(CASE WHEN name IS NOT NULL AND name LIKE '\\_%' ESCAPE '\\'
+                     THEN 1 ELSE 0 END) * 1000000
+            // sum(CASE WHEN name IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS tracker_ppm
+FROM parsed GROUP BY host
+"""
+
+
+def q_corpus_length_buckets(spark, sf_dir):
+    """Padding-waste accounting for batched training — the measured
+    case for length-bucketed batching: form fixed-size batches of 32
+    docs two ways (NAIVE: arrival order by doc_id; BUCKETED: sorted by
+    token length) and account padded tokens exactly — every doc pads
+    to its batch max, so waste = n_docs*batch_max - sum(tokens). The
+    standard result (bucketing cuts pad waste several-fold) falls out
+    of the numbers instead of being asserted.
+
+    Exactness: whitespace token counts (the text_token_count parity
+    formula), integer waste, ppm by integer DIV; batch assignment uses
+    full deterministic tie-breaks (doc_id) on both engines.
+
+    Plan/scale: the global row_number is the demo form at driver SF;
+    the scale path for rank-then-chunk is pack.py's proven
+    hierarchical prefix decomposition (shard sums -> tiny prefix
+    window -> broadcast base offsets), identical math."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("doc_id",
+                 F.size(F.split("text", " ")).cast("long").alias("n_tok")))
+    w_naive = Window.orderBy(F.col("doc_id").asc())
+    w_buck = Window.orderBy(F.col("n_tok").asc(), F.col("doc_id").asc())
+
+    def batches(df, w, tag):
+        return (df
+                .withColumn("rk", F.row_number().over(w).cast("long"))
+                .withColumn("batch_id", F.expr("(rk - 1) DIV 32")
+                            .cast("long"))
+                .groupBy("batch_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.max("n_tok").cast("long").alias("batch_max"),
+                     F.sum("n_tok").cast("long").alias("real_tokens"))
+                .select(F.lit(tag).alias("strategy"), "batch_id",
+                        "n_docs", "batch_max", "real_tokens",
+                        (F.col("n_docs") * F.col("batch_max"))
+                        .alias("padded_tokens"))
+                .withColumn("waste_ppm", F.expr(
+                    "(padded_tokens - real_tokens) * 1000000 "
+                    "DIV padded_tokens").cast("long")))
+
+    return batches(d, w_naive, "naive").unionByName(
+        batches(d, w_buck, "bucketed"))
+
+
+ORACLE_CORPUS_LENGTH_BUCKETS = """
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents WHERE text IS NOT NULL),
+r AS (
+  SELECT doc_id, n_tok,
+         row_number() OVER (ORDER BY doc_id ASC) AS rk_n,
+         row_number() OVER (ORDER BY n_tok ASC, doc_id ASC) AS rk_b
+  FROM d),
+u AS (
+  SELECT 'naive' AS strategy, (rk_n - 1) // 32 AS batch_id, n_tok FROM r
+  UNION ALL
+  SELECT 'bucketed', (rk_b - 1) // 32, n_tok FROM r),
+agg AS (
+  SELECT strategy, CAST(batch_id AS BIGINT) AS batch_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(max(n_tok) AS BIGINT) AS batch_max,
+         CAST(sum(n_tok) AS BIGINT) AS real_tokens
+  FROM u GROUP BY 1, 2)
+SELECT strategy, batch_id, n_docs, batch_max, real_tokens,
+       n_docs * batch_max AS padded_tokens,
+       CAST((n_docs * batch_max - real_tokens) * 1000000
+            // (n_docs * batch_max) AS BIGINT) AS waste_ppm
+FROM agg
+"""
+
+
+def q_events_dau_mau(spark, sf_dir):
+    """DAU / trailing-28-day-MAU stickiness — the engagement ratio
+    behind every activity dashboard, computed EXACTLY at scale: the
+    sliding-window distinct-user count is NOT a windowed agg (distinct
+    doesn't merge) — instead each user's active days become coverage
+    intervals [day, day+27], overlapping intervals merge per user (the
+    lag + running-sum island pattern), and merged intervals explode
+    into covered days. Intervals are disjoint after the merge, so a
+    plain count per day IS the exact distinct count.
+
+    Exactness: integer epoch-day arithmetic end to end; stickiness is
+    exact integer DIV ppm.
+
+    Plan/scale: the explode is bounded by 28 x islands (never
+    |users| x |days|); per-user windows shuffle the (user, day) census
+    once; at 10^9 users the census is the only wide exchange."""
+    ud = (_t(spark, sf_dir, "events")
+          .select(F.expr("unix_timestamp(ts) DIV 86400").cast("long")
+                  .alias("day"), "user_id")
+          .distinct())
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long")
+                                .alias("n_dau"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    iv = (ud
+          .withColumn("_pd", F.lag("day").over(w))
+          .withColumn("_new", (F.col("_pd").isNull()
+                               | (F.col("day") > F.col("_pd") + 27))
+                      .cast("int"))
+          .withColumn("_g", F.sum("_new").over(wsum))
+          .groupBy("user_id", "_g")
+          .agg(F.min("day").alias("s"),
+               (F.max("day") + 27).alias("e")))
+    mau = (iv.select("user_id",
+                     F.explode(F.sequence("s", "e")).alias("day"))
+           .groupBy("day").agg(F.count(F.lit(1)).cast("long")
+                               .alias("n_mau28")))
+    return (dau.join(mau, "day")
+            .select("day", "n_dau", "n_mau28",
+                    F.expr("n_dau * 1000000 DIV n_mau28").cast("long")
+                    .alias("stickiness_ppm")))
+
+
+ORACLE_EVENTS_DAU_MAU = """
+WITH ud AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                  user_id
+  FROM events),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_dau FROM ud GROUP BY day),
+l AS (
+  SELECT user_id, day,
+         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS pd
+  FROM ud),
+g AS (
+  SELECT user_id, day,
+         sum(CASE WHEN pd IS NULL OR day > pd + 27 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM l),
+iv AS (
+  SELECT user_id, grp, min(day) AS s, max(day) + 27 AS e
+  FROM g GROUP BY 1, 2),
+cover AS (
+  SELECT user_id, unnest(generate_series(s, e)) AS day FROM iv),
+mau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_mau28 FROM cover GROUP BY day)
+SELECT CAST(d.day AS BIGINT) AS day, d.n_dau, m.n_mau28,
+       CAST(d.n_dau * 1000000 // m.n_mau28 AS BIGINT) AS stickiness_ppm
+FROM dau d JOIN mau m USING (day)
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -15048,6 +15556,12 @@ QUERIES = {
     "http_security_headers": q_http_security_headers,
     "url_lang_variant": q_url_lang_variant,
     "events_gini": q_events_gini,
+    "url_pct_normalize": q_url_pct_normalize,
+    "robots_meta": q_robots_meta,
+    "feed_ingest": q_feed_ingest,
+    "http_cookies": q_http_cookies,
+    "corpus_length_buckets": q_corpus_length_buckets,
+    "events_dau_mau": q_events_dau_mau,
 }
 
 ORACLES = {
@@ -15300,6 +15814,12 @@ ORACLES = {
     "http_security_headers": ORACLE_HTTP_SECURITY_HEADERS,
     "url_lang_variant": ORACLE_URL_LANG_VARIANT,
     "events_gini": ORACLE_EVENTS_GINI,
+    "url_pct_normalize": ORACLE_URL_PCT_NORMALIZE,
+    "robots_meta": ORACLE_ROBOTS_META,
+    "feed_ingest": ORACLE_FEED_INGEST,
+    "http_cookies": ORACLE_HTTP_COOKIES,
+    "corpus_length_buckets": ORACLE_CORPUS_LENGTH_BUCKETS,
+    "events_dau_mau": ORACLE_EVENTS_DAU_MAU,
 }
 
 
