@@ -15306,6 +15306,443 @@ FROM dau d JOIN mau m USING (day)
 """
 
 
+def q_ann_nndescent_step(spark, sf_dir):
+    """One NN-Descent refinement round (Dong et al., WWW 2011) — the
+    k-NN-GRAPH construction step behind graph-based ANN indexes
+    (HNSW/NSG build pipelines): starting from a cheap deterministic
+    initial graph (each vector's 4 successors by vec_id — the stand-in
+    for an LSH-bucket bootstrap), candidates(v) = neighbors union
+    neighbors-of-neighbors, scored by EXACT cosine, keep top-4. The
+    local-join principle is the whole point at 10^10 vectors: each
+    round compares only k + k^2 candidates per node (two edge-keyed
+    equi-joins), never all pairs, and each round monotonically
+    improves the graph.
+
+    Exactness: cosine in float64 rounded to 6 dp BEFORE ranking (the
+    module's fold-order convention), full (sim DESC, neighbor ASC)
+    tie-break; the simplified variant here (forward-of-forward, no
+    reverse edges) is documented — full NN-descent adds the reversed
+    edge list to the same join, same shape.
+
+    Plan/scale: edge-list self-join + one vector join per side; the
+    rank window partitions by node. Nothing is ever all-pairs."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    ids = emb.select("vec_id")
+    e0 = (ids.select(F.col("vec_id").alias("v_id"),
+                     F.explode(F.sequence(F.lit(1), F.lit(4)))
+                     .alias("_j"))
+          .select("v_id", (F.col("v_id") + F.col("_j")).alias("u_id"))
+          .join(ids.select(F.col("vec_id").alias("u_id")), "u_id"))
+    hop2 = (e0.alias("a")
+            .join(e0.alias("b"), F.col("a.u_id") == F.col("b.v_id"))
+            .select(F.col("a.v_id").alias("v_id"),
+                    F.col("b.u_id").alias("u_id"))
+            .filter(F.col("v_id") != F.col("u_id")))
+    cand = e0.select("v_id", "u_id").unionByName(hop2).distinct()
+    scored = (cand
+              .join(emb.select(F.col("vec_id").alias("v_id"),
+                               F.col("v").alias("va")), "v_id")
+              .join(emb.select(F.col("vec_id").alias("u_id"),
+                               F.col("v").alias("vb")), "u_id")
+              .select("v_id", "u_id",
+                      F.round(SIM.cosine_expr(F.col("va"), F.col("vb")), 6)
+                      .alias("sim")))
+    w = Window.partitionBy("v_id").orderBy(F.desc("sim"), F.asc("u_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 4)
+            .select(F.col("v_id").alias("vec_id"),
+                    F.col("u_id").alias("neighbor_id"), "rank", "sim"))
+
+
+ORACLE_ANN_NNDESCENT = """
+WITH e0 AS (
+  SELECT a.vec_id AS v_id, b.vec_id AS u_id
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id - a.vec_id BETWEEN 1 AND 4),
+cand AS (
+  SELECT v_id, u_id FROM e0
+  UNION
+  SELECT e1.v_id, e2.u_id
+  FROM e0 e1 JOIN e0 e2 ON e2.v_id = e1.u_id
+  WHERE e2.u_id <> e1.v_id),
+sc AS (
+  SELECT c.v_id, c.u_id,
+         round(
+           list_sum(list_transform(range(64),
+             i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(64),
+                i -> a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(64),
+                i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)))),
+           6) AS sim
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.v_id
+  JOIN embeddings b ON b.vec_id = c.u_id),
+rk AS (
+  SELECT v_id, u_id, sim,
+         row_number() OVER (PARTITION BY v_id
+                            ORDER BY sim DESC, u_id ASC) AS rank
+  FROM sc)
+SELECT v_id AS vec_id, u_id AS neighbor_id, CAST(rank AS INT) AS rank, sim
+FROM rk WHERE rank <= 4
+"""
+
+
+def q_embeddings_centroid_drift(spark, sf_dir):
+    """Lloyd-iteration convergence telemetry — per-cell centroid DRIFT
+    after one KMeans step (embeddings_kmeans_step produces the new
+    means; this row measures how far they moved from the current
+    centroids): squared L2 movement and max component move per cell,
+    the numbers a training loop watches to decide when the coarse
+    quantizer behind ivf_topk / dedup_semantic has converged.
+
+    Exactness: means use the kmeans row's proven round(avg, 4)
+    convention, then BOTH engines quantize means and centroid
+    literals to integer 1e-4 units — drift sums are exact integers
+    (1e-8 units for the square), immune to fold order.
+
+    Plan/scale: assignment is literal-arithmetic codegen; the drift
+    join runs on the (cells x dim) mean table — 512 rows here,
+    O(cells x dim) always — never on vectors."""
+    cents = SIM.seeded_centroids(_IVF_CENTROIDS, _IVF_DIM)
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        SIM.assign_cell_expr(
+            F.transform("embedding", lambda x: x.cast("double")),
+            cents).alias("cell"),
+        F.posexplode("embedding").alias("pos", "x"))
+    means = (assigned.groupBy("cell", "pos")
+             .agg(F.round(F.avg(F.col("x").cast("double")), 4)
+                  .alias("m"),
+                  F.count("*").alias("n_members")))
+    c0 = spark.createDataFrame(
+        [(c, i, int(round(v * 10000)))
+         for c, vec in enumerate(cents) for i, v in enumerate(vec)],
+        "cell int, pos int, c0q long")
+    q = (means
+         .withColumn("mq", F.expr("CAST(floor(m * 10000 + 0.5) AS BIGINT)"))
+         .join(c0, ["cell", "pos"]))
+    return (q.groupBy("cell")
+            .agg(F.max("n_members").cast("long").alias("n_members"),
+                 F.sum((F.col("mq") - F.col("c0q"))
+                       * (F.col("mq") - F.col("c0q")))
+                 .cast("long").alias("drift_sq_e8"),
+                 F.max(F.abs(F.col("mq") - F.col("c0q")))
+                 .cast("long").alias("max_move_e4")))
+
+
+def _centroid_drift_oracle() -> str:
+    cents = SIM.seeded_centroids(_IVF_CENTROIDS, _IVF_DIM)
+    c0_values = ",\n   ".join(
+        f"({c}, {i}, {int(round(v * 10000))})"
+        for c, vec in enumerate(cents) for i, v in enumerate(vec))
+    base = _kmeans_oracle()
+    # reuse the verified kmeans-mean CTE chain verbatim, then bolt the
+    # drift join on top (anti-drift convention: shared fragment, not a
+    # re-derivation)
+    inner = base.strip().removeprefix("WITH ")
+    prefix = inner.split('SELECT cell,')[0].rstrip()
+    return f"""
+WITH {prefix},
+means AS (
+  SELECT cell, CAST(pos0 AS INT) AS pos,
+         round(avg(embedding[pos0 + 1]::DOUBLE), 4) AS m,
+         count(*) AS n_members
+  FROM px GROUP BY cell, pos0),
+c0(cell, pos, c0q) AS (VALUES
+   {c0_values}),
+j AS (
+  SELECT means.cell, means.n_members,
+         CAST(floor(m * 10000 + 0.5) AS BIGINT) AS mq, c0.c0q
+  FROM means JOIN c0 ON c0.cell = means.cell AND c0.pos = means.pos)
+SELECT cell, CAST(max(n_members) AS BIGINT) AS n_members,
+       CAST(sum((mq - c0q) * (mq - c0q)) AS BIGINT) AS drift_sq_e8,
+       CAST(max(abs(mq - c0q)) AS BIGINT) AS max_move_e4
+FROM j GROUP BY cell
+"""
+
+
+ORACLE_EMBEDDINGS_CENTROID_DRIFT = _centroid_drift_oracle()
+
+
+def q_frontier_seed_sources(spark, sf_dir):
+    """Multi-source seed merge — the frontier FEEDER composition: three
+    real seed channels (sitemap XML via sources/sitemap.parse_sitemap,
+    RSS feeds via sources/feeds.parse_feed, I2P addressbook via
+    sources/i2p.addressbook_seeds) each synthesized in codegen, parsed
+    by their REAL parsers, tagged with provenance and a source-level
+    prior (sitemap's declared priority; 0.5 feed default; 0.3
+    addressbook), then deduped by URL keeping the best prior and the
+    sorted provenance set. Sitemap and feed universes overlap by
+    construction, so the dedupe branch is exercised; addressbook seeds
+    are disjoint (different network). A value-hash match proves all
+    three parsers AND the merge in one row.
+
+    Plan/scale: each channel is an independent parse explode; the
+    merge is ONE groupBy on url carrying (url, source, prior) — seeds
+    are KB-to-MB scale inputs, never the 10^10 frontier."""
+    from genesis_spark.sources.feeds import parse_feed
+    from genesis_spark.sources.i2p import addressbook_seeds
+    from genesis_spark.sources.sitemap import parse_sitemap
+
+    k = F.col("o_orderkey")
+    d3 = F.expr("o_orderkey DIV 3")
+    url = F.concat(F.lit("http://h"), (d3 % 12).cast("string"),
+                   F.lit(".onion/s"), (d3 % 60).cast("string"))
+    orders = _t(spark, sf_dir, "orders")
+
+    sm_block = F.concat(F.lit("<url><loc>"), url, F.lit("</loc><priority>0."),
+                        (d3 % 10).cast("string"), F.lit("</priority></url>"))
+    sm = (orders.filter(k % 3 == 0)
+          .select(sm_block.alias("b"))
+          .agg(F.concat_ws("", F.array_sort(F.collect_list("b")))
+               .alias("content")))
+    sm_seeds = parse_sitemap(sm, "content").select(
+        F.col("loc").alias("url"), F.lit("sitemap").alias("src"),
+        F.col("priority").alias("prior"))
+
+    fd_block = F.concat(F.lit("<item><link>"), url,
+                        F.lit("</link><pubDate>2024-01-0"),
+                        ((k % 9) + 1).cast("string"),
+                        F.lit("</pubDate></item>"))
+    fd = (orders.filter(k % 3 == 1)
+          .select(fd_block.alias("b"))
+          .agg(F.concat_ws("", F.array_sort(F.collect_list("b")))
+               .alias("content")))
+    fd_seeds = parse_feed(fd, "content").select(
+        "url", F.lit("feed").alias("src"), F.lit(0.5).alias("prior"))
+
+    ab_line = F.concat(F.lit("h"), (d3 % 12).cast("string"), F.lit("x"),
+                       (d3 % 60).cast("string"), F.lit(".i2p=dest"),
+                       k.cast("string"))
+    ab = (orders.filter(k % 3 == 2)
+          .select(ab_line.alias("b"))
+          .agg(F.concat_ws("\n", F.array_sort(F.collect_list("b")))
+               .alias("content"))
+          .select(F.concat(F.lit("# addressbook\n"), F.col("content"))
+                  .alias("content")))
+    ab_seeds = addressbook_seeds(ab).select(
+        "url", F.lit("addressbook").alias("src"),
+        F.lit(0.3).alias("prior"))
+
+    allseeds = (sm_seeds.unionByName(fd_seeds).unionByName(ab_seeds)
+                .select("url", "src", "prior").distinct())
+    return (allseeds.groupBy("url")
+            .agg(F.max("prior").alias("best_prior"),
+                 F.concat_ws(",", F.array_sort(F.collect_set("src")))
+                 .alias("sources"),
+                 F.countDistinct("src").cast("long").alias("n_sources")))
+
+
+ORACLE_FRONTIER_SEED_SOURCES = """
+WITH sm AS (
+  SELECT DISTINCT
+         'http://h' || ((o_orderkey // 3) % 12) || '.onion/s'
+           || ((o_orderkey // 3) % 60) AS url,
+         'sitemap' AS src,
+         CAST('0.' || ((o_orderkey // 3) % 10) AS DOUBLE) AS prior
+  FROM orders WHERE o_orderkey % 3 = 0),
+fd AS (
+  SELECT DISTINCT
+         'http://h' || ((o_orderkey // 3) % 12) || '.onion/s'
+           || ((o_orderkey // 3) % 60) AS url,
+         'feed' AS src, 0.5::DOUBLE AS prior
+  FROM orders WHERE o_orderkey % 3 = 1),
+ab AS (
+  SELECT DISTINCT
+         'http://h' || ((o_orderkey // 3) % 12) || 'x'
+           || ((o_orderkey // 3) % 60) || '.i2p' AS url,
+         'addressbook' AS src, 0.3::DOUBLE AS prior
+  FROM orders WHERE o_orderkey % 3 = 2),
+u AS (
+  SELECT * FROM sm UNION SELECT * FROM fd UNION SELECT * FROM ab)
+SELECT url, max(prior) AS best_prior,
+       string_agg(DISTINCT src, ',' ORDER BY src) AS sources,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_sources
+FROM u GROUP BY url
+"""
+
+
+def q_stream_histogram(spark, sf_dir):
+    """The 9th streaming capability: stateful mergeable HISTOGRAM-
+    SKETCH maintenance — the live twin of the batch hist_bins sketch
+    (events_quantile_sketch): per event_type the state store holds ONE
+    fixed 32-bin count array, each micro-batch bins its values and
+    adds in, emissions are cumulative non-empty bins. Replayed as 4
+    micro-batches; per-(key, bin) emissions are monotone, so
+    max-per-(key, bin) recovers the exact final histogram regardless
+    of batching — which must equal the batch GROUP BY binning
+    bit-for-bit (the oracle). At production cadence this is the
+    p50/p95 feed for live fetch-latency dashboards with O(keys x 32)
+    state."""
+    import os
+    import tempfile
+
+    from genesis_spark.streaming.pipeline import hist_stream
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_hist_{_STREAM_SEQ}"
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="gs_streamhist_")
+    src, ck = os.path.join(tmp, "ev"), os.path.join(tmp, "ckpt")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("event_type string, value double")
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    q = (hist_stream(stream, lo=0.0, hi=512.0, n_bins=32)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name).groupBy("event_type", "bin")
+            .agg(F.max("cnt_cum").cast("long").alias("cnt")))
+
+
+ORACLE_STREAM_HISTOGRAM = """
+SELECT event_type,
+       CAST(least(31, greatest(0, CAST(floor(value / 16.0) AS BIGINT)))
+            AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_politeness_violations(spark, sf_dir):
+    """Politeness-compliance audit over the fetch log — the check that
+    the scheduler's declared per-host crawl delay was actually honored
+    by the fetch layer (ST3's pacing contract, audited after the
+    fact): per host, consecutive fetch gaps under the declared delay
+    are violations. The ops row a crawl operator reads after every
+    incident report from a webmaster.
+
+    Exactness: integer millisecond timestamps, full (ts, fetch_id)
+    tie-break so both engines see the same fetch order; a host's first
+    fetch has no gap and is never a violation; single-fetch hosts get
+    the -1 sentinel min-gap (NULL would break the order-insensitive
+    hash).
+
+    Plan/scale: ONE per-host window pass over the fetch log (the same
+    shuffle the scheduler already pays), then a map-side-combinable
+    census into |hosts| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    host_id = F.col("l_orderkey") % 30
+    fetches = li.select(
+        F.concat(F.lit("h"), host_id.cast("string")).alias("host"),
+        (500 * (1 + host_id % 4)).cast("long").alias("delay_ms"),
+        ((F.col("l_partkey") * 137 + F.col("l_suppkey") * 11
+          + F.col("l_linenumber")) % 600000).cast("long").alias("ts_ms"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long").alias("fetch_id"))
+    w = Window.partitionBy("host").orderBy(F.asc("ts_ms"),
+                                           F.asc("fetch_id"))
+    gaps = (fetches
+            .withColumn("gap_ms",
+                        F.col("ts_ms") - F.lag("ts_ms").over(w)))
+    return (gaps.groupBy("host", "delay_ms")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_fetches"),
+                 F.sum(F.when(F.col("gap_ms") < F.col("delay_ms"), 1)
+                       .otherwise(0)).cast("long").alias("n_violations"),
+                 F.coalesce(F.min("gap_ms"), F.lit(-1).cast("long"))
+                 .cast("long").alias("min_gap_ms"))
+            .withColumn("violation_ppm",
+                        F.expr("n_violations * 1000000 DIV n_fetches")
+                        .cast("long")))
+
+
+ORACLE_POLITENESS_VIOLATIONS = """
+WITH f AS (
+  SELECT 'h' || (l_orderkey % 30) AS host,
+         CAST(500 * (1 + (l_orderkey % 30) % 4) AS BIGINT) AS delay_ms,
+         (l_partkey * 137 + l_suppkey * 11 + l_linenumber) % 600000 AS ts_ms,
+         l_orderkey * 10 + l_linenumber AS fetch_id
+  FROM lineitem),
+g AS (
+  SELECT host, delay_ms,
+         ts_ms - lag(ts_ms) OVER (PARTITION BY host
+                                  ORDER BY ts_ms ASC, fetch_id ASC)
+           AS gap_ms
+  FROM f)
+SELECT host, delay_ms, CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(sum(CASE WHEN gap_ms < delay_ms THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       CAST(coalesce(min(gap_ms), -1) AS BIGINT) AS min_gap_ms,
+       CAST(sum(CASE WHEN gap_ms < delay_ms THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS violation_ppm
+FROM g GROUP BY host, delay_ms
+"""
+
+
+def q_corpus_dedup_threshold_curve(spark, sf_dir):
+    """Dedup yield-vs-threshold calibration — the table that answers
+    'where do we SET the near-dup threshold?': exact capped-shingle
+    jaccard pairs (the dedup_ngram_jaccard kernel at a low 0.5 floor)
+    bucketed into 0.1-wide similarity bands, with pair count and the
+    number of distinct documents touched per band. Moving the
+    production threshold one band down is then a read-off, not a
+    re-run. Complements dedup_minhash_eval (which grades the
+    ESTIMATOR; this row profiles the TRUTH distribution).
+
+    Exactness: jaccard uses the base row's proven round(x, 4)
+    convention — identical doubles on both engines — so the band
+    floor makes the same call; counts are exact.
+
+    Plan/scale: same df-capped shingle self-join as the base row
+    (fan-out bounded at max_df^2 per shingle, never all-pairs); the
+    banding is a census over the pair table."""
+    pairs = D.ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5,
+                                  max_df=_NGRAM_MAX_DF)
+    banded = pairs.withColumn(
+        "band", F.least(F.lit(9), F.floor(F.col("jaccard") * 10))
+        .cast("int"))
+    n_pairs = (banded.groupBy("band")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+    n_docs = (banded
+              .select("band", F.explode(F.array("doc_a", "doc_b"))
+                      .alias("doc_id"))
+              .groupBy("band")
+              .agg(F.countDistinct("doc_id").cast("long")
+                   .alias("n_docs")))
+    return n_pairs.join(n_docs, "band")
+
+
+ORACLE_CORPUS_DEDUP_THRESHOLD_CURVE = f"""
+WITH {_CORPUS_SQL},
+{_shingle_sql(3)},
+dsh0 AS (SELECT DISTINCT doc_id, shingle FROM sh),
+keep AS (SELECT shingle FROM dsh0 GROUP BY shingle
+         HAVING count(*) <= {_NGRAM_MAX_DF}),
+dsh AS (SELECT doc_id, dsh0.shingle FROM dsh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(n_common / (na.n + nb.n - n_common), 4) AS jaccard
+  FROM common
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(n_common / (na.n + nb.n - n_common), 4) >= 0.5),
+banded AS (
+  SELECT doc_a, doc_b,
+         CAST(least(9, floor(jaccard * 10)) AS INT) AS band
+  FROM pairs),
+np AS (SELECT band, CAST(count(*) AS BIGINT) AS n_pairs
+       FROM banded GROUP BY band),
+nd AS (
+  SELECT band, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM (
+    SELECT band, doc_a AS doc_id FROM banded
+    UNION ALL
+    SELECT band, doc_b FROM banded) GROUP BY band)
+SELECT band, n_pairs, n_docs FROM np JOIN nd USING (band)
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -15562,6 +15999,12 @@ QUERIES = {
     "http_cookies": q_http_cookies,
     "corpus_length_buckets": q_corpus_length_buckets,
     "events_dau_mau": q_events_dau_mau,
+    "ann_nndescent_step": q_ann_nndescent_step,
+    "embeddings_centroid_drift": q_embeddings_centroid_drift,
+    "frontier_seed_sources": q_frontier_seed_sources,
+    "stream_histogram": q_stream_histogram,
+    "politeness_violations": q_politeness_violations,
+    "corpus_dedup_threshold_curve": q_corpus_dedup_threshold_curve,
 }
 
 ORACLES = {
@@ -15820,6 +16263,12 @@ ORACLES = {
     "http_cookies": ORACLE_HTTP_COOKIES,
     "corpus_length_buckets": ORACLE_CORPUS_LENGTH_BUCKETS,
     "events_dau_mau": ORACLE_EVENTS_DAU_MAU,
+    "ann_nndescent_step": ORACLE_ANN_NNDESCENT,
+    "embeddings_centroid_drift": ORACLE_EMBEDDINGS_CENTROID_DRIFT,
+    "frontier_seed_sources": ORACLE_FRONTIER_SEED_SOURCES,
+    "stream_histogram": ORACLE_STREAM_HISTOGRAM,
+    "politeness_violations": ORACLE_POLITENESS_VIOLATIONS,
+    "corpus_dedup_threshold_curve": ORACLE_CORPUS_DEDUP_THRESHOLD_CURVE,
 }
 
 

@@ -349,3 +349,41 @@ def run_upsert_stream(spark: SparkSession, events_src: str,
     if final["v"] < 0:
         raise RuntimeError("upsert stream processed no batches")
     return spark.read.parquet(snap_dirs[final["v"] % 2])
+
+
+def hist_stream(values: DataFrame, lo: float = 0.0, hi: float = 512.0,
+                n_bins: int = 32):
+    """Streaming mergeable histogram-sketch maintenance as a CUSTOM
+    STATEFUL operator (``applyInPandasWithState``) — the live twin of
+    operators/sketches.hist_bins: per key the state is ONE fixed array
+    of ``n_bins`` bigint counts (O(bins), never O(rows)); each
+    micro-batch bins its values with the SAME clamp-into-edge-bins rule
+    as the batch sketch and adds them in. Emissions are the cumulative
+    non-empty bins, so per-(key, bin) counts are monotone across the
+    replay and a downstream ``max()`` recovers the exact final
+    histogram regardless of micro-batching — the property the
+    stream_histogram oracle checks against a batch GROUP BY. Input:
+    (event_type string, value double)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    width = (hi - lo) / n_bins
+
+    def fn(key, pdfs, state):
+        bins = (np.array(state.get[0], dtype=np.int64) if state.exists
+                else np.zeros(n_bins, dtype=np.int64))
+        for pdf in pdfs:
+            v = pd.to_numeric(pdf["value"], errors="coerce").dropna()
+            b = np.clip(np.floor((v.to_numpy(dtype=np.float64) - lo)
+                                 / width).astype(np.int64), 0, n_bins - 1)
+            bins += np.bincount(b, minlength=n_bins).astype(np.int64)
+        state.update((bins.tolist(),))
+        nz = np.nonzero(bins)[0]
+        yield pd.DataFrame({"event_type": key[0],
+                            "bin": nz.astype(np.int32),
+                            "cnt_cum": bins[nz]})
+
+    return values.groupBy("event_type").applyInPandasWithState(
+        fn, "event_type string, bin int, cnt_cum bigint",
+        "bins array<bigint>", "append", GroupStateTimeout.NoTimeout)

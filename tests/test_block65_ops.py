@@ -1,0 +1,103 @@
+"""Block-65 operators: NN-Descent k-NN-graph round, Lloyd centroid
+drift telemetry, multi-source seed merge."""
+
+from __future__ import annotations
+
+import math
+
+from genesis_spark.operators import similarity as SIM
+from genesis_spark.queries import (q_ann_nndescent_step,
+                                   q_embeddings_centroid_drift,
+                                   q_embeddings_kmeans_step,
+                                   q_frontier_seed_sources)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _load_vecs(spark):
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .select("vec_id", "embedding").collect()
+    return {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+
+def _cos6(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return round(dot / (na * nb), 6)
+
+
+def test_nndescent_matches_bruteforce_replay(spark):
+    vecs = _load_vecs(spark)
+    ids = set(vecs)
+    e0 = {v: [v + j for j in range(1, 5) if v + j in ids] for v in ids}
+    got = {}
+    for r in q_ann_nndescent_step(spark, SF).collect():
+        got.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["sim"]))
+    for v in ids:
+        cand = set(e0[v])
+        for u in e0[v]:
+            cand.update(w for w in e0[u] if w != v)
+        if not cand:
+            assert v not in got
+            continue
+        scored = sorted(((-_cos6(vecs[v], vecs[c]), c) for c in cand))
+        want = [(i + 1, c, -negs) for i, (negs, c) in
+                enumerate(scored[:4])]
+        assert sorted(got[v]) == want, f"node {v}"
+
+
+def test_nndescent_round_never_worsens_graph(spark):
+    vecs = _load_vecs(spark)
+    ids = set(vecs)
+    got = {}
+    for r in q_ann_nndescent_step(spark, SF).collect():
+        got.setdefault(r["vec_id"], []).append(r["sim"])
+    for v, sims in got.items():
+        init = [_cos6(vecs[v], vecs[v + j])
+                for j in range(1, 5) if v + j in ids]
+        # refined top-k dominates the initial neighbor list rank-by-rank
+        for rank_sim, init_sim in zip(sorted(sims, reverse=True),
+                                      sorted(init, reverse=True)):
+            assert rank_sim >= init_sim
+
+
+def test_centroid_drift_consistent_with_kmeans_row(spark):
+    cents = SIM.seeded_centroids(8, 64)
+    means = {(r["cell"], r["pos"]): (r["centroid_val"], r["n_members"])
+             for r in q_embeddings_kmeans_step(spark, SF).collect()}
+    exp = {}
+    for (cell, pos), (m, n) in means.items():
+        mq = math.floor(m * 10000 + 0.5)
+        c0q = int(round(cents[cell][pos] * 10000))
+        d = exp.setdefault(cell, [n, 0, 0])
+        d[1] += (mq - c0q) ** 2
+        d[2] = max(d[2], abs(mq - c0q))
+    got = {r["cell"]: r for r in
+           q_embeddings_centroid_drift(spark, SF).collect()}
+    assert set(got) == set(exp)
+    for cell, (n, dsq, mx) in exp.items():
+        r = got[cell]
+        assert (r["n_members"], r["drift_sq_e8"], r["max_move_e4"]) \
+            == (n, dsq, mx)
+
+
+def test_seed_sources_merge_and_provenance(spark):
+    rows = {r["url"]: r for r in
+            q_frontier_seed_sources(spark, SF).collect()}
+    two = [r for r in rows.values() if r["n_sources"] == 2]
+    assert two, "sitemap/feed overlap must be exercised"
+    for r in two:
+        assert r["sources"] == "feed,sitemap"
+        # best prior = max(sitemap declared, feed default 0.5)
+        assert r["best_prior"] >= 0.5
+    i2p = [r for u, r in rows.items() if u.endswith(".i2p")]
+    assert i2p
+    for r in i2p:
+        assert r["sources"] == "addressbook" and r["best_prior"] == 0.3
+    # sitemap-declared priority survives the merge when it beats 0.5
+    hi = [r for r in two if int(r["url"].rsplit("s", 1)[1]) % 10 >= 6]
+    assert hi and all(abs(r["best_prior"]
+                          - (int(r["url"].rsplit("s", 1)[1]) % 10) / 10)
+                      < 1e-9 for r in hi)
