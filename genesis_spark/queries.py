@@ -15743,6 +15743,451 @@ SELECT band, n_pairs, n_docs FROM np JOIN nd USING (band)
 """
 
 
+def q_url_rel_canonical(spark, sf_dir):
+    """rel=canonical consolidation — the page-DECLARED dedup signal a
+    crawler folds in before any content dedup runs: extract
+    ``<link rel="canonical" href>`` from the head, treat an absent
+    declaration as self-canonical (the spec default), and roll pages
+    up by canonical TARGET. Cross-host canonicals are counted
+    separately — they move indexing authority across domains and a
+    polite crawler treats them as a trust decision, not a rewrite.
+
+    Exactness: both engines parse the same synthesized head with the
+    same regex; the self/cross/cross-host classification is string
+    equality on closed-form URLs; counts are exact.
+
+    Plan/scale: extraction is a zero-exchange map; the rollup is ONE
+    map-side-combinable census keyed on canonical target."""
+    k = F.col("o_orderkey")
+    m = k % 4
+    host = F.concat(F.lit("http://h"), (k % 10).cast("string"),
+                    F.lit(".onion"))
+    own = F.concat(host, F.lit("/p"), k.cast("string"))
+    target = (F.when(m == 0, own)
+              .when(m == 1, F.concat(host, F.lit("/p"),
+                                     F.expr("(o_orderkey DIV 5) * 5")
+                                     .cast("string")))
+              .when(m == 3, F.concat(F.lit("http://h0.onion/p"),
+                                     (k % 50).cast("string")))
+              .otherwise(F.lit(None).cast("string")))
+    html = F.when(target.isNotNull(), F.concat(
+        F.lit('<head><link rel="canonical" href="'), target,
+        F.lit('"></head>'))).otherwise(F.lit("<head></head>"))
+    pages = _t(spark, sf_dir, "orders").select(
+        own.alias("url"), html.alias("html"))
+    declared = F.nullif(F.regexp_extract(
+        "html", '<link rel="canonical" href="([^"]*)"', 1), F.lit(""))
+    canon = F.coalesce(declared, F.col("url"))
+    hk = F.regexp_extract("url", r"^http://([^/]+)", 1)
+    ck = F.regexp_extract(canon, r"^http://([^/]+)", 1)
+    classified = pages.select(
+        canon.alias("canonical_url"),
+        (canon == F.col("url")).cast("int").alias("is_self"),
+        ((canon != F.col("url")) & (hk == ck)).cast("int")
+        .alias("is_cross"),
+        (hk != ck).cast("int").alias("is_cross_host"))
+    return (classified.groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
+                 F.sum("is_self").cast("long").alias("n_self"),
+                 F.sum("is_cross").cast("long").alias("n_cross"),
+                 F.sum("is_cross_host").cast("long")
+                 .alias("n_cross_host")))
+
+
+ORACLE_URL_REL_CANONICAL = """
+WITH p AS (
+  SELECT 'http://h' || (o_orderkey % 10) || '.onion/p' || o_orderkey
+           AS url,
+         CASE o_orderkey % 4
+           WHEN 0 THEN 'http://h' || (o_orderkey % 10) || '.onion/p'
+                       || o_orderkey
+           WHEN 1 THEN 'http://h' || (o_orderkey % 10) || '.onion/p'
+                       || ((o_orderkey // 5) * 5)
+           WHEN 3 THEN 'http://h0.onion/p' || (o_orderkey % 50)
+           ELSE NULL END AS declared
+  FROM orders),
+c AS (
+  SELECT url, coalesce(declared, url) AS canonical_url,
+         regexp_extract(url, '^http://([^/]+)', 1) AS hk,
+         regexp_extract(coalesce(declared, url),
+                        '^http://([^/]+)', 1) AS ck
+  FROM p)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN canonical_url = url THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_self,
+       CAST(sum(CASE WHEN canonical_url <> url AND hk = ck
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+       CAST(sum(CASE WHEN hk <> ck THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_host
+FROM c GROUP BY canonical_url
+"""
+
+
+def q_text_lexicon_triage(spark, sf_dir):
+    """Policy-lexicon content triage — the text-side analogue of the
+    reference's NudeNet image gate (M3, raw/parsers nudity model):
+    token-EXACT matching of each document against a broadcastable
+    policy term list (here a 3-term embedded lexicon; production
+    broadcasts the full list exactly like the T9 dictionary), with a
+    per-doc hit count, hit density, and a two-condition flag
+    (absolute count OR density) — the cheap first-pass filter that
+    routes documents to the expensive model.
+
+    Exactness: token-exact `IN` matching over the split tokens (never
+    substring — 'duplicate' can't hit 'dup'); density is exact integer
+    DIV ppm on the whitespace token count.
+
+    Plan/scale: zero-exchange pure map over the corpus (array filter
+    in codegen) — fuses into the scan; the lexicon is a literal (a
+    broadcast join for large lists, same plan shape as T9)."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()))
+    toks = "split(lower(text), ' ')"
+    hits = F.expr(f"size(filter({toks}, t -> t IN ('dup', 'slow', "
+                  f"'spill')))").cast("long")
+    n_tok = F.expr(f"size({toks})").cast("long")
+    return (d.select("doc_id", hits.alias("n_hits"),
+                     n_tok.alias("n_tokens"))
+            .withColumn("density_ppm",
+                        F.expr("n_hits * 1000000 DIV n_tokens")
+                        .cast("long"))
+            .withColumn("flagged",
+                        ((F.col("n_hits") >= 3)
+                         | (F.col("density_ppm") >= 40000)).cast("int")))
+
+
+ORACLE_TEXT_LEXICON_TRIAGE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              t -> t IN ('dup', 'slow', 'spill'))) AS BIGINT) AS n_hits,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, n_hits, n_tokens,
+       CAST(n_hits * 1000000 // n_tokens AS BIGINT) AS density_ppm,
+       CAST(CASE WHEN n_hits >= 3
+                  OR n_hits * 1000000 // n_tokens >= 40000
+                 THEN 1 ELSE 0 END AS INT) AS flagged
+FROM d
+"""
+
+
+def q_url_content_agreement(spark, sf_dir):
+    """URL-key vs content-hash dedup DISAGREEMENT audit — the
+    consistency check between the two dedup identities the engine
+    maintains (P1's canonical URL key and exact content digests):
+    URL groups serving >1 distinct content are drift/soft-404-family
+    suspects; content groups reachable under >1 URL are mirrors the
+    URL-seen set cannot catch (exactly why content dedup exists). Run
+    over the twin-injected corpus so both disagreement classes are
+    guaranteed non-empty.
+
+    Exactness: md5 content digests and closed-form URL keys; every
+    census term is an exact integer.
+
+    Plan/scale: two census aggs over (key, digest) pairs — the wide
+    text never shuffles (digest computed at the scan); output is one
+    audit row."""
+    c = _corpus(spark, sf_dir).filter(F.col("text").isNotNull())
+    keyed = c.select(
+        F.concat(F.lit("http://m"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit(".onion/d"), (F.col("doc_id") % 13).cast("string"))
+        .alias("url_key"),
+        F.md5("text").alias("digest"))
+    urlg = (keyed.groupBy("url_key")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("digest").alias("n_content")))
+    cong = (keyed.groupBy("digest")
+            .agg(F.countDistinct("url_key").alias("n_urls")))
+    u = urlg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_url_groups"),
+        F.sum((F.col("n_docs") > 1).cast("int")).cast("long")
+        .alias("n_url_multi_doc"),
+        F.sum((F.col("n_content") > 1).cast("int")).cast("long")
+        .alias("n_url_drift"))
+    g = cong.agg(
+        F.count(F.lit(1)).cast("long").alias("n_content_groups"),
+        F.sum((F.col("n_urls") > 1).cast("int")).cast("long")
+        .alias("n_content_multi_url"))
+    return u.crossJoin(g)
+
+
+ORACLE_URL_CONTENT_AGREEMENT = f"""
+WITH {_CORPUS_SQL},
+keyed AS (
+  SELECT 'http://m' || (doc_id % 40) || '.onion/d' || (doc_id % 13)
+           AS url_key,
+         md5(text) AS digest
+  FROM corpus WHERE text IS NOT NULL),
+urlg AS (
+  SELECT url_key, count(*) AS n_docs,
+         count(DISTINCT digest) AS n_content
+  FROM keyed GROUP BY url_key),
+cong AS (
+  SELECT digest, count(DISTINCT url_key) AS n_urls
+  FROM keyed GROUP BY digest)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM urlg) AS n_url_groups,
+  (SELECT CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+   FROM urlg) AS n_url_multi_doc,
+  (SELECT CAST(sum(CASE WHEN n_content > 1 THEN 1 ELSE 0 END) AS BIGINT)
+   FROM urlg) AS n_url_drift,
+  (SELECT CAST(count(*) AS BIGINT) FROM cong) AS n_content_groups,
+  (SELECT CAST(sum(CASE WHEN n_urls > 1 THEN 1 ELSE 0 END) AS BIGINT)
+   FROM cong) AS n_content_multi_url
+"""
+
+
+def q_ann_recall_vs_nprobe(spark, sf_dir):
+    """IVF n_probe tuning sweep — recall@5 of the IVF-flat path at
+    n_probe = 1, 2, 3 against the brute-force truth, per query: the
+    table that answers 'how many cells must we probe for the recall we
+    promised?' before committing a 10^10-vector index config. The
+    operational counterpart to corpus_dedup_threshold_curve (threshold
+    tuning) and ann_recall_eval (fixed-config grading): recall must be
+    NON-DECREASING in n_probe (probing more cells only adds
+    candidates), which the unit test pins.
+
+    Plan/scale: the cell-assignment plan is built ONCE per n_probe
+    via the same SIM.ivf_topk code path the production row uses;
+    truth is brute force over the 10 bounded probe queries; grading
+    joins are (query_id, neighbor_id) equi."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    truth = (SIM.cosine_topk(emb, qs, k=5)
+             .select("query_id", "neighbor_id"))
+    qids = truth.select("query_id").distinct()
+    parts = []
+    for p in (1, 2, 3):
+        approx = SIM.ivf_topk(emb, qs, k=5, n_centroids=_IVF_CENTROIDS,
+                              n_probe=p, dim=_IVF_DIM)
+        hits = (approx.select("query_id", "neighbor_id")
+                .join(truth, ["query_id", "neighbor_id"])
+                .groupBy("query_id").agg(F.count("*").alias("n")))
+        parts.append(
+            qids.join(hits, "query_id", "left")
+            .select(F.lit(p).alias("n_probe"), "query_id",
+                    F.coalesce("n", F.lit(0)).cast("long")
+                    .alias("n_hits"))
+            .withColumn("recall", F.round(F.col("n_hits") / 5.0, 4)))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def _ivf_nprobe_sweep_oracle() -> str:
+    cos = """
+         list_sum(list_transform(range(len(q.embedding)),
+             i -> q.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(len(q.embedding)),
+             i -> q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(len(b.embedding)),
+             i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))))
+    """
+    blocks, selects = [], []
+    for p in (1, 2, 3):
+        blocks.append(f"""
+qp{p} AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cell ASC) AS rn
+    FROM dots WHERE vec_id < 10) WHERE rn <= {p}),
+sc{p} AS (
+  SELECT pr.query_id, bc.neighbor_id, {cos} AS cos
+  FROM qp{p} pr
+  JOIN base_cells bc USING (cell)
+  JOIN embeddings q ON q.vec_id = pr.query_id
+  JOIN embeddings b ON b.vec_id = bc.neighbor_id
+  WHERE bc.neighbor_id != pr.query_id),
+tp{p} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rnk
+    FROM sc{p}) WHERE rnk <= 5),
+h{p} AS (
+  SELECT t.query_id, count(*) AS n FROM tp{p}
+  JOIN truth t USING (query_id, neighbor_id) GROUP BY t.query_id)""")
+        selects.append(f"""
+SELECT {p} AS n_probe, q.query_id,
+       CAST(coalesce(h{p}.n, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h{p}.n, 0) / 5.0, 4) AS recall
+FROM qids q LEFT JOIN h{p} USING (query_id)""")
+    return (f"WITH {_ivf_cells_sql()},\n"
+            f"truth AS (SELECT query_id, neighbor_id "
+            f"FROM ({ORACLE_ANN_COSINE}) t),\n"
+            f"qids AS (SELECT DISTINCT query_id FROM truth),"
+            + ",".join(blocks)
+            + "\nUNION ALL".join(selects))
+
+
+ORACLE_ANN_RECALL_VS_NPROBE = _ivf_nprobe_sweep_oracle()
+
+
+def q_http_compression(spark, sf_dir):
+    """Content-Encoding adoption audit — per-host compression posture
+    and the exact bytes it saves: parse the (case-messy) encoding
+    token, apply each codec's deterministic size model, and census
+    raw-vs-sent bytes per host. The capacity-planning row for a fetch
+    fleet (uncompressed hosts dominate egress) and the nudge list for
+    Accept-Encoding negotiation.
+
+    Exactness: token parse is trim+lower (case variants in the
+    fixture); compressed sizes are exact integer DIV by the per-codec
+    ratio; savings ppm is integer DIV.
+
+    Plan/scale: zero-exchange parse + ONE map-side-combinable census
+    agg into |hosts| rows."""
+    k = F.col("o_orderkey")
+    c = k % 5
+    enc_raw = (F.when(c == 0, F.lit("gzip"))
+               .when(c == 1, F.lit(" BR "))
+               .when(c == 2, F.lit("zstd"))
+               .when(c == 4, F.lit("GZip"))
+               .otherwise(F.lit("")))
+    raw_bytes = (1000 + k % 9000).cast("long")
+    resp = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (k % 15).cast("string")).alias("host"),
+        enc_raw.alias("enc_raw"), raw_bytes.alias("raw_bytes"))
+    enc = F.when(F.trim(F.lower("enc_raw")) == "", "identity") \
+           .otherwise(F.trim(F.lower("enc_raw")))
+    sent = (F.when(enc == "gzip", F.expr("raw_bytes DIV 3"))
+            .when(enc == "br", F.expr("raw_bytes DIV 4"))
+            .when(enc == "zstd", F.expr("raw_bytes DIV 5"))
+            .otherwise(F.col("raw_bytes"))).cast("long")
+    x = resp.select("host", enc.alias("enc"), "raw_bytes",
+                    sent.alias("sent_bytes"))
+    return (x.groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_responses"),
+                 F.sum((F.col("enc") == "gzip").cast("int"))
+                 .cast("long").alias("n_gzip"),
+                 F.sum((F.col("enc") == "br").cast("int"))
+                 .cast("long").alias("n_br"),
+                 F.sum((F.col("enc") == "zstd").cast("int"))
+                 .cast("long").alias("n_zstd"),
+                 F.sum((F.col("enc") == "identity").cast("int"))
+                 .cast("long").alias("n_identity"),
+                 F.sum("raw_bytes").cast("long").alias("bytes_raw"),
+                 F.sum("sent_bytes").cast("long").alias("bytes_sent"))
+            .withColumn("savings_ppm", F.expr(
+                "(bytes_raw - bytes_sent) * 1000000 DIV bytes_raw")
+                .cast("long")))
+
+
+ORACLE_HTTP_COMPRESSION = """
+WITH r AS (
+  SELECT 'h' || (o_orderkey % 15) AS host,
+         CASE o_orderkey % 5
+           WHEN 0 THEN 'gzip' WHEN 1 THEN ' BR ' WHEN 2 THEN 'zstd'
+           WHEN 4 THEN 'GZip' ELSE '' END AS enc_raw,
+         CAST(1000 + o_orderkey % 9000 AS BIGINT) AS raw_bytes
+  FROM orders),
+x AS (
+  SELECT host, raw_bytes,
+         CASE WHEN trim(lower(enc_raw)) = '' THEN 'identity'
+              ELSE trim(lower(enc_raw)) END AS enc
+  FROM r),
+y AS (
+  SELECT host, enc, raw_bytes,
+         CASE enc WHEN 'gzip' THEN raw_bytes // 3
+                  WHEN 'br' THEN raw_bytes // 4
+                  WHEN 'zstd' THEN raw_bytes // 5
+                  ELSE raw_bytes END AS sent_bytes
+  FROM x)
+SELECT host, CAST(count(*) AS BIGINT) AS n_responses,
+       CAST(sum(CASE WHEN enc = 'gzip' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gzip,
+       CAST(sum(CASE WHEN enc = 'br' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_br,
+       CAST(sum(CASE WHEN enc = 'zstd' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zstd,
+       CAST(sum(CASE WHEN enc = 'identity' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_identity,
+       CAST(sum(raw_bytes) AS BIGINT) AS bytes_raw,
+       CAST(sum(sent_bytes) AS BIGINT) AS bytes_sent,
+       CAST((sum(raw_bytes) - sum(sent_bytes)) * 1000000
+            // sum(raw_bytes) AS BIGINT) AS savings_ppm
+FROM y GROUP BY host
+"""
+
+
+def q_robots_conflict(spark, sf_dir):
+    """robots.txt vs page-directive CONFLICT census — the two
+    admission layers can disagree, and each disagreement class is an
+    operational smell: a crawlable-but-noindex page is a WASTED FETCH
+    (the crawler spends budget on a page that opted out of the index),
+    a disallowed-but-indexable page is INVISIBLE CONTENT (the site
+    wants it indexed but its own robots.txt blocks the fetch). The
+    audit a crawl operator sends back to webmasters.
+
+    Exactness: both layers are closed-form over the same keys (host
+    tier decides the /priv disallow; page mods decide path and meta
+    noindex); counts and ppm are exact integers.
+
+    Plan/scale: per-page classification is a zero-exchange map (the
+    robots decision is a broadcastable per-host bit at production
+    scale — same shape as the soft-404 probe join); census into
+    |hosts| rows."""
+    k = F.col("o_orderkey")
+    host_id = k % 20
+    path = F.when(k % 3 == 0,
+                  F.concat(F.lit("/priv/p"), k.cast("string"))) \
+            .otherwise(F.concat(F.lit("/p"), k.cast("string")))
+    noindex = (F.expr("o_orderkey DIV 20") % 4 == 0).cast("int")
+    disallow_priv = (host_id % 5 == 0).cast("int")
+    pages = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), host_id.cast("string")).alias("host"),
+        path.alias("path"), noindex.alias("noindex"),
+        disallow_priv.alias("disallow_priv"))
+    crawlable = ~((F.col("disallow_priv") == 1)
+                  & F.col("path").startswith("/priv/"))
+    cls = (F.when(crawlable & (F.col("noindex") == 1), "fetch_wasted")
+           .when(~crawlable & (F.col("noindex") == 0),
+                 "blocked_indexable")
+           .otherwise("consistent"))
+    return (pages.select("host", cls.alias("cls"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
+                 F.sum((F.col("cls") == "fetch_wasted").cast("int"))
+                 .cast("long").alias("n_fetch_wasted"),
+                 F.sum((F.col("cls") == "blocked_indexable").cast("int"))
+                 .cast("long").alias("n_blocked_indexable"))
+            .withColumn("conflict_ppm", F.expr(
+                "(n_fetch_wasted + n_blocked_indexable) * 1000000 "
+                "DIV n_pages").cast("long")))
+
+
+ORACLE_ROBOTS_CONFLICT = """
+WITH p AS (
+  SELECT 'h' || (o_orderkey % 20) AS host,
+         CASE WHEN o_orderkey % 3 = 0 THEN '/priv/p' || o_orderkey
+              ELSE '/p' || o_orderkey END AS path,
+         CASE WHEN (o_orderkey // 20) % 4 = 0 THEN 1 ELSE 0 END AS noindex,
+         CASE WHEN (o_orderkey % 20) % 5 = 0 THEN 1 ELSE 0 END
+           AS disallow_priv
+  FROM orders),
+c AS (
+  SELECT host,
+         CASE WHEN NOT (disallow_priv = 1 AND path LIKE '/priv/%')
+                   AND noindex = 1 THEN 'fetch_wasted'
+              WHEN (disallow_priv = 1 AND path LIKE '/priv/%')
+                   AND noindex = 0 THEN 'blocked_indexable'
+              ELSE 'consistent' END AS cls
+  FROM p)
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN cls = 'fetch_wasted' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fetch_wasted,
+       CAST(sum(CASE WHEN cls = 'blocked_indexable' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blocked_indexable,
+       CAST((sum(CASE WHEN cls = 'fetch_wasted' THEN 1 ELSE 0 END)
+             + sum(CASE WHEN cls = 'blocked_indexable' THEN 1 ELSE 0 END))
+            * 1000000 // count(*) AS BIGINT) AS conflict_ppm
+FROM c GROUP BY host
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -16005,6 +16450,12 @@ QUERIES = {
     "stream_histogram": q_stream_histogram,
     "politeness_violations": q_politeness_violations,
     "corpus_dedup_threshold_curve": q_corpus_dedup_threshold_curve,
+    "url_rel_canonical": q_url_rel_canonical,
+    "text_lexicon_triage": q_text_lexicon_triage,
+    "url_content_agreement": q_url_content_agreement,
+    "ann_recall_vs_nprobe": q_ann_recall_vs_nprobe,
+    "http_compression": q_http_compression,
+    "robots_conflict": q_robots_conflict,
 }
 
 ORACLES = {
@@ -16269,6 +16720,12 @@ ORACLES = {
     "stream_histogram": ORACLE_STREAM_HISTOGRAM,
     "politeness_violations": ORACLE_POLITENESS_VIOLATIONS,
     "corpus_dedup_threshold_curve": ORACLE_CORPUS_DEDUP_THRESHOLD_CURVE,
+    "url_rel_canonical": ORACLE_URL_REL_CANONICAL,
+    "text_lexicon_triage": ORACLE_TEXT_LEXICON_TRIAGE,
+    "url_content_agreement": ORACLE_URL_CONTENT_AGREEMENT,
+    "ann_recall_vs_nprobe": ORACLE_ANN_RECALL_VS_NPROBE,
+    "http_compression": ORACLE_HTTP_COMPRESSION,
+    "robots_conflict": ORACLE_ROBOTS_CONFLICT,
 }
 
 
