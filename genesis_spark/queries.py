@@ -16188,6 +16188,236 @@ FROM c GROUP BY host
 """
 
 
+def q_spans_fingerprint_dedup(spark, sf_dir):
+    """Exact interleaved-document dedup on SPAN-SEQUENCE fingerprints —
+    the multimodal twin of dedup_exact: two docs are duplicates iff
+    their (kind, text, media ordinal) sequences match element-for-
+    element in offset order. The media_ref's doc-identity prefix is
+    stripped before hashing (refs embed doc_id; CONTENT equality must
+    not depend on identity), so the twin-injected corpus yields real
+    duplicate groups. One md5 per doc — the wide span payload never
+    shuffles; the groupBy carries 16 bytes/doc.
+
+    Exactness: the serialization uses explicit field separators and
+    coalesced NULLs identically on both engines; groups report sorted
+    doc_id CSVs (the dedup_exact convention)."""
+    from genesis_spark.sources.interleaved import interleaved_docs
+
+    docs = interleaved_docs(_corpus(spark, sf_dir))
+    ser = F.md5(F.array_join(F.transform(
+        "spans",
+        lambda s: F.concat(
+            s["kind"], F.lit("|"), F.coalesce(s["text"], F.lit("")),
+            F.lit("|"),
+            F.coalesce(F.regexp_replace(s["media_ref"], "^[^/]*/", ""),
+                       F.lit("")),
+            F.lit(";"))), ""))
+    fp = docs.select("doc_id", ser.alias("fp"))
+    return (fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.array_join(F.array_sort(F.collect_list("doc_id")), ",")
+                 .alias("doc_ids_csv"))
+            .filter(F.col("n_docs") > 1))
+
+
+# the spans synthesis replayed over the twin corpus: the SAME shared
+# fragment as every other spans oracle, retargeted from documents to
+# corpus (anti-drift convention — one synthesis, two bindings)
+_SPANS_EX_CORPUS_SQL = _SPANS_EX_SQL.replace(
+    "FROM documents WHERE text IS NOT NULL",
+    "FROM corpus WHERE text IS NOT NULL")
+
+ORACLE_SPANS_FINGERPRINT_DEDUP = f"""
+WITH {_CORPUS_SQL},
+{_SPANS_EX_CORPUS_SQL},
+ser AS (
+  SELECT doc_id,
+         md5(string_agg(
+           s.kind || '|' || coalesce(s.text, '') || '|'
+           || coalesce(regexp_replace(s.media_ref, '^[^/]*/', ''), '')
+           || ';', '' ORDER BY off)) AS fp
+  FROM ex GROUP BY doc_id)
+SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids_csv
+FROM ser GROUP BY fp HAVING count(*) > 1
+"""
+
+
+def q_spans_diff(spark, sf_dir):
+    """Round-over-round SPAN-level change extraction — the incremental-
+    corpus-update primitive for the interleaved payload: re-crawl the
+    same docs (round 2 mutates a third of them with an appended tail,
+    drops the first word of another third — shifting every chunk — and
+    leaves the rest byte-identical), then diff the two span tables at
+    (doc_id, offset) via ONE full-outer join with null-safe struct
+    comparison. Per-doc change census (same/changed/added/removed) is
+    what the recrawl scheduler banks and the corpus updater uses to
+    re-process only changed docs.
+
+    Plan/scale: the join is (doc_id, offset)-equi on identically
+    partitioned sides; the census is map-side combinable. Hashes of
+    span text never leave the join — at 10^10 docs swap text equality
+    for digest equality, same plan."""
+    from genesis_spark.sources.interleaved import (explode_spans,
+                                                   interleaved_docs)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    text2 = (F.when(k % 3 == 0, F.concat("text", F.lit(" extra tail")))
+             .when(k % 3 == 1, F.regexp_replace("text", "^[^ ]+ ", ""))
+             .otherwise(F.col("text")))
+    r1 = explode_spans(interleaved_docs(d))
+    r2 = explode_spans(interleaved_docs(d.select("doc_id",
+                                                 text2.alias("text"))))
+    a = r1.select("doc_id", "offset", F.col("kind").alias("k1"),
+                  F.col("text").alias("t1"),
+                  F.col("media_ref").alias("m1"))
+    b = r2.select("doc_id", "offset", F.col("kind").alias("k2"),
+                  F.col("text").alias("t2"),
+                  F.col("media_ref").alias("m2"))
+    j = a.join(b, ["doc_id", "offset"], "full_outer")
+    cls = (F.when(F.col("k1").isNull(), "added")
+           .when(F.col("k2").isNull(), "removed")
+           .when(F.col("k1").eqNullSafe(F.col("k2"))
+                 & F.col("t1").eqNullSafe(F.col("t2"))
+                 & F.col("m1").eqNullSafe(F.col("m2")), "same")
+           .otherwise("changed"))
+    per_doc = (j.select("doc_id", cls.alias("cls"))
+               .groupBy("doc_id")
+               .agg(F.sum((F.col("cls") == "same").cast("int"))
+                    .cast("long").alias("n_same"),
+                    F.sum((F.col("cls") == "changed").cast("int"))
+                    .cast("long").alias("n_changed"),
+                    F.sum((F.col("cls") == "added").cast("int"))
+                    .cast("long").alias("n_added"),
+                    F.sum((F.col("cls") == "removed").cast("int"))
+                    .cast("long").alias("n_removed")))
+    return per_doc.withColumn(
+        "status",
+        F.when((F.col("n_changed") + F.col("n_added")
+                + F.col("n_removed")) == 0, "unchanged")
+        .otherwise("changed"))
+
+
+ORACLE_SPANS_DIFF = f"""
+WITH {_SPANS_EX_SQL},
+d2 AS (
+  SELECT doc_id,
+         CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+                THEN text || ' extra tail'
+              WHEN CAST(doc_id AS BIGINT) % 3 = 1
+                THEN regexp_replace(text, '^[^ ]+ ', '')
+              ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL),
+base2 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS words
+  FROM d2
+), ch2 AS (
+  SELECT doc_id, list_transform(
+      range(0, greatest(CAST(ceil(len(words) / 8.0) AS INT), 1)),
+      i -> array_to_string(words[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ')
+  ) AS chunks FROM base2
+), il2 AS (
+  SELECT doc_id, flatten(list_transform(chunks, (c, j) ->
+      CASE WHEN j % 3 = 0 THEN
+        [{{'kind': 'section', 'text': c, 'media_ref': CAST(NULL AS VARCHAR)}},
+         {{'kind': 'image', 'text': CAST(NULL AS VARCHAR),
+          'media_ref': doc_id || '/img/' || CAST(j // 3 AS VARCHAR)}}]
+      ELSE
+        [{{'kind': 'section', 'text': c, 'media_ref': CAST(NULL AS VARCHAR)}}]
+      END)) AS spans
+  FROM ch2
+), ex2 AS (
+  SELECT doc_id, unnest(spans) AS s,
+         generate_subscripts(spans, 1) - 1 AS off
+  FROM il2
+),
+j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.s.kind IS NOT DISTINCT FROM b.s.kind
+               AND a.s.text IS NOT DISTINCT FROM b.s.text
+               AND a.s.media_ref IS NOT DISTINCT FROM b.s.media_ref
+                THEN 'same'
+              ELSE 'changed' END AS cls
+  FROM ex a FULL OUTER JOIN ex2 b
+    ON a.doc_id = b.doc_id AND a.off = b.off),
+pd AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN cls = 'same' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_same,
+         CAST(sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changed,
+         CAST(sum(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_added,
+         CAST(sum(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+  FROM j GROUP BY doc_id)
+SELECT doc_id, n_same, n_changed, n_added, n_removed,
+       CASE WHEN n_changed + n_added + n_removed = 0 THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM pd
+"""
+
+
+def q_stream_spans_ingest(spark, sf_dir):
+    """The 10th streaming capability — stateful INTERLEAVED-DOCUMENT
+    reassembly (streaming/pipeline.assemble_stream): the span table
+    exploded to rows, shuffled across 4 micro-batch files, and
+    reassembled per doc_id in the state store; a doc emits exactly
+    once, when all its spans have arrived, with its text rebuilt in
+    offset order and its media census. The emission set is invariant
+    to micro-batching (completeness gating), so it must equal the
+    batch reconstruction bit-for-bit — the streaming ingest form of
+    the north-rule payload (axes A+B: streaming x interleaved)."""
+    import os
+    import tempfile
+
+    from genesis_spark.sources.interleaved import (explode_spans,
+                                                   interleaved_docs)
+    from genesis_spark.streaming.pipeline import assemble_stream
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_spans_{_STREAM_SEQ}"
+    docs = interleaved_docs(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
+    rows = (explode_spans(docs)
+            .join(docs.select("doc_id",
+                              F.size("spans").cast("int")
+                              .alias("n_spans")), "doc_id"))
+    tmp = tempfile.mkdtemp(prefix="gs_streamspans_")
+    src, ck = os.path.join(tmp, "spans"), os.path.join(tmp, "ckpt")
+    rows.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("doc_id string, offset int, kind string, "
+                      "text string, media_ref string, n_spans int")
+              .option("maxFilesPerTrigger", 1)
+              .format("parquet").load(src))
+    q = (assemble_stream(stream)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select("doc_id", F.col("n_spans").cast("long").alias("n_spans"),
+                    "text_rt", F.col("n_media").cast("long")
+                    .alias("n_media")))
+
+
+ORACLE_STREAM_SPANS_INGEST = f"""
+WITH {_SPANS_EX_SQL}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       coalesce(array_to_string(
+         list(s.text ORDER BY off) FILTER (WHERE s.media_ref IS NULL),
+         ' '), '') AS text_rt,
+       CAST(sum(CASE WHEN s.media_ref IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_media
+FROM ex GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -16456,6 +16686,9 @@ QUERIES = {
     "ann_recall_vs_nprobe": q_ann_recall_vs_nprobe,
     "http_compression": q_http_compression,
     "robots_conflict": q_robots_conflict,
+    "spans_fingerprint_dedup": q_spans_fingerprint_dedup,
+    "spans_diff": q_spans_diff,
+    "stream_spans_ingest": q_stream_spans_ingest,
 }
 
 ORACLES = {
@@ -16726,6 +16959,9 @@ ORACLES = {
     "ann_recall_vs_nprobe": ORACLE_ANN_RECALL_VS_NPROBE,
     "http_compression": ORACLE_HTTP_COMPRESSION,
     "robots_conflict": ORACLE_ROBOTS_CONFLICT,
+    "spans_fingerprint_dedup": ORACLE_SPANS_FINGERPRINT_DEDUP,
+    "spans_diff": ORACLE_SPANS_DIFF,
+    "stream_spans_ingest": ORACLE_STREAM_SPANS_INGEST,
 }
 
 

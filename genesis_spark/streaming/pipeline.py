@@ -387,3 +387,51 @@ def hist_stream(values: DataFrame, lo: float = 0.0, hi: float = 512.0,
     return values.groupBy("event_type").applyInPandasWithState(
         fn, "event_type string, bin int, cnt_cum bigint",
         "bins array<bigint>", "append", GroupStateTimeout.NoTimeout)
+
+
+def assemble_stream(spans: DataFrame):
+    """Streaming interleaved-document REASSEMBLY as a CUSTOM STATEFUL
+    operator (``applyInPandasWithState``) — the ingest shape for the
+    north-rule span payload arriving as a row stream (chunked transfer
+    / shard-parallel parse output): per doc_id the state accumulates
+    (offset, text, is_media) triples across micro-batches; every row
+    carries the doc's total span count (``n_spans`` — a chunked
+    transfer knows its length), and the doc EMITS exactly once, when
+    complete, with its text rebuilt in offset order and its media
+    census — then its state is dropped (state is O(open docs), not
+    O(stream)). Because emission waits for completeness, the final
+    emission set is invariant to how the replay was micro-batched —
+    the property the stream_spans_ingest oracle checks against the
+    batch reconstruction. Input rows: (doc_id string, offset int,
+    text string nullable, media_ref string nullable, n_spans int)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            offs, txts, med, total = state.get
+            offs, txts, med = list(offs), list(txts), list(med)
+        else:
+            offs, txts, med, total = [], [], [], -1
+        for pdf in pdfs:
+            for off, txt, ref, n in zip(pdf["offset"], pdf["text"],
+                                        pdf["media_ref"], pdf["n_spans"]):
+                offs.append(int(off))
+                is_media = isinstance(ref, str) and ref != ""
+                med.append(1 if is_media else 0)
+                txts.append("" if is_media or txt is None else str(txt))
+                total = int(n)
+        if total >= 0 and len(offs) == total:
+            order = sorted(range(len(offs)), key=lambda i: offs[i])
+            text_rt = " ".join(txts[i] for i in order if med[i] == 0)
+            yield pd.DataFrame(
+                [(key[0], total, text_rt, sum(med))],
+                columns=["doc_id", "n_spans", "text_rt", "n_media"])
+            state.remove()
+        else:
+            state.update((offs, txts, med, total))
+
+    return spans.groupBy("doc_id").applyInPandasWithState(
+        fn, "doc_id string, n_spans int, text_rt string, n_media int",
+        "offs array<int>, txts array<string>, med array<int>, total int",
+        "append", GroupStateTimeout.NoTimeout)
