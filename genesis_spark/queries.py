@@ -16418,6 +16418,238 @@ FROM ex GROUP BY doc_id
 """
 
 
+def q_host_sitemap_coverage(spark, sf_dir):
+    """Sitemap coverage audit — declared-vs-fetched reconciliation per
+    host: which declared URLs did the crawl actually reach (coverage),
+    and which fetched URLs the site never declared (orphans — the
+    pages only discoverable by link walking). The post-crawl QA row
+    that tells an operator whether sitemap-driven seeding
+    (sitemap_ingest / frontier_seed_sources) is pulling its weight.
+
+    Exactness: both sets are closed-form (host, path) pairs; set
+    algebra via distinct + full-outer membership flags; counts and
+    ppm are exact integers.
+
+    Plan/scale: ONE full-outer join on (host, path) of two distinct
+    censuses (at 10^10 rows both sides hash-partition on the same
+    key), then a map-side-combinable rollup into |hosts| rows."""
+    k = F.col("o_orderkey")
+    base = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (k % 20).cast("string")).alias("host"),
+        F.concat(F.lit("/p"), (k % 97).cast("string")).alias("path"),
+        (F.expr("o_orderkey DIV 20") % 2 == 0).cast("int")
+        .alias("declared"),
+        (F.expr("o_orderkey DIV 20") % 3 > 0).cast("int")
+        .alias("fetched"))
+    sets = (base.groupBy("host", "path")
+            .agg(F.max("declared").alias("d"),
+                 F.max("fetched").alias("f")))
+    return (sets.groupBy("host")
+            .agg(F.sum("d").cast("long").alias("n_declared"),
+                 F.sum("f").cast("long").alias("n_fetched"),
+                 F.sum(F.col("d") * F.col("f")).cast("long")
+                 .alias("n_both"),
+                 F.sum(F.when((F.col("f") == 1) & (F.col("d") == 0), 1)
+                       .otherwise(0)).cast("long").alias("n_orphan"))
+            .withColumn("coverage_ppm",
+                        F.expr("n_both * 1000000 DIV n_declared")
+                        .cast("long")))
+
+
+ORACLE_HOST_SITEMAP_COVERAGE = """
+WITH base AS (
+  SELECT 'h' || (o_orderkey % 20) AS host,
+         '/p' || (o_orderkey % 97) AS path,
+         CASE WHEN (o_orderkey // 20) % 2 = 0 THEN 1 ELSE 0 END
+           AS declared,
+         CASE WHEN (o_orderkey // 20) % 3 > 0 THEN 1 ELSE 0 END
+           AS fetched
+  FROM orders),
+sets AS (
+  SELECT host, path, max(declared) AS d, max(fetched) AS f
+  FROM base GROUP BY host, path)
+SELECT host, CAST(sum(d) AS BIGINT) AS n_declared,
+       CAST(sum(f) AS BIGINT) AS n_fetched,
+       CAST(sum(d * f) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN f = 1 AND d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan,
+       CAST(sum(d * f) * 1000000 // sum(d) AS BIGINT) AS coverage_ppm
+FROM sets GROUP BY host
+"""
+
+
+def q_http_ratelimit(spark, sf_dir):
+    """Rate-limit header consumption — the server-DECLARED politeness
+    channel next to robots crawl-delay (robots_directives) and
+    latency-adaptive EWMA (frontier_crawl_delay): parse Retry-After
+    (delta-seconds form) and X-RateLimit-Remaining/-Reset pairs off
+    the response stream and fold them into a per-host backoff plan —
+    the LATEST applicable resume time wins, and hosts answering 429
+    are flagged throttled.
+
+    Exactness: header parse is regexp over synthesized strings both
+    engines replay; resume times are exact integer epoch seconds
+    (max-merge); counts exact. (The http-date Retry-After form needs
+    a locale-free date parse — documented out of this row's scope;
+    production routes it through the same max-merge.)
+
+    Plan/scale: zero-exchange parse + ONE census agg into |hosts|
+    rows — the plan the dispatcher polls between waves."""
+    k = F.col("o_orderkey")
+    host_id = k % 25
+    ts = (1000000 + (k % 500) * 7).cast("long")
+    v = k % 6
+    status = F.when(v <= 1, F.lit(429)).otherwise(F.lit(200))
+    hdr = (F.when(v == 0, F.concat(F.lit("Retry-After: "),
+                                   (30 + k % 90).cast("string")))
+           .when(v == 1, F.concat(
+               F.lit("X-RateLimit-Remaining: 0\nX-RateLimit-Reset: "),
+               (ts + 120 + k % 60).cast("string")))
+           .when(v == 2, F.concat(
+               F.lit("X-RateLimit-Remaining: "),
+               (1 + k % 50).cast("string")))
+           .otherwise(F.lit("")))
+    resp = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), host_id.cast("string")).alias("host"),
+        ts.alias("ts"), status.alias("status"), hdr.alias("hdr"))
+    retry_after = F.nullif(
+        F.regexp_extract("hdr", r"Retry-After: (\d+)", 1),
+        F.lit("")).cast("long")
+    reset_at = F.nullif(
+        F.regexp_extract("hdr", r"X-RateLimit-Reset: (\d+)", 1),
+        F.lit("")).cast("long")
+    remaining = F.nullif(
+        F.regexp_extract("hdr", r"X-RateLimit-Remaining: (\d+)", 1),
+        F.lit("")).cast("long")
+    x = resp.select(
+        "host", "status",
+        F.greatest(
+            F.when(retry_after.isNotNull(), F.col("ts") + retry_after),
+            F.when(remaining == 0, reset_at)).alias("resume_at"))
+    return (x.groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_responses"),
+                 F.sum((F.col("status") == 429).cast("int")).cast("long")
+                 .alias("n_429"),
+                 F.coalesce(F.max("resume_at"), F.lit(-1).cast("long"))
+                 .cast("long").alias("backoff_until"))
+            .withColumn("throttled",
+                        (F.col("n_429") > 0).cast("int")))
+
+
+ORACLE_HTTP_RATELIMIT = """
+WITH r AS (
+  SELECT 'h' || (o_orderkey % 25) AS host,
+         CAST(1000000 + (o_orderkey % 500) * 7 AS BIGINT) AS ts,
+         CASE WHEN o_orderkey % 6 <= 1 THEN 429 ELSE 200 END AS status,
+         CASE o_orderkey % 6
+           WHEN 0 THEN 'Retry-After: ' || (30 + o_orderkey % 90)
+           WHEN 1 THEN 'X-RateLimit-Remaining: 0' || chr(10)
+                || 'X-RateLimit-Reset: '
+                || (1000000 + (o_orderkey % 500) * 7 + 120
+                    + o_orderkey % 60)
+           WHEN 2 THEN 'X-RateLimit-Remaining: ' || (1 + o_orderkey % 50)
+           ELSE '' END AS hdr
+  FROM orders),
+p AS (
+  SELECT host, status,
+         TRY_CAST(nullif(regexp_extract(hdr, 'Retry-After: (\\d+)', 1),
+                         '') AS BIGINT) AS retry_after,
+         TRY_CAST(nullif(regexp_extract(hdr,
+                  'X-RateLimit-Reset: (\\d+)', 1), '') AS BIGINT)
+           AS reset_at,
+         TRY_CAST(nullif(regexp_extract(hdr,
+                  'X-RateLimit-Remaining: (\\d+)', 1), '') AS BIGINT)
+           AS remaining,
+         ts
+  FROM r),
+x AS (
+  SELECT host, status,
+         greatest(CASE WHEN retry_after IS NOT NULL
+                       THEN ts + retry_after END,
+                  CASE WHEN remaining = 0 THEN reset_at END) AS resume_at
+  FROM p)
+SELECT host, CAST(count(*) AS BIGINT) AS n_responses,
+       CAST(sum(CASE WHEN status = 429 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_429,
+       CAST(coalesce(max(resume_at), -1) AS BIGINT) AS backoff_until,
+       CAST(CASE WHEN sum(CASE WHEN status = 429 THEN 1 ELSE 0 END) > 0
+                 THEN 1 ELSE 0 END AS INT) AS throttled
+FROM x GROUP BY host
+"""
+
+
+def q_corpus_bitext_mine(spark, sf_dir):
+    """Bitext candidate mining from language-variant URL families — the
+    ParaCrawl recipe's first stage: documents reachable at the same
+    language-stripped URL stem (url_lang_variant's key) in different
+    languages are TRANSLATION candidates, gated by the token-length
+    ratio filter (a real translation pair's lengths agree within 2x;
+    wildly different lengths mean a stub or an unrelated page). One
+    deterministic representative doc per (stem, lang), English pivot.
+
+    Exactness: representatives by min doc key; length ratio as exact
+    integer min*1e6 DIV max; the >= 500000 gate is an integer compare.
+
+    Plan/scale: the pair join runs on the (stem, lang) REPRESENTATIVE
+    census (|stems| x |langs| rows), never the page stream; at web
+    scale this is the tiny side of the pipeline (the expensive part —
+    sentence alignment — happens downstream on the survivors)."""
+    k = F.col("o_orderkey")
+    lang = (F.when(k % 3 == 0, F.lit("en"))
+            .when(k % 3 == 1, F.lit("de")).otherwise(F.lit("fr")))
+    docs = _t(spark, sf_dir, "orders").select(
+        (k % 80).cast("long").alias("stem"), lang.alias("lang"),
+        k.alias("key"), (50 + (k * 7) % 200).cast("long")
+        .alias("n_tokens"))
+    reps = (docs.groupBy("stem", "lang")
+            .agg(F.min(F.struct("key", "n_tokens")).alias("r"))
+            .select("stem", "lang", F.col("r.key").alias("doc_key"),
+                    F.col("r.n_tokens").alias("n_tokens")))
+    en = reps.filter(F.col("lang") == "en").select(
+        "stem", F.col("doc_key").alias("doc_en"),
+        F.col("n_tokens").alias("tok_en"))
+    xx = reps.filter(F.col("lang") != "en").select(
+        "stem", F.col("lang").alias("lang_b"),
+        F.col("doc_key").alias("doc_b"),
+        F.col("n_tokens").alias("tok_b"))
+    pairs = (en.join(xx, "stem")
+             .withColumn("ratio_ppm", F.expr(
+                 "least(tok_en, tok_b) * 1000000 "
+                 "DIV greatest(tok_en, tok_b)").cast("long")))
+    return (pairs.filter(F.col("ratio_ppm") >= 500000)
+            .select("stem", "doc_en", "lang_b", "doc_b",
+                    "tok_en", "tok_b", "ratio_ppm"))
+
+
+ORACLE_CORPUS_BITEXT_MINE = """
+WITH d AS (
+  SELECT o_orderkey % 80 AS stem,
+         CASE o_orderkey % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+              ELSE 'fr' END AS lang,
+         o_orderkey AS key,
+         CAST(50 + (o_orderkey * 7) % 200 AS BIGINT) AS n_tokens
+  FROM orders),
+reps AS (
+  SELECT stem, lang, key AS doc_key, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY stem, lang
+                                 ORDER BY key, n_tokens) AS rn
+    FROM d) WHERE rn = 1),
+en AS (SELECT stem, doc_key AS doc_en, n_tokens AS tok_en
+       FROM reps WHERE lang = 'en'),
+xx AS (SELECT stem, lang AS lang_b, doc_key AS doc_b,
+              n_tokens AS tok_b
+       FROM reps WHERE lang <> 'en'),
+p AS (
+  SELECT en.stem, doc_en, lang_b, doc_b, tok_en, tok_b,
+         CAST(least(tok_en, tok_b) * 1000000
+              // greatest(tok_en, tok_b) AS BIGINT) AS ratio_ppm
+  FROM en JOIN xx USING (stem))
+SELECT CAST(stem AS BIGINT) AS stem, doc_en, lang_b, doc_b,
+       tok_en, tok_b, ratio_ppm
+FROM p WHERE ratio_ppm >= 500000
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -16689,6 +16921,9 @@ QUERIES = {
     "spans_fingerprint_dedup": q_spans_fingerprint_dedup,
     "spans_diff": q_spans_diff,
     "stream_spans_ingest": q_stream_spans_ingest,
+    "host_sitemap_coverage": q_host_sitemap_coverage,
+    "http_ratelimit": q_http_ratelimit,
+    "corpus_bitext_mine": q_corpus_bitext_mine,
 }
 
 ORACLES = {
@@ -16962,6 +17197,9 @@ ORACLES = {
     "spans_fingerprint_dedup": ORACLE_SPANS_FINGERPRINT_DEDUP,
     "spans_diff": ORACLE_SPANS_DIFF,
     "stream_spans_ingest": ORACLE_STREAM_SPANS_INGEST,
+    "host_sitemap_coverage": ORACLE_HOST_SITEMAP_COVERAGE,
+    "http_ratelimit": ORACLE_HTTP_RATELIMIT,
+    "corpus_bitext_mine": ORACLE_CORPUS_BITEXT_MINE,
 }
 
 
