@@ -16650,6 +16650,228 @@ FROM p WHERE ratio_ppm >= 500000
 """
 
 
+def q_graph_conductance(spark, sf_dir):
+    """Conductance grading of the LPA communities (the cut-quality
+    complement to graph_modularity's density grade): per community,
+    cut(c) = symmetric edge endpoints leaving the community, vol(c) =
+    community degree sum, conductance = cut / min(vol, 2m - vol). Low
+    conductance = a well-separated mirror farm / site cluster; high =
+    LPA glued unrelated hosts. Shares _lpa_labels with the other two
+    graph-partition rows so the labelling can't drift.
+
+    Exactness: cut/vol/m are exact integers; conductance in integer
+    DIV ppm; the degenerate everything-in-one-community case gets the
+    -1 sentinel instead of a division by zero.
+
+    Plan/scale: two broadcast label joins onto the edge list + two
+    community-keyed partial aggs — identical exchange profile to the
+    modularity row."""
+    sym, lab = _lpa_labels(spark, sf_dir)
+    mm = sym.agg((F.count(F.lit(1))).cast("long").alias("two_m"))
+    la = lab.select(F.col("node").alias("a"), F.col("label").alias("ca"))
+    lb = lab.select(F.col("node").alias("b"), F.col("label").alias("cb"))
+    cut = (sym.join(F.broadcast(la), "a").join(F.broadcast(lb), "b")
+           .filter(F.col("ca") != F.col("cb"))
+           .groupBy(F.col("ca").alias("community"))
+           .agg(F.count(F.lit(1)).cast("long").alias("cut")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    vol = (deg.join(F.broadcast(la), "a")
+           .groupBy(F.col("ca").alias("community"))
+           .agg(F.sum("deg").cast("long").alias("vol")))
+    return (vol.join(cut, "community", "left")
+            .crossJoin(F.broadcast(mm))
+            .select("community", "vol",
+                    F.coalesce("cut", F.lit(0).cast("long")).alias("cut"),
+                    F.expr("CASE WHEN least(vol, two_m - vol) = 0 THEN -1 "
+                           "ELSE coalesce(cut, 0) * 1000000 "
+                           "DIV least(vol, two_m - vol) END")
+                    .cast("long").alias("conductance_ppm")))
+
+
+ORACLE_GRAPH_CONDUCTANCE = f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || (o_orderkey % 80) AS a,
+         'c' || ((o_orderkey % 80 + o_custkey % 7 + 1) % 80) AS b
+  FROM orders
+  WHERE 'c' || (o_orderkey % 80)
+        <> 'c' || ((o_orderkey % 80 + o_custkey % 7 + 1) % 80)),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+{_lpa_round_sql("l0", "l1")},
+{_lpa_round_sql("l1", "l2")},
+{_lpa_round_sql("l2", "l3")},
+mm AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM sym),
+cut AS (
+  SELECT la.label AS community, CAST(count(*) AS BIGINT) AS cut
+  FROM sym JOIN l3 la ON la.node = sym.a
+           JOIN l3 lb ON lb.node = sym.b
+  WHERE la.label <> lb.label GROUP BY la.label),
+deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a),
+vol AS (
+  SELECT la.label AS community, CAST(sum(deg) AS BIGINT) AS vol
+  FROM deg JOIN l3 la ON la.node = deg.a GROUP BY la.label)
+SELECT vol.community, vol.vol,
+       CAST(coalesce(cut.cut, 0) AS BIGINT) AS cut,
+       CAST(CASE WHEN least(vol.vol, two_m - vol.vol) = 0 THEN -1
+                 ELSE coalesce(cut.cut, 0) * 1000000
+                      // least(vol.vol, two_m - vol.vol) END AS BIGINT)
+         AS conductance_ppm
+FROM vol LEFT JOIN cut ON cut.community = vol.community CROSS JOIN mm
+"""
+
+
+def q_dedup_lsh_bucket_audit(spark, sf_dir):
+    """Band-bucket fan-out audit for the MinHash-LSH dedup path — the
+    operability row that tells you whether the banded join is about to
+    explode (the LSH twin of embeddings_cell_balance for IVF): per
+    band, the bucket census (buckets, singleton buckets, max bucket)
+    and the exact candidate-join cost Sum(size*(size-1)/2) — the
+    number the 100 TB run budgets BEFORE launching the self-join.
+
+    Plan/scale: signatures are the production operator's own
+    (D.minhash_signatures — interface pinned); per band ONE census
+    agg over (band, bucket_key); output is 4 rows."""
+    sig = D.minhash_signatures(_corpus(spark, sf_dir))
+    parts = []
+    for b in range(D.N_BANDS):
+        buckets = (sig.groupBy(F.col(f"b{b}").alias("bk"))
+                   .agg(F.count(F.lit(1)).alias("sz")))
+        parts.append(buckets.agg(
+            F.lit(b).alias("band"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.max("sz").cast("long").alias("max_bucket"),
+            F.sum((F.col("sz") == 1).cast("int")).cast("long")
+            .alias("n_singletons"),
+            F.sum(F.expr("sz * (sz - 1) DIV 2")).cast("long")
+            .alias("join_cost")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _lsh_bucket_audit_oracle() -> str:
+    mh_cols = ",\n  ".join(
+        f"min(substr(md5('{i}|' || shingle), 1, 16)) AS mh{i}"
+        for i in range(D.N_MINHASH))
+    bands = ", ".join(
+        "mh%d || mh%d || mh%d || mh%d AS b%d" % (
+            b * 4, b * 4 + 1, b * 4 + 2, b * 4 + 3, b)
+        for b in range(D.N_BANDS))
+    selects = []
+    for b in range(D.N_BANDS):
+        selects.append(f"""
+SELECT {b} AS band, CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(max(sz) AS BIGINT) AS max_bucket,
+       CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS join_cost
+FROM (SELECT b{b}, count(*) AS sz FROM sigb GROUP BY b{b})""")
+    return (f"WITH {_CORPUS_SQL},\n{_shingle_sql(3)},\n"
+            f"sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),\n"
+            f"sigb AS (SELECT *, {bands} FROM sig)"
+            + "\nUNION ALL".join(selects))
+
+
+ORACLE_DEDUP_LSH_BUCKET_AUDIT = _lsh_bucket_audit_oracle()
+
+
+def q_host_homograph(spark, sf_dir):
+    """IDN homograph / mixed-script spoof detection — the unicode twin
+    of host_typosquat: a hostname label mixing Latin letters with
+    Cyrillic confusables ('brаnd.com' with U+0430 а) renders
+    identically to its victim but is a different URL-seen key, a
+    different politeness bucket, and a classic phishing splash page.
+    Flags: mixed-script labels and labels containing Cyrillic
+    confusables, with the confusable-folded skeleton joined back to
+    the Latin victim census (left join — a skeleton with no Latin
+    counterpart keeps the '-' sentinel).
+
+    Exactness: script classes via explicit unicode-range regexes
+    (identical in Java regex and RE2); the confusable fold is a fixed
+    5-char translate() both engines state literally; the victim join
+    is exact string equality on the folded skeleton.
+
+    Plan/scale: script flags are a zero-exchange map over the host
+    census; the skeleton self-join runs on |hosts| census rows."""
+    k = F.col("o_orderkey")
+    m, b = k % 40, (k % 8).cast("string")
+    host = (F.when(m < 30, F.concat(F.lit("brand"), b, F.lit(".com")))
+            .when(m < 33, F.concat(F.lit("brаnd"), b, F.lit(".com")))
+            .when(m < 35, F.concat(F.lit("вrand"), b, F.lit(".com")))
+            .otherwise(F.concat(F.lit("site"), (k % 9).cast("string"),
+                                F.lit(".net"))))
+    census = (_t(spark, sf_dir, "orders")
+              .select(host.alias("host"))
+              .groupBy("host")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_urls")))
+    label = F.regexp_extract("host", r"^([^.]+)\.", 1)
+    has_latin = label.rlike("[a-z]")
+    has_cyr = label.rlike("[а-я]")
+    # confusable fold: the 5 highest-frequency Cyrillic->Latin pairs
+    skeleton = F.translate("host", "аеорв",
+                           "aeopv")
+    flagged = census.select(
+        "host", "n_urls",
+        (has_latin & has_cyr).cast("int").alias("mixed_script"),
+        (has_cyr & (skeleton != F.col("host"))).cast("int")
+        .alias("has_confusable"),
+        skeleton.alias("skeleton"))
+    latin = (flagged.filter(F.col("has_confusable") == 0)
+             .select(F.col("skeleton").alias("skeleton"),
+                     F.col("host").alias("victim_host"),
+                     F.col("n_urls").alias("victim_urls")))
+    return (flagged.filter(F.col("has_confusable") == 1)
+            .join(latin, "skeleton", "left")
+            .select("host", "n_urls", "mixed_script",
+                    F.coalesce("victim_host", F.lit("-"))
+                    .alias("victim_host"),
+                    F.coalesce("victim_urls", F.lit(0).cast("long"))
+                    .alias("victim_urls")))
+
+
+ORACLE_HOST_HOMOGRAPH = """
+WITH u AS (
+  SELECT CASE
+           WHEN o_orderkey % 40 < 30
+             THEN 'brand' || (o_orderkey % 8) || '.com'
+           WHEN o_orderkey % 40 < 33
+             THEN 'brаnd' || (o_orderkey % 8) || '.com'
+           WHEN o_orderkey % 40 < 35
+             THEN 'вrand' || (o_orderkey % 8) || '.com'
+           ELSE 'site' || (o_orderkey % 9) || '.net'
+         END AS host
+  FROM orders),
+census AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM u GROUP BY host),
+f AS (
+  SELECT host, n_urls,
+         CASE WHEN regexp_matches(regexp_extract(host, '^([^.]+)\\.', 1),
+                                  '[a-z]')
+               AND regexp_matches(regexp_extract(host, '^([^.]+)\\.', 1),
+                                  '[а-я]')
+              THEN 1 ELSE 0 END AS mixed_script,
+         CASE WHEN regexp_matches(regexp_extract(host, '^([^.]+)\\.', 1),
+                                  '[а-я]')
+               AND translate(host, 'аеорв',
+                             'aeopv') <> host
+              THEN 1 ELSE 0 END AS has_confusable,
+         translate(host, 'аеорв', 'aeopv')
+           AS skeleton
+  FROM census),
+latin AS (
+  SELECT skeleton, host AS victim_host, n_urls AS victim_urls
+  FROM f WHERE has_confusable = 0)
+SELECT f.host, f.n_urls, f.mixed_script,
+       coalesce(latin.victim_host, '-') AS victim_host,
+       CAST(coalesce(latin.victim_urls, 0) AS BIGINT) AS victim_urls
+FROM f LEFT JOIN latin USING (skeleton)
+WHERE f.has_confusable = 1
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -16924,6 +17146,9 @@ QUERIES = {
     "host_sitemap_coverage": q_host_sitemap_coverage,
     "http_ratelimit": q_http_ratelimit,
     "corpus_bitext_mine": q_corpus_bitext_mine,
+    "graph_conductance": q_graph_conductance,
+    "dedup_lsh_bucket_audit": q_dedup_lsh_bucket_audit,
+    "host_homograph": q_host_homograph,
 }
 
 ORACLES = {
@@ -17200,6 +17425,9 @@ ORACLES = {
     "host_sitemap_coverage": ORACLE_HOST_SITEMAP_COVERAGE,
     "http_ratelimit": ORACLE_HTTP_RATELIMIT,
     "corpus_bitext_mine": ORACLE_CORPUS_BITEXT_MINE,
+    "graph_conductance": ORACLE_GRAPH_CONDUCTANCE,
+    "dedup_lsh_bucket_audit": ORACLE_DEDUP_LSH_BUCKET_AUDIT,
+    "host_homograph": ORACLE_HOST_HOMOGRAPH,
 }
 
 
