@@ -16872,6 +16872,201 @@ WHERE f.has_confusable = 1
 """
 
 
+def q_ann_binary_hamming(spark, sf_dir):
+    """Binary-code ANN — the 6th similarity path (brute / LSH / IVF /
+    PQ / IVFPQ / binary): each 64-d embedding collapses to a 64-bit
+    SIGN code (bit i = v[i] > 0), distance = hamming via
+    bit_count(xor) — 16 bytes/vector, the cheapest possible index and
+    the standard first-stage filter before exact rescoring (ITQ/LSH
+    family). Codes are stored as two 32-bit halves so the arithmetic
+    stays in safe BIGINT space on both engines.
+
+    Exactness: code construction and hamming are pure integer; ties
+    rank by (hamming ASC, neighbor ASC).
+
+    Plan/scale: here the 10 bounded queries join all base codes (the
+    brute demo form); at 10^10 vectors the SAME codes band into 4x16-
+    bit segment equi-joins — dedup_simhash64's proven shape — before
+    exact rescoring. The code table is the thing: 100 TB of floats
+    becomes 160 GB of codes."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def half(lo_bit):
+        return F.expr(
+            f"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
+            f"CASE WHEN element_at(embedding, i + {lo_bit} + 1) > 0 "
+            f"THEN shiftleft(1L, i) ELSE 0L END)")
+
+    codes = emb.select("vec_id", half(0).alias("c_lo"),
+                       half(32).alias("c_hi"))
+    q = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("c_lo").alias("q_lo"),
+        F.col("c_hi").alias("q_hi"))
+    b = codes.select(F.col("vec_id").alias("neighbor_id"), "c_lo", "c_hi")
+    scored = (b.join(F.broadcast(q),
+                     F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("hamming", (
+                  F.bit_count(F.expr("q_lo ^ c_lo"))
+                  + F.bit_count(F.expr("q_hi ^ c_hi"))).cast("int")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "rank", "neighbor_id", "hamming"))
+
+
+ORACLE_ANN_BINARY_HAMMING = """
+WITH codes AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(32),
+             i -> CASE WHEN embedding[i+1] > 0
+                  THEN (1::BIGINT << i) ELSE 0 END)) AS c_lo,
+         list_sum(list_transform(range(32),
+             i -> CASE WHEN embedding[i+33] > 0
+                  THEN (1::BIGINT << i) ELSE 0 END)) AS c_hi
+  FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         bit_count(xor(q.c_lo, b.c_lo))
+         + bit_count(xor(q.c_hi, b.c_hi)) AS hamming
+  FROM codes q JOIN codes b ON b.vec_id <> q.vec_id
+  WHERE q.vec_id < 10)
+SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+       CAST(hamming AS INT) AS hamming
+FROM (
+  SELECT query_id, neighbor_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming ASC, neighbor_id ASC) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
+
+
+def q_events_concurrency(spark, sf_dir):
+    """Peak-concurrency profile — the sweep-line interval-overlap count
+    every capacity planner needs (max simultaneous sessions/fetches per
+    hour): each event opens an interval [ts, ts + dur], the sweep
+    emits +1 at starts and -1 at ends, a single global-order running
+    sum IS the live concurrency, and the per-hour census reports its
+    max. Ends sort before starts at equal timestamps (touching
+    intervals are NOT concurrent) — the tie rule both engines state
+    identically.
+
+    Exactness: integer epoch seconds, deterministic (t, delta,
+    event_id) total order, integer running sum.
+
+    Plan/scale: ONE global-order window at driver SF (the demo form);
+    at 10^10 events the sum decomposes exactly like pack.py's
+    hierarchical prefix path (per-shard sums + broadcast base
+    offsets) — the identical math, documented there."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("s"))
+    iv = ev.select("event_id", "s",
+                   (F.col("s") + 60 + F.col("event_id") % 3600)
+                   .alias("e"))
+    pts = (iv.select(F.col("s").alias("t"), F.lit(1).alias("delta"),
+                     "event_id")
+           .unionByName(iv.select(F.col("e").alias("t"),
+                                  F.lit(-1).alias("delta"), "event_id")))
+    w = (Window.orderBy(F.asc("t"), F.asc("delta"), F.asc("event_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    run = pts.withColumn("live", F.sum("delta").over(w))
+    return (run.withColumn("hour", F.expr("t DIV 3600").cast("long"))
+            .groupBy("hour")
+            .agg(F.max("live").cast("long").alias("peak_live"),
+                 F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_starts")))
+
+
+ORACLE_EVENTS_CONCURRENCY = """
+WITH ev AS (
+  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+iv AS (
+  SELECT event_id, s, s + 60 + event_id % 3600 AS e FROM ev),
+pts AS (
+  SELECT s AS t, 1 AS delta, event_id FROM iv
+  UNION ALL
+  SELECT e, -1, event_id FROM iv),
+run AS (
+  SELECT t, delta,
+         sum(delta) OVER (ORDER BY t ASC, delta ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS live
+  FROM pts)
+SELECT t // 3600 AS hour, CAST(max(live) AS BIGINT) AS peak_live,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_starts
+FROM run GROUP BY 1
+"""
+
+
+def q_corpus_pack_fragmentation(spark, sf_dir):
+    """Packing boundary-contamination audit — the QUALITY metric for
+    concat-and-chunk sequence packing (corpus_pack): a document split
+    across block boundaries leaks attention between unrelated
+    contexts, so the per-block census of starting / continuing /
+    fragmented documents is what decides whether to pad, mask, or
+    best-fit instead. Same flat prefix-window chain as corpus_pack (a
+    doc occupies token interval [cum - n_tok, cum); its block span is
+    the integer quotient range), so the two rows cannot disagree on
+    where blocks fall.
+
+    Exactness: all block arithmetic is integer DIV on exact token
+    counts.
+
+    Plan/scale: the window is the pack row's own; the census explodes
+    each doc into its spanned blocks — bounded by ceil(n_tok/2048)+1
+    per doc, never |docs| x |blocks|."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("doc_id",
+                 F.size(F.split("text", " ")).cast("long")
+                 .alias("n_tok")))
+    w = (Window.orderBy(F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    spans = (d.withColumn("cum", F.sum("n_tok").over(w))
+             .withColumn("b0", F.expr("(cum - n_tok) DIV 2048"))
+             .withColumn("b1", F.expr("(cum - 1) DIV 2048")))
+    blocks = spans.select(
+        "doc_id", "b0", "b1",
+        F.explode(F.sequence("b0", "b1")).alias("block_id"))
+    return (blocks.groupBy("block_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs_touching"),
+                 F.sum((F.col("block_id") == F.col("b0")).cast("int"))
+                 .cast("long").alias("n_starting"),
+                 F.sum((F.col("block_id") > F.col("b0")).cast("int"))
+                 .cast("long").alias("n_crossing"),
+                 F.sum(((F.col("b1") > F.col("b0"))).cast("int"))
+                 .cast("long").alias("n_fragmented")))
+
+
+ORACLE_CORPUS_PACK_FRAGMENTATION = """
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents WHERE text IS NOT NULL),
+s AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d),
+spans AS (
+  SELECT doc_id, CAST((cum - n_tok) // 2048 AS BIGINT) AS b0,
+         CAST((cum - 1) // 2048 AS BIGINT) AS b1
+  FROM s),
+blocks AS (
+  SELECT doc_id, b0, b1, unnest(generate_series(b0, b1)) AS block_id
+  FROM spans)
+SELECT CAST(block_id AS BIGINT) AS block_id,
+       CAST(count(*) AS BIGINT) AS n_docs_touching,
+       CAST(sum(CASE WHEN block_id = b0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_starting,
+       CAST(sum(CASE WHEN block_id > b0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_crossing,
+       CAST(sum(CASE WHEN b1 > b0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fragmented
+FROM blocks GROUP BY block_id
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -17149,6 +17344,9 @@ QUERIES = {
     "graph_conductance": q_graph_conductance,
     "dedup_lsh_bucket_audit": q_dedup_lsh_bucket_audit,
     "host_homograph": q_host_homograph,
+    "ann_binary_hamming": q_ann_binary_hamming,
+    "events_concurrency": q_events_concurrency,
+    "corpus_pack_fragmentation": q_corpus_pack_fragmentation,
 }
 
 ORACLES = {
@@ -17428,6 +17626,9 @@ ORACLES = {
     "graph_conductance": ORACLE_GRAPH_CONDUCTANCE,
     "dedup_lsh_bucket_audit": ORACLE_DEDUP_LSH_BUCKET_AUDIT,
     "host_homograph": ORACLE_HOST_HOMOGRAPH,
+    "ann_binary_hamming": ORACLE_ANN_BINARY_HAMMING,
+    "events_concurrency": ORACLE_EVENTS_CONCURRENCY,
+    "corpus_pack_fragmentation": ORACLE_CORPUS_PACK_FRAGMENTATION,
 }
 
 
