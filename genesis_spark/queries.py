@@ -17067,6 +17067,229 @@ FROM blocks GROUP BY block_id
 """
 
 
+def q_url_normalize_pipeline(spark, sf_dir):
+    """The FULL URL canonicalizer as one composed row — the pipeline a
+    frontier actually runs before the URL-seen probe, chaining four
+    individually-verified kernels in their production order:
+    (1) P1 canonicalize (scheme/netloc lowercase, www-strip, trailing
+    slash), (2) RFC 3986 percent-encoding normalization
+    (url_pct_normalize's kernel), (3) dot-segment removal cascade
+    (url_dot_segments' passes), (4) tracking-param strip
+    (url_param_strip's filter). A fixture branch exercises each stage
+    alone and in combination; the oracle states the expected FINAL
+    form closed-form, so the hash verifies the COMPOSITION — kernel
+    order matters (lowercasing after escape-normalization would break
+    hex case; param-stripping before dot-removal would miss moved
+    queries) and this row pins it.
+
+    Plan/scale: the whole chain is ONE zero-exchange project —
+    regexps, array ops, no shuffle, fused into the URL scan."""
+    from genesis_spark.functions.urls import (canonicalize_expr,
+                                              pct_normalize_expr)
+
+    k = F.col("o_orderkey")
+    h = (k % 9).cast("string")
+    m = k % 6
+    raw = (F.when(m == 0, F.concat(
+        F.lit("HTTP://WWW.Site"), h, F.lit(".Onion/A/./B%7Ez/p"),
+        k.cast("string"), F.lit("//?a=1&utm_source=x")))
+        .when(m == 1, F.concat(
+            F.lit("http://www.site"), h, F.lit(".onion/x/../%41"),
+            k.cast("string"), F.lit("?utm_campaign=c")))
+        .when(m == 2, F.concat(F.lit("HTTP://Site"), h,
+                               F.lit(".Onion/p"), k.cast("string"),
+                               F.lit("/")))
+        .when(m == 3, F.concat(
+            F.lit("http://site"), h, F.lit(".onion/a/b/../c%2fd?x="),
+            (k % 7).cast("string"), F.lit("&ref=t")))
+        .when(m == 4, F.concat(F.lit("http://site"), h,
+                               F.lit(".onion/%7euser"),
+                               (k % 10).cast("string"),
+                               F.lit("/./docs")))
+        .otherwise(F.concat(F.lit("http://site"), h, F.lit(".onion/ok"),
+                            k.cast("string"))))
+    u = _t(spark, sf_dir, "orders").select(k.alias("url_id"),
+                                           raw.alias("raw"))
+    # stage 1+2: canonicalize, then escape-normalize
+    u = u.withColumn("_c", canonicalize_expr(F.col("raw")))
+    u = u.withColumn("_p", pct_normalize_expr("_c"))
+    # stage 3: dot-segment cascade (url_dot_segments' passes)
+    p = F.col("_p")
+    for _ in range(3):
+        p = F.regexp_replace(p, r"/\./", "/")
+        p = F.regexp_replace(p, r"/[^/.][^/]*/\.\./", "/")
+    u = u.withColumn("_d", p)
+    # stage 4: tracking-param strip (url_param_strip's filter)
+    q = F.regexp_extract("_d", r"\?(.*)$", 1)
+    pre = F.regexp_replace("_d", r"\?.*$", "")
+    kept = F.filter(F.split(q, "&"),
+                    lambda x: ~(x.rlike("^(utm_[A-Za-z0-9_]*|ref|fbclid)=")))
+    final = F.when((q != "") & (F.size(kept) > 0),
+                   F.concat(pre, F.lit("?"), F.array_join(kept, "&"))) \
+             .otherwise(pre)
+    return u.select("url_id", F.col("raw").alias("url_raw"),
+                    final.alias("url_norm"))
+
+
+ORACLE_URL_NORMALIZE_PIPELINE = """
+WITH u AS (
+  SELECT o_orderkey AS url_id, o_orderkey AS k,
+         CAST(o_orderkey % 9 AS VARCHAR) AS h, o_orderkey % 6 AS m
+  FROM orders)
+SELECT url_id,
+       CASE m
+         WHEN 0 THEN 'HTTP://WWW.Site' || h || '.Onion/A/./B%7Ez/p' || k
+                     || '//?a=1&utm_source=x'
+         WHEN 1 THEN 'http://www.site' || h || '.onion/x/../%41' || k
+                     || '?utm_campaign=c'
+         WHEN 2 THEN 'HTTP://Site' || h || '.Onion/p' || k || '/'
+         WHEN 3 THEN 'http://site' || h || '.onion/a/b/../c%2fd?x='
+                     || (k % 7) || '&ref=t'
+         WHEN 4 THEN 'http://site' || h || '.onion/%7euser' || (k % 10)
+                     || '/./docs'
+         ELSE 'http://site' || h || '.onion/ok' || k END AS url_raw,
+       CASE m
+         WHEN 0 THEN 'http://www.site' || h || '.onion/A/B~z/p' || k
+                     || '?a=1'
+         WHEN 1 THEN 'http://site' || h || '.onion/A' || k
+         WHEN 2 THEN 'http://site' || h || '.onion/p' || k
+         WHEN 3 THEN 'http://site' || h || '.onion/a/c%2Fd?x=' || (k % 7)
+         WHEN 4 THEN 'http://site' || h || '.onion/~user' || (k % 10)
+                     || '/docs'
+         ELSE 'http://site' || h || '.onion/ok' || k END AS url_norm
+FROM u
+"""
+
+
+def q_frontier_admission_ensemble(spark, sf_dir):
+    """The composed frontier ADMISSION gate — the crawler-side twin of
+    corpus_quality_ensemble's filter-decision composition: every
+    candidate URL runs the production gate ladder in its contract
+    order (invalid_scheme -> ssrf_internal -> blocklisted -> trap ->
+    robots_disallowed -> admit) and lands in exactly one
+    FIRST-FAILING-REASON bucket. Output is the reason census with a
+    url_id checksum per bucket — one URL sliding between buckets (or
+    two gates swapping order) breaks the hash.
+
+    Plan/scale: every gate is a map-side predicate (the blocklist and
+    robots sides broadcast at production scale — shapes proven by
+    url_blocklist_filter / robots_rfc); the census is a 6-key agg.
+    Zero joins in the demo form, zero Python ever."""
+    k = F.col("o_orderkey")
+    m = k % 8
+    hd = (k % 9).cast("string")
+    url = (F.when(m == 0, F.concat(F.lit("ht!tp://bad"), k.cast("string")))
+           .when(m == 1, F.lit("http://169.254.169.254/latest"))
+           .when(m == 2, F.concat(F.lit("http://ads"), (k % 5).cast("string"),
+                                  F.lit(".tracker.example/x")))
+           .when(m == 3, F.concat(F.lit("http://h"), hd,
+                                  F.lit(".onion/cal/2024/01/"),
+                                  k.cast("string"), F.lit("/day")))
+           .when(m == 4, F.concat(F.lit("http://h"), hd,
+                                  F.lit(".onion/priv/p"), k.cast("string")))
+           .otherwise(F.concat(F.lit("http://h"), hd, F.lit(".onion/p"),
+                               k.cast("string"))))
+    cand = _t(spark, sf_dir, "orders").select(k.alias("url_id"),
+                                              url.alias("url"))
+    host = F.regexp_extract("url", r"^[a-z!]+://([^/]+)", 1)
+    path = F.regexp_extract("url", r"^[a-z!]+://[^/]+(/.*)$", 1)
+    scheme_ok = F.col("url").rlike("^https?://")
+    ssrf = (host == "169.254.169.254") | host.startswith("127.") \
+        | host.startswith("10.") | host.startswith("192.168.")
+    blocked = host.endswith(".tracker.example") \
+        | (host == "tracker.example")
+    depth = F.size(F.split(path, "/")) - 1
+    trap = path.contains("/cal/") & (depth >= 4)
+    host_digit = F.regexp_extract(host, r"^h(\d+)\.", 1)
+    robots = path.startswith("/priv") \
+        & (host_digit.cast("long") % 2 == 0)
+    verdict = (F.when(~scheme_ok, "invalid_scheme")
+               .when(ssrf, "ssrf_internal")
+               .when(blocked, "blocklisted")
+               .when(trap, "trap")
+               .when(robots, "robots_disallowed")
+               .otherwise("admit"))
+    return (cand.select(verdict.alias("verdict"), "url_id")
+            .groupBy("verdict")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                 F.sum("url_id").cast("long").alias("id_checksum")))
+
+
+ORACLE_FRONTIER_ADMISSION_ENSEMBLE = """
+WITH c AS (
+  SELECT o_orderkey AS url_id, o_orderkey % 8 AS m,
+         o_orderkey % 9 AS hd, o_orderkey AS k
+  FROM orders),
+v AS (
+  SELECT url_id,
+         CASE
+           WHEN m = 0 THEN 'invalid_scheme'
+           WHEN m = 1 THEN 'ssrf_internal'
+           WHEN m = 2 THEN 'blocklisted'
+           WHEN m = 3 THEN 'trap'
+           WHEN m = 4 AND hd % 2 = 0 THEN 'robots_disallowed'
+           ELSE 'admit' END AS verdict
+  FROM c)
+SELECT verdict, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(url_id) AS BIGINT) AS id_checksum
+FROM v GROUP BY verdict
+"""
+
+
+def q_frontier_priority_decay(spark, sf_dir):
+    """Priority AGING for starvation avoidance — the scheduling fix for
+    the pure-priority frontier's failure mode (a low-priority URL
+    installed early can wait forever behind a stream of fresh
+    high-priority links): effective priority = base + age x boost, so
+    every queued URL eventually wins its host's wave slot. Output is
+    the per-host wave pick (top-3 by effective priority) with age and
+    boost visible — the starvation guarantee is then checkable: any
+    sufficiently old URL outranks any fresh one.
+
+    Exactness: ages/boosts/effective priorities are exact integers;
+    the pick uses the full (eff DESC, url_id ASC) tie-break.
+
+    Plan/scale: ONE host-partitioned window — the same shuffle the
+    bucketed install already pays; aging adds a map-side expression,
+    not a pass."""
+    k = F.col("o_orderkey")
+    fr = _t(spark, sf_dir, "orders").select(
+        k.alias("url_id"),
+        F.concat(F.lit("h"), (k % 30).cast("string")).alias("host"),
+        (k % 100).cast("long").alias("base_priority"),
+        (k % 20).cast("long").alias("installed_round"))
+    aged = (fr.withColumn("age", F.lit(20) - F.col("installed_round"))
+            .withColumn("eff_priority",
+                        (F.col("base_priority") + F.col("age") * 5)
+                        .cast("long")))
+    w = Window.partitionBy("host").orderBy(F.desc("eff_priority"),
+                                           F.asc("url_id"))
+    return (aged.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 3)
+            .select("host", "url_id", "base_priority", "age",
+                    "eff_priority", "rank"))
+
+
+ORACLE_FRONTIER_PRIORITY_DECAY = """
+WITH fr AS (
+  SELECT o_orderkey AS url_id, 'h' || (o_orderkey % 30) AS host,
+         CAST(o_orderkey % 100 AS BIGINT) AS base_priority,
+         CAST(20 - (o_orderkey % 20) AS BIGINT) AS age
+  FROM orders),
+a AS (
+  SELECT *, base_priority + age * 5 AS eff_priority FROM fr),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+                               ORDER BY eff_priority DESC,
+                                        url_id ASC) AS rank
+  FROM a)
+SELECT host, url_id, base_priority, age,
+       CAST(eff_priority AS BIGINT) AS eff_priority,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -17347,6 +17570,9 @@ QUERIES = {
     "ann_binary_hamming": q_ann_binary_hamming,
     "events_concurrency": q_events_concurrency,
     "corpus_pack_fragmentation": q_corpus_pack_fragmentation,
+    "url_normalize_pipeline": q_url_normalize_pipeline,
+    "frontier_admission_ensemble": q_frontier_admission_ensemble,
+    "frontier_priority_decay": q_frontier_priority_decay,
 }
 
 ORACLES = {
@@ -17629,6 +17855,9 @@ ORACLES = {
     "ann_binary_hamming": ORACLE_ANN_BINARY_HAMMING,
     "events_concurrency": ORACLE_EVENTS_CONCURRENCY,
     "corpus_pack_fragmentation": ORACLE_CORPUS_PACK_FRAGMENTATION,
+    "url_normalize_pipeline": ORACLE_URL_NORMALIZE_PIPELINE,
+    "frontier_admission_ensemble": ORACLE_FRONTIER_ADMISSION_ENSEMBLE,
+    "frontier_priority_decay": ORACLE_FRONTIER_PRIORITY_DECAY,
 }
 
 
