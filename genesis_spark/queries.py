@@ -17290,6 +17290,247 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (the LBFS/restic rolling-boundary
+    primitive) for sub-document storage dedup: a chunk boundary falls
+    after every 8-char window whose md5 starts with '0' (expected
+    chunk ~16 chars — boundaries move WITH the content, so an
+    insertion early in a doc re-chunks only its neighborhood, unlike
+    fixed-size blocks), chunks are digested, and the cross-corpus
+    digest census reports every chunk stored more than once. Over the
+    twin corpus the shared chunks between original and near-dup twin
+    are exactly what CDC exists to find.
+
+    Exactness: boundaries and digests are md5-based (bit-identical
+    engines); chunk extraction is a lag window over cut positions.
+
+    Plan/scale: the per-char window explode is the demo form (chars x
+    docs rows); at 100 TB the identical boundary rule runs as a
+    mapInPandas kernel per doc (one pass, no explode) feeding the same
+    digest census — the census join is the only shuffle either way."""
+    c = _corpus(spark, sf_dir).filter(F.col("text").isNotNull())
+    pos = c.select(
+        "doc_id", "text",
+        F.explode(F.sequence(
+            F.lit(0), F.greatest(F.length("text") - 8, F.lit(0))))
+        .alias("p"))
+    bnd = (pos.filter(
+        (F.length("text") >= 8)
+        & (F.substring(F.md5(F.expr("substr(text, p + 1, 8)")), 1, 1)
+           == "0"))
+        .select("doc_id", (F.col("p") + 8).alias("cut")))
+    cuts = (bnd.select("doc_id", "cut")
+            .unionByName(c.select("doc_id",
+                                  F.length("text").alias("cut")))
+            .distinct())
+    w = Window.partitionBy("doc_id").orderBy("cut")
+    chunks = (cuts
+              .withColumn("prev", F.coalesce(
+                  F.lag("cut").over(w), F.lit(0)))
+              .filter(F.col("cut") > F.col("prev"))
+              .join(c, "doc_id")
+              .select("doc_id", F.col("prev").alias("chunk_start"),
+                      (F.col("cut") - F.col("prev")).alias("chunk_len"),
+                      F.md5(F.expr(
+                          "substr(text, prev + 1, cut - prev)"))
+                      .alias("digest")))
+    return (chunks.groupBy("digest")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                 F.max("chunk_len").cast("long").alias("chunk_len"))
+            .filter(F.col("n_docs") > 1))
+
+
+ORACLE_DEDUP_CDC_CHUNKS = f"""
+WITH {_CORPUS_SQL},
+pos AS (
+  SELECT doc_id, text,
+         unnest(range(greatest(length(text) - 8, 0) + 1)) AS p
+  FROM corpus WHERE text IS NOT NULL),
+bnd AS (
+  SELECT doc_id, p + 8 AS cut FROM pos
+  WHERE length(text) >= 8
+    AND substr(md5(substr(text, CAST(p + 1 AS INT), 8)), 1, 1) = '0'),
+cuts AS (
+  SELECT doc_id, CAST(cut AS BIGINT) AS cut FROM bnd
+  UNION
+  SELECT doc_id, CAST(length(text) AS BIGINT)
+  FROM corpus WHERE text IS NOT NULL),
+ck AS (
+  SELECT doc_id, cut,
+         coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0)
+           AS prev
+  FROM cuts),
+chunks AS (
+  SELECT ck.doc_id, cut - prev AS chunk_len,
+         md5(substr(c2.text, CAST(prev + 1 AS INT),
+                    CAST(cut - prev AS INT))) AS digest
+  FROM ck JOIN corpus c2 ON c2.doc_id = ck.doc_id
+  WHERE cut > prev)
+SELECT digest, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(max(chunk_len) AS BIGINT) AS chunk_len
+FROM chunks GROUP BY digest HAVING count(DISTINCT doc_id) > 1
+"""
+
+
+def q_frontier_wfq(spark, sf_dir):
+    """Weighted fair queuing of fetch slots — the bandwidth-fair
+    scheduler above per-host politeness (hosts carry weights; a
+    weight-3 host gets 3x the service of a weight-1 host WITHOUT
+    starving it — the guarantee strict priority can't give): per host,
+    virtual finish time F_i = max(F_{i-1}, arrival_i) + cost_i/w, and
+    the global dispatch order is by virtual finish. The sequential
+    recurrence is computed as a PLAIN WINDOW via the classic
+    decomposition F_i = C_i + running_max(arrival_j - C_{j-1}) over
+    the cost prefix sums — one per-host window pass, no iteration.
+
+    Exactness: costs are scaled by 6 = lcm(weights) so every division
+    is exact integer; the global slot rank uses a full
+    (vfinish, host, url_id) tie-break.
+
+    Plan/scale: one host-partitioned window (the politeness shuffle)
+    plus the global rank, which range-partitions at scale."""
+    k = F.col("o_orderkey")
+    h = k % 15
+    items = _t(spark, sf_dir, "orders").select(
+        k.alias("url_id"),
+        F.concat(F.lit("h"), h.cast("string")).alias("host"),
+        (1 + h % 3).cast("long").alias("weight"),
+        (k % 50).cast("long").alias("arrival"),
+        (100 + k % 400).cast("long").alias("cost"))
+    scaled = items.withColumn(
+        "cost_scaled", F.expr("cost * 6 DIV weight").cast("long"))
+    w = (Window.partitionBy("host")
+         .orderBy(F.asc("arrival"), F.asc("url_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    x = (scaled
+         .withColumn("c_i", F.sum("cost_scaled").over(w))
+         .withColumn("g", F.col("arrival")
+                     - (F.col("c_i") - F.col("cost_scaled")))
+         .withColumn("vfinish", (F.col("c_i") + F.max("g").over(w))
+                     .cast("long")))
+    wg = Window.orderBy(F.asc("vfinish"), F.asc("host"), F.asc("url_id"))
+    return (x.withColumn("slot", F.row_number().over(wg).cast("long"))
+            .select("host", "url_id", "weight", "arrival", "cost_scaled",
+                    "vfinish", "slot"))
+
+
+ORACLE_FRONTIER_WFQ = """
+WITH items AS (
+  SELECT o_orderkey AS url_id, 'h' || (o_orderkey % 15) AS host,
+         CAST(1 + (o_orderkey % 15) % 3 AS BIGINT) AS weight,
+         CAST(o_orderkey % 50 AS BIGINT) AS arrival,
+         CAST(100 + o_orderkey % 400 AS BIGINT) AS cost
+  FROM orders),
+s AS (
+  SELECT *, cost * 6 // weight AS cost_scaled FROM items),
+x AS (
+  SELECT *,
+         sum(cost_scaled) OVER (PARTITION BY host
+                                ORDER BY arrival ASC, url_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS c_i
+  FROM s),
+y AS (
+  SELECT *, arrival - (c_i - cost_scaled) AS g FROM x),
+z AS (
+  SELECT *,
+         c_i + max(g) OVER (PARTITION BY host
+                            ORDER BY arrival ASC, url_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS vfinish
+  FROM y)
+SELECT host, url_id, weight, arrival,
+       CAST(cost_scaled AS BIGINT) AS cost_scaled,
+       CAST(vfinish AS BIGINT) AS vfinish,
+       CAST(row_number() OVER (ORDER BY vfinish ASC, host ASC,
+                               url_id ASC) AS BIGINT) AS slot
+FROM z
+"""
+
+
+def q_media_entropy_filter(spark, sf_dir):
+    """Blank/flat-image gate — the Shannon-entropy screen that drops
+    constant-fill and near-constant imagery before caption pairing or
+    model decode (the media twin of the C4 text filters): per image,
+    intensity entropy from the 16-bin histogram (H = ln N - (1/N)
+    Sum c*ln c — computed from EXACT integer bin counts, quantized to
+    1e-6 units the way text_char_entropy established) plus the
+    dominant-bin share; keep = entropy above floor AND no bin owns
+    >90% of pixels. Every 9th doc is planted as a constant fill, so
+    both verdicts are exercised.
+
+    Plan/scale: the histogram kernel is the media_color_histogram
+    Arrow path (pixels never shuffle); the entropy fold runs over
+    16-row-per-image metadata."""
+    import pandas as pd
+
+    from genesis_spark.operators import multimodal as MM
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 9 == 0:
+                    w, h = 8 + i % 16, 8 + (i // 3) % 16
+                    blobs.append(MM.encode_gray8(
+                        w, h, bytes([i % 256]) * (w * h)))
+                else:
+                    blobs.append(MM.gray8_by_doc_id(i))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "media_blob": blobs})
+
+    blobs = d.mapInPandas(encode, "doc_id long, media_blob binary")
+    hist = MM.gray8_histogram(blobs, bins=16).filter(F.col("n_px") > 0)
+    per = (hist.groupBy("doc_id")
+           .agg(F.sum("n_px").cast("long").alias("n_px"),
+                F.max("n_px").cast("long").alias("max_bin"),
+                F.sum(F.col("n_px").cast("double")
+                      * F.log(F.col("n_px").cast("double")))
+                .alias("_clnc")))
+    return (per.select(
+        "doc_id", "n_px",
+        F.expr("CAST(floor((ln(n_px) - _clnc / n_px) * 1000000 + 0.5) "
+               "AS BIGINT)").alias("entropy_e6"),
+        F.expr("max_bin * 1000000 DIV n_px").cast("long")
+        .alias("max_bin_ppm"))
+        .withColumn("keep",
+                    ((F.col("entropy_e6") >= 500000)
+                     & (F.col("max_bin_ppm") <= 900000)).cast("int")))
+
+
+ORACLE_MEDIA_ENTROPY_FILTER = """
+WITH d AS (
+  SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS w,
+         CAST(8 + (doc_id // 3) % 16 AS INT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN CAST((doc_id % 256) // 16 AS INT)
+              ELSE CAST(((doc_id * 31 + i * 7) % 256) // 16 AS INT)
+         END AS bin
+  FROM d, unnest(range(w * h)) u(i)),
+counts AS (
+  SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS n_px
+  FROM px GROUP BY doc_id, bin),
+per AS (
+  SELECT doc_id, CAST(sum(n_px) AS BIGINT) AS n_px,
+         CAST(max(n_px) AS BIGINT) AS max_bin,
+         sum(n_px::DOUBLE * ln(n_px::DOUBLE)) AS clnc
+  FROM counts GROUP BY doc_id)
+SELECT doc_id, n_px,
+       CAST(floor((ln(n_px::DOUBLE) - clnc / n_px) * 1000000 + 0.5)
+            AS BIGINT) AS entropy_e6,
+       CAST(max_bin * 1000000 // n_px AS BIGINT) AS max_bin_ppm,
+       CAST(CASE WHEN floor((ln(n_px::DOUBLE) - clnc / n_px) * 1000000
+                            + 0.5) >= 500000
+                  AND max_bin * 1000000 // n_px <= 900000
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM per
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -17573,6 +17814,9 @@ QUERIES = {
     "url_normalize_pipeline": q_url_normalize_pipeline,
     "frontier_admission_ensemble": q_frontier_admission_ensemble,
     "frontier_priority_decay": q_frontier_priority_decay,
+    "dedup_cdc_chunks": q_dedup_cdc_chunks,
+    "frontier_wfq": q_frontier_wfq,
+    "media_entropy_filter": q_media_entropy_filter,
 }
 
 ORACLES = {
@@ -17858,6 +18102,9 @@ ORACLES = {
     "url_normalize_pipeline": ORACLE_URL_NORMALIZE_PIPELINE,
     "frontier_admission_ensemble": ORACLE_FRONTIER_ADMISSION_ENSEMBLE,
     "frontier_priority_decay": ORACLE_FRONTIER_PRIORITY_DECAY,
+    "dedup_cdc_chunks": ORACLE_DEDUP_CDC_CHUNKS,
+    "frontier_wfq": ORACLE_FRONTIER_WFQ,
+    "media_entropy_filter": ORACLE_MEDIA_ENTROPY_FILTER,
 }
 
 

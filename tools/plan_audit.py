@@ -41,6 +41,9 @@ PANDAS_SANCTIONED = {
     "media_decode": "image container header decode (binary kernel)",
     "media_resize": "pixel-buffer resize (numpy kernel)",
     "media_phash": "perceptual hash over pixel buffers",
+    "media_entropy_filter": "per-image pixel-entropy gate over the same "
+                            "gray8 bincount Arrow kernel as "
+                            "media_color_histogram — pixels never shuffle",
     "media_color_histogram": "per-image intensity bincount "
                              "(numpy kernel; ppm window is JVM)",
     "media_phash_pairs": "same _phash_segs pixel-buffer kernel as "
