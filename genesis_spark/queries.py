@@ -17531,6 +17531,252 @@ FROM per
 """
 
 
+def q_spans_multimodal3(spark, sf_dir):
+    """THREE-modality interleaving — the span payload generalized past
+    text+image: audio spans join the sequence (after every 5th chunk,
+    beside the image-every-3rd rule), and the census reports per-doc
+    modality counts, kind TRANSITIONS (the interleaving structure
+    itself), and the context-window token bill under per-kind costs
+    (section = its token count, image = 64, audio = 128 — the
+    multimodal budgeting constants spans_token_budget established).
+    Proves the (kind, text, media_ref, offset) schema carries any
+    modality mix without change — the axes-A+B payload claim.
+
+    Plan/scale: synthesis and census are codegen (flatten/transform +
+    one posexplode + one per-doc window for transitions); pixels/PCM
+    never appear — media spans are refs, the modality kernels
+    (media_*) own the bytes."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        (F.ceil(F.size(words) / F.lit(8))).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "))
+
+    def sec(c):
+        return F.struct(F.lit("section").alias("kind"),
+                        F.size(F.split(c, " ")).cast("long").alias("cost"))
+
+    img = F.struct(F.lit("image").alias("kind"),
+                   F.lit(64).cast("long").alias("cost"))
+    aud = F.struct(F.lit("audio").alias("kind"),
+                   F.lit(128).cast("long").alias("cost"))
+    spans = F.flatten(F.transform(
+        chunks,
+        lambda c, i: F.when((i + 1) % 15 == 0,
+                            F.array(sec(c), img, aud))
+        .when((i + 1) % 3 == 0, F.array(sec(c), img))
+        .when((i + 1) % 5 == 0, F.array(sec(c), aud))
+        .otherwise(F.array(sec(c)))))
+    ex = d.select("doc_id", F.posexplode(spans).alias("off", "s"))
+    w = Window.partitionBy("doc_id").orderBy("off")
+    flagged = ex.withColumn(
+        "trans",
+        (F.col("s.kind") != F.lag("s.kind").over(w)).cast("int"))
+    return (flagged.groupBy("doc_id")
+            .agg(F.sum((F.col("s.kind") == "section").cast("int"))
+                 .cast("long").alias("n_sections"),
+                 F.sum((F.col("s.kind") == "image").cast("int"))
+                 .cast("long").alias("n_images"),
+                 F.sum((F.col("s.kind") == "audio").cast("int"))
+                 .cast("long").alias("n_audio"),
+                 F.sum(F.coalesce("trans", F.lit(0))).cast("long")
+                 .alias("n_transitions"),
+                 F.sum("s.cost").cast("long").alias("total_tokens")))
+
+
+ORACLE_SPANS_MULTIMODAL3 = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE text IS NOT NULL
+), ch AS (
+  SELECT doc_id, list_transform(
+      range(0, greatest(CAST(ceil(len(words) / 8.0) AS INT), 1)),
+      i -> array_to_string(words[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ')
+  ) AS chunks FROM base
+), il AS (
+  SELECT doc_id, flatten(list_transform(chunks, (c, j) ->
+      CASE WHEN j % 15 = 0 THEN
+        [{'kind': 'section',
+          'cost': CAST(len(string_split(c, ' ')) AS BIGINT)},
+         {'kind': 'image', 'cost': CAST(64 AS BIGINT)},
+         {'kind': 'audio', 'cost': CAST(128 AS BIGINT)}]
+      WHEN j % 3 = 0 THEN
+        [{'kind': 'section',
+          'cost': CAST(len(string_split(c, ' ')) AS BIGINT)},
+         {'kind': 'image', 'cost': CAST(64 AS BIGINT)}]
+      WHEN j % 5 = 0 THEN
+        [{'kind': 'section',
+          'cost': CAST(len(string_split(c, ' ')) AS BIGINT)},
+         {'kind': 'audio', 'cost': CAST(128 AS BIGINT)}]
+      ELSE
+        [{'kind': 'section',
+          'cost': CAST(len(string_split(c, ' ')) AS BIGINT)}]
+      END)) AS spans
+  FROM ch
+), ex AS (
+  SELECT doc_id, unnest(spans) AS s,
+         generate_subscripts(spans, 1) - 1 AS off
+  FROM il
+), fl AS (
+  SELECT doc_id, s.kind AS kind, s.cost AS cost,
+         CASE WHEN s.kind <> lag(s.kind) OVER (PARTITION BY doc_id
+                                               ORDER BY off)
+              THEN 1 ELSE 0 END AS trans
+  FROM ex)
+SELECT doc_id,
+       CAST(sum(CASE WHEN kind = 'section' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sections,
+       CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_images,
+       CAST(sum(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_audio,
+       CAST(sum(coalesce(trans, 0)) AS BIGINT) AS n_transitions,
+       CAST(sum(cost) AS BIGINT) AS total_tokens
+FROM fl GROUP BY doc_id
+"""
+
+
+def q_text_lm_heldout(spark, sf_dir):
+    """HELD-OUT unigram-LM perplexity — the methodologically honest
+    version of text_unigram_lm (scoring the training set flatters the
+    model): the LM trains on the 80% split (doc_id % 5 != 0), scores
+    the held-out 20% with add-0.5 smoothing over the train vocab
+    (V+1 events — the unseen-token mass), and reports per-doc nll
+    plus the OOV rate the in-corpus row can never see.
+
+    Exactness: tf/V/T are exact integers on both engines; nll uses
+    the module's round(avg, 4) convention; OOV ppm is integer DIV.
+
+    Plan/scale: train vocab is one map-side-combinable groupBy, the
+    scoring join broadcasts the Heaps-small vocab; the split predicate
+    prunes at the scan."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    train = tok.filter(F.col("doc_id") % 5 != 0)
+    test = tok.filter(F.col("doc_id") % 5 == 0)
+    v = train.groupBy("tok").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("tf"))
+    totals = v.agg(F.sum("tf").cast("long").alias("t_total"),
+                   F.count(F.lit(1)).cast("long").alias("v_size"))
+    scored = (test.join(F.broadcast(v), "tok", "left")
+              .crossJoin(F.broadcast(totals))
+              .withColumn("p", (F.coalesce("tf", F.lit(0).cast("long"))
+                                + F.lit(0.5))
+                          / (F.col("t_total")
+                             + 0.5 * (F.col("v_size") + 1))))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum(F.col("tf").isNull().cast("int")).cast("long")
+                 .alias("n_oov"),
+                 F.round(F.avg(-F.log("p")), 4).alias("nll"))
+            .withColumn("oov_ppm",
+                        F.expr("n_oov * 1000000 DIV n_tokens")
+                        .cast("long")))
+
+
+ORACLE_TEXT_LM_HELDOUT = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+v AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE doc_id % 5 <> 0 GROUP BY tok),
+tot AS (
+  SELECT CAST(sum(tf) AS BIGINT) AS t_total,
+         CAST(count(*) AS BIGINT) AS v_size FROM v),
+sc AS (
+  SELECT t.doc_id, v.tf,
+         (coalesce(v.tf, 0) + 0.5)
+         / (tot.t_total + 0.5 * (tot.v_size + 1)) AS p
+  FROM tok t LEFT JOIN v USING (tok) CROSS JOIN tot
+  WHERE t.doc_id % 5 = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN tf IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(avg(-ln(p)), 4) AS nll,
+       CAST(sum(CASE WHEN tf IS NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS oov_ppm
+FROM sc GROUP BY doc_id
+"""
+
+
+def q_embeddings_ood_centroid(spark, sf_dir):
+    """Out-of-distribution scoring by centroid distance — the
+    data-curation filter that flags vectors far from EVERY coarse
+    cell (mislabeled modality, corrupted embedding, genuine novelty):
+    per vector, the max cosine to the seeded centroids (the same
+    centroid set ivf_topk / dedup_semantic / kmeans_step share), the
+    winning cell, and the OOD flag at the 0.15 floor. Centroid-
+    distance OOD is the standard cheap screen before any density
+    model.
+
+    Exactness: cosine in float64 rounded 6 dp (module convention);
+    the argmax ties break to the lowest cell exactly like
+    assign_cell_expr.
+
+    Plan/scale: pure literal-arithmetic codegen per vector — no
+    join, no shuffle, fuses into the scan."""
+    cents = SIM.seeded_centroids(_IVF_CENTROIDS, _IVF_DIM)
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    import math
+    scores = []
+    for c in cents:
+        norm = math.sqrt(sum(x * x for x in c)) or 1.0
+        scores.append(SIM._dot(vec, SIM._lit_double_array(c))
+                      / (F.lit(norm) * SIM._norm(vec)))
+    arr = F.array(*scores)
+    best = F.array_max(arr)
+    return (emb.select(
+        "vec_id",
+        (F.array_position(arr, best) - 1).cast("int").alias("best_cell"),
+        F.round(best, 6).alias("best_cos"))
+        .withColumn("is_ood", (F.col("best_cos") < 0.15).cast("int")))
+
+
+def _ood_centroid_oracle() -> str:
+    import math
+
+    cents = SIM.seeded_centroids(_IVF_CENTROIDS, _IVF_DIM)
+    rows = []
+    for c, vec in enumerate(cents):
+        lit = "[" + ", ".join(repr(x) for x in vec) + "]"
+        norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        rows.append(f"({c}, {lit}::DOUBLE[], {norm!r})")
+    values = ",\n   ".join(rows)
+    return f"""
+WITH cents(cell, cvec, cnorm) AS (VALUES
+   {values}),
+dots AS (
+  SELECT e.vec_id, c.cell,
+         list_sum(list_transform(range({_IVF_DIM}),
+             i -> e.embedding[i+1]::DOUBLE * c.cvec[i+1]))
+         / (c.cnorm * sqrt(list_sum(list_transform(range({_IVF_DIM}),
+             i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE))))
+           AS s
+  FROM embeddings e CROSS JOIN cents c),
+best AS (
+  SELECT vec_id, cell, s FROM (
+    SELECT vec_id, cell, s,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cell ASC) AS rn
+    FROM dots) WHERE rn = 1)
+SELECT vec_id, CAST(cell AS INT) AS best_cell,
+       round(s, 6) AS best_cos,
+       CAST(CASE WHEN round(s, 6) < 0.15 THEN 1 ELSE 0 END AS INT)
+         AS is_ood
+FROM best
+"""
+
+
+ORACLE_EMBEDDINGS_OOD_CENTROID = _ood_centroid_oracle()
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -17817,6 +18063,9 @@ QUERIES = {
     "dedup_cdc_chunks": q_dedup_cdc_chunks,
     "frontier_wfq": q_frontier_wfq,
     "media_entropy_filter": q_media_entropy_filter,
+    "spans_multimodal3": q_spans_multimodal3,
+    "text_lm_heldout": q_text_lm_heldout,
+    "embeddings_ood_centroid": q_embeddings_ood_centroid,
 }
 
 ORACLES = {
@@ -18105,6 +18354,9 @@ ORACLES = {
     "dedup_cdc_chunks": ORACLE_DEDUP_CDC_CHUNKS,
     "frontier_wfq": ORACLE_FRONTIER_WFQ,
     "media_entropy_filter": ORACLE_MEDIA_ENTROPY_FILTER,
+    "spans_multimodal3": ORACLE_SPANS_MULTIMODAL3,
+    "text_lm_heldout": ORACLE_TEXT_LM_HELDOUT,
+    "embeddings_ood_centroid": ORACLE_EMBEDDINGS_OOD_CENTROID,
 }
 
 
