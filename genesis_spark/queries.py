@@ -17777,6 +17777,508 @@ FROM best
 ORACLE_EMBEDDINGS_OOD_CENTROID = _ood_centroid_oracle()
 
 
+def q_url_session_params(spark, sf_dir):
+    """Session-id query-parameter mining — the cardinality-based
+    companion to url_param_strip's fixed blocklist (Heritrix/Nutch
+    learn strip-lists this way): per query-param KEY, how many URLs
+    carry it and how many DISTINCT values it takes; a key whose
+    values are (nearly) unique per URL (sid-style tokens) is an
+    alias-generator the canonicalizer must strip, while low-
+    cardinality keys (a=0..4, page=0..6) are real routing params.
+    Flags keys with distinct/occurrences > 0.5 at support >= 20.
+
+    Fixture: orders-derived URLs carry a stable 'a' param, a
+    modular 'page' param on every 3rd URL, an md5-unique 'sid' on
+    every 2nd, and a quarter-cardinality 'v' on every 5th.
+
+    Plan/scale: split+explode the query string, ONE groupBy(key)
+    with count + approx-free exact count(DISTINCT) — at 10^10 URLs
+    the key space is tiny (Heaps-law params), so the agg reduces
+    map-side; the URL strings themselves never shuffle."""
+    k = F.col("o_orderkey")
+    q = F.concat(
+        F.lit("a="), (k % 5).cast("string"),
+        F.when(k % 3 == 0, F.concat(F.lit("&page="),
+                                    (k % 7).cast("string")))
+         .otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.concat(F.lit("&sid="),
+                                    F.md5(k.cast("string"))))
+         .otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.concat(F.lit("&v="),
+                                    (k % 97).cast("string")))
+         .otherwise(F.lit("")))
+    urls = (_t(spark, sf_dir, "orders")
+            .select(k.alias("o_orderkey"), q.alias("qs")))
+    kv = urls.select(F.explode(F.split("qs", "&")).alias("pair"))
+    keyed = kv.select(
+        F.substring_index("pair", "=", 1).alias("param_key"),
+        F.substring_index("pair", "=", -1).alias("param_val"))
+    return (keyed.groupBy("param_key")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                 F.countDistinct("param_val").cast("long")
+                 .alias("n_distinct"))
+            .withColumn("distinct_ppm",
+                        F.expr("n_distinct * 1000000 DIV n_urls")
+                        .cast("long"))
+            .withColumn("is_session_like",
+                        ((F.col("distinct_ppm") > 500000)
+                         & (F.col("n_urls") >= 20)).cast("int")))
+
+
+ORACLE_URL_SESSION_PARAMS = """
+WITH u AS (
+  SELECT o_orderkey,
+         'a=' || (o_orderkey % 5)
+         || CASE WHEN o_orderkey % 3 = 0
+                 THEN '&page=' || (o_orderkey % 7) ELSE '' END
+         || CASE WHEN o_orderkey % 2 = 0
+                 THEN '&sid=' || md5(CAST(o_orderkey AS VARCHAR))
+                 ELSE '' END
+         || CASE WHEN o_orderkey % 5 = 0
+                 THEN '&v=' || (o_orderkey % 97) ELSE '' END AS qs
+  FROM orders),
+kv AS (
+  SELECT unnest(string_split(qs, '&')) AS pair FROM u),
+keyed AS (
+  SELECT string_split(pair, '=')[1] AS param_key,
+         string_split(pair, '=')[-1] AS param_val
+  FROM kv),
+agg AS (
+  SELECT param_key, CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT param_val) AS BIGINT) AS n_distinct
+  FROM keyed GROUP BY param_key)
+SELECT param_key, n_urls, n_distinct,
+       CAST(n_distinct * 1000000 // n_urls AS BIGINT) AS distinct_ppm,
+       CAST(CASE WHEN n_distinct * 1000000 // n_urls > 500000
+                  AND n_urls >= 20 THEN 1 ELSE 0 END AS INT)
+         AS is_session_like
+FROM agg
+"""
+
+
+def q_text_script_detect(spark, sf_dir):
+    """Unicode-SCRIPT census per document — the writing-system
+    classifier that runs before any language model in a web-scale
+    pipeline (langid over the wrong script is noise; CJK needs a
+    different tokenizer; mixed-script is a spam/homograph signal):
+    per-doc counts of Latin, Cyrillic, and Greek letters plus
+    digits, the dominant script by count (ties break Latin >
+    Cyrillic > Greek), and a mixed-script flag when two scripts
+    both exceed 10% of letters.
+
+    Fixture: a deterministic multi-script corpus derived from
+    documents — doc_id%7==1 transliterates a/e/o to Cyrillic
+    а/е/о, %7==2 transliterates a/e/o to Greek α/ε/ο, the rest
+    stay ASCII (counts via literal-codepoint regexp ranges that
+    parse identically under Java regex and RE2).
+
+    Plan/scale: pure per-row codegen (replace + regexp strip +
+    length) — no shuffle but the final tiny projection; fuses into
+    the scan."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("doc_id", "text"))
+    t = (F.when(F.col("doc_id") % 7 == 1,
+                F.translate("text", "aeo", "аео"))
+         .when(F.col("doc_id") % 7 == 2,
+               F.translate("text", "aeo", "αεο"))
+         .otherwise(F.col("text")))
+    d = d.select("doc_id", t.alias("xt"))
+
+    def n_of(pat):
+        return (F.length("xt")
+                - F.length(F.regexp_replace("xt", pat, ""))).cast("long")
+
+    lat = n_of("[A-Za-z]")
+    cyr = n_of("[Ѐ-ӿ]")
+    grk = n_of("[Ͱ-Ͽ]")
+    dig = n_of("[0-9]")
+    d = d.select("doc_id", lat.alias("n_latin"), cyr.alias("n_cyrillic"),
+                 grk.alias("n_greek"), dig.alias("n_digit"))
+    letters = F.col("n_latin") + F.col("n_cyrillic") + F.col("n_greek")
+    dom = (F.when((F.col("n_latin") >= F.col("n_cyrillic"))
+                  & (F.col("n_latin") >= F.col("n_greek")), F.lit("latin"))
+           .when(F.col("n_cyrillic") >= F.col("n_greek"), F.lit("cyrillic"))
+           .otherwise(F.lit("greek")))
+    n_big = ((F.col("n_latin") * 10 > letters).cast("int")
+             + (F.col("n_cyrillic") * 10 > letters).cast("int")
+             + (F.col("n_greek") * 10 > letters).cast("int"))
+    return (d.withColumn("dominant", dom)
+            .withColumn("is_mixed", (n_big >= 2).cast("int")))
+
+
+ORACLE_TEXT_SCRIPT_DETECT = """
+WITH x AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1
+              THEN translate(text, 'aeo', 'аео')
+              WHEN doc_id % 7 = 2
+              THEN translate(text, 'aeo', 'αεο')
+              ELSE text END AS xt
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT doc_id,
+         CAST(length(xt) - length(regexp_replace(xt, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS n_latin,
+         CAST(length(xt) - length(regexp_replace(xt,
+              '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+         CAST(length(xt) - length(regexp_replace(xt,
+              '[Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS n_greek,
+         CAST(length(xt) - length(regexp_replace(xt, '[0-9]', '', 'g'))
+              AS BIGINT) AS n_digit
+  FROM x)
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_digit,
+       CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek THEN 'latin'
+            WHEN n_cyrillic >= n_greek THEN 'cyrillic'
+            ELSE 'greek' END AS dominant,
+       CAST(CASE WHEN
+            (CASE WHEN n_latin * 10 > n_latin + n_cyrillic + n_greek
+                  THEN 1 ELSE 0 END)
+          + (CASE WHEN n_cyrillic * 10 > n_latin + n_cyrillic + n_greek
+                  THEN 1 ELSE 0 END)
+          + (CASE WHEN n_greek * 10 > n_latin + n_cyrillic + n_greek
+                  THEN 1 ELSE 0 END) >= 2
+            THEN 1 ELSE 0 END AS INT) AS is_mixed
+FROM c
+"""
+
+
+def q_events_burstiness(spark, sf_dir):
+    """Per-user inter-arrival BURSTINESS (Goh & Barabási's
+    B = (σ−μ)/(σ+μ) over the gap distribution) — the traffic-shape
+    classifier behind bot/scanner triage and crawl-rate prediction:
+    B → -1 is metronome-periodic (monitoring probes), B ≈ 0 is
+    Poisson (organic), B → +1 is heavy-burst (humans, incidents).
+    Users need >= 3 events (>= 2 gaps); σ is the population std
+    computed exactly from integer second-gaps via the
+    sqrt(n·S2 − S1²)/n closed form, so both engines agree to the
+    6-dp round.
+
+    Plan/scale: one per-user window lag (the sessionize shuffle
+    shape — partition by the high-cardinality user key, no skew),
+    then one map-side-combinable groupBy; gaps are BIGINT seconds
+    (micros DIV 1e6) so S2 can't overflow at any realistic horizon.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    # unix_micros rejects TIMESTAMP_NTZ on Spark 4; session tz is UTC so
+    # the cast is exact (same convention as events_ohlc)
+    g = (ev.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+         .withColumn("gap_s", F.expr(
+             "(us - lag(us) OVER (PARTITION BY user_id ORDER BY us))"
+             " DIV 1000000"))
+         .filter(F.col("gap_s").isNotNull()))
+    agg = (g.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"),
+                F.sum("gap_s").cast("long").alias("s1"),
+                F.sum(F.col("gap_s") * F.col("gap_s")).cast("long")
+                .alias("s2"))
+           .filter(F.col("n_gaps") >= 2))
+    disc = F.sqrt((F.col("n_gaps") * F.col("s2")
+                   - F.col("s1") * F.col("s1")).cast("double"))
+    b = F.round((disc - F.col("s1")) / (disc + F.col("s1")), 6)
+    return (agg.select(
+        "user_id", "n_gaps",
+        F.round(F.col("s1") / F.col("n_gaps"), 3).alias("mean_gap_s"),
+        b.alias("burstiness"))
+        .withColumn("traffic_class",
+                    F.when(F.col("burstiness") < -0.1, F.lit("periodic"))
+                    .when(F.col("burstiness") > 0.1, F.lit("bursty"))
+                    .otherwise(F.lit("poisson"))))
+
+
+ORACLE_EVENTS_BURSTINESS = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts))) // 1000000
+           AS gap_s
+  FROM events),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_s) AS BIGINT) AS s1,
+         CAST(sum(gap_s * gap_s) AS BIGINT) AS s2
+  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+  HAVING count(*) >= 2),
+sc AS (
+  SELECT user_id, n_gaps,
+         round(CAST(s1 AS DOUBLE) / n_gaps, 3) AS mean_gap_s,
+         round((sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) - s1)
+               / (sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) + s1), 6)
+           AS burstiness
+  FROM agg)
+SELECT user_id, n_gaps, mean_gap_s, burstiness,
+       CASE WHEN burstiness < -0.1 THEN 'periodic'
+            WHEN burstiness > 0.1 THEN 'bursty'
+            ELSE 'poisson' END AS traffic_class
+FROM sc
+"""
+
+
+def q_media_aspect_buckets(spark, sf_dir):
+    """Aspect-ratio BUCKETING for batched vision training — the image
+    analogue of corpus_length_buckets (SDXL-style bucketed batching:
+    images batch with same-shape peers so the collate pads nothing):
+    each image is assigned to the nearest of 5 canonical aspect
+    buckets (1:2, 3:4, 1:1, 4:3, 2:1) by integer-scaled ratio
+    thresholds, and the census reports per-bucket population, the
+    mean scaled aspect, and the worst/average distortion (ppm vs the
+    bucket's canonical ratio) a force-resize to the bucket shape
+    would inflict.
+
+    Fixture: deterministic (width, height) metadata derived from
+    part keys — pixels are irrelevant to the bucketing math, which
+    is the point: the planner runs on metadata only.
+
+    Plan/scale: per-row integer codegen + ONE groupBy(bucket) with
+    map-side combine — 5 groups regardless of corpus size; image
+    bytes never enter the plan."""
+    k = F.col("p_partkey")
+    w = (F.lit(160) + (k % 13) * 32).cast("long")
+    h = (F.lit(120) + ((k * 7) % 17) * 24).cast("long")
+    d = (_t(spark, sf_dir, "part").select(
+        k.alias("p_partkey"), w.alias("w"), h.alias("h")))
+    a1000 = F.col("a1000")
+    bucket = (F.when(a1000 < 625, F.lit("1:2"))
+              .when(a1000 < 875, F.lit("3:4"))
+              .when(a1000 < 1165, F.lit("1:1"))
+              .when(a1000 < 1665, F.lit("4:3"))
+              .otherwise(F.lit("2:1")))
+    canon = (F.when(a1000 < 625, F.lit(500))
+             .when(a1000 < 875, F.lit(750))
+             .when(a1000 < 1165, F.lit(1000))
+             .when(a1000 < 1665, F.lit(1333))
+             .otherwise(F.lit(2000))).cast("long")
+    staged = (d.select(F.expr("w * 1000 DIV h").alias("a1000"))
+              .withColumn("bucket", bucket)
+              .withColumn("canon", canon)
+              .withColumn("dist_ppm",
+                          F.expr("abs(a1000 - canon) * 1000000 DIV canon")))
+    return (staged.groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_images"),
+                 F.round(F.avg("a1000"), 3).alias("mean_a1000"),
+                 F.max("dist_ppm").cast("long").alias("max_dist_ppm"),
+                 F.expr("sum(dist_ppm) DIV count(*)").cast("long")
+                 .alias("avg_dist_ppm")))
+
+
+ORACLE_MEDIA_ASPECT_BUCKETS = """
+WITH m AS (
+  SELECT CAST(160 + (p_partkey % 13) * 32 AS BIGINT) AS w,
+         CAST(120 + ((p_partkey * 7) % 17) * 24 AS BIGINT) AS h
+  FROM part),
+s AS (
+  SELECT w * 1000 // h AS a1000,
+         CASE WHEN w * 1000 // h < 625 THEN '1:2'
+              WHEN w * 1000 // h < 875 THEN '3:4'
+              WHEN w * 1000 // h < 1165 THEN '1:1'
+              WHEN w * 1000 // h < 1665 THEN '4:3'
+              ELSE '2:1' END AS bucket,
+         CAST(CASE WHEN w * 1000 // h < 625 THEN 500
+              WHEN w * 1000 // h < 875 THEN 750
+              WHEN w * 1000 // h < 1165 THEN 1000
+              WHEN w * 1000 // h < 1665 THEN 1333
+              ELSE 2000 END AS BIGINT) AS canon
+  FROM m),
+t AS (
+  SELECT bucket, a1000, abs(a1000 - canon) * 1000000 // canon AS dist_ppm
+  FROM s)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_images,
+       round(avg(a1000), 3) AS mean_a1000,
+       CAST(max(dist_ppm) AS BIGINT) AS max_dist_ppm,
+       CAST(sum(dist_ppm) // count(*) AS BIGINT) AS avg_dist_ppm
+FROM t GROUP BY bucket
+"""
+
+
+def q_events_cuped(spark, sf_dir):
+    """CUPED variance reduction for the A/B lift row — the industry-
+    standard adjustment (Deng et al., WSDM'13) events_ab_lift lacks:
+    per user, X = pre-period spend (before 2024-01-15) and Y =
+    post-period spend; theta = cov(X,Y)/var(X) pooled across arms;
+    the adjusted outcome Y' = Y − theta·(X − E[X]) has the same mean
+    but strictly lower variance when X predicts Y, tightening the
+    experiment's CI at zero cost. Emits per-arm (user_id % 2) raw
+    and adjusted means plus the pooled theta and the variance-
+    reduction ppm.
+
+    Exactness: spend is integer cents; theta and the adjusted means
+    are closed-form ratios of exact integer sums (n·Sxy − Sx·Sy over
+    n·Sxx − Sx²), so both engines compute identical doubles before
+    the final round.
+
+    Plan/scale: one per-user groupBy (map-side combinable), one
+    broadcast of the 1-row pooled-stats frame, one 2-group agg —
+    no per-user window, no skew."""
+    cut = 19737  # epoch days: 2024-01-15
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  F.expr("unix_timestamp(ts) DIV 86400").alias("day"),
+                  F.expr("CAST(round(value * 100) AS BIGINT)")
+                  .alias("cents")))
+    per_u = (ev.groupBy("user_id")
+             .agg(F.sum(F.when(F.col("day") < cut, F.col("cents"))
+                        .otherwise(F.lit(0))).cast("long").alias("x"),
+                  F.sum(F.when(F.col("day") >= cut, F.col("cents"))
+                        .otherwise(F.lit(0))).cast("long").alias("y"))
+             .withColumn("grp", (F.col("user_id") % 2).cast("int")))
+    stats = per_u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    j = per_u.crossJoin(F.broadcast(stats))
+    theta = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             .cast("double")
+             / (F.col("n") * F.col("sxx")
+                - F.col("sx") * F.col("sx")).cast("double"))
+    mean_x = F.col("sx").cast("double") / F.col("n")
+    var_y = ((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+             .cast("double")
+             / (F.col("n").cast("double") * F.col("n")))
+    # var(Y') = var(Y) - theta^2 var(X); reduction ppm = theta^2varX/varY
+    var_x = ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+             .cast("double")
+             / (F.col("n").cast("double") * F.col("n")))
+    adj = F.col("y") - theta * (F.col("x") - mean_x)
+    return (j.withColumn("yadj", adj)
+            .withColumn("theta", theta)
+            .withColumn("vr", theta * theta * var_x / var_y)
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.round(F.avg(F.col("y").cast("double")), 3)
+                 .alias("mean_y"),
+                 F.round(F.avg("yadj"), 3).alias("mean_y_adj"),
+                 F.round(F.first("theta"), 6).alias("theta"),
+                 (F.round(F.first("vr") * 1000000).cast("long"))
+                 .alias("var_reduction_ppm")))
+
+
+ORACLE_EVENTS_CUPED = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+pu AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN day < 19737 THEN cents ELSE 0 END) AS BIGINT)
+           AS x,
+         CAST(sum(CASE WHEN day >= 19737 THEN cents ELSE 0 END) AS BIGINT)
+           AS y,
+         CAST(user_id % 2 AS INT) AS grp
+  FROM ev GROUP BY user_id),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pu),
+c AS (
+  SELECT pu.grp, pu.y,
+         pu.y - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+              * (pu.x - CAST(sx AS DOUBLE) / n) AS yadj,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+         (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE))
+         * (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE))
+         * (CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+         / (CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+           AS vr
+  FROM pu CROSS JOIN st)
+SELECT grp, CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(CAST(y AS DOUBLE)), 3) AS mean_y,
+       round(avg(yadj), 3) AS mean_y_adj,
+       round(any_value(theta), 6) AS theta,
+       CAST(round(any_value(vr) * 1000000) AS BIGINT)
+         AS var_reduction_ppm
+FROM c GROUP BY grp
+"""
+
+
+def q_graph_local_clustering(spark, sf_dir):
+    """Per-node LOCAL clustering coefficient — graph_triangles'
+    census normalized into the spam feature rankers actually consume
+    (c_v = 2·T_v / d_v(d_v−1)): link farms sit near c≈1, organic
+    hubs much lower, so the coefficient separates what raw triangle
+    counts can't (a big honest hub also has many triangles). Shares
+    the t-graph fixture and the oriented wedge-close plan with
+    graph_triangles; adds the degree census and the exact rational
+    coefficient (round 6).
+
+    Plan/scale: triangle counting is the standard low->high oriented
+    wedge join (never all-pairs); degree is one census agg; the
+    final join is tiny (per-node rows)."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    raw = (_t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("t"), (k % 30).cast("string")).alias("u"),
+        F.concat(F.lit("t"), ((c % 30) % 20).cast("string")).alias("v"))
+        .filter(F.col("u") != F.col("v")))
+    und = (raw.select(F.least("u", "v").alias("a"),
+                      F.greatest("u", "v").alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("host_key"))
+           .unionByName(und.select(F.col("b").alias("host_key")))
+           .groupBy("host_key")
+           .agg(F.count(F.lit(1)).cast("long").alias("degree")))
+    wedge = (und.alias("x").join(und.alias("y"),
+                                 F.col("x.a") == F.col("y.a"))
+             .filter(F.col("x.b") < F.col("y.b"))
+             .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),
+                     F.col("y.b").alias("c")))
+    tri = wedge.join(und.select(F.col("a").alias("b"),
+                                F.col("b").alias("c")), ["b", "c"])
+    corners = (tri.select(F.col("a").alias("host_key"))
+               .unionByName(tri.select(F.col("b").alias("host_key")))
+               .unionByName(tri.select(F.col("c").alias("host_key"))))
+    tcnt = corners.groupBy("host_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri"))
+    out = (deg.join(tcnt, "host_key", "left")
+           .withColumn("n_tri", F.coalesce("n_tri",
+                                           F.lit(0).cast("long")))
+           .filter(F.col("degree") >= 2))
+    coeff = F.round(
+        (2 * F.col("n_tri")).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)).cast("double"), 6)
+    return out.select("host_key", "degree", "n_tri",
+                      coeff.alias("clustering"))
+
+
+ORACLE_GRAPH_LOCAL_CLUSTERING = """
+WITH raw AS (
+  SELECT 't' || (o_orderkey % 30) AS u, 't' || ((o_custkey % 30) % 20) AS v
+  FROM orders
+  WHERE 't' || (o_orderkey % 30) <> 't' || ((o_custkey % 30) % 20)),
+und AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw),
+deg AS (
+  SELECT host_key, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS host_key FROM und UNION ALL SELECT b FROM und)
+  GROUP BY host_key),
+wedge AS (
+  SELECT x.a AS a, x.b AS b, y.b AS c
+  FROM und x JOIN und y ON x.a = y.a AND x.b < y.b),
+tri AS (
+  SELECT w.a, w.b, w.c FROM wedge w
+  JOIN und e ON e.a = w.b AND e.b = w.c),
+tc AS (
+  SELECT host_key, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT a AS host_key FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY host_key)
+SELECT d.host_key, d.degree, CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+       round(CAST(2 * coalesce(tc.n_tri, 0) AS DOUBLE)
+             / (d.degree * (d.degree - 1)), 6) AS clustering
+FROM deg d LEFT JOIN tc USING (host_key)
+WHERE d.degree >= 2
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -18066,6 +18568,12 @@ QUERIES = {
     "spans_multimodal3": q_spans_multimodal3,
     "text_lm_heldout": q_text_lm_heldout,
     "embeddings_ood_centroid": q_embeddings_ood_centroid,
+    "url_session_params": q_url_session_params,
+    "text_script_detect": q_text_script_detect,
+    "events_burstiness": q_events_burstiness,
+    "media_aspect_buckets": q_media_aspect_buckets,
+    "events_cuped": q_events_cuped,
+    "graph_local_clustering": q_graph_local_clustering,
 }
 
 ORACLES = {
@@ -18357,6 +18865,12 @@ ORACLES = {
     "spans_multimodal3": ORACLE_SPANS_MULTIMODAL3,
     "text_lm_heldout": ORACLE_TEXT_LM_HELDOUT,
     "embeddings_ood_centroid": ORACLE_EMBEDDINGS_OOD_CENTROID,
+    "url_session_params": ORACLE_URL_SESSION_PARAMS,
+    "text_script_detect": ORACLE_TEXT_SCRIPT_DETECT,
+    "events_burstiness": ORACLE_EVENTS_BURSTINESS,
+    "media_aspect_buckets": ORACLE_MEDIA_ASPECT_BUCKETS,
+    "events_cuped": ORACLE_EVENTS_CUPED,
+    "graph_local_clustering": ORACLE_GRAPH_LOCAL_CLUSTERING,
 }
 
 
