@@ -18279,6 +18279,216 @@ WHERE d.degree >= 2
 """
 
 
+def q_frontier_tld_quota(spark, sf_dir):
+    """Crawl-budget apportionment across TLD classes by the LARGEST-
+    REMAINDER (Hamilton) method — the integer-exact way to split a
+    global fetch budget proportionally when naive floor() leaves
+    slots on the table and naive round() can over-allocate: each
+    class gets floor(B·c/total), and the leftover slots go to the
+    largest fractional remainders (ties broken on tld asc). Emits
+    per-class population, base quota, remainder, and final quota —
+    the per-class politeness budgets a scheduler wave consumes.
+
+    Exactness: pure integer DIV/MOD; the remainder ranking is a
+    deterministic (rem desc, tld asc) ordering in both engines.
+
+    Plan/scale: one census groupBy to class cardinality (~10^2 TLD
+    classes at web scale), then window ranking over that tiny frame —
+    the URL stream itself never re-shuffles."""
+    budget = 10000
+    k = F.col("o_orderkey")
+    tld = (F.when(k % 7 == 0, F.lit("onion"))
+           .when(k % 7 == 1, F.lit("i2p"))
+           .when(k % 7 < 4, F.lit("com"))
+           .when(k % 7 < 6, F.lit("org"))
+           .otherwise(F.lit("net")))
+    cls = _t(spark, sf_dir, "orders").select(tld.alias("tld"))
+    cen = cls.groupBy("tld").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("n_hosts"))
+    tot = cen.agg(F.sum("n_hosts").cast("long").alias("total"))
+    j = cen.crossJoin(F.broadcast(tot))
+    j = (j.withColumn("base_quota",
+                      F.expr(f"n_hosts * {budget} DIV total").cast("long"))
+         .withColumn("rem",
+                     F.expr(f"(n_hosts * {budget}) % total").cast("long")))
+    wr = Window.orderBy(F.col("rem").desc(), F.col("tld").asc())
+    wl = Window.partitionBy(F.lit(1))
+    return (j.withColumn("rnk", F.row_number().over(wr))
+            .withColumn("leftover",
+                        F.lit(budget) - F.sum("base_quota").over(wl))
+            .withColumn("quota",
+                        (F.col("base_quota")
+                         + (F.col("rnk") <= F.col("leftover"))
+                         .cast("long")).cast("long"))
+            .select("tld", "n_hosts", "base_quota", "rem", "quota"))
+
+
+ORACLE_FRONTIER_TLD_QUOTA = """
+WITH cls AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'onion'
+              WHEN o_orderkey % 7 = 1 THEN 'i2p'
+              WHEN o_orderkey % 7 < 4 THEN 'com'
+              WHEN o_orderkey % 7 < 6 THEN 'org'
+              ELSE 'net' END AS tld
+  FROM orders),
+cen AS (
+  SELECT tld, CAST(count(*) AS BIGINT) AS n_hosts FROM cls GROUP BY tld),
+j AS (
+  SELECT tld, n_hosts,
+         CAST(n_hosts * 10000 // (SELECT sum(n_hosts) FROM cen) AS BIGINT)
+           AS base_quota,
+         CAST((n_hosts * 10000) % (SELECT sum(n_hosts) FROM cen) AS BIGINT)
+           AS rem
+  FROM cen),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, tld ASC) AS rnk,
+         10000 - sum(base_quota) OVER () AS leftover
+  FROM j)
+SELECT tld, n_hosts, base_quota, rem,
+       CAST(base_quota + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM r
+"""
+
+
+def q_text_moss_pairs(spark, sf_dir):
+    """MOSS-style WINNOWING overlap pairs (Schleimer et al., SIGMOD'03)
+    — the plagiarism/partial-reuse detector the whole-doc dedup family
+    misses: per doc, hash every 4-gram shingle, slide a window of 5
+    consecutive gram hashes and keep each window's MINIMUM (the
+    winnowing guarantee: any shared run of >= w+k-1 tokens shares a
+    selected fingerprint), then pair documents sharing >= 3 DISTINCT
+    selected fingerprints. Hot fingerprints (df > 40) are dropped
+    before pairing — the same max_df fan-out guard as
+    dedup_ngram_jaccard.
+
+    Plan/scale: the window-min runs inside a per-doc window (partition
+    by the high-cardinality doc key — no skew, no global window); the
+    pairing is a bucketed self-equi-join on fingerprint with df-capped
+    fan-out, never all-pairs."""
+    c = (_corpus(spark, sf_dir)
+         .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+         .filter(F.size("w") >= 9))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 5),
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(F.col("w"), i + 1, 4), " ")), 1, 12))
+    g = (c.select("doc_id", grams.alias("grams"))
+         .select("doc_id", F.size("grams").alias("m"),
+                 F.posexplode("grams").alias("pos", "h")))
+    wmin = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(0, 4)
+    sel = (g.withColumn("fp", F.min("h").over(wmin))
+           .filter(F.col("pos") <= F.col("m") - 5)
+           .select("doc_id", "fp").distinct())
+    df_guard = (sel.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= 40))
+    kept = sel.join(df_guard.select("fp"), "fp")
+    pairs = (kept.alias("x").join(kept.alias("y"), "fp")
+             .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+             .select(F.col("x.doc_id").alias("doc_a"),
+                     F.col("y.doc_id").alias("doc_b"), "fp"))
+    return (pairs.groupBy("doc_a", "doc_b")
+            .agg(F.countDistinct("fp").cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= 3))
+
+
+ORACLE_TEXT_MOSS_PAIRS = f"""
+WITH {_CORPUS_SQL},
+b AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+  WHERE len(string_split(text, ' ')) >= 9),
+gl AS (
+  SELECT doc_id, list_transform(range(len(w) - 4),
+             i -> substr(md5(array_to_string(
+                      w[CAST(i+1 AS INT):CAST(i+4 AS INT)], ' ')), 1, 12))
+           AS grams
+  FROM b),
+g AS (
+  SELECT doc_id, len(grams) AS m, unnest(grams) AS h,
+         generate_subscripts(grams, 1) - 1 AS pos
+  FROM gl),
+sel AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos, m,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+    FROM g) WHERE pos <= m - 5),
+guard AS (
+  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 40),
+kept AS (
+  SELECT s.doc_id, s.fp FROM sel s JOIN guard USING (fp))
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(count(DISTINCT x.fp) AS BIGINT) AS n_shared
+FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+HAVING count(DISTINCT x.fp) >= 3
+"""
+
+
+def q_frontier_rank_churn(spark, sf_dir):
+    """Priority-rank CHURN between two scheduler rounds — the
+    stability audit for any priority rewrite (aging, OPIC update,
+    budget reshuffle): per host bucket, Spearman's footrule
+    (sum |rank_a − rank_b|), the max single displacement, and the
+    top-5 overlap between the old and new within-host orderings.
+    A rewrite that churns the head of every host queue invalidates
+    politeness pre-planning; one that only reorders the tail is
+    safe to ship.
+
+    Fixture: two deterministic scores over the same URL set
+    (score_a = key % 97, score_b = key·31 % 97 — a reshuffle with
+    partial correlation).
+
+    Plan/scale: both rankings are windows PARTITIONED BY the host
+    key (never a global window — rank churn is only meaningful, and
+    only tractable, within a host's own queue); one join on
+    (host, url), one census agg."""
+    k = F.col("o_orderkey")
+    base = _t(spark, sf_dir, "orders").select(
+        k.alias("url_key"),
+        F.concat(F.lit("h"), (k % 50).cast("string")).alias("host_key"),
+        (k % 97).cast("long").alias("score_a"),
+        ((k * 31) % 97).cast("long").alias("score_b"))
+    wa = Window.partitionBy("host_key").orderBy(
+        F.col("score_a").asc(), F.col("url_key").asc())
+    wb = Window.partitionBy("host_key").orderBy(
+        F.col("score_b").asc(), F.col("url_key").asc())
+    ranked = (base.withColumn("ra", F.row_number().over(wa).cast("long"))
+              .withColumn("rb", F.row_number().over(wb).cast("long")))
+    disp = F.abs(F.col("ra") - F.col("rb"))
+    return (ranked.groupBy("host_key")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                 F.sum(disp).cast("long").alias("footrule"),
+                 F.max(disp).cast("long").alias("max_disp"),
+                 F.sum(((F.col("ra") <= 5) & (F.col("rb") <= 5))
+                       .cast("int")).cast("long").alias("top5_overlap")))
+
+
+ORACLE_FRONTIER_RANK_CHURN = """
+WITH base AS (
+  SELECT o_orderkey AS url_key,
+         'h' || (o_orderkey % 50) AS host_key,
+         CAST(o_orderkey % 97 AS BIGINT) AS score_a,
+         CAST((o_orderkey * 31) % 97 AS BIGINT) AS score_b
+  FROM orders),
+r AS (
+  SELECT host_key,
+         CAST(row_number() OVER (PARTITION BY host_key
+              ORDER BY score_a ASC, url_key ASC) AS BIGINT) AS ra,
+         CAST(row_number() OVER (PARTITION BY host_key
+              ORDER BY score_b ASC, url_key ASC) AS BIGINT) AS rb
+  FROM base)
+SELECT host_key, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(abs(ra - rb)) AS BIGINT) AS footrule,
+       CAST(max(abs(ra - rb)) AS BIGINT) AS max_disp,
+       CAST(sum(CASE WHEN ra <= 5 AND rb <= 5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS top5_overlap
+FROM r GROUP BY host_key
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -18574,6 +18784,9 @@ QUERIES = {
     "media_aspect_buckets": q_media_aspect_buckets,
     "events_cuped": q_events_cuped,
     "graph_local_clustering": q_graph_local_clustering,
+    "frontier_tld_quota": q_frontier_tld_quota,
+    "text_moss_pairs": q_text_moss_pairs,
+    "frontier_rank_churn": q_frontier_rank_churn,
 }
 
 ORACLES = {
@@ -18871,6 +19084,9 @@ ORACLES = {
     "media_aspect_buckets": ORACLE_MEDIA_ASPECT_BUCKETS,
     "events_cuped": ORACLE_EVENTS_CUPED,
     "graph_local_clustering": ORACLE_GRAPH_LOCAL_CLUSTERING,
+    "frontier_tld_quota": ORACLE_FRONTIER_TLD_QUOTA,
+    "text_moss_pairs": ORACLE_TEXT_MOSS_PAIRS,
+    "frontier_rank_churn": ORACLE_FRONTIER_RANK_CHURN,
 }
 
 
