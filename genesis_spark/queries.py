@@ -18489,6 +18489,208 @@ FROM r GROUP BY host_key
 """
 
 
+def q_url_double_encoding(spark, sf_dir):
+    """Percent-encoding DEPTH detection — the double-encoding
+    canonicalization gap (%2520 = an encoded '%20') that WAF-bypass
+    and cache-poisoning URLs exploit and that url_pct_normalize's
+    single decode pass cannot see: extract the '%(25)*20' chain, its
+    nesting depth ((len−1)/2: %20→1, %2520→2, %252520→3), the fully
+    collapsed canonical form, and the alias flag (depth>=2 means two
+    crawler passes would admit the same resource twice).
+
+    Fixture: orders-keyed paths carrying plain/single/double/triple
+    encoded spaces by key mod 4.
+
+    Plan/scale: per-row regexp + length codegen, no shuffle — fuses
+    into the scan like the other url_* normalizers."""
+    k = F.col("o_orderkey")
+    enc = (F.when(k % 4 == 0, F.lit("%2520"))
+           .when(k % 4 == 1, F.lit("%20"))
+           .when(k % 4 == 2, F.lit("%252520"))
+           .otherwise(F.lit("_")))
+    url = F.concat(F.lit("http://site"), (k % 30).cast("string"),
+                   F.lit(".onion/a"), enc, F.lit("b"), k.cast("string"))
+    d = _t(spark, sf_dir, "orders").select(k.alias("o_orderkey"),
+                                           url.alias("url"))
+    chain = F.regexp_extract("url", "%(?:25)*20", 0)
+    depth = F.when(F.length(chain) > 0,
+                   (F.length(chain) - 1) / 2).otherwise(F.lit(0)) \
+        .cast("long")
+    canon = F.regexp_replace("url", "%(?:25)*20", " ")
+    return (d.withColumn("enc_depth", depth)
+            .withColumn("url_canonical",
+                        F.when(depth > 0, canon).otherwise(F.col("url")))
+            .withColumn("is_alias_risk", (depth >= 2).cast("int")))
+
+
+ORACLE_URL_DOUBLE_ENCODING = """
+WITH d AS (
+  SELECT o_orderkey,
+         'http://site' || (o_orderkey % 30) || '.onion/a'
+         || CASE WHEN o_orderkey % 4 = 0 THEN '%2520'
+                 WHEN o_orderkey % 4 = 1 THEN '%20'
+                 WHEN o_orderkey % 4 = 2 THEN '%252520'
+                 ELSE '_' END
+         || 'b' || o_orderkey AS url
+  FROM orders),
+x AS (
+  SELECT o_orderkey, url,
+         coalesce(regexp_extract(url, '%(?:25)*20', 0), '') AS chain
+  FROM d)
+SELECT o_orderkey, url,
+       CAST(CASE WHEN length(chain) > 0
+                 THEN (length(chain) - 1) // 2 ELSE 0 END AS BIGINT)
+         AS enc_depth,
+       CASE WHEN length(chain) > 0
+            THEN regexp_replace(url, '%(?:25)*20', ' ', 'g')
+            ELSE url END AS url_canonical,
+       CAST(CASE WHEN length(chain) >= 5 THEN 1 ELSE 0 END AS INT)
+         AS is_alias_risk
+FROM x
+"""
+
+
+def q_corpus_freshness_value(spark, sf_dir):
+    """Freshness-DECAYED corpus valuation — the recrawl economics
+    row: a page's training/search value decays with staleness, so
+    the scheduler should spend fetches where decayed value is
+    recoverable. Each doc's base value (n_chars) halves per 30-day
+    age bucket via EXACT integer shifts (value >> halvings — no
+    float exp()); the per-source census reports base vs decayed
+    totals, the retention ppm, and how many docs are stale-dead
+    (>= 3 halvings, < 1/8 value left).
+
+    Fixture: deterministic age_days = doc_id·3 mod 180.
+
+    Plan/scale: per-row integer codegen + ONE census groupBy on the
+    low-cardinality source key; map-side combine does the heavy
+    lifting at 10^10 docs."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "source", "n_chars"))
+    age = (F.col("doc_id") * 3) % 180
+    halv = F.expr("age_days DIV 30")
+    st = (d.withColumn("age_days", age.cast("long"))
+          .withColumn("halvings", halv.cast("long"))
+          .withColumn("decayed",
+                      F.expr("n_chars DIV shiftleft(1L, "
+                             "CAST(halvings AS INT))").cast("long")))
+    return (st.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("base_value"),
+                 F.sum("decayed").cast("long").alias("decayed_value"),
+                 F.sum((F.col("halvings") >= 3).cast("int")).cast("long")
+                 .alias("n_stale"))
+            .withColumn("retention_ppm",
+                        F.expr("decayed_value * 1000000 DIV base_value")
+                        .cast("long")))
+
+
+ORACLE_CORPUS_FRESHNESS_VALUE = """
+WITH st AS (
+  SELECT source, n_chars,
+         CAST((doc_id * 3) % 180 AS BIGINT) AS age_days,
+         CAST(((doc_id * 3) % 180) // 30 AS BIGINT) AS halvings,
+         CAST(n_chars // (1 << (((doc_id * 3) % 180) // 30)) AS BIGINT)
+           AS decayed
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS base_value,
+       CAST(sum(decayed) AS BIGINT) AS decayed_value,
+       CAST(sum(CASE WHEN halvings >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stale,
+       CAST(sum(decayed) * 1000000 // sum(n_chars) AS BIGINT)
+         AS retention_ppm
+FROM st GROUP BY source
+"""
+
+
+def q_graph_rich_club(spark, sf_dir):
+    """RICH-CLUB coefficient ladder over the host graph — do the
+    high-degree hubs preferentially link to EACH OTHER (phi(k) → 1:
+    an elite link cartel / citation ring) or to the periphery
+    (phi(k) low: organic hub-and-spoke)? For each degree threshold
+    k in (2, 5, 10, 15): the club size n_k (nodes with degree > k),
+    the intra-club edge count e_k, and phi = 2·e_k / (n_k·(n_k−1))
+    in exact integer ppm.
+
+    Plan/scale: degree census once; each edge is tagged with
+    min(deg_a, deg_b) via two broadcast-size joins, then every
+    ladder row is ONE conditional-sum census over the tagged edge
+    list — the edge list is scanned once per aggregate set, never
+    joined all-pairs; the ladder is 4 rows regardless of scale."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    raw = (_t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("t"), (k % 30).cast("string")).alias("u"),
+        F.concat(F.lit("t"), ((c % 30) % 20).cast("string")).alias("v"))
+        .filter(F.col("u") != F.col("v")))
+    und = (raw.select(F.least("u", "v").alias("a"),
+                      F.greatest("u", "v").alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("n"))
+           .unionByName(und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).cast("long")
+                             .alias("deg")))
+    tagged = (und
+              .join(deg.select(F.col("n").alias("a"),
+                               F.col("deg").alias("da")), "a")
+              .join(deg.select(F.col("n").alias("b"),
+                               F.col("deg").alias("db")), "b")
+              .select(F.least("da", "db").alias("md")))
+    outs = []
+    for thr in (2, 5, 10, 15):
+        nk = deg.agg(
+            F.sum((F.col("deg") > thr).cast("int")).cast("long")
+            .alias("n_club"))
+        ek = tagged.agg(
+            F.sum((F.col("md") > thr).cast("int")).cast("long")
+            .alias("n_edges"))
+        outs.append(
+            nk.crossJoin(ek)
+            .select(F.lit(thr).cast("long").alias("k"),
+                    "n_club", "n_edges",
+                    F.when(F.col("n_club") >= 2,
+                           F.expr("2 * n_edges * 1000000 DIV "
+                                  "(n_club * (n_club - 1))"))
+                    .otherwise(F.lit(None)).cast("long")
+                    .alias("phi_ppm")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+ORACLE_GRAPH_RICH_CLUB = """
+WITH raw AS (
+  SELECT 't' || (o_orderkey % 30) AS u, 't' || ((o_custkey % 30) % 20) AS v
+  FROM orders
+  WHERE 't' || (o_orderkey % 30) <> 't' || ((o_custkey % 30) % 20)),
+und AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+  GROUP BY n),
+tagged AS (
+  SELECT least(da.deg, db.deg) AS md
+  FROM und
+  JOIN deg da ON da.n = und.a
+  JOIN deg db ON db.n = und.b),
+ks AS (SELECT unnest([2, 5, 10, 15]) AS k),
+lad AS (
+  SELECT k,
+         (SELECT CAST(sum(CASE WHEN deg > k THEN 1 ELSE 0 END) AS BIGINT)
+          FROM deg) AS n_club,
+         (SELECT CAST(sum(CASE WHEN md > k THEN 1 ELSE 0 END) AS BIGINT)
+          FROM tagged) AS n_edges
+  FROM ks)
+SELECT CAST(k AS BIGINT) AS k, n_club, n_edges,
+       CAST(CASE WHEN n_club >= 2
+                 THEN 2 * n_edges * 1000000 // (n_club * (n_club - 1))
+                 ELSE NULL END AS BIGINT) AS phi_ppm
+FROM lad
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -18787,6 +18989,9 @@ QUERIES = {
     "frontier_tld_quota": q_frontier_tld_quota,
     "text_moss_pairs": q_text_moss_pairs,
     "frontier_rank_churn": q_frontier_rank_churn,
+    "url_double_encoding": q_url_double_encoding,
+    "corpus_freshness_value": q_corpus_freshness_value,
+    "graph_rich_club": q_graph_rich_club,
 }
 
 ORACLES = {
@@ -19087,6 +19292,9 @@ ORACLES = {
     "frontier_tld_quota": ORACLE_FRONTIER_TLD_QUOTA,
     "text_moss_pairs": ORACLE_TEXT_MOSS_PAIRS,
     "frontier_rank_churn": ORACLE_FRONTIER_RANK_CHURN,
+    "url_double_encoding": ORACLE_URL_DOUBLE_ENCODING,
+    "corpus_freshness_value": ORACLE_CORPUS_FRESHNESS_VALUE,
+    "graph_rich_club": ORACLE_GRAPH_RICH_CLUB,
 }
 
 
