@@ -18691,6 +18691,226 @@ FROM lad
 """
 
 
+def q_media_metadata_scrub(spark, sf_dir):
+    """EXIF-style metadata SCRUB plan — the privacy pass a multimodal
+    training corpus runs before images ship (GPS coordinates, device
+    serials, and capture timestamps are PII; orientation and software
+    tags are benign and orientation is needed for correct decode):
+    each image's key=value metadata is split, every key classified
+    strip-pii / strip-forensic / keep, and the census reports per-key
+    population, action, and the count of images that still carry any
+    PII key (the audit gate must read 0 after the scrub runs).
+
+    Fixture: deterministic per-image tag sets keyed on p_partkey —
+    GPS on every 3rd image, serial on every 4th, the rest always on.
+
+    Plan/scale: split + explode + ONE groupBy(key) census; tag
+    cardinality is EXIF-bounded (~100s of keys at web scale), so the
+    agg collapses map-side; pixel bytes never appear."""
+    k = F.col("p_partkey")
+    meta = F.concat(
+        F.lit("Make=m"), (k % 5).cast("string"),
+        F.lit(";Model=x"), (k % 7).cast("string"),
+        F.lit(";Orientation="), (k % 8).cast("string"),
+        F.lit(";DateTime=2024010"), (k % 9).cast("string"),
+        F.when(k % 3 == 0,
+               F.concat(F.lit(";GPSLat="), (k % 90).cast("string"),
+                        F.lit(";GPSLon="), (k % 180).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(k % 4 == 0,
+               F.concat(F.lit(";SerialNumber=sn"), k.cast("string")))
+        .otherwise(F.lit("")))
+    d = _t(spark, sf_dir, "part").select(k.alias("img_id"),
+                                         meta.alias("meta"))
+    kv = d.select(F.explode(F.split("meta", ";")).alias("pair"))
+    keyed = kv.select(F.substring_index("pair", "=", 1).alias("tag"))
+    action = (F.when(F.col("tag").startswith("GPS"), F.lit("strip-pii"))
+              .when(F.col("tag") == "SerialNumber",
+                    F.lit("strip-forensic"))
+              .when(F.col("tag") == "DateTime", F.lit("strip-pii"))
+              .otherwise(F.lit("keep")))
+    return (keyed.groupBy("tag")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_images"))
+            .withColumn("action", action)
+            .withColumn("is_blocked",
+                        (F.col("action") != "keep").cast("int")))
+
+
+ORACLE_MEDIA_METADATA_SCRUB = """
+WITH d AS (
+  SELECT 'Make=m' || (p_partkey % 5)
+         || ';Model=x' || (p_partkey % 7)
+         || ';Orientation=' || (p_partkey % 8)
+         || ';DateTime=2024010' || (p_partkey % 9)
+         || CASE WHEN p_partkey % 3 = 0
+                 THEN ';GPSLat=' || (p_partkey % 90)
+                      || ';GPSLon=' || (p_partkey % 180)
+                 ELSE '' END
+         || CASE WHEN p_partkey % 4 = 0
+                 THEN ';SerialNumber=sn' || p_partkey
+                 ELSE '' END AS meta
+  FROM part),
+kv AS (SELECT unnest(string_split(meta, ';')) AS pair FROM d),
+keyed AS (SELECT string_split(pair, '=')[1] AS tag FROM kv),
+cen AS (
+  SELECT tag, CAST(count(*) AS BIGINT) AS n_images
+  FROM keyed GROUP BY tag)
+SELECT tag, n_images,
+       CASE WHEN tag LIKE 'GPS%' THEN 'strip-pii'
+            WHEN tag = 'SerialNumber' THEN 'strip-forensic'
+            WHEN tag = 'DateTime' THEN 'strip-pii'
+            ELSE 'keep' END AS action,
+       CAST(CASE WHEN (CASE WHEN tag LIKE 'GPS%' THEN 'strip-pii'
+            WHEN tag = 'SerialNumber' THEN 'strip-forensic'
+            WHEN tag = 'DateTime' THEN 'strip-pii'
+            ELSE 'keep' END) <> 'keep' THEN 1 ELSE 0 END AS INT)
+         AS is_blocked
+FROM cen
+"""
+
+
+def q_corpus_license_gate(spark, sf_dir):
+    """LICENSE admission gate — the compliance filter a commercial
+    training corpus runs before anything else (data you may not
+    train on is worse than data you didn't crawl): each doc carries
+    a license tag extracted from its header line; tags map to
+    admit (cc0, cc-by, mit), admit-with-attribution (cc-by-sa), or
+    reject (all-rights-reserved, UNKNOWN); the census reports docs
+    and total chars per verdict class plus the rejected-mass ppm —
+    the number legal review asks for first.
+
+    Fixture: a deterministic license header prepended by doc_id
+    mod 6 (every 6th doc carries no tag at all → UNKNOWN).
+
+    Plan/scale: regexp extract + CASE ladder + ONE census groupBy
+    on a 3-class key; pure map-side."""
+    lic = (F.when(F.col("doc_id") % 6 == 0, F.lit(""))
+           .when(F.col("doc_id") % 6 == 1, F.lit("license: cc0\n"))
+           .when(F.col("doc_id") % 6 == 2, F.lit("license: cc-by\n"))
+           .when(F.col("doc_id") % 6 == 3, F.lit("license: cc-by-sa\n"))
+           .when(F.col("doc_id") % 6 == 4, F.lit("license: mit\n"))
+           .otherwise(F.lit("license: all-rights-reserved\n")))
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("doc_id", "n_chars",
+                 F.concat(lic, F.col("text")).alias("page")))
+    tag = F.regexp_extract("page", r"^license: ([a-z0-9-]+)\n", 1)
+    verdict = (F.when(tag.isin("cc0", "cc-by", "mit"), F.lit("admit"))
+               .when(tag == "cc-by-sa", F.lit("admit-attribution"))
+               .otherwise(F.lit("reject")))
+    staged = d.select("n_chars", verdict.alias("verdict"))
+    cen = (staged.groupBy("verdict")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("n_chars")))
+    tot = cen.agg(F.sum("n_chars").cast("long").alias("total"))
+    return (cen.crossJoin(F.broadcast(tot))
+            .withColumn("class_ppm",
+                        F.expr("n_chars * 1000000 DIV total")
+                        .cast("long"))
+            .drop("total"))
+
+
+ORACLE_CORPUS_LICENSE_GATE = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 6 = 0 THEN ''
+              WHEN doc_id % 6 = 1 THEN 'license: cc0' || chr(10)
+              WHEN doc_id % 6 = 2 THEN 'license: cc-by' || chr(10)
+              WHEN doc_id % 6 = 3 THEN 'license: cc-by-sa' || chr(10)
+              WHEN doc_id % 6 = 4 THEN 'license: mit' || chr(10)
+              ELSE 'license: all-rights-reserved' || chr(10) END
+         || text AS page
+  FROM documents WHERE text IS NOT NULL),
+t AS (
+  SELECT n_chars,
+         coalesce(regexp_extract(page,
+             '^license: ([a-z0-9-]+)' || chr(10), 1), '') AS tag
+  FROM d),
+v AS (
+  SELECT n_chars,
+         CASE WHEN tag IN ('cc0', 'cc-by', 'mit') THEN 'admit'
+              WHEN tag = 'cc-by-sa' THEN 'admit-attribution'
+              ELSE 'reject' END AS verdict
+  FROM t),
+cen AS (
+  SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM v GROUP BY verdict)
+SELECT verdict, n_docs, n_chars,
+       CAST(n_chars * 1000000 // (SELECT sum(n_chars) FROM cen) AS BIGINT)
+         AS class_ppm
+FROM cen
+"""
+
+
+def q_events_power_sample_size(spark, sf_dir):
+    """A/B POWER ANALYSIS from observed variance — the planning row
+    that pairs with events_ab_lift/events_cuped: given the measured
+    per-user spend distribution, how many users per arm does a
+    two-sided alpha=0.05, power=0.80 test need to detect a 1% / 2% /
+    5% lift? n = ceil(2·(z_a + z_b)²·sigma² / delta²) with the
+    standard normal constants (1.959964, 0.841621) — the classic
+    two-sample closed form.
+
+    Exactness: mean and population variance come from exact integer
+    cent sums (n·S2 − S1² over n²); the z constants are fixed
+    literals; both engines evaluate the identical double expression
+    before ceil.
+
+    Plan/scale: one per-user groupBy, one 1-row stats agg, a 3-row
+    literal ladder joined to it — nothing scales with the event
+    count but the first census."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  F.expr("CAST(round(value * 100) AS BIGINT)")
+                  .alias("cents")))
+    per_u = ev.groupBy("user_id").agg(
+        F.sum("cents").cast("long").alias("spend"))
+    st = per_u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("spend").cast("long").alias("s1"),
+        F.sum(F.col("spend") * F.col("spend")).cast("long").alias("s2"))
+    lad = spark.range(1).select(
+        F.explode(F.array(F.lit(10), F.lit(20), F.lit(50)))
+        .alias("lift_pm"))  # per-mille lift targets: 1%, 2%, 5%
+    j = lad.crossJoin(F.broadcast(st))
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = ((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+           .cast("double") / (F.col("n").cast("double") * F.col("n")))
+    delta = mean * F.col("lift_pm").cast("double") / 1000.0
+    zz = F.lit((1.959964 + 0.841621) ** 2)
+    n_req = F.ceil(F.lit(2.0) * zz * var / (delta * delta)).cast("long")
+    return j.select(
+        F.col("lift_pm").cast("long").alias("lift_pm"),
+        F.round(mean, 3).alias("mean_spend"),
+        F.round(var, 3).alias("var_spend"),
+        n_req.alias("n_per_arm"))
+
+
+ORACLE_EVENTS_POWER_SAMPLE_SIZE = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend
+  FROM events GROUP BY user_id),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(spend) AS BIGINT) AS s1,
+         CAST(sum(spend * spend) AS BIGINT) AS s2
+  FROM pu),
+lad AS (SELECT unnest([10, 20, 50]) AS lift_pm)
+SELECT CAST(lift_pm AS BIGINT) AS lift_pm,
+       round(CAST(s1 AS DOUBLE) / n, 3) AS mean_spend,
+       round(CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * n), 3)
+         AS var_spend,
+       CAST(ceil(2.0 * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+            * (CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+            / ((CAST(s1 AS DOUBLE) / n * lift_pm / 1000.0)
+               * (CAST(s1 AS DOUBLE) / n * lift_pm / 1000.0)))
+            AS BIGINT) AS n_per_arm
+FROM lad CROSS JOIN st
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -18992,6 +19212,9 @@ QUERIES = {
     "url_double_encoding": q_url_double_encoding,
     "corpus_freshness_value": q_corpus_freshness_value,
     "graph_rich_club": q_graph_rich_club,
+    "media_metadata_scrub": q_media_metadata_scrub,
+    "corpus_license_gate": q_corpus_license_gate,
+    "events_power_sample_size": q_events_power_sample_size,
 }
 
 ORACLES = {
@@ -19295,6 +19518,9 @@ ORACLES = {
     "url_double_encoding": ORACLE_URL_DOUBLE_ENCODING,
     "corpus_freshness_value": ORACLE_CORPUS_FRESHNESS_VALUE,
     "graph_rich_club": ORACLE_GRAPH_RICH_CLUB,
+    "media_metadata_scrub": ORACLE_MEDIA_METADATA_SCRUB,
+    "corpus_license_gate": ORACLE_CORPUS_LICENSE_GATE,
+    "events_power_sample_size": ORACLE_EVENTS_POWER_SAMPLE_SIZE,
 }
 
 
