@@ -18911,6 +18911,228 @@ FROM lad CROSS JOIN st
 """
 
 
+def q_events_markov_entropy(spark, sf_dir):
+    """Per-state ENTROPY of the behavior Markov chain — the
+    predictability metric events_markov's raw matrix doesn't give:
+    for each source state, H_i = −Σ p·log2(p) over its successor
+    distribution (0 bits = deterministic next step, log2(k) =
+    uniform chaos), the normalized H/log2(n_succ), and the state's
+    share of all transitions — together the weighted entropy rate
+    of the chain, the standard bot-vs-human and cache-predictor
+    feature.
+
+    Exactness: p = n/tot from exact integer counts; per-state sums
+    run over <= |event_types| terms so the 4-dp round absorbs float
+    association; log2 via ln/ln(2) in both engines.
+
+    Plan/scale: the same lag window as events_markov (partition by
+    user), then two tiny groupBys on the O(types²) matrix."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                            "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("prev_type", F.lag("event_type").over(w))
+             .filter(F.col("prev_type").isNotNull()))
+    c = (pairs.groupBy("prev_type", "event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    t = (c.groupBy("prev_type")
+         .agg(F.sum("n").cast("long").alias("tot"),
+              F.count(F.lit(1)).cast("long").alias("n_succ")))
+    j = c.join(t, "prev_type")
+    term = ((F.col("n").cast("double") / F.col("tot"))
+            * (F.log(F.col("tot").cast("double"))
+               - F.log(F.col("n").cast("double"))) / F.log(F.lit(2.0)))
+    per = (j.withColumn("term", term)
+           .groupBy("prev_type")
+           .agg(F.first("tot").alias("tot"),
+                F.first("n_succ").alias("n_succ"),
+                F.round(F.sum("term"), 4).alias("h_bits")))
+    gt = per.agg(F.sum("tot").cast("long").alias("grand"))
+    return (per.crossJoin(F.broadcast(gt))
+            .select("prev_type", F.col("tot").alias("n_trans"),
+                    "n_succ", "h_bits",
+                    F.when(F.col("n_succ") > 1,
+                           F.round(F.col("h_bits")
+                                   / (F.log(F.col("n_succ")
+                                            .cast("double"))
+                                      / F.log(F.lit(2.0))), 4))
+                    .otherwise(F.lit(0.0)).alias("h_norm"),
+                    F.expr("tot * 1000000 DIV grand").cast("long")
+                    .alias("weight_ppm")))
+
+
+ORACLE_EVENTS_MARKOV_ENTROPY = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+c AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type),
+t AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n_succ
+  FROM c GROUP BY prev_type),
+per AS (
+  SELECT c.prev_type, any_value(t.tot) AS tot,
+         any_value(t.n_succ) AS n_succ,
+         round(sum((CAST(c.n AS DOUBLE) / t.tot)
+                   * (ln(CAST(t.tot AS DOUBLE)) - ln(CAST(c.n AS DOUBLE)))
+                   / ln(2.0)), 4) AS h_bits
+  FROM c JOIN t USING (prev_type) GROUP BY c.prev_type)
+SELECT prev_type, tot AS n_trans, n_succ, h_bits,
+       CASE WHEN n_succ > 1
+            THEN round(h_bits / (ln(CAST(n_succ AS DOUBLE)) / ln(2.0)), 4)
+            ELSE 0.0 END AS h_norm,
+       CAST(tot * 1000000 // (SELECT sum(tot) FROM per) AS BIGINT)
+         AS weight_ppm
+FROM per
+"""
+
+
+def q_host_error_burn(spark, sf_dir):
+    """SLO error-budget BURN RATE per host — the Google-SRE
+    multi-window alert math applied to fetch health: with a 99%
+    success SLO (budget = 10000 ppm errors), burn = error_rate /
+    budget; the fast window (last 1 day) catches pages at burn >=
+    14.4x, the slow window (last 7 days) catches tickets at >= 3x —
+    a host burning fast gets its crawl rate cut before it wastes
+    the wave's fetch budget.
+
+    Exactness: integer day buckets anchored at the corpus max day
+    (deterministic), error rates in exact ppm, burn in exact
+    centi-x (rate_ppm·100 DIV 10000).
+
+    Plan/scale: one census groupBy(host) with conditional sums for
+    both windows in a single pass (no per-window re-scan); the
+    anchor day broadcasts as a 1-row frame."""
+    ev = (_t(spark, sf_dir, "events")
+          .select((F.col("user_id") % 20).cast("long").alias("host_id"),
+                  F.expr("unix_timestamp(ts) DIV 86400").alias("day"),
+                  (F.col("event_type") == "error").cast("int")
+                  .alias("is_err")))
+    mx = ev.agg(F.max("day").alias("max_day"))
+    j = ev.crossJoin(F.broadcast(mx))
+    in1 = F.col("day") > F.col("max_day") - 1
+    in7 = F.col("day") > F.col("max_day") - 7
+    cen = (j.groupBy("host_id")
+           .agg(F.sum(in7.cast("int")).cast("long").alias("n7"),
+                F.sum((in7.cast("int") * F.col("is_err")))
+                .cast("long").alias("e7"),
+                F.sum(in1.cast("int")).cast("long").alias("n1"),
+                F.sum((in1.cast("int") * F.col("is_err")))
+                .cast("long").alias("e1"))
+           .filter(F.col("n7") > 0))
+    r1 = F.when(F.col("n1") > 0,
+                F.expr("e1 * 1000000 DIV n1")).otherwise(F.lit(0)) \
+        .cast("long")
+    r7 = F.expr("e7 * 1000000 DIV n7").cast("long")
+    out = (cen.withColumn("rate1_ppm", r1)
+           .withColumn("rate7_ppm", r7)
+           .withColumn("burn1_centi",
+                       F.expr("rate1_ppm * 100 DIV 10000").cast("long"))
+           .withColumn("burn7_centi",
+                       F.expr("rate7_ppm * 100 DIV 10000").cast("long")))
+    verdict = (F.when(F.col("burn1_centi") >= 1440, F.lit("page"))
+               .when(F.col("burn7_centi") >= 300, F.lit("ticket"))
+               .otherwise(F.lit("ok")))
+    return out.select("host_id", "n7", "e7", "n1", "e1",
+                      "rate1_ppm", "rate7_ppm", "burn1_centi",
+                      "burn7_centi", verdict.alias("verdict"))
+
+
+ORACLE_HOST_ERROR_BURN = """
+WITH ev AS (
+  SELECT CAST(user_id % 20 AS BIGINT) AS host_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events),
+mx AS (SELECT max(day) AS max_day FROM ev),
+cen AS (
+  SELECT host_id,
+         CAST(sum(CASE WHEN day > max_day - 7 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n7,
+         CAST(sum(CASE WHEN day > max_day - 7 THEN is_err ELSE 0 END)
+              AS BIGINT) AS e7,
+         CAST(sum(CASE WHEN day > max_day - 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN day > max_day - 1 THEN is_err ELSE 0 END)
+              AS BIGINT) AS e1
+  FROM ev CROSS JOIN mx GROUP BY host_id
+  HAVING sum(CASE WHEN day > max_day - 7 THEN 1 ELSE 0 END) > 0),
+r AS (
+  SELECT host_id, n7, e7, n1, e1,
+         CAST(CASE WHEN n1 > 0 THEN e1 * 1000000 // n1 ELSE 0 END
+              AS BIGINT) AS rate1_ppm,
+         CAST(e7 * 1000000 // n7 AS BIGINT) AS rate7_ppm
+  FROM cen)
+SELECT host_id, n7, e7, n1, e1, rate1_ppm, rate7_ppm,
+       CAST(rate1_ppm * 100 // 10000 AS BIGINT) AS burn1_centi,
+       CAST(rate7_ppm * 100 // 10000 AS BIGINT) AS burn7_centi,
+       CASE WHEN rate1_ppm * 100 // 10000 >= 1440 THEN 'page'
+            WHEN rate7_ppm * 100 // 10000 >= 300 THEN 'ticket'
+            ELSE 'ok' END AS verdict
+FROM r
+"""
+
+
+def q_embeddings_hubness_audit(spark, sf_dir):
+    """HUBNESS audit of the exact 5-NN graph — the curse-of-
+    dimensionality diagnostic every ANN deployment should run
+    (Radovanović et al., JMLR'10): in high dimension the
+    k-occurrence distribution N_k skews — a few 'hub' vectors
+    appear in everyone's top-k while 'anti-hubs' appear in no one's,
+    and both distort recall measurement and retrieval diversity.
+    Per vector: how many OTHER vectors' exact top-5 it appears in,
+    plus hub (N_5 >= 2k) and anti-hub (N_5 = 0) flags.
+
+    Exactness: exact float64 cosine, ties broken on neighbor id —
+    the same convention as ann_cosine_topk; counts are integers.
+
+    Plan/scale: at audit time the k-occurrence census is ONE
+    groupBy over the kNN edge list — the expensive part is the kNN
+    graph itself, which at scale comes from the banded/IVF paths
+    (ann_*), not the all-pairs join used on this fixture."""
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = SIM.cosine_topk(emb, emb, k=5)
+    occ = (knn.groupBy(F.col("neighbor_id").alias("vec_id"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n5")))
+    return (emb.select("vec_id").join(occ, "vec_id", "left")
+            .withColumn("n5", F.coalesce("n5", F.lit(0).cast("long")))
+            .withColumn("is_hub", (F.col("n5") >= 10).cast("int"))
+            .withColumn("is_antihub", (F.col("n5") == 0).cast("int")))
+
+
+ORACLE_EMBEDDINGS_HUBNESS_AUDIT = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(range(len(q.embedding)),
+             i -> q.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(len(q.embedding)),
+             i -> q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(len(b.embedding)),
+             i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))))
+         AS cos
+  FROM embeddings q JOIN embeddings b ON b.vec_id != q.vec_id),
+knn AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rnk
+    FROM scored) WHERE rnk <= 5),
+occ AS (
+  SELECT neighbor_id AS vec_id, CAST(count(*) AS BIGINT) AS n5
+  FROM knn GROUP BY neighbor_id)
+SELECT e.vec_id, CAST(coalesce(o.n5, 0) AS BIGINT) AS n5,
+       CAST(CASE WHEN coalesce(o.n5, 0) >= 10 THEN 1 ELSE 0 END AS INT)
+         AS is_hub,
+       CAST(CASE WHEN coalesce(o.n5, 0) = 0 THEN 1 ELSE 0 END AS INT)
+         AS is_antihub
+FROM embeddings e LEFT JOIN occ o ON o.vec_id = e.vec_id
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -19215,6 +19437,9 @@ QUERIES = {
     "media_metadata_scrub": q_media_metadata_scrub,
     "corpus_license_gate": q_corpus_license_gate,
     "events_power_sample_size": q_events_power_sample_size,
+    "events_markov_entropy": q_events_markov_entropy,
+    "host_error_burn": q_host_error_burn,
+    "embeddings_hubness_audit": q_embeddings_hubness_audit,
 }
 
 ORACLES = {
@@ -19521,6 +19746,9 @@ ORACLES = {
     "media_metadata_scrub": ORACLE_MEDIA_METADATA_SCRUB,
     "corpus_license_gate": ORACLE_CORPUS_LICENSE_GATE,
     "events_power_sample_size": ORACLE_EVENTS_POWER_SAMPLE_SIZE,
+    "events_markov_entropy": ORACLE_EVENTS_MARKOV_ENTROPY,
+    "host_error_burn": ORACLE_HOST_ERROR_BURN,
+    "embeddings_hubness_audit": ORACLE_EMBEDDINGS_HUBNESS_AUDIT,
 }
 
 
