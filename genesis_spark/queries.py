@@ -19133,6 +19133,234 @@ FROM embeddings e LEFT JOIN occ o ON o.vec_id = e.vec_id
 """
 
 
+def q_events_trend_mk(spark, sf_dir):
+    """MANN-KENDALL trend test on daily traffic — the nonparametric
+    answer to 'is this host's activity actually trending or just
+    noisy?' that the change-point row (a single break) can't give:
+    S = Σ sign(x_j − x_i) over all ordered day pairs, Var(S) =
+    n(n−1)(2n+5)/18 (no ties correction — day counts rarely tie,
+    and the convention is pinned), z = (S∓1)/sqrt(Var) with the
+    standard continuity correction, verdict at |z| >= 1.96. Per
+    event_type, so marketing can see signups trending while errors
+    hold flat.
+
+    Exactness: S and Var(S) are exact integers; z is one double
+    division rounded 4 dp.
+
+    Plan/scale: daily counts first (the census shrinks 10^10 events
+    to n_types×n_days rows), THEN the O(days²) pair join runs on
+    the tiny aggregate — never on raw events."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr("unix_timestamp(ts) DIV 86400").alias("day")))
+    daily = (ev.groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                    & (F.col("a.day") < F.col("b.day")))
+             .select(F.col("a.event_type").alias("event_type"),
+                     F.signum((F.col("b.n") - F.col("a.n"))
+                              .cast("double")).cast("long").alias("sgn")))
+    s = (pairs.groupBy("event_type")
+         .agg(F.sum("sgn").cast("long").alias("s_stat")))
+    nd = (daily.groupBy("event_type")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_days")))
+    j = s.join(nd, "event_type")
+    var = (F.col("n_days") * (F.col("n_days") - 1)
+           * (2 * F.col("n_days") + 5) / 18.0)
+    z = (F.when(F.col("s_stat") > 0,
+                (F.col("s_stat") - 1) / F.sqrt(var))
+         .when(F.col("s_stat") < 0,
+               (F.col("s_stat") + 1) / F.sqrt(var))
+         .otherwise(F.lit(0.0)))
+    return (j.withColumn("z", F.round(z, 4))
+            .withColumn("trend",
+                        F.when(F.col("z") >= 1.96, F.lit("increasing"))
+                        .when(F.col("z") <= -1.96, F.lit("decreasing"))
+                        .otherwise(F.lit("no-trend")))
+            .select("event_type", "n_days", "s_stat", "z", "trend"))
+
+
+ORACLE_EVENTS_TREND_MK = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day),
+p AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.n > a.n THEN 1
+                       WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY a.event_type),
+nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type),
+j AS (
+  SELECT p.event_type, nd.n_days, p.s_stat,
+         round(CASE WHEN p.s_stat > 0 THEN
+                 (p.s_stat - 1) / sqrt(nd.n_days * (nd.n_days - 1)
+                                       * (2 * nd.n_days + 5) / 18.0)
+               WHEN p.s_stat < 0 THEN
+                 (p.s_stat + 1) / sqrt(nd.n_days * (nd.n_days - 1)
+                                       * (2 * nd.n_days + 5) / 18.0)
+               ELSE 0.0 END, 4) AS z
+  FROM p JOIN nd USING (event_type))
+SELECT event_type, n_days, s_stat, z,
+       CASE WHEN z >= 1.96 THEN 'increasing'
+            WHEN z <= -1.96 THEN 'decreasing'
+            ELSE 'no-trend' END AS trend
+FROM j
+"""
+
+
+def q_text_invisible_chars(spark, sf_dir):
+    """INVISIBLE-character census — the zero-width watermark /
+    tracking-payload scrub a clean corpus needs (zero-width spaces
+    and joiners fingerprint leaked documents, steganographic
+    watermarks survive copy-paste, and soft hyphens break exact
+    dedup silently): per doc, counts of ZWSP (U+200B), ZWNJ
+    (U+200C), ZWJ (U+200D), and soft hyphen (U+00AD), the total
+    invisible mass, the scrubbed length, and the watermark flag
+    (>= 4 zero-width marks is a deliberate payload, not an
+    artifact).
+
+    Fixture: deterministic injection — every 4th doc gets ZWSPs
+    after each 10th word, every 7th gets soft hyphens; injected
+    via portable replace on both engines.
+
+    Plan/scale: per-row replace + length codegen, no shuffle; the
+    scrub itself is the same regexp_replace the census counts."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    zwsp, zwnj, zwj, shy = "​", "‌", "‍", "­"
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 4 == 0,
+               F.regexp_replace(t, r"((?:\S+ ){10})", "$1" + zwsp)) \
+        .otherwise(t)
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.regexp_replace(t, "scan ", "sc" + shy + "an ")) \
+        .otherwise(t)
+    d = d.select("doc_id", t.alias("xt"))
+
+    def n_of(ch):
+        return (F.length("xt")
+                - F.length(F.regexp_replace("xt", ch, ""))).cast("long")
+
+    inv = "[" + zwsp + zwnj + zwj + shy + "]"
+    return (d.select(
+        "doc_id",
+        n_of(zwsp).alias("n_zwsp"), n_of(zwnj).alias("n_zwnj"),
+        n_of(zwj).alias("n_zwj"), n_of(shy).alias("n_shy"),
+        n_of(inv).alias("n_invisible"),
+        F.length(F.regexp_replace("xt", inv, "")).cast("long")
+        .alias("clean_len"))
+        .withColumn("is_watermarked",
+                    ((F.col("n_zwsp") + F.col("n_zwnj")
+                      + F.col("n_zwj")) >= 4).cast("int")))
+
+
+ORACLE_TEXT_INVISIBLE_CHARS = """
+WITH x AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN replace(t1, 'scan ',
+                   'sc' || chr(173) || 'an ')
+              ELSE t1 END AS xt
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN regexp_replace(text, '((?:\\S+ ){10})',
+                                    '\\1' || chr(8203), 'g')
+                ELSE text END AS t1
+    FROM documents WHERE text IS NOT NULL))
+SELECT doc_id,
+       CAST(length(xt) - length(replace(xt, chr(8203), '')) AS BIGINT)
+         AS n_zwsp,
+       CAST(length(xt) - length(replace(xt, chr(8204), '')) AS BIGINT)
+         AS n_zwnj,
+       CAST(length(xt) - length(replace(xt, chr(8205), '')) AS BIGINT)
+         AS n_zwj,
+       CAST(length(xt) - length(replace(xt, chr(173), '')) AS BIGINT)
+         AS n_shy,
+       CAST(length(xt) - length(regexp_replace(xt,
+            '[' || chr(8203) || chr(8204) || chr(8205) || chr(173) || ']',
+            '', 'g')) AS BIGINT) AS n_invisible,
+       CAST(length(regexp_replace(xt,
+            '[' || chr(8203) || chr(8204) || chr(8205) || chr(173) || ']',
+            '', 'g')) AS BIGINT) AS clean_len,
+       CAST(CASE WHEN (length(xt) - length(replace(xt, chr(8203), '')))
+                    + (length(xt) - length(replace(xt, chr(8204), '')))
+                    + (length(xt) - length(replace(xt, chr(8205), '')))
+                    >= 4 THEN 1 ELSE 0 END AS INT) AS is_watermarked
+FROM x
+"""
+
+
+def q_frontier_schedule_smear(spark, sf_dir):
+    """Crawl-schedule SMEAR audit — when every politeness timer fires
+    'at the top of the hour', the fetch fleet thunders in herds; the
+    fix is a deterministic per-host offset (hash % 60 minutes) that
+    smears load flat. This row audits the smear: per minute slot,
+    the host count and fetch mass landing there, plus each slot's
+    deviation from the ideal uniform share — a max/ideal ratio near
+    1 means the herd is gone.
+
+    Exactness: slot = xxhash-free md5-based integer (first 8 hex
+    digits of md5(host) as a BIGINT, mod 60 — portable to DuckDB);
+    deviation in exact ppm.
+
+    Plan/scale: one groupBy(slot) census over the host table —
+    60 output rows at any scale; the smear function itself is the
+    per-row hash the scheduler would apply at enqueue time."""
+    k = F.col("o_orderkey")
+    hosts = (_t(spark, sf_dir, "orders")
+             .select(F.concat(F.lit("h"), (k % 997).cast("string"))
+                     .alias("host_key"),
+                     (k % 40 + 1).cast("long").alias("n_fetches"))
+             .groupBy("host_key")
+             .agg(F.sum("n_fetches").cast("long").alias("n_fetches")))
+    slot = (F.conv(F.substring(F.md5("host_key"), 1, 8), 16, 10)
+            .cast("long") % 60)
+    cen = (hosts.withColumn("slot", slot)
+           .groupBy("slot")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_hosts"),
+                F.sum("n_fetches").cast("long").alias("slot_mass")))
+    tot = cen.agg(F.sum("slot_mass").cast("long").alias("total"),
+                  F.count(F.lit(1)).cast("long").alias("n_slots"))
+    return (cen.crossJoin(F.broadcast(tot))
+            .withColumn("share_ppm",
+                        F.expr("slot_mass * 1000000 DIV total")
+                        .cast("long"))
+            .withColumn("dev_ppm",
+                        F.expr("abs(slot_mass * n_slots - total) "
+                               "* 1000000 DIV total").cast("long"))
+            .select("slot", "n_hosts", "slot_mass", "share_ppm",
+                    "dev_ppm"))
+
+
+ORACLE_FRONTIER_SCHEDULE_SMEAR = """
+WITH hosts AS (
+  SELECT 'h' || (o_orderkey % 997) AS host_key,
+         CAST(sum(o_orderkey % 40 + 1) AS BIGINT) AS n_fetches
+  FROM orders GROUP BY host_key),
+cen AS (
+  SELECT CAST(('0x' || substr(md5(host_key), 1, 8))::BIGINT % 60
+              AS BIGINT) AS slot,
+         CAST(count(*) AS BIGINT) AS n_hosts,
+         CAST(sum(n_fetches) AS BIGINT) AS slot_mass
+  FROM hosts GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(slot_mass) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_slots FROM cen)
+SELECT slot, n_hosts, slot_mass,
+       CAST(slot_mass * 1000000 // total AS BIGINT) AS share_ppm,
+       CAST(abs(slot_mass * n_slots - total) * 1000000 // total AS BIGINT)
+         AS dev_ppm
+FROM cen CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -19440,6 +19668,9 @@ QUERIES = {
     "events_markov_entropy": q_events_markov_entropy,
     "host_error_burn": q_host_error_burn,
     "embeddings_hubness_audit": q_embeddings_hubness_audit,
+    "events_trend_mk": q_events_trend_mk,
+    "text_invisible_chars": q_text_invisible_chars,
+    "frontier_schedule_smear": q_frontier_schedule_smear,
 }
 
 ORACLES = {
@@ -19749,6 +19980,9 @@ ORACLES = {
     "events_markov_entropy": ORACLE_EVENTS_MARKOV_ENTROPY,
     "host_error_burn": ORACLE_HOST_ERROR_BURN,
     "embeddings_hubness_audit": ORACLE_EMBEDDINGS_HUBNESS_AUDIT,
+    "events_trend_mk": ORACLE_EVENTS_TREND_MK,
+    "text_invisible_chars": ORACLE_TEXT_INVISIBLE_CHARS,
+    "frontier_schedule_smear": ORACLE_FRONTIER_SCHEDULE_SMEAR,
 }
 
 
