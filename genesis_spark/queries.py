@@ -19361,6 +19361,285 @@ FROM cen CROSS JOIN tot
 """
 
 
+def q_url_mobile_amp_collapse(spark, sf_dir):
+    """Mobile/AMP MIRROR collapse — the URL-convention twin of the
+    content-based host_mirror_detect: m.host, amp.host, www.host,
+    path/amp, and ?amp=1 all serve the page host/path already serves,
+    so a frontier that treats them as distinct wastes 2-5x fetches per
+    page and pollutes dedup. Variants fold onto a canonical family key
+    (labels stripped, /amp segment dropped, amp=1 param dropped); the
+    census reports per-family variant count, which convention classes
+    appeared, and the fetch-savings the collapse buys.
+
+    Fixture: every order key spawns the base URL plus m./amp./?amp=1
+    variants on deterministic mods.
+
+    Plan/scale: per-row regexp canonicalization + ONE groupBy(family)
+    — the same shuffle the URL-seen dedup already pays; no joins."""
+    k = F.col("o_orderkey")
+    base = F.concat(F.lit("site"), (k % 200).cast("string"),
+                    F.lit(".onion/p"), (k % 50).cast("string"))
+    variants = F.array_compact(F.array(
+        F.concat(F.lit("http://"), base),
+        F.when(k % 2 == 0, F.concat(F.lit("http://m."), base))
+        .otherwise(F.lit(None)),
+        F.when(k % 3 == 0, F.concat(F.lit("http://amp."), base))
+        .otherwise(F.lit(None)),
+        F.when(k % 5 == 0, F.concat(F.lit("http://"), base,
+                                    F.lit("?amp=1")))
+        .otherwise(F.lit(None))))
+    u = (_t(spark, sf_dir, "orders")
+         .select(F.explode(variants).alias("url")).distinct())
+    canon = F.regexp_replace(
+        F.regexp_replace("url", r"^http://(m|amp|www)\.", "http://"),
+        r"\?amp=1$", "")
+    tagged = (u.withColumn("family", canon)
+              .withColumn("is_mobile",
+                          F.col("url").rlike(r"^http://m\.").cast("int"))
+              .withColumn("is_amp",
+                          (F.col("url").rlike(r"^http://amp\.")
+                           | F.col("url").rlike(r"\?amp=1$"))
+                          .cast("int")))
+    return (tagged.groupBy("family")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_variants"),
+                 F.sum("is_mobile").cast("long").alias("n_mobile"),
+                 F.sum("is_amp").cast("long").alias("n_amp"))
+            .withColumn("fetches_saved",
+                        (F.col("n_variants") - 1).cast("long")))
+
+
+ORACLE_URL_MOBILE_AMP_COLLAPSE = """
+WITH v AS (
+  SELECT DISTINCT unnest(list_filter([
+      'http://site' || (o_orderkey % 200) || '.onion/p'
+        || (o_orderkey % 50),
+      CASE WHEN o_orderkey % 2 = 0 THEN
+        'http://m.site' || (o_orderkey % 200) || '.onion/p'
+        || (o_orderkey % 50) END,
+      CASE WHEN o_orderkey % 3 = 0 THEN
+        'http://amp.site' || (o_orderkey % 200) || '.onion/p'
+        || (o_orderkey % 50) END,
+      CASE WHEN o_orderkey % 5 = 0 THEN
+        'http://site' || (o_orderkey % 200) || '.onion/p'
+        || (o_orderkey % 50) || '?amp=1' END],
+      x -> x IS NOT NULL)) AS url
+  FROM orders),
+t AS (
+  SELECT url,
+         regexp_replace(regexp_replace(url,
+             '^http://(m|amp|www)\\.', 'http://'),
+             '\\?amp=1$', '') AS family,
+         CASE WHEN regexp_matches(url, '^http://m\\.') THEN 1 ELSE 0 END
+           AS is_mobile,
+         CASE WHEN regexp_matches(url, '^http://amp\\.')
+                OR regexp_matches(url, '\\?amp=1$') THEN 1 ELSE 0 END
+           AS is_amp
+  FROM v)
+SELECT family, CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(sum(is_mobile) AS BIGINT) AS n_mobile,
+       CAST(sum(is_amp) AS BIGINT) AS n_amp,
+       CAST(count(*) - 1 AS BIGINT) AS fetches_saved
+FROM t GROUP BY family
+"""
+
+
+def q_corpus_span_corruption(spark, sf_dir):
+    """T5-style SPAN-CORRUPTION pretraining plan (Raffel et al.,
+    JMLR'20) — the batch-shape calculator every seq2seq data pipeline
+    runs before packing: with noise_density 0.15 and mean span 3,
+    each doc yields round(n·0.15) masked tokens in round(noise/3)
+    spans (>= 1 each, T5's clamps), one sentinel per span on the
+    input side and spans+1 tokens of overhead on the target side —
+    giving exact input/target lengths for the packer and the
+    per-source census of total sentinel overhead.
+
+    Exactness: round() is floor(x + 0.5) EXPLICITLY in both engines
+    (HALF_UP vs banker's round on the .5 boundary is a real
+    divergence — the flesch convention); everything else is integer.
+
+    Plan/scale: per-row integer codegen + one census groupBy on
+    source; no shuffle before it."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("doc_id", "source",
+                 F.size(F.split("text", " ")).cast("long")
+                 .alias("n_tokens")))
+    noise = F.floor(F.col("n_tokens") * 0.15 + 0.5).cast("long")
+    d = d.withColumn("n_noise", F.greatest(noise, F.lit(1).cast("long")))
+    spans = F.greatest(F.floor(F.col("n_noise") / 3.0 + 0.5),
+                       F.lit(1).cast("double")).cast("long")
+    d = (d.withColumn("n_spans", spans)
+         .withColumn("input_len",
+                     (F.col("n_tokens") - F.col("n_noise")
+                      + F.col("n_spans")).cast("long"))
+         .withColumn("target_len",
+                     (F.col("n_noise") + F.col("n_spans") + 1)
+                     .cast("long")))
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("tokens"),
+                 F.sum("n_noise").cast("long").alias("noise_tokens"),
+                 F.sum("n_spans").cast("long").alias("sentinels"),
+                 F.sum("input_len").cast("long").alias("input_tokens"),
+                 F.sum("target_len").cast("long").alias("target_tokens"))
+            .withColumn("overhead_ppm",
+                        F.expr("(input_tokens + target_tokens - tokens) "
+                               "* 1000000 DIV tokens").cast("long")))
+
+
+ORACLE_CORPUS_SPAN_CORRUPTION = """
+WITH d AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL),
+p AS (
+  SELECT source, n_tokens,
+         greatest(CAST(floor(n_tokens * 0.15 + 0.5) AS BIGINT), 1)
+           AS n_noise
+  FROM d),
+s AS (
+  SELECT source, n_tokens, n_noise,
+         CAST(greatest(floor(n_noise / 3.0 + 0.5), 1) AS BIGINT)
+           AS n_spans
+  FROM p),
+f AS (
+  SELECT source, n_tokens, n_noise, n_spans,
+         n_tokens - n_noise + n_spans AS input_len,
+         n_noise + n_spans + 1 AS target_len
+  FROM s)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       CAST(sum(n_noise) AS BIGINT) AS noise_tokens,
+       CAST(sum(n_spans) AS BIGINT) AS sentinels,
+       CAST(sum(input_len) AS BIGINT) AS input_tokens,
+       CAST(sum(target_len) AS BIGINT) AS target_tokens,
+       CAST((sum(input_len) + sum(target_len) - sum(n_tokens))
+            * 1000000 // sum(n_tokens) AS BIGINT) AS overhead_ppm
+FROM f GROUP BY source
+"""
+
+
+def q_text_fineweb_rules(spark, sf_dir):
+    """FineWeb/RedPajama LINE-level quality rules — the filter family
+    the C4 and Gopher rows don't cover (C4 is sentence-level, Gopher
+    is symbol-ratio; FineWeb's strongest filters are line-structure):
+    per doc, the fraction of lines ending in terminal punctuation
+    (< 0.12 → junk), the duplicate-line fraction (> 0.30 → boiler),
+    the bullet-line fraction (> 0.90 → list page), and short-line
+    fraction, each in exact ppm, with the composed keep/drop verdict
+    and the dominant drop reason.
+
+    Fixture: docs are re-lined deterministically (12-word lines;
+    every 3rd line gains a '.', every 5th a '- ' bullet, every 4th
+    doc repeats its first line at the end) so every rule has both
+    populations.
+
+    Plan/scale: line synthesis + census are one explode + two
+    groupBys partitioned by doc_id; verdicts are pure codegen."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    w = F.split(F.col("text"), " ")
+    n_lines = F.greatest((F.ceil(F.size(w) / F.lit(12))).cast("int"),
+                         F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.when((i + 1) % 5 == 0, F.lit("- ")).otherwise(F.lit("")),
+            F.array_join(F.slice(w, i * 12 + 1, 12), " "),
+            F.when((i + 1) % 3 == 0, F.lit(".")).otherwise(F.lit(""))))
+    lines = F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(lines, F.slice(lines, 1, 1))) \
+        .otherwise(lines)
+    ex = d.select("doc_id", F.explode(lines).alias("line"))
+    feat = ex.select(
+        "doc_id",
+        F.col("line").rlike(r"[.!?]$").cast("int").alias("punct"),
+        F.col("line").startswith("- ").cast("int").alias("bullet"),
+        (F.size(F.split("line", " ")) <= 3).cast("int").alias("short"),
+        F.col("line").alias("line"))
+    dup = (feat.groupBy("doc_id", "line")
+           .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    dupc = (dup.groupBy("doc_id")
+            .agg(F.sum("cnt").cast("long").alias("n_lines"),
+                 F.sum(F.col("cnt") - 1).cast("long").alias("n_dup")))
+    cen = (feat.groupBy("doc_id")
+           .agg(F.sum("punct").cast("long").alias("n_punct"),
+                F.sum("bullet").cast("long").alias("n_bullet"),
+                F.sum("short").cast("long").alias("n_short")))
+    j = cen.join(dupc, "doc_id")
+    out = (j.withColumn("punct_ppm",
+                        F.expr("n_punct * 1000000 DIV n_lines")
+                        .cast("long"))
+           .withColumn("dup_ppm",
+                       F.expr("n_dup * 1000000 DIV n_lines")
+                       .cast("long"))
+           .withColumn("bullet_ppm",
+                       F.expr("n_bullet * 1000000 DIV n_lines")
+                       .cast("long"))
+           .withColumn("short_ppm",
+                       F.expr("n_short * 1000000 DIV n_lines")
+                       .cast("long")))
+    reason = (F.when(F.col("punct_ppm") < 120000, F.lit("low-punct"))
+              .when(F.col("dup_ppm") > 300000, F.lit("dup-lines"))
+              .when(F.col("bullet_ppm") > 900000, F.lit("bullet-page"))
+              .otherwise(F.lit("keep")))
+    return (out.withColumn("verdict", reason)
+            .select("doc_id", "n_lines", "punct_ppm", "dup_ppm",
+                    "bullet_ppm", "short_ppm", "verdict"))
+
+
+ORACLE_TEXT_FINEWEB_RULES = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL),
+l0 AS (
+  SELECT doc_id, list_transform(
+      range(greatest(CAST(ceil(len(w) / 12.0) AS INT), 1)),
+      i -> CASE WHEN (i + 1) % 5 = 0 THEN '- ' ELSE '' END
+           || array_to_string(w[CAST(i*12+1 AS INT):CAST(i*12+12 AS INT)],
+                              ' ')
+           || CASE WHEN (i + 1) % 3 = 0 THEN '.' ELSE '' END) AS ls
+  FROM base),
+l1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN list_concat(ls, ls[1:1])
+              ELSE ls END AS ls
+  FROM l0),
+ex AS (SELECT doc_id, unnest(ls) AS line FROM l1),
+feat AS (
+  SELECT doc_id, line,
+         CASE WHEN regexp_matches(line, '[.!?]$') THEN 1 ELSE 0 END
+           AS punct,
+         CASE WHEN line LIKE '- %' THEN 1 ELSE 0 END AS bullet,
+         CASE WHEN len(string_split(line, ' ')) <= 3 THEN 1 ELSE 0 END
+           AS short
+  FROM ex),
+dup AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+         CAST(sum(cnt - 1) AS BIGINT) AS n_dup
+  FROM (SELECT doc_id, line, CAST(count(*) AS BIGINT) AS cnt
+        FROM feat GROUP BY doc_id, line)
+  GROUP BY doc_id),
+cen AS (
+  SELECT doc_id, CAST(sum(punct) AS BIGINT) AS n_punct,
+         CAST(sum(bullet) AS BIGINT) AS n_bullet,
+         CAST(sum(short) AS BIGINT) AS n_short
+  FROM feat GROUP BY doc_id),
+j AS (
+  SELECT c.doc_id, d.n_lines,
+         CAST(c.n_punct * 1000000 // d.n_lines AS BIGINT) AS punct_ppm,
+         CAST(d.n_dup * 1000000 // d.n_lines AS BIGINT) AS dup_ppm,
+         CAST(c.n_bullet * 1000000 // d.n_lines AS BIGINT) AS bullet_ppm,
+         CAST(c.n_short * 1000000 // d.n_lines AS BIGINT) AS short_ppm
+  FROM cen c JOIN dup d USING (doc_id))
+SELECT doc_id, n_lines, punct_ppm, dup_ppm, bullet_ppm, short_ppm,
+       CASE WHEN punct_ppm < 120000 THEN 'low-punct'
+            WHEN dup_ppm > 300000 THEN 'dup-lines'
+            WHEN bullet_ppm > 900000 THEN 'bullet-page'
+            ELSE 'keep' END AS verdict
+FROM j
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -19671,6 +19950,9 @@ QUERIES = {
     "events_trend_mk": q_events_trend_mk,
     "text_invisible_chars": q_text_invisible_chars,
     "frontier_schedule_smear": q_frontier_schedule_smear,
+    "url_mobile_amp_collapse": q_url_mobile_amp_collapse,
+    "corpus_span_corruption": q_corpus_span_corruption,
+    "text_fineweb_rules": q_text_fineweb_rules,
 }
 
 ORACLES = {
@@ -19983,6 +20265,9 @@ ORACLES = {
     "events_trend_mk": ORACLE_EVENTS_TREND_MK,
     "text_invisible_chars": ORACLE_TEXT_INVISIBLE_CHARS,
     "frontier_schedule_smear": ORACLE_FRONTIER_SCHEDULE_SMEAR,
+    "url_mobile_amp_collapse": ORACLE_URL_MOBILE_AMP_COLLAPSE,
+    "corpus_span_corruption": ORACLE_CORPUS_SPAN_CORRUPTION,
+    "text_fineweb_rules": ORACLE_TEXT_FINEWEB_RULES,
 }
 
 
