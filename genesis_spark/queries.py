@@ -19640,6 +19640,270 @@ FROM j
 """
 
 
+def q_events_benford(spark, sf_dir):
+    """BENFORD first-digit conformance test on transaction values —
+    the classic fabricated-data screen (naturally occurring
+    multi-scale amounts follow P(d) = log10(1 + 1/d); synthetic or
+    manipulated streams don't): per event_type, the observed
+    first-significant-digit distribution in exact ppm against the
+    Benford expectation, the chi-square statistic over the 9 digit
+    cells, and the conformance verdict at the 0.05 critical value
+    (15.507 for 8 df).
+
+    Exactness: first digit via string head of the integer cents
+    (no float log); expected ppm are fixed integer literals of
+    round(log10(1+1/d)·1e6); chi2 is a 9-term double sum rounded 4dp.
+
+    Plan/scale: one groupBy(event_type, digit) census + one 9-row
+    combine per type — nothing scales past the first census."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr("CAST(round(value * 100) AS BIGINT)")
+                  .alias("cents"))
+          .filter(F.col("cents") > 0))
+    d1 = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    cen = (ev.withColumn("digit", d1)
+           .groupBy("event_type", "digit")
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = (cen.groupBy("event_type")
+           .agg(F.sum("n").cast("long").alias("tot")))
+    import math as _m
+    exp_ppm = {d: round(_m.log10(1 + 1 / d) * 10**6) for d in range(1, 10)}
+    exp_col = F.create_map(
+        *[x for d, p in exp_ppm.items()
+          for x in (F.lit(d), F.lit(p))])[F.col("digit")]
+    j = (cen.join(tot, "event_type")
+         .withColumn("obs_ppm",
+                     F.expr("n * 1000000 DIV tot").cast("long"))
+         .withColumn("exp_ppm", exp_col.cast("long")))
+    chi_term = ((F.col("n").cast("double")
+                 - F.col("exp_ppm") * F.col("tot") / 1e6)
+                * (F.col("n").cast("double")
+                   - F.col("exp_ppm") * F.col("tot") / 1e6)
+                / (F.col("exp_ppm") * F.col("tot") / 1e6))
+    per = (j.withColumn("term", chi_term)
+           .groupBy("event_type")
+           .agg(F.first("tot").alias("n_values"),
+                F.count(F.lit(1)).cast("long").alias("n_digits"),
+                F.round(F.sum("term"), 4).alias("chi2")))
+    return (per.withColumn("benford_ok",
+                           (F.col("chi2") <= 15.507).cast("int"))
+            .select("event_type", "n_values", "n_digits", "chi2",
+                    "benford_ok"))
+
+
+def _benford_oracle() -> str:
+    import math as _m
+    cases = " ".join(
+        f"WHEN {d} THEN {round(_m.log10(1 + 1 / d) * 10**6)}"
+        for d in range(1, 10))
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0),
+cen AS (
+  SELECT event_type,
+         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+  FROM cen GROUP BY event_type),
+j AS (
+  SELECT c.event_type, c.n, t.tot,
+         CAST(CASE c.digit {cases} END AS BIGINT) AS exp_ppm
+  FROM cen c JOIN tot t USING (event_type)),
+per AS (
+  SELECT event_type, any_value(tot) AS n_values,
+         CAST(count(*) AS BIGINT) AS n_digits,
+         round(sum((CAST(n AS DOUBLE) - exp_ppm * tot / 1e6)
+                   * (CAST(n AS DOUBLE) - exp_ppm * tot / 1e6)
+                   / (exp_ppm * tot / 1e6)), 4) AS chi2
+  FROM j GROUP BY event_type)
+SELECT event_type, n_values, n_digits, chi2,
+       CAST(CASE WHEN chi2 <= 15.507 THEN 1 ELSE 0 END AS INT)
+         AS benford_ok
+FROM per
+"""
+
+
+ORACLE_EVENTS_BENFORD = _benford_oracle()
+
+
+def q_text_dialog_turns(spark, sf_dir):
+    """DIALOG-turn structure census — the conversational-data
+    profiler an instruction/chat corpus needs before formatting
+    (turn balance and strict speaker alternation decide whether a
+    page is a usable dialogue or a forum dump): docs are rendered
+    as 'u<N>: ...' turn lines (deterministic 2-3 speaker scripts),
+    then per doc: turn count, distinct speakers, mean turn length
+    in exact centitokens, and the alternation ratio (consecutive
+    turns with different speakers / transitions) in ppm — 10^6
+    means a clean two-party dialogue.
+
+    Plan/scale: turn synthesis is flatten/transform codegen; the
+    census is one posexplode + per-doc window lag + one groupBy —
+    the sessionize shuffle shape, partitioned by doc."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("doc_id", F.split(F.col("text"), " ").alias("w")))
+    n_turns = F.greatest((F.ceil(F.size("w") / F.lit(9))).cast("int"),
+                         F.lit(1))
+    n_speakers = (F.col("doc_id") % 2 + 2).cast("int")
+    turns = F.transform(
+        F.sequence(F.lit(0), n_turns - 1),
+        lambda i: F.struct(
+            (i % n_speakers).cast("int").alias("speaker"),
+            F.size(F.split(F.array_join(F.slice(F.col("w"), i * 9 + 1, 9),
+                                        " "), " ")).cast("long")
+            .alias("n_tok")))
+    ex = d.select("doc_id", F.posexplode(turns).alias("pos", "t"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = ex.withColumn(
+        "alt", (F.col("t.speaker") != F.lag("t.speaker").over(w))
+        .cast("int"))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                 F.countDistinct("t.speaker").cast("long")
+                 .alias("n_speakers"),
+                 F.sum("t.n_tok").cast("long").alias("n_tokens"),
+                 F.sum(F.coalesce("alt", F.lit(0))).cast("long")
+                 .alias("n_alt"))
+            .withColumn("mean_turn_centitok",
+                        F.expr("n_tokens * 100 DIV n_turns")
+                        .cast("long"))
+            .withColumn("alternation_ppm",
+                        F.when(F.col("n_turns") > 1,
+                               F.expr("n_alt * 1000000 DIV "
+                                      "(n_turns - 1)"))
+                        .otherwise(F.lit(0)).cast("long")))
+
+
+ORACLE_TEXT_DIALOG_TURNS = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL),
+tl AS (
+  SELECT doc_id, (doc_id % 2 + 2) AS n_spk,
+         list_transform(
+             range(greatest(CAST(ceil(len(w) / 9.0) AS INT), 1)),
+             i -> {'speaker': i % (doc_id % 2 + 2),
+                   'n_tok': CAST(len(string_split(array_to_string(
+                       w[CAST(i*9+1 AS INT):CAST(i*9+9 AS INT)], ' '),
+                       ' ')) AS BIGINT)}) AS turns
+  FROM base),
+ex AS (
+  SELECT doc_id, unnest(turns) AS t,
+         generate_subscripts(turns, 1) - 1 AS pos
+  FROM tl),
+fl AS (
+  SELECT doc_id, t.speaker AS speaker, t.n_tok AS n_tok,
+         CASE WHEN t.speaker <> lag(t.speaker) OVER (
+                  PARTITION BY doc_id ORDER BY pos) THEN 1 ELSE 0 END
+           AS alt
+  FROM ex),
+cen AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(DISTINCT speaker) AS BIGINT) AS n_speakers,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(alt, 0)) AS BIGINT) AS n_alt
+  FROM fl GROUP BY doc_id)
+SELECT doc_id, n_turns, n_speakers, n_tokens, n_alt,
+       CAST(n_tokens * 100 // n_turns AS BIGINT) AS mean_turn_centitok,
+       CAST(CASE WHEN n_turns > 1
+                 THEN n_alt * 1000000 // (n_turns - 1)
+                 ELSE 0 END AS BIGINT) AS alternation_ppm
+FROM cen
+"""
+
+
+def q_url_shortener_detect(spark, sf_dir):
+    """URL-SHORTENER detection — shorteners hide destinations from
+    every URL-level gate (blocklists, dedup, SSRF guards), so a
+    crawler must route them through a separate expand-then-readmit
+    queue with its own politeness class: a host is shortener-LIKE
+    when its path population is dominated by single-segment opaque
+    tokens (short, mixed-case-alnum, no extension, no slashes).
+    Per host: URL count, opaque-token share in ppm, mean token
+    length in centichars, and the route verdict at the 80% floor
+    with >= 20 URLs support.
+
+    Fixture: 4 synthetic hosts — two shorteners (base62-ish md5
+    tokens of length 7), a docs site (real paths), a mixed host.
+
+    Plan/scale: per-row regexp classification + ONE groupBy(host)
+    — the expand queue itself is the fetch path's job; this row is
+    the router."""
+    k = F.col("o_orderkey")
+    host = (F.when(k % 4 == 0, F.lit("sh.rt"))
+            .when(k % 4 == 1, F.lit("tiny.onion"))
+            .when(k % 4 == 2, F.lit("docs.site.onion"))
+            .otherwise(F.lit("mix.onion")))
+    path = (F.when(k % 4 < 2,
+                   F.substring(F.md5(k.cast("string")), 1, 7))
+            .when(k % 4 == 2,
+                  F.concat(F.lit("guides/install-"),
+                           (k % 30).cast("string"), F.lit(".html")))
+            .otherwise(F.when(k % 8 == 3,
+                              F.substring(F.md5(k.cast("string")), 1, 7))
+                       .otherwise(F.concat(F.lit("blog/post-"),
+                                           (k % 40).cast("string")))))
+    d = (_t(spark, sf_dir, "orders")
+         .select(host.alias("host_key"), path.alias("path")))
+    opaque = (F.col("path").rlike("^[a-z0-9]{5,10}$")
+              & ~F.col("path").contains("/")
+              & ~F.col("path").contains(".")).cast("int")
+    cen = (d.withColumn("opaque", opaque)
+           .groupBy("host_key")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                F.sum("opaque").cast("long").alias("n_opaque"),
+                F.sum(F.length("path")).cast("long").alias("path_chars")))
+    return (cen.withColumn("opaque_ppm",
+                           F.expr("n_opaque * 1000000 DIV n_urls")
+                           .cast("long"))
+            .withColumn("mean_len_centi",
+                        F.expr("path_chars * 100 DIV n_urls")
+                        .cast("long"))
+            .withColumn("is_shortener",
+                        ((F.col("opaque_ppm") >= 800000)
+                         & (F.col("n_urls") >= 20)).cast("int")))
+
+
+ORACLE_URL_SHORTENER_DETECT = """
+WITH d AS (
+  SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'sh.rt'
+              WHEN o_orderkey % 4 = 1 THEN 'tiny.onion'
+              WHEN o_orderkey % 4 = 2 THEN 'docs.site.onion'
+              ELSE 'mix.onion' END AS host_key,
+         CASE WHEN o_orderkey % 4 < 2
+              THEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7)
+              WHEN o_orderkey % 4 = 2
+              THEN 'guides/install-' || (o_orderkey % 30) || '.html'
+              WHEN o_orderkey % 8 = 3
+              THEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7)
+              ELSE 'blog/post-' || (o_orderkey % 40) END AS path
+  FROM orders),
+t AS (
+  SELECT host_key, path,
+         CASE WHEN regexp_matches(path, '^[a-z0-9]{5,10}$')
+               AND NOT contains(path, '/')
+               AND NOT contains(path, '.') THEN 1 ELSE 0 END AS opaque
+  FROM d),
+cen AS (
+  SELECT host_key, CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(sum(opaque) AS BIGINT) AS n_opaque,
+         CAST(sum(length(path)) AS BIGINT) AS path_chars
+  FROM t GROUP BY host_key)
+SELECT host_key, n_urls, n_opaque, path_chars,
+       CAST(n_opaque * 1000000 // n_urls AS BIGINT) AS opaque_ppm,
+       CAST(path_chars * 100 // n_urls AS BIGINT) AS mean_len_centi,
+       CAST(CASE WHEN n_opaque * 1000000 // n_urls >= 800000
+                  AND n_urls >= 20 THEN 1 ELSE 0 END AS INT)
+         AS is_shortener
+FROM cen
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -19953,6 +20217,9 @@ QUERIES = {
     "url_mobile_amp_collapse": q_url_mobile_amp_collapse,
     "corpus_span_corruption": q_corpus_span_corruption,
     "text_fineweb_rules": q_text_fineweb_rules,
+    "events_benford": q_events_benford,
+    "text_dialog_turns": q_text_dialog_turns,
+    "url_shortener_detect": q_url_shortener_detect,
 }
 
 ORACLES = {
@@ -20268,6 +20535,9 @@ ORACLES = {
     "url_mobile_amp_collapse": ORACLE_URL_MOBILE_AMP_COLLAPSE,
     "corpus_span_corruption": ORACLE_CORPUS_SPAN_CORRUPTION,
     "text_fineweb_rules": ORACLE_TEXT_FINEWEB_RULES,
+    "events_benford": ORACLE_EVENTS_BENFORD,
+    "text_dialog_turns": ORACLE_TEXT_DIALOG_TURNS,
+    "url_shortener_detect": ORACLE_URL_SHORTENER_DETECT,
 }
 
 
