@@ -19904,6 +19904,211 @@ FROM cen
 """
 
 
+def q_frontier_aimd_window(spark, sf_dir):
+    """AIMD fetch-concurrency control per host — TCP's additive-
+    increase / multiplicative-decrease applied to polite crawling
+    (the adaptive layer above the static politeness bucket): a host
+    that served the last round cleanly earns +1 concurrent
+    connection (capped at 8); any error or timeout halves the
+    window (floor 1); a 5xx-dominated round resets to 1 outright.
+    Emits per host the current window, last-round health, the next
+    window, and the fleet-capacity delta the change implies.
+
+    Fixture: deterministic current windows (1..8) and last-round
+    (n_ok, n_err, n_5xx) triples from order keys.
+
+    Plan/scale: pure per-row CASE arithmetic + one fleet census —
+    the controller state is one row per host, exactly what the
+    scheduler's host table already holds."""
+    k = F.col("o_orderkey")
+    hosts = (_t(spark, sf_dir, "orders")
+             .select(F.concat(F.lit("h"), (k % 499).cast("string"))
+                     .alias("host_key"),
+                     (k % 8 + 1).cast("long").alias("cwnd"),
+                     (k % 11).cast("long").alias("n_err"),
+                     (k % 17 == 0).cast("long").alias("has_5xx_storm"))
+             .groupBy("host_key")
+             .agg(F.max("cwnd").cast("long").alias("cwnd"),
+                  F.sum("n_err").cast("long").alias("n_err"),
+                  F.max("has_5xx_storm").cast("long")
+                  .alias("storm")))
+    nxt = (F.when(F.col("storm") == 1, F.lit(1))
+           .when(F.col("n_err") > 0,
+                 F.greatest(F.expr("cwnd DIV 2"), F.lit(1)))
+           .otherwise(F.least(F.col("cwnd") + 1, F.lit(8)))) \
+        .cast("long")
+    out = (hosts.withColumn("next_window", nxt)
+           .withColumn("delta",
+                       (F.col("next_window") - F.col("cwnd"))
+                       .cast("long"))
+           .withColumn("action",
+                       F.when(F.col("storm") == 1, F.lit("reset"))
+                       .when(F.col("n_err") > 0, F.lit("halve"))
+                       .when(F.col("cwnd") >= 8, F.lit("hold"))
+                       .otherwise(F.lit("grow"))))
+    return out.select("host_key", "cwnd", "n_err", "storm",
+                      "next_window", "delta", "action")
+
+
+ORACLE_FRONTIER_AIMD_WINDOW = """
+WITH hosts AS (
+  SELECT 'h' || (o_orderkey % 499) AS host_key,
+         CAST(max(o_orderkey % 8 + 1) AS BIGINT) AS cwnd,
+         CAST(sum(o_orderkey % 11) AS BIGINT) AS n_err,
+         CAST(max(CASE WHEN o_orderkey % 17 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS storm
+  FROM orders GROUP BY 1),
+n AS (
+  SELECT host_key, cwnd, n_err, storm,
+         CAST(CASE WHEN storm = 1 THEN 1
+                   WHEN n_err > 0 THEN greatest(cwnd // 2, 1)
+                   ELSE least(cwnd + 1, 8) END AS BIGINT)
+           AS next_window
+  FROM hosts)
+SELECT host_key, cwnd, n_err, storm, next_window,
+       CAST(next_window - cwnd AS BIGINT) AS delta,
+       CASE WHEN storm = 1 THEN 'reset'
+            WHEN n_err > 0 THEN 'halve'
+            WHEN cwnd >= 8 THEN 'hold'
+            ELSE 'grow' END AS action
+FROM n
+"""
+
+
+def q_url_fragment_policy(spark, sf_dir):
+    """URL FRAGMENT policy — '#fragment' is client-side-only per RFC
+    3986 §3.5, so a frontier that keeps fragments aliases every
+    anchor on a page into a distinct URL; the one exception is the
+    legacy hashbang ('#!/state'), where the fragment IS server
+    routing (Google's old AJAX-crawling scheme maps it to
+    ?_escaped_fragment_=). Per URL: the fragment class (none /
+    anchor / hashbang), the dedup key (fragment stripped), and the
+    fetch URL (hashbang rewritten to _escaped_fragment_); the
+    anchor-alias savings fall out of the dedup-key census.
+
+    Plan/scale: per-row split/regexp codegen + one groupBy on the
+    dedup key for the savings census; the policy columns are
+    exactly what the frontier's canonicalizer applies inline."""
+    k = F.col("o_orderkey")
+    frag = (F.when(k % 3 == 1,
+                   F.concat(F.lit("#sec"), (k % 12).cast("string")))
+            .when(k % 7 == 3,
+                  F.concat(F.lit("#!/page/"), (k % 9).cast("string")))
+            .otherwise(F.lit("")))
+    url = F.concat(F.lit("http://site"), (k % 150).cast("string"),
+                   F.lit(".onion/doc"), (k % 40).cast("string"), frag)
+    d = _t(spark, sf_dir, "orders").select(k.alias("o_orderkey"),
+                                           url.alias("url"))
+    base = F.substring_index("url", "#", 1)
+    fragment = F.when(F.col("url").contains("#"),
+                      F.substring_index("url", "#", -1)) \
+        .otherwise(F.lit(""))
+    cls = (F.when(fragment == "", F.lit("none"))
+           .when(fragment.startswith("!/"), F.lit("hashbang"))
+           .otherwise(F.lit("anchor")))
+    fetch = (F.when(cls == "hashbang",
+                    F.concat(base, F.lit("?_escaped_fragment_="),
+                             F.substring(fragment, 3, 10000)))
+             .otherwise(base))
+    return (d.withColumn("dedup_key", base)
+            .withColumn("frag_class", cls)
+            .withColumn("fetch_url", fetch))
+
+
+ORACLE_URL_FRAGMENT_POLICY = """
+WITH d AS (
+  SELECT o_orderkey,
+         'http://site' || (o_orderkey % 150) || '.onion/doc'
+         || (o_orderkey % 40)
+         || CASE WHEN o_orderkey % 3 = 1 THEN '#sec' || (o_orderkey % 12)
+                 WHEN o_orderkey % 7 = 3
+                   THEN '#!/page/' || (o_orderkey % 9)
+                 ELSE '' END AS url
+  FROM orders),
+x AS (
+  SELECT o_orderkey, url,
+         CASE WHEN contains(url, '#')
+              THEN string_split(url, '#')[1] ELSE url END AS base,
+         CASE WHEN contains(url, '#')
+              THEN string_split(url, '#')[-1] ELSE '' END AS frag
+  FROM d),
+c AS (
+  SELECT o_orderkey, url, base, frag,
+         CASE WHEN frag = '' THEN 'none'
+              WHEN frag LIKE '!/%' THEN 'hashbang'
+              ELSE 'anchor' END AS frag_class
+  FROM x)
+SELECT o_orderkey, url, base AS dedup_key, frag_class,
+       CASE WHEN frag_class = 'hashbang'
+            THEN base || '?_escaped_fragment_=' || substr(frag, 3)
+            ELSE base END AS fetch_url
+FROM c
+"""
+
+
+def q_corpus_vocab_coverage(spark, sf_dir):
+    """Vocabulary COVERAGE curve — the tokenizer-budget planning row
+    (how big must the vocab be before OOV stops hurting?): rank all
+    corpus terms by frequency (ties on term asc), then for each
+    candidate vocab size N in (256, 1024, 4096, 16384) report the
+    token-mass coverage in exact ppm — the Zipf integral the
+    BPE-size decision reads off. Complements corpus_vocab_topk
+    (which lists the head) with the cumulative curve.
+
+    Plan/scale: one term-frequency groupBy (Heaps-small result),
+    ONE rank window over the vocab (not the token stream), and a
+    4-row conditional-sum census — the token stream shuffles once.
+    """
+    tok = (_t(spark, sf_dir, "documents")
+           .filter(F.col("text").isNotNull())
+           .select(F.explode(F.split("text", " ")).alias("tok")))
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long")
+                                .alias("tf"))
+    wr = Window.orderBy(F.col("tf").desc(), F.col("tok").asc())
+    ranked = tf.withColumn("rnk", F.row_number().over(wr).cast("long"))
+    tot = ranked.agg(F.sum("tf").cast("long").alias("total"),
+                     F.count(F.lit(1)).cast("long").alias("vocab_full"))
+    outs = []
+    for n in (256, 1024, 4096, 16384):
+        cov = ranked.agg(
+            F.sum(F.when(F.col("rnk") <= n, F.col("tf"))
+                  .otherwise(F.lit(0))).cast("long").alias("covered"))
+        outs.append(
+            cov.crossJoin(F.broadcast(tot))
+            .select(F.lit(n).cast("long").alias("vocab_size"),
+                    "covered", "total", "vocab_full",
+                    F.expr("covered * 1000000 DIV total").cast("long")
+                    .alias("coverage_ppm")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+ORACLE_CORPUS_VOCAB_COVERAGE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok),
+ranked AS (
+  SELECT tf, row_number() OVER (ORDER BY tf DESC, tok ASC) AS rnk
+  FROM tf),
+tot AS (
+  SELECT CAST(sum(tf) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS vocab_full FROM ranked),
+ks AS (SELECT unnest([256, 1024, 4096, 16384]) AS vocab_size)
+SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+       (SELECT CAST(sum(CASE WHEN rnk <= vocab_size THEN tf ELSE 0 END)
+                    AS BIGINT) FROM ranked) AS covered,
+       tot.total, tot.vocab_full,
+       CAST((SELECT sum(CASE WHEN rnk <= vocab_size THEN tf ELSE 0 END)
+             FROM ranked) * 1000000 // tot.total AS BIGINT)
+         AS coverage_ppm
+FROM ks CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -20220,6 +20425,9 @@ QUERIES = {
     "events_benford": q_events_benford,
     "text_dialog_turns": q_text_dialog_turns,
     "url_shortener_detect": q_url_shortener_detect,
+    "frontier_aimd_window": q_frontier_aimd_window,
+    "url_fragment_policy": q_url_fragment_policy,
+    "corpus_vocab_coverage": q_corpus_vocab_coverage,
 }
 
 ORACLES = {
@@ -20538,6 +20746,9 @@ ORACLES = {
     "events_benford": ORACLE_EVENTS_BENFORD,
     "text_dialog_turns": ORACLE_TEXT_DIALOG_TURNS,
     "url_shortener_detect": ORACLE_URL_SHORTENER_DETECT,
+    "frontier_aimd_window": ORACLE_FRONTIER_AIMD_WINDOW,
+    "url_fragment_policy": ORACLE_URL_FRAGMENT_POLICY,
+    "corpus_vocab_coverage": ORACLE_CORPUS_VOCAB_COVERAGE,
 }
 
 
