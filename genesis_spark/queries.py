@@ -20109,6 +20109,237 @@ FROM ks CROSS JOIN tot
 """
 
 
+def q_embeddings_distance_histogram(spark, sf_dir):
+    """Pairwise-distance CONCENTRATION histogram — the curse-of-
+    dimensionality companion to the hubness audit: in high dimension
+    all pairwise cosines crowd toward their mean (distance
+    concentration), which silently destroys threshold-based dedup
+    and makes top-k rankings noise; this row bins the cosine of a
+    deterministic pair sample (i paired with (i·7+1) mod n by rank)
+    into 20 fixed bins over [-1, 1] and reports the spread stats the
+    'is cosine even meaningful here?' decision needs.
+
+    Exactness: exact float64 cosine rounded 6dp before binning
+    (bin = floor((cos+1)·10), clamped); the pair sample is a
+    permutation, not RNG.
+
+    Plan/scale: the pair join is rank-to-rank (one equi-join after
+    a zip-rank), O(n) pairs, never all-pairs; the histogram is one
+    20-group census."""
+    emb = _t(spark, sf_dir, "embeddings")
+    wr = Window.orderBy(F.col("vec_id").asc())
+    ranked = (emb.select("vec_id", "embedding")
+              .withColumn("rnk",
+                          (F.row_number().over(wr) - 1).cast("long")))
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = ranked.crossJoin(F.broadcast(n)) \
+        .withColumn("mate", (F.col("rnk") * 7 + 1) % F.col("n"))
+    b = ranked.select(F.col("rnk").alias("mate"),
+                      F.col("embedding").alias("emb_b"))
+    pairs = (a.join(b, "mate")
+             .filter(F.col("rnk") != F.col("mate")))
+    va = F.transform("embedding", lambda x: x.cast("double"))
+    vb = F.transform("emb_b", lambda x: x.cast("double"))
+    cos = F.round(SIM._dot(va, vb) / (SIM._norm(va) * SIM._norm(vb)), 6)
+    binned = pairs.select(
+        F.least(F.greatest(F.floor((cos + 1) * 10).cast("long"),
+                           F.lit(0)), F.lit(19)).alias("bin"),
+        cos.alias("cos"))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.round(F.min("cos"), 6).alias("min_cos"),
+                 F.round(F.max("cos"), 6).alias("max_cos")))
+
+
+ORACLE_EMBEDDINGS_DISTANCE_HISTOGRAM = """
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT)
+           AS rnk
+  FROM embeddings),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+pairs AS (
+  SELECT a.embedding AS ea, b.embedding AS eb
+  FROM ranked a CROSS JOIN n
+  JOIN ranked b ON b.rnk = (a.rnk * 7 + 1) % n.n
+  WHERE a.rnk <> (a.rnk * 7 + 1) % n.n),
+sc AS (
+  SELECT round(
+      list_sum(list_transform(range(len(ea)),
+          i -> ea[i+1]::DOUBLE * eb[i+1]::DOUBLE))
+      / (sqrt(list_sum(list_transform(range(len(ea)),
+          i -> ea[i+1]::DOUBLE * ea[i+1]::DOUBLE)))
+       * sqrt(list_sum(list_transform(range(len(eb)),
+          i -> eb[i+1]::DOUBLE * eb[i+1]::DOUBLE)))), 6) AS cos
+  FROM pairs)
+SELECT CAST(least(greatest(CAST(floor((cos + 1) * 10) AS BIGINT), 0), 19)
+            AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(min(cos), 6) AS min_cos,
+       round(max(cos), 6) AS max_cos
+FROM sc GROUP BY 1
+"""
+
+
+def q_frontier_wave_entropy(spark, sf_dir):
+    """Per-wave HOST-distribution entropy — the scheduling-health
+    gauge for each crawl round: a wave whose URLs concentrate on
+    few hosts serializes behind politeness (effective parallelism =
+    perplexity = 2^H hosts, not the host count), while a flat wave
+    keeps the fleet busy. Per round: URL count, host count, the
+    host-distribution entropy in bits (4dp), the perplexity
+    (effective hosts, 2dp), and the utilization ppm
+    (perplexity / n_hosts).
+
+    Exactness: counts are integers; H sums n_hosts terms of exact
+    rationals, rounded 4dp; perplexity re-derives from the rounded
+    H so both engines agree bit-for-bit.
+
+    Plan/scale: two census groupBys ((round, host) then round) —
+    the same shape as frontier_host_agg; no windows, no joins on
+    the URL stream."""
+    k = F.col("o_orderkey")
+    d = (_t(spark, sf_dir, "orders")
+         .select((k % 5).cast("long").alias("round"),
+                 F.concat(F.lit("h"),
+                          (F.when(k % 5 < 2, k % 7)
+                           .otherwise(k % 61)).cast("string"))
+                 .alias("host_key")))
+    hc = (d.groupBy("round", "host_key")
+          .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = (hc.groupBy("round")
+           .agg(F.sum("n").cast("long").alias("tot"),
+                F.count(F.lit(1)).cast("long").alias("n_hosts")))
+    j = hc.join(tot, "round")
+    term = ((F.col("n").cast("double") / F.col("tot"))
+            * (F.log(F.col("tot").cast("double"))
+               - F.log(F.col("n").cast("double"))) / F.log(F.lit(2.0)))
+    per = (j.withColumn("term", term)
+           .groupBy("round")
+           .agg(F.first("tot").alias("n_urls"),
+                F.first("n_hosts").alias("n_hosts"),
+                F.round(F.sum("term"), 4).alias("h_bits")))
+    return (per.withColumn("perplexity",
+                           F.round(F.pow(F.lit(2.0), F.col("h_bits")), 2))
+            .withColumn("utilization_ppm",
+                        F.floor(F.col("perplexity") * 1000000
+                                / F.col("n_hosts")).cast("long"))
+            .select("round", "n_urls", "n_hosts", "h_bits",
+                    "perplexity", "utilization_ppm"))
+
+
+ORACLE_FRONTIER_WAVE_ENTROPY = """
+WITH d AS (
+  SELECT CAST(o_orderkey % 5 AS BIGINT) AS round,
+         'h' || (CASE WHEN o_orderkey % 5 < 2 THEN o_orderkey % 7
+                      ELSE o_orderkey % 61 END) AS host_key
+  FROM orders),
+hc AS (
+  SELECT round, host_key, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY round, host_key),
+tot AS (
+  SELECT round, CAST(sum(n) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n_hosts
+  FROM hc GROUP BY round),
+per AS (
+  SELECT hc.round, any_value(tot.tot) AS n_urls,
+         any_value(tot.n_hosts) AS n_hosts,
+         round(sum((CAST(hc.n AS DOUBLE) / tot.tot)
+                   * (ln(CAST(tot.tot AS DOUBLE))
+                      - ln(CAST(hc.n AS DOUBLE))) / ln(2.0)), 4)
+           AS h_bits
+  FROM hc JOIN tot USING (round) GROUP BY hc.round)
+SELECT round, n_urls, n_hosts, h_bits,
+       round(pow(2.0, h_bits), 2) AS perplexity,
+       CAST(floor(round(pow(2.0, h_bits), 2) * 1000000 / n_hosts)
+            AS BIGINT) AS utilization_ppm
+FROM per
+"""
+
+
+def q_text_html_entities(spark, sf_dir):
+    """Residual HTML-ENTITY audit — the extraction-quality check a
+    text pipeline runs after HTML-to-text (leftover &amp;/&#39;
+    entities mean the extractor missed a decode pass, and entity
+    mass correlates with broken markup): per doc, counts of named
+    (&amp; &lt; &gt; &quot; &nbsp;), decimal (&#39;), and hex
+    (&#x27;) entities, the decoded text for the three commonest,
+    and the clean/dirty verdict.
+
+    Fixture: entities injected deterministically (every 3rd doc
+    gets '&amp;' between words, every 5th '&#39;', every 7th
+    '&nbsp;') so all three classes exist.
+
+    Plan/scale: per-row regexp codegen; the decode is the same
+    regexp_replace cascade the cleaner applies — audited and
+    applied in one pass, no shuffle."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 3 == 0,
+               F.regexp_replace(t, " and ", " &amp; ")).otherwise(t)
+    t = F.when(F.col("doc_id") % 5 == 0,
+               F.regexp_replace(t, " the ", " the&#39; ")).otherwise(t)
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.regexp_replace(t, " a ", " a&nbsp;")).otherwise(t)
+    d = d.select("doc_id", t.alias("xt"))
+    n_named = F.regexp_count("xt", F.lit("&(amp|lt|gt|quot|nbsp);")) \
+        .cast("long")
+    n_dec = F.regexp_count("xt", F.lit("&#[0-9]+;")).cast("long")
+    n_hex = F.regexp_count("xt", F.lit("&#x[0-9a-fA-F]+;")).cast("long")
+    decoded = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("xt", "&amp;", "&"),
+            "&nbsp;", " "),
+        "&#39;", "'")
+    return (d.select("doc_id",
+                     n_named.alias("n_named"), n_dec.alias("n_decimal"),
+                     n_hex.alias("n_hex"),
+                     F.length(decoded).cast("long").alias("decoded_len"))
+            .withColumn("n_entities",
+                        (F.col("n_named") + F.col("n_decimal")
+                         + F.col("n_hex")).cast("long"))
+            .withColumn("is_dirty",
+                        (F.col("n_entities") > 0).cast("int")))
+
+
+ORACLE_TEXT_HTML_ENTITIES = """
+WITH x AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN replace(t2, ' a ', ' a&nbsp;') ELSE t2 END AS xt
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN replace(t1, ' the ', ' the&#39; ') ELSE t1 END AS t2
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN replace(text, ' and ', ' &amp; ') ELSE text END
+               AS t1
+      FROM documents WHERE text IS NOT NULL)))
+SELECT doc_id,
+       CAST(len(regexp_extract_all(xt, '&(amp|lt|gt|quot|nbsp);'))
+            AS BIGINT) AS n_named,
+       CAST(len(regexp_extract_all(xt, '&#[0-9]+;')) AS BIGINT)
+         AS n_decimal,
+       CAST(len(regexp_extract_all(xt, '&#x[0-9a-fA-F]+;')) AS BIGINT)
+         AS n_hex,
+       CAST(length(replace(replace(replace(xt, '&amp;', '&'),
+                                   '&nbsp;', ' '), '&#39;', ''''))
+            AS BIGINT) AS decoded_len,
+       CAST(len(regexp_extract_all(xt, '&(amp|lt|gt|quot|nbsp);'))
+            + len(regexp_extract_all(xt, '&#[0-9]+;'))
+            + len(regexp_extract_all(xt, '&#x[0-9a-fA-F]+;'))
+            AS BIGINT) AS n_entities,
+       CAST(CASE WHEN len(regexp_extract_all(xt, '&(amp|lt|gt|quot|nbsp);'))
+                    + len(regexp_extract_all(xt, '&#[0-9]+;'))
+                    + len(regexp_extract_all(xt, '&#x[0-9a-fA-F]+;')) > 0
+                 THEN 1 ELSE 0 END AS INT) AS is_dirty
+FROM x
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -20428,6 +20659,9 @@ QUERIES = {
     "frontier_aimd_window": q_frontier_aimd_window,
     "url_fragment_policy": q_url_fragment_policy,
     "corpus_vocab_coverage": q_corpus_vocab_coverage,
+    "embeddings_distance_histogram": q_embeddings_distance_histogram,
+    "frontier_wave_entropy": q_frontier_wave_entropy,
+    "text_html_entities": q_text_html_entities,
 }
 
 ORACLES = {
@@ -20749,6 +20983,9 @@ ORACLES = {
     "frontier_aimd_window": ORACLE_FRONTIER_AIMD_WINDOW,
     "url_fragment_policy": ORACLE_URL_FRAGMENT_POLICY,
     "corpus_vocab_coverage": ORACLE_CORPUS_VOCAB_COVERAGE,
+    "embeddings_distance_histogram": ORACLE_EMBEDDINGS_DISTANCE_HISTOGRAM,
+    "frontier_wave_entropy": ORACLE_FRONTIER_WAVE_ENTROPY,
+    "text_html_entities": ORACLE_TEXT_HTML_ENTITIES,
 }
 
 
