@@ -20340,6 +20340,224 @@ FROM x
 """
 
 
+def q_url_case_fold(spark, sf_dir):
+    """CASE normalization per RFC 3986 §6.2.2.1 — scheme and host are
+    case-INsensitive (HTTP://EXAMPLE.onion == http://example.onion)
+    but the path is case-SENSITIVE (/Docs != /docs), so the correct
+    fold lowercases exactly the authority prefix and must NOT touch
+    the path; a frontier that lowercases whole URLs corrupts paths,
+    one that folds nothing aliases every case variant. Per URL: the
+    correctly folded form, whether folding changed it, and the
+    alias-family census on the folded key showing the fetches the
+    fold deduplicates.
+
+    Fixture: scheme/host/path case variants on deterministic mods
+    (every 3rd URL uppercases the host, every 4th the scheme, every
+    5th the path — only the last must survive the fold).
+
+    Plan/scale: split at the authority boundary + lower() codegen,
+    one groupBy(folded) census — the URL-seen shuffle shape."""
+    k = F.col("o_orderkey")
+    scheme = F.when(k % 4 == 0, F.lit("HTTP")).otherwise(F.lit("http"))
+    host = F.when(k % 3 == 0,
+                  F.concat(F.lit("SITE"), (k % 120).cast("string"),
+                           F.lit(".ONION"))) \
+        .otherwise(F.concat(F.lit("site"), (k % 120).cast("string"),
+                            F.lit(".onion")))
+    path = F.when(k % 5 == 0,
+                  F.concat(F.lit("/Docs/Page"), (k % 30).cast("string"))) \
+        .otherwise(F.concat(F.lit("/docs/page"), (k % 30).cast("string")))
+    d = (_t(spark, sf_dir, "orders")
+         .select(F.concat(scheme, F.lit("://"), host, path).alias("url"))
+         .distinct())
+    prefix = F.concat(F.substring_index("url", "/", 3))
+    rest = F.substring(F.col("url"),
+                       F.length(prefix) + 1, F.lit(100000))
+    folded = F.concat(F.lower(prefix), rest)
+    t = (d.withColumn("url_folded", folded)
+         .withColumn("changed", (F.col("url") != F.col("url_folded"))
+                     .cast("int")))
+    return (t.groupBy("url_folded")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_variants"),
+                 F.sum("changed").cast("long").alias("n_folded"))
+            .withColumn("fetches_saved",
+                        (F.col("n_variants") - 1).cast("long")))
+
+
+ORACLE_URL_CASE_FOLD = """
+WITH d AS (
+  SELECT DISTINCT
+         CASE WHEN o_orderkey % 4 = 0 THEN 'HTTP' ELSE 'http' END
+         || '://'
+         || CASE WHEN o_orderkey % 3 = 0
+                 THEN 'SITE' || (o_orderkey % 120) || '.ONION'
+                 ELSE 'site' || (o_orderkey % 120) || '.onion' END
+         || CASE WHEN o_orderkey % 5 = 0
+                 THEN '/Docs/Page' || (o_orderkey % 30)
+                 ELSE '/docs/page' || (o_orderkey % 30) END AS url
+  FROM orders),
+t AS (
+  SELECT url,
+         lower(array_to_string(string_split(url, '/')[1:3], '/'))
+         || substr(url,
+                   length(array_to_string(string_split(url, '/')[1:3],
+                                          '/')) + 1) AS url_folded
+  FROM d)
+SELECT url_folded, CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(sum(CASE WHEN url <> url_folded THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_folded,
+       CAST(count(*) - 1 AS BIGINT) AS fetches_saved
+FROM t GROUP BY url_folded
+"""
+
+
+def q_events_autocorr(spark, sf_dir):
+    """Lag-1 AUTOCORRELATION of daily traffic — the serial-dependence
+    gauge that separates momentum (today predicts tomorrow: caching
+    and capacity pre-provisioning pay off) from white noise (they
+    don't), and the companion the Mann-Kendall row needs (MK assumes
+    independent observations; high lag-1 r inflates its false-
+    positive rate). Per event_type: Pearson r between consecutive
+    day counts, from exact integer sums over the (x_t, x_{t+1})
+    pair series, rounded 4 dp, with the |r| > 0.3 dependence flag.
+
+    Plan/scale: daily census first, one per-type lag window over
+    n_days rows, one closed-form agg — raw events shuffle once."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr("unix_timestamp(ts) DIV 86400").alias("day")))
+    daily = (ev.groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = (daily.withColumn("nxt", F.lead("n").over(w))
+              .filter(F.col("nxt").isNotNull()))
+    agg = (lagged.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("m"),
+                F.sum("n").cast("long").alias("sx"),
+                F.sum("nxt").cast("long").alias("sy"),
+                F.sum(F.col("n") * F.col("n")).cast("long").alias("sxx"),
+                F.sum(F.col("nxt") * F.col("nxt")).cast("long")
+                .alias("syy"),
+                F.sum(F.col("n") * F.col("nxt")).cast("long")
+                .alias("sxy")))
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    den = F.sqrt((F.col("m") * F.col("sxx")
+                  - F.col("sx") * F.col("sx")).cast("double")
+                 * (F.col("m") * F.col("syy")
+                    - F.col("sy") * F.col("sy")).cast("double"))
+    return (agg.withColumn("r1", F.round(num / den, 4))
+            .withColumn("is_dependent",
+                        (F.abs(F.col("r1")) > 0.3).cast("int"))
+            .select("event_type", F.col("m").alias("n_pairs"), "r1",
+                    "is_dependent"))
+
+
+ORACLE_EVENTS_AUTOCORR = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day),
+lagged AS (
+  SELECT event_type, n,
+         lead(n) OVER (PARTITION BY event_type ORDER BY day) AS nxt
+  FROM daily),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(n) AS BIGINT) AS sx, CAST(sum(nxt) AS BIGINT) AS sy,
+         CAST(sum(n * n) AS BIGINT) AS sxx,
+         CAST(sum(nxt * nxt) AS BIGINT) AS syy,
+         CAST(sum(n * nxt) AS BIGINT) AS sxy
+  FROM lagged WHERE nxt IS NOT NULL GROUP BY event_type)
+SELECT event_type, m AS n_pairs,
+       round(CAST(m * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                    * CAST(m * syy - sy * sy AS DOUBLE)), 4) AS r1,
+       CAST(CASE WHEN abs(CAST(m * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                    * CAST(m * syy - sy * sy AS DOUBLE))) > 0.3
+            THEN 1 ELSE 0 END AS INT) AS is_dependent
+FROM agg
+"""
+
+
+def q_text_date_extract(spark, sf_dir):
+    """Document DATING by in-text year extraction — the freshness
+    estimator a corpus runs when crawl metadata is missing or lies
+    (page footers and citations carry years; the max plausible year
+    in the text is the standard cheap document date): per doc, the
+    count of 4-digit year tokens in [1990, 2029], the min and max
+    year, the dating-confidence class (none / single / multi), and
+    the corpus-age bucket the doc lands in for curriculum or decay
+    weighting.
+
+    Fixture: deterministic year injection — every doc gains
+    'copyright <year>' with year = 1998 + doc_id % 28; every 3rd
+    doc gains a second, earlier citation year.
+
+    Plan/scale: regexp_extract_all + array codegen per row, one
+    final projection — no shuffle."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    year1 = (F.col("doc_id") % 28 + 1998).cast("long")
+    year2 = (F.col("doc_id") % 9 + 1991).cast("long")
+    page = F.concat(
+        F.col("text"), F.lit(" copyright "), year1.cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" cited "), year2.cast("string")))
+        .otherwise(F.lit("")))
+    d = d.select("doc_id", page.alias("page"))
+    years = F.expr(
+        r"transform(regexp_extract_all(page, '(^| )((19|20)[0-9]{2})( |$)',"
+        r" 2), x -> CAST(x AS BIGINT))")
+    valid = F.filter(years, lambda y: (y >= 1990) & (y <= 2029))
+    d = d.select("doc_id", valid.alias("ys"))
+    conf = (F.when(F.size("ys") == 0, F.lit("none"))
+            .when(F.size("ys") == 1, F.lit("single"))
+            .otherwise(F.lit("multi")))
+    mx = F.array_max("ys")
+    bucket = (F.when(mx >= 2020, F.lit("recent"))
+              .when(mx >= 2010, F.lit("modern"))
+              .when(mx >= 2000, F.lit("old"))
+              .otherwise(F.lit("ancient")))
+    return (d.select("doc_id",
+                     F.size("ys").cast("long").alias("n_years"),
+                     F.array_min("ys").alias("min_year"),
+                     mx.alias("max_year"),
+                     conf.alias("confidence"),
+                     F.when(F.size("ys") > 0, bucket)
+                     .otherwise(F.lit("undated")).alias("age_bucket")))
+
+
+ORACLE_TEXT_DATE_EXTRACT = """
+WITH d AS (
+  SELECT doc_id,
+         text || ' copyright ' || (doc_id % 28 + 1998)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' cited ' || (doc_id % 9 + 1991) ELSE '' END
+           AS page
+  FROM documents WHERE text IS NOT NULL),
+y AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+             regexp_extract_all(page, '(^| )((19|20)[0-9]{2})( |$)', 2),
+             x -> CAST(x AS BIGINT)),
+             v -> v >= 1990 AND v <= 2029) AS ys
+  FROM d)
+SELECT doc_id, CAST(len(ys) AS BIGINT) AS n_years,
+       list_min(ys) AS min_year, list_max(ys) AS max_year,
+       CASE WHEN len(ys) = 0 THEN 'none'
+            WHEN len(ys) = 1 THEN 'single'
+            ELSE 'multi' END AS confidence,
+       CASE WHEN len(ys) = 0 THEN 'undated'
+            WHEN list_max(ys) >= 2020 THEN 'recent'
+            WHEN list_max(ys) >= 2010 THEN 'modern'
+            WHEN list_max(ys) >= 2000 THEN 'old'
+            ELSE 'ancient' END AS age_bucket
+FROM y
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -20662,6 +20880,9 @@ QUERIES = {
     "embeddings_distance_histogram": q_embeddings_distance_histogram,
     "frontier_wave_entropy": q_frontier_wave_entropy,
     "text_html_entities": q_text_html_entities,
+    "url_case_fold": q_url_case_fold,
+    "events_autocorr": q_events_autocorr,
+    "text_date_extract": q_text_date_extract,
 }
 
 ORACLES = {
@@ -20986,6 +21207,9 @@ ORACLES = {
     "embeddings_distance_histogram": ORACLE_EMBEDDINGS_DISTANCE_HISTOGRAM,
     "frontier_wave_entropy": ORACLE_FRONTIER_WAVE_ENTROPY,
     "text_html_entities": ORACLE_TEXT_HTML_ENTITIES,
+    "url_case_fold": ORACLE_URL_CASE_FOLD,
+    "events_autocorr": ORACLE_EVENTS_AUTOCORR,
+    "text_date_extract": ORACLE_TEXT_DATE_EXTRACT,
 }
 
 
