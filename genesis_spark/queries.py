@@ -20558,6 +20558,325 @@ FROM y
 """
 
 
+def q_events_ltv_triangle(spark, sf_dir):
+    """Cohort LTV TRIANGLE — the finance-side companion to
+    events_retention's activity triangle: users cohort by first-seen
+    week, and each (cohort, age-in-weeks) cell reports the
+    cumulative spend per cohort user in exact centi-cents — the
+    table LTV forecasting reads its early-signal multipliers off
+    (week-1 spend × the historical w1→w12 ratio). Cumulation runs
+    over the week axis inside each cohort.
+
+    Exactness: spend in integer cents; cumulative sums are exact;
+    the per-user normalization is integer DIV against the FIXED
+    cohort size (users who never return still divide — that's the
+    definition of per-cohort-user LTV).
+
+    Plan/scale: first-seen via one min-agg (no window over raw
+    events), cells via one groupBy, the cumsum window runs over
+    O(weeks²) triangle cells only."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  F.expr("unix_timestamp(ts) DIV 604800").alias("week"),
+                  F.expr("CAST(round(value * 100) AS BIGINT)")
+                  .alias("cents")))
+    first = (ev.groupBy("user_id")
+             .agg(F.min("week").alias("cohort_week")))
+    sized = (first.groupBy("cohort_week")
+             .agg(F.count(F.lit(1)).cast("long").alias("cohort_size")))
+    j = ev.join(first, "user_id")
+    cells = (j.withColumn("age", (F.col("week") - F.col("cohort_week"))
+                          .cast("long"))
+             .groupBy("cohort_week", "age")
+             .agg(F.sum("cents").cast("long").alias("spend")))
+    w = Window.partitionBy("cohort_week").orderBy("age")
+    cum = cells.withColumn("cum_spend",
+                           F.sum("spend").over(w).cast("long"))
+    return (cum.join(sized, "cohort_week")
+            .withColumn("ltv_centicents",
+                        F.expr("cum_spend * 100 DIV cohort_size")
+                        .cast("long"))
+            .select("cohort_week", "age", "cohort_size", "spend",
+                    "cum_spend", "ltv_centicents"))
+
+
+ORACLE_EVENTS_LTV_TRIANGLE = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+first AS (
+  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+sized AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY cohort_week),
+cells AS (
+  SELECT f.cohort_week, CAST(e.week - f.cohort_week AS BIGINT) AS age,
+         CAST(sum(e.cents) AS BIGINT) AS spend
+  FROM ev e JOIN first f USING (user_id)
+  GROUP BY f.cohort_week, e.week - f.cohort_week),
+cum AS (
+  SELECT cohort_week, age, spend,
+         CAST(sum(spend) OVER (PARTITION BY cohort_week ORDER BY age)
+              AS BIGINT) AS cum_spend
+  FROM cells)
+SELECT c.cohort_week, c.age, s.cohort_size, c.spend, c.cum_spend,
+       CAST(c.cum_spend * 100 // s.cohort_size AS BIGINT)
+         AS ltv_centicents
+FROM cum c JOIN sized s USING (cohort_week)
+"""
+
+
+def q_events_simpson_audit(spark, sf_dir):
+    """SIMPSON'S-PARADOX audit on the A/B comparison — the sanity
+    check that catches the classic aggregation trap (treatment wins
+    overall but loses in EVERY segment because arm assignment
+    correlates with segment mix): per segment (user activity tier),
+    each arm's conversion rate in exact ppm and the segment-level
+    winner; then the aggregate winner; paradox flagged when the
+    aggregate winner loses every populated segment.
+
+    Exactness: conversion = purchase-event share, integer counts,
+    rates in exact ppm; winners by integer cross-multiplication
+    (n_a·conv_b vs n_b·conv_a — no float division at all).
+
+    Plan/scale: two census groupBys (segment×arm, then segment) —
+    the same shape as events_ab_lift; the paradox flag joins a
+    1-row aggregate frame."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_id",
+                  (F.col("event_type") == "purchase").cast("int")
+                  .alias("conv")))
+    per_u = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ev"),
+                  F.sum("conv").cast("long").alias("n_conv")))
+    seg = (F.when(F.col("n_ev") >= 70, F.lit("heavy"))
+           .when(F.col("n_ev") >= 40, F.lit("mid"))
+           .otherwise(F.lit("light")))
+    arm = (F.col("user_id") % 2).cast("int")
+    tagged = per_u.withColumn("segment", seg).withColumn("arm", arm)
+    cells = (tagged.groupBy("segment", "arm")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                  F.sum("n_ev").cast("long").alias("n_ev"),
+                  F.sum("n_conv").cast("long").alias("n_conv")))
+    a = cells.filter(F.col("arm") == 0).select(
+        "segment", F.col("n_users").alias("users_a"),
+        F.col("n_ev").alias("ev_a"), F.col("n_conv").alias("conv_a"))
+    b = cells.filter(F.col("arm") == 1).select(
+        "segment", F.col("n_users").alias("users_b"),
+        F.col("n_ev").alias("ev_b"), F.col("n_conv").alias("conv_b"))
+    j = a.join(b, "segment")
+    seg_win = (F.when(F.col("conv_a") * F.col("ev_b")
+                      > F.col("conv_b") * F.col("ev_a"), F.lit("a"))
+               .when(F.col("conv_a") * F.col("ev_b")
+                     < F.col("conv_b") * F.col("ev_a"), F.lit("b"))
+               .otherwise(F.lit("tie")))
+    per_seg = (j.withColumn("rate_a_ppm",
+                            F.expr("conv_a * 1000000 DIV ev_a")
+                            .cast("long"))
+               .withColumn("rate_b_ppm",
+                           F.expr("conv_b * 1000000 DIV ev_b")
+                           .cast("long"))
+               .withColumn("seg_winner", seg_win))
+    agg = per_seg.agg(
+        F.sum("conv_a").cast("long").alias("ca"),
+        F.sum("ev_a").cast("long").alias("ea"),
+        F.sum("conv_b").cast("long").alias("cb"),
+        F.sum("ev_b").cast("long").alias("eb"),
+        F.sum((F.col("seg_winner") == "a").cast("int")).cast("long")
+        .alias("segs_a"),
+        F.sum((F.col("seg_winner") == "b").cast("int")).cast("long")
+        .alias("segs_b"),
+        F.count(F.lit(1)).cast("long").alias("n_segs"))
+    agg_win = (F.when(F.col("ca") * F.col("eb")
+                      > F.col("cb") * F.col("ea"), F.lit("a"))
+               .when(F.col("ca") * F.col("eb")
+                     < F.col("cb") * F.col("ea"), F.lit("b"))
+               .otherwise(F.lit("tie")))
+    agg = agg.withColumn("agg_winner", agg_win)
+    paradox = (((F.col("agg_winner") == "a")
+                & (F.col("segs_a") == 0) & (F.col("segs_b")
+                                            == F.col("n_segs")))
+               | ((F.col("agg_winner") == "b")
+                  & (F.col("segs_b") == 0)
+                  & (F.col("segs_a") == F.col("n_segs")))).cast("int")
+    return (per_seg.crossJoin(F.broadcast(
+        agg.select("agg_winner", paradox.alias("is_paradox"))))
+        .select("segment", "users_a", "ev_a", "conv_a", "rate_a_ppm",
+                "users_b", "ev_b", "conv_b", "rate_b_ppm",
+                "seg_winner", "agg_winner", "is_paradox"))
+
+
+ORACLE_EVENTS_SIMPSON_AUDIT = """
+WITH pu AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_conv
+  FROM events GROUP BY user_id),
+tagged AS (
+  SELECT CASE WHEN n_ev >= 70 THEN 'heavy'
+              WHEN n_ev >= 40 THEN 'mid'
+              ELSE 'light' END AS segment,
+         CAST(user_id % 2 AS INT) AS arm, n_ev, n_conv
+  FROM pu),
+cells AS (
+  SELECT segment, arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(n_ev) AS BIGINT) AS n_ev,
+         CAST(sum(n_conv) AS BIGINT) AS n_conv
+  FROM tagged GROUP BY segment, arm),
+j AS (
+  SELECT a.segment,
+         a.n_users AS users_a, a.n_ev AS ev_a, a.n_conv AS conv_a,
+         b.n_users AS users_b, b.n_ev AS ev_b, b.n_conv AS conv_b
+  FROM (SELECT * FROM cells WHERE arm = 0) a
+  JOIN (SELECT * FROM cells WHERE arm = 1) b USING (segment)),
+ps AS (
+  SELECT *, CAST(conv_a * 1000000 // ev_a AS BIGINT) AS rate_a_ppm,
+         CAST(conv_b * 1000000 // ev_b AS BIGINT) AS rate_b_ppm,
+         CASE WHEN conv_a * ev_b > conv_b * ev_a THEN 'a'
+              WHEN conv_a * ev_b < conv_b * ev_a THEN 'b'
+              ELSE 'tie' END AS seg_winner
+  FROM j),
+agg AS (
+  SELECT sum(conv_a) AS ca, sum(ev_a) AS ea,
+         sum(conv_b) AS cb, sum(ev_b) AS eb,
+         sum(CASE WHEN seg_winner = 'a' THEN 1 ELSE 0 END) AS segs_a,
+         sum(CASE WHEN seg_winner = 'b' THEN 1 ELSE 0 END) AS segs_b,
+         count(*) AS n_segs
+  FROM ps),
+aw AS (
+  SELECT CASE WHEN ca * eb > cb * ea THEN 'a'
+              WHEN ca * eb < cb * ea THEN 'b'
+              ELSE 'tie' END AS agg_winner,
+         CAST(CASE WHEN (ca * eb > cb * ea AND segs_a = 0
+                         AND segs_b = n_segs)
+                     OR (ca * eb < cb * ea AND segs_b = 0
+                         AND segs_a = n_segs)
+                   THEN 1 ELSE 0 END AS INT) AS is_paradox
+  FROM agg)
+SELECT segment, users_a, ev_a, conv_a, rate_a_ppm,
+       users_b, ev_b, conv_b, rate_b_ppm,
+       seg_winner, agg_winner, is_paradox
+FROM ps CROSS JOIN aw
+"""
+
+
+def q_host_vertical_mix(spark, sf_dir):
+    """Host VERTICAL classification by URL-path convention — the
+    cheap router that decides which parser pack, politeness class,
+    and corpus bucket a host feeds before any content model runs
+    (/product/ + /cart/ → shop; /wiki/ or /docs/ → reference;
+    /thread/ or /forum/ → ugc; /post/ or /blog/ → editorial): per
+    host, the path-class census, the dominant vertical at the 50%
+    floor ('mixed' below it), and the class shares in exact ppm.
+
+    Fixture: hosts with deterministic path mixes (pure shop, pure
+    reference, pure ugc, and genuinely mixed hosts).
+
+    Plan/scale: per-row CASE on path prefix + TWO census groupBys
+    ((host, class) then host with conditional sums) — the standard
+    two-phase vertical rollup; URL strings shuffle once."""
+    k = F.col("o_orderkey")
+    host = F.concat(F.lit("h"), (k % 80).cast("string"))
+    hmod = k % 80
+    path = (F.when(hmod % 4 == 0,
+                   F.when(k % 2 == 0, F.lit("/product/x"))
+                   .otherwise(F.lit("/cart/add")))
+            .when(hmod % 4 == 1,
+                  F.when(k % 2 == 0, F.lit("/wiki/page"))
+                  .otherwise(F.lit("/docs/ref")))
+            .when(hmod % 4 == 2,
+                  F.when(k % 2 == 0, F.lit("/thread/t"))
+                  .otherwise(F.lit("/forum/f")))
+            .otherwise(F.when(k % 3 == 0, F.lit("/product/x"))
+                       .when(k % 3 == 1, F.lit("/wiki/page"))
+                       .otherwise(F.lit("/blog/post"))))
+    d = (_t(spark, sf_dir, "orders")
+         .select(host.alias("host_key"), path.alias("path")))
+    cls = (F.when(F.col("path").rlike("^/(product|cart)/"),
+                  F.lit("shop"))
+           .when(F.col("path").rlike("^/(wiki|docs)/"),
+                 F.lit("reference"))
+           .when(F.col("path").rlike("^/(thread|forum)/"), F.lit("ugc"))
+           .when(F.col("path").rlike("^/(post|blog)/"),
+                 F.lit("editorial"))
+           .otherwise(F.lit("other")))
+    cen = (d.withColumn("vertical", cls)
+           .groupBy("host_key")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                F.sum((F.col("vertical") == "shop").cast("int"))
+                .cast("long").alias("n_shop"),
+                F.sum((F.col("vertical") == "reference").cast("int"))
+                .cast("long").alias("n_reference"),
+                F.sum((F.col("vertical") == "ugc").cast("int"))
+                .cast("long").alias("n_ugc"),
+                F.sum((F.col("vertical") == "editorial").cast("int"))
+                .cast("long").alias("n_editorial")))
+    top = F.greatest("n_shop", "n_reference", "n_ugc", "n_editorial")
+    dom = (F.when(top * 2 <= F.col("n_urls"), F.lit("mixed"))
+           .when(F.col("n_shop") == top, F.lit("shop"))
+           .when(F.col("n_reference") == top, F.lit("reference"))
+           .when(F.col("n_ugc") == top, F.lit("ugc"))
+           .otherwise(F.lit("editorial")))
+    return (cen.withColumn("top", top)
+            .withColumn("dominant", dom)
+            .withColumn("top_share_ppm",
+                        F.expr("top * 1000000 DIV n_urls").cast("long"))
+            .drop("top"))
+
+
+ORACLE_HOST_VERTICAL_MIX = """
+WITH d AS (
+  SELECT 'h' || (o_orderkey % 80) AS host_key,
+         CASE WHEN (o_orderkey % 80) % 4 = 0 THEN
+                CASE WHEN o_orderkey % 2 = 0 THEN '/product/x'
+                     ELSE '/cart/add' END
+              WHEN (o_orderkey % 80) % 4 = 1 THEN
+                CASE WHEN o_orderkey % 2 = 0 THEN '/wiki/page'
+                     ELSE '/docs/ref' END
+              WHEN (o_orderkey % 80) % 4 = 2 THEN
+                CASE WHEN o_orderkey % 2 = 0 THEN '/thread/t'
+                     ELSE '/forum/f' END
+              ELSE CASE WHEN o_orderkey % 3 = 0 THEN '/product/x'
+                        WHEN o_orderkey % 3 = 1 THEN '/wiki/page'
+                        ELSE '/blog/post' END END AS path
+  FROM orders),
+t AS (
+  SELECT host_key,
+         CASE WHEN regexp_matches(path, '^/(product|cart)/')
+                THEN 'shop'
+              WHEN regexp_matches(path, '^/(wiki|docs)/')
+                THEN 'reference'
+              WHEN regexp_matches(path, '^/(thread|forum)/') THEN 'ugc'
+              WHEN regexp_matches(path, '^/(post|blog)/')
+                THEN 'editorial'
+              ELSE 'other' END AS vertical
+  FROM d),
+cen AS (
+  SELECT host_key, CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(sum(CASE WHEN vertical = 'shop' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_shop,
+         CAST(sum(CASE WHEN vertical = 'reference' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_reference,
+         CAST(sum(CASE WHEN vertical = 'ugc' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ugc,
+         CAST(sum(CASE WHEN vertical = 'editorial' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_editorial
+  FROM t GROUP BY host_key),
+g AS (
+  SELECT *, greatest(n_shop, n_reference, n_ugc, n_editorial) AS top
+  FROM cen)
+SELECT host_key, n_urls, n_shop, n_reference, n_ugc, n_editorial,
+       CASE WHEN top * 2 <= n_urls THEN 'mixed'
+            WHEN n_shop = top THEN 'shop'
+            WHEN n_reference = top THEN 'reference'
+            WHEN n_ugc = top THEN 'ugc'
+            ELSE 'editorial' END AS dominant,
+       CAST(top * 1000000 // n_urls AS BIGINT) AS top_share_ppm
+FROM g
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -20883,6 +21202,9 @@ QUERIES = {
     "url_case_fold": q_url_case_fold,
     "events_autocorr": q_events_autocorr,
     "text_date_extract": q_text_date_extract,
+    "events_ltv_triangle": q_events_ltv_triangle,
+    "events_simpson_audit": q_events_simpson_audit,
+    "host_vertical_mix": q_host_vertical_mix,
 }
 
 ORACLES = {
@@ -21210,6 +21532,9 @@ ORACLES = {
     "url_case_fold": ORACLE_URL_CASE_FOLD,
     "events_autocorr": ORACLE_EVENTS_AUTOCORR,
     "text_date_extract": ORACLE_TEXT_DATE_EXTRACT,
+    "events_ltv_triangle": ORACLE_EVENTS_LTV_TRIANGLE,
+    "events_simpson_audit": ORACLE_EVENTS_SIMPSON_AUDIT,
+    "host_vertical_mix": ORACLE_HOST_VERTICAL_MIX,
 }
 
 
