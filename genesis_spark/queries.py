@@ -20877,6 +20877,275 @@ FROM g
 """
 
 
+def q_text_math_detect(spark, sf_dir):
+    """MATH-content detection — the STEM-corpus router that pairs
+    with text_code_detect (math-heavy pages want different
+    tokenization, LaTeX-aware cleaning, and usually UP-weighting in
+    a pretraining mix): per doc, the digit-token ratio, operator
+    density (=+−*/^<>), equation-pattern count ('a = b' shapes and
+    \\frac/\\sum LaTeX commands), all in exact ppm of tokens, and
+    the math/mixed/prose verdict.
+
+    Fixture: every 4th doc gains equation snippets ('x = 3 + 4'),
+    every 6th a LaTeX fragment — deterministic injections over the
+    prose corpus.
+
+    Plan/scale: per-row regexp census, no shuffle; verdicts are the
+    same CASE ladder the router applies inline."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 4 == 0,
+               F.concat(t, F.lit(" x = 3 + 4 y = x * 2 z = y - 1"))) \
+        .otherwise(t)
+    t = F.when(F.col("doc_id") % 6 == 0,
+               F.concat(t, F.lit(" \\frac{a}{b} \\sum_{i=0} e^x"))) \
+        .otherwise(t)
+    d = d.select("doc_id", t.alias("xt"))
+    n_tok = F.size(F.split("xt", " ")).cast("long")
+    n_digit_tok = F.size(F.filter(F.split("xt", " "),
+                                  lambda w: w.rlike("^[0-9]+$"))) \
+        .cast("long")
+    n_ops = F.regexp_count("xt", F.lit(r"[=+*/^]| - ")).cast("long")
+    n_eq = F.regexp_count(
+        "xt", F.lit(r"[a-z0-9}] = [a-z0-9\\]")).cast("long")
+    n_latex = F.regexp_count("xt", F.lit(r"\\(frac|sum|int|sqrt)")) \
+        .cast("long")
+    cen = (d.select("doc_id", n_tok.alias("n_tokens"),
+                    n_digit_tok.alias("n_digit_tokens"),
+                    n_ops.alias("n_operators"),
+                    n_eq.alias("n_equations"),
+                    n_latex.alias("n_latex"))
+           .withColumn("digit_ppm",
+                       F.expr("n_digit_tokens * 1000000 DIV n_tokens")
+                       .cast("long"))
+           .withColumn("op_ppm",
+                       F.expr("n_operators * 1000000 DIV n_tokens")
+                       .cast("long")))
+    verdict = (F.when((F.col("n_latex") > 0)
+                      | (F.col("n_equations") >= 3), F.lit("math"))
+               .when(F.col("n_equations") >= 1, F.lit("mixed"))
+               .otherwise(F.lit("prose")))
+    return cen.withColumn("verdict", verdict)
+
+
+ORACLE_TEXT_MATH_DETECT = """
+WITH x AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0
+              THEN t1 || ' \\frac{a}{b} \\sum_{i=0} e^x'
+              ELSE t1 END AS xt
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN text || ' x = 3 + 4 y = x * 2 z = y - 1'
+                ELSE text END AS t1
+    FROM documents WHERE text IS NOT NULL)),
+c AS (
+  SELECT doc_id,
+         CAST(len(string_split(xt, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(xt, ' '),
+              w -> regexp_matches(w, '^[0-9]+$'))) AS BIGINT)
+           AS n_digit_tokens,
+         CAST(len(regexp_extract_all(xt, '[=+*/^]| - '))
+              AS BIGINT) AS n_operators,
+         CAST(len(regexp_extract_all(xt, '[a-z0-9}] = [a-z0-9\\\\]'))
+              AS BIGINT) AS n_equations,
+         CAST(len(regexp_extract_all(xt, '\\\\(frac|sum|int|sqrt)'))
+              AS BIGINT) AS n_latex
+  FROM x)
+SELECT doc_id, n_tokens, n_digit_tokens, n_operators, n_equations,
+       n_latex,
+       CAST(n_digit_tokens * 1000000 // n_tokens AS BIGINT) AS digit_ppm,
+       CAST(n_operators * 1000000 // n_tokens AS BIGINT) AS op_ppm,
+       CASE WHEN n_latex > 0 OR n_equations >= 3 THEN 'math'
+            WHEN n_equations >= 1 THEN 'mixed'
+            ELSE 'prose' END AS verdict
+FROM c
+"""
+
+
+def q_events_entry_exit(spark, sf_dir):
+    """Session ENTRY/EXIT page census — the classic web-analytics
+    pair the sessionizer feeds (which event type opens sessions
+    tells you where traffic lands; which one closes them tells you
+    where it leaks): sessions cut at 30-minute idle gaps (the
+    events_sessionize convention), then per event_type: how often
+    it is a session's FIRST event, its LAST, a census of
+    single-event (bounce) sessions it constitutes, and the
+    entry/exit shares in exact ppm of all sessions.
+
+    Plan/scale: the standard per-user lag window builds session
+    ids, one first/last extraction via min/max on (ts, event_id)
+    struct ordering, one census groupBy — raw events shuffle once
+    by user, sessions once by type."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_id", "event_type",
+                  F.expr("unix_timestamp(ts)").cast("long").alias("es")))
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    g = (ev.withColumn("prev", F.lag("es").over(w))
+         .withColumn("new_sess",
+                     ((F.col("prev").isNull())
+                      | (F.col("es") - F.col("prev") > 1800))
+                     .cast("int"))
+         .withColumn("sess_no", F.sum("new_sess").over(
+             w.rowsBetween(Window.unboundedPreceding, 0))))
+    sid = F.concat(F.col("user_id").cast("string"), F.lit("#"),
+                   F.col("sess_no").cast("string"))
+    sess = (g.withColumn("sid", sid)
+            .groupBy("sid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.min(F.struct("es", "event_id", "event_type"))
+                 .alias("first"),
+                 F.max(F.struct("es", "event_id", "event_type"))
+                 .alias("last")))
+    tot = sess.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    entries = (sess.select(F.col("first.event_type").alias("event_type"),
+                           (F.col("n_events") == 1).cast("int")
+                           .alias("bounce"))
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_entry"),
+                    F.sum("bounce").cast("long").alias("n_bounce")))
+    exits = (sess.groupBy(F.col("last.event_type").alias("event_type"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_exit")))
+    j = (entries.join(exits, "event_type", "full")
+         .na.fill(0, ["n_entry", "n_bounce", "n_exit"]))
+    return (j.crossJoin(F.broadcast(tot))
+            .withColumn("entry_ppm",
+                        F.expr("n_entry * 1000000 DIV n_sessions")
+                        .cast("long"))
+            .withColumn("exit_ppm",
+                        F.expr("n_exit * 1000000 DIV n_sessions")
+                        .cast("long"))
+            .select("event_type", "n_entry", "n_exit", "n_bounce",
+                    "entry_ppm", "exit_ppm"))
+
+
+ORACLE_EVENTS_ENTRY_EXIT = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events),
+g AS (
+  SELECT *, CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END
+           AS new_sess
+  FROM (SELECT *, lag(es) OVER (PARTITION BY user_id
+                                ORDER BY es, event_id) AS prev
+        FROM ev)),
+s AS (
+  SELECT *, CAST(user_id AS VARCHAR) || '#' || CAST(
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY es, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS VARCHAR)
+           AS sid
+  FROM g),
+sess AS (
+  SELECT sid, CAST(count(*) AS BIGINT) AS n_events,
+         min(struct_pack(es := es, event_id := event_id,
+                         event_type := event_type)) AS first,
+         max(struct_pack(es := es, event_id := event_id,
+                         event_type := event_type)) AS last
+  FROM s GROUP BY sid),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM sess),
+entries AS (
+  SELECT first.event_type AS event_type,
+         CAST(count(*) AS BIGINT) AS n_entry,
+         CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounce
+  FROM sess GROUP BY first.event_type),
+exits AS (
+  SELECT last.event_type AS event_type,
+         CAST(count(*) AS BIGINT) AS n_exit
+  FROM sess GROUP BY last.event_type)
+SELECT coalesce(e.event_type, x.event_type) AS event_type,
+       CAST(coalesce(e.n_entry, 0) AS BIGINT) AS n_entry,
+       CAST(coalesce(x.n_exit, 0) AS BIGINT) AS n_exit,
+       CAST(coalesce(e.n_bounce, 0) AS BIGINT) AS n_bounce,
+       CAST(coalesce(e.n_entry, 0) * 1000000 // tot.n_sessions
+            AS BIGINT) AS entry_ppm,
+       CAST(coalesce(x.n_exit, 0) * 1000000 // tot.n_sessions
+            AS BIGINT) AS exit_ppm
+FROM entries e FULL JOIN exits x USING (event_type) CROSS JOIN tot
+"""
+
+
+def q_url_redirect_loops(spark, sf_dir):
+    """Redirect LOOP detection — the fetch-budget leak
+    url_redirect_resolve's chain walk cannot terminate on (A→B→A
+    ping-pongs from broken canonicalization, A→B→C→A cycles from
+    migration mistakes): over the redirect edge set, find every
+    2-cycle and 3-cycle via two bounded self-joins (never a
+    transitive closure), emit each loop once keyed by its smallest
+    member, with the loop length and member list.
+
+    Fixture: a deterministic redirect graph — chains toward hubs
+    plus injected 2-cycles (every 7th source) and 3-cycles (every
+    11th).
+
+    Plan/scale: 2-cycles are ONE self-equi-join on the reversed
+    edge; 3-cycles one wedge join + closing equi-join — the
+    triangle-counting shape, bounded fan-out, no iteration."""
+    k = F.col("o_orderkey")
+    src = F.concat(F.lit("u"), (k % 300).cast("string"))
+    dst = (F.when(k % 7 == 0,
+                  F.concat(F.lit("u"), ((k + 150) % 300).cast("string")))
+           .when(k % 11 == 0,
+                 F.concat(F.lit("u"), ((k * 3 + 1) % 300).cast("string")))
+           .otherwise(F.concat(F.lit("u"), ((k % 300) % 20)
+                               .cast("string"))))
+    edges = (_t(spark, sf_dir, "orders")
+             .select(src.alias("src"), dst.alias("dst"))
+             .filter(F.col("src") != F.col("dst")).distinct())
+    rev = edges.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"))
+    two = (edges.join(rev, ["src", "dst"])
+           .filter(F.col("src") < F.col("dst"))
+           .select(F.col("src").alias("loop_key"),
+                   F.lit(2).cast("long").alias("loop_len"),
+                   F.concat_ws(",", "src", "dst").alias("members")))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    three = (edges.select(F.col("src").alias("a"),
+                          F.col("dst").alias("b"))
+             .join(e2, "b").join(e3, ["c", "a"])
+             .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c"))
+                     & (F.col("b") != F.col("c")))
+             .select(F.col("a").alias("loop_key"),
+                     F.lit(3).cast("long").alias("loop_len"),
+                     F.concat_ws(",", "a", "b", "c").alias("members")))
+    return two.unionByName(three)
+
+
+ORACLE_URL_REDIRECT_LOOPS = """
+WITH edges AS (
+  SELECT DISTINCT 'u' || (o_orderkey % 300) AS src,
+         CASE WHEN o_orderkey % 7 = 0
+                THEN 'u' || ((o_orderkey + 150) % 300)
+              WHEN o_orderkey % 11 = 0
+                THEN 'u' || ((o_orderkey * 3 + 1) % 300)
+              ELSE 'u' || ((o_orderkey % 300) % 20) END AS dst
+  FROM orders
+  WHERE 'u' || (o_orderkey % 300) <> CASE WHEN o_orderkey % 7 = 0
+                THEN 'u' || ((o_orderkey + 150) % 300)
+              WHEN o_orderkey % 11 = 0
+                THEN 'u' || ((o_orderkey * 3 + 1) % 300)
+              ELSE 'u' || ((o_orderkey % 300) % 20) END),
+two AS (
+  SELECT e.src AS loop_key, CAST(2 AS BIGINT) AS loop_len,
+         e.src || ',' || e.dst AS members
+  FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+  WHERE e.src < e.dst),
+three AS (
+  SELECT e1.src AS loop_key, CAST(3 AS BIGINT) AS loop_len,
+         e1.src || ',' || e1.dst || ',' || e2.dst AS members
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+  WHERE e1.src < e1.dst AND e1.src < e2.dst AND e1.dst <> e2.dst)
+SELECT * FROM two UNION ALL SELECT * FROM three
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -21205,6 +21474,9 @@ QUERIES = {
     "events_ltv_triangle": q_events_ltv_triangle,
     "events_simpson_audit": q_events_simpson_audit,
     "host_vertical_mix": q_host_vertical_mix,
+    "text_math_detect": q_text_math_detect,
+    "events_entry_exit": q_events_entry_exit,
+    "url_redirect_loops": q_url_redirect_loops,
 }
 
 ORACLES = {
@@ -21535,6 +21807,9 @@ ORACLES = {
     "events_ltv_triangle": ORACLE_EVENTS_LTV_TRIANGLE,
     "events_simpson_audit": ORACLE_EVENTS_SIMPSON_AUDIT,
     "host_vertical_mix": ORACLE_HOST_VERTICAL_MIX,
+    "text_math_detect": ORACLE_TEXT_MATH_DETECT,
+    "events_entry_exit": ORACLE_EVENTS_ENTRY_EXIT,
+    "url_redirect_loops": ORACLE_URL_REDIRECT_LOOPS,
 }
 
 
