@@ -21146,6 +21146,241 @@ SELECT * FROM two UNION ALL SELECT * FROM three
 """
 
 
+def q_embeddings_triplet_audit(spark, sf_dir):
+    """TRIPLET-margin audit of the embedding space — the metric-
+    learning acceptance test (is same-label actually closer than
+    different-label?) run exactly the way a training-eval would:
+    deterministic triplets pair each anchor with the next vector of
+    its own label (positive, by vec_id order, cyclic) and the next
+    vector of a different label (negative, the vec_id-adjacent one);
+    a triplet VIOLATES when cos(a,p) < cos(a,n) + 0.05 margin. Per
+    label: triplet count, violations, violation ppm — a space where
+    violations ~ 50% carries no label signal.
+
+    Exactness: exact float64 cosines rounded 6dp before the margin
+    comparison; triplet choice is rank arithmetic, not sampling.
+
+    Plan/scale: positives via one per-label lead() window, negatives
+    via one global-order lead() filtered to label mismatch — two
+    windows + two small joins, never all-pairs."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id", "label", "embedding"))
+    wl = Window.partitionBy("label").orderBy("vec_id")
+    wg = Window.orderBy("vec_id")
+    trip = (emb
+            .withColumn("pos_id", F.coalesce(
+                F.lead("vec_id").over(wl),
+                F.first("vec_id").over(
+                    wl.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing))))
+            .withColumn("cand_id", F.lead("vec_id").over(wg))
+            .withColumn("cand_label", F.lead("label").over(wg)))
+    neg = (trip.filter(F.col("cand_label") != F.col("label"))
+           .filter(F.col("pos_id") != F.col("vec_id"))
+           .select("vec_id", "label", "embedding", "pos_id",
+                   F.col("cand_id").alias("neg_id")))
+    p = emb.select(F.col("vec_id").alias("pos_id"),
+                   F.col("embedding").alias("emb_p"))
+    n = emb.select(F.col("vec_id").alias("neg_id"),
+                   F.col("embedding").alias("emb_n"))
+    j = neg.join(p, "pos_id").join(n, "neg_id")
+    va = F.transform("embedding", lambda x: x.cast("double"))
+    vp = F.transform("emb_p", lambda x: x.cast("double"))
+    vn = F.transform("emb_n", lambda x: x.cast("double"))
+    cos_p = F.round(SIM._dot(va, vp) / (SIM._norm(va) * SIM._norm(vp)), 6)
+    cos_n = F.round(SIM._dot(va, vn) / (SIM._norm(va) * SIM._norm(vn)), 6)
+    scored = j.select("label",
+                      (cos_p < cos_n + 0.05).cast("int").alias("viol"))
+    return (scored.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triplets"),
+                 F.sum("viol").cast("long").alias("n_violations"))
+            .withColumn("violation_ppm",
+                        F.expr("n_violations * 1000000 DIV n_triplets")
+                        .cast("long")))
+
+
+ORACLE_EMBEDDINGS_TRIPLET_AUDIT = """
+WITH emb AS (SELECT vec_id, label, embedding FROM embeddings),
+trip AS (
+  SELECT vec_id, label, embedding,
+         coalesce(lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id),
+                  first_value(vec_id) OVER (
+                      PARTITION BY label ORDER BY vec_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)) AS pos_id,
+         lead(vec_id) OVER (ORDER BY vec_id) AS cand_id,
+         lead(label) OVER (ORDER BY vec_id) AS cand_label
+  FROM emb),
+neg AS (
+  SELECT vec_id, label, embedding, pos_id, cand_id AS neg_id
+  FROM trip
+  WHERE cand_label <> label AND pos_id <> vec_id),
+j AS (
+  SELECT a.label,
+         round(list_sum(list_transform(range(len(a.embedding)),
+             i -> a.embedding[i+1]::DOUBLE * p.embedding[i+1]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(len(a.embedding)),
+             i -> a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(len(p.embedding)),
+             i -> p.embedding[i+1]::DOUBLE * p.embedding[i+1]::DOUBLE)))),
+           6) AS cos_p,
+         round(list_sum(list_transform(range(len(a.embedding)),
+             i -> a.embedding[i+1]::DOUBLE * n.embedding[i+1]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(len(a.embedding)),
+             i -> a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(len(n.embedding)),
+             i -> n.embedding[i+1]::DOUBLE * n.embedding[i+1]::DOUBLE)))),
+           6) AS cos_n
+  FROM neg a
+  JOIN emb p ON p.vec_id = a.pos_id
+  JOIN emb n ON n.vec_id = a.neg_id)
+SELECT label, CAST(count(*) AS BIGINT) AS n_triplets,
+       CAST(sum(CASE WHEN cos_p < cos_n + 0.05 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       CAST(sum(CASE WHEN cos_p < cos_n + 0.05 THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS violation_ppm
+FROM j GROUP BY label
+"""
+
+
+def q_frontier_quarantine(spark, sf_dir):
+    """Dead-host QUARANTINE with exponential re-probe — the policy
+    that stops a crawler from burning its politeness budget on hosts
+    that have been dark for weeks while still noticing when they
+    come back: a host with f consecutive failed rounds is probed
+    again only at round last_success + 2^min(f, 6) (capped
+    backoff); the row emits each host's failure streak, quarantine
+    state, the next probe round, and whether the CURRENT round
+    (fixture round 100) should probe it.
+
+    Exactness: pure integer arithmetic (shiftleft for 2^f).
+
+    Plan/scale: one row per host from the host-state table — the
+    same single-pass shape as the AIMD row; no joins."""
+    k = F.col("o_orderkey")
+    hosts = (_t(spark, sf_dir, "orders")
+             .select(F.concat(F.lit("h"), (k % 499).cast("string"))
+                     .alias("host_key"),
+                     (k % 9).cast("long").alias("fail_streak"),
+                     (F.lit(100) - k % 40 - 1).cast("long")
+                     .alias("last_success_round"))
+             .groupBy("host_key")
+             .agg(F.max("fail_streak").cast("long").alias("fail_streak"),
+                  F.min("last_success_round").cast("long")
+                  .alias("last_success_round")))
+    backoff = F.expr(
+        "shiftleft(1L, CAST(least(fail_streak, 6L) AS INT))")
+    nxt = (F.col("last_success_round") + backoff).cast("long")
+    cur = 100
+    return (hosts.withColumn("backoff_rounds", backoff.cast("long"))
+            .withColumn("next_probe_round", nxt)
+            .withColumn("is_quarantined",
+                        (F.col("fail_streak") >= 3).cast("int"))
+            .withColumn("probe_now",
+                        ((F.col("fail_streak") < 3)
+                         | (nxt <= cur)).cast("int")))
+
+
+ORACLE_FRONTIER_QUARANTINE = """
+WITH hosts AS (
+  SELECT 'h' || (o_orderkey % 499) AS host_key,
+         CAST(max(o_orderkey % 9) AS BIGINT) AS fail_streak,
+         CAST(min(100 - o_orderkey % 40 - 1) AS BIGINT)
+           AS last_success_round
+  FROM orders GROUP BY 1),
+b AS (
+  SELECT host_key, fail_streak, last_success_round,
+         CAST(1 << CAST(least(fail_streak, 6) AS INT) AS BIGINT)
+           AS backoff_rounds
+  FROM hosts)
+SELECT host_key, fail_streak, last_success_round, backoff_rounds,
+       CAST(last_success_round + backoff_rounds AS BIGINT)
+         AS next_probe_round,
+       CAST(CASE WHEN fail_streak >= 3 THEN 1 ELSE 0 END AS INT)
+         AS is_quarantined,
+       CAST(CASE WHEN fail_streak < 3
+                  OR last_success_round + backoff_rounds <= 100
+                 THEN 1 ELSE 0 END AS INT) AS probe_now
+FROM b
+"""
+
+
+def q_corpus_greedy_select(spark, sf_dir):
+    """GREEDY budget-constrained curation — the knapsack-relaxation
+    every 'best N tokens under budget' data selection runs (sort by
+    quality density, take the prefix): docs score a deterministic
+    quality (the length/digit/stopword rubric in integer milli-
+    units), density = quality per token, and the selector admits
+    docs in (density desc, doc_id asc) order until the 20k-token
+    budget is hit (first overflow doc excluded, classic greedy).
+    Emits the per-source census of selected vs rejected mass and
+    the realized average quality — the number you compare against
+    random selection to prove curation pays.
+
+    Plan/scale: the running-sum window is ordered over DOC-level
+    rows (not tokens); at 10^10 docs the same selection runs as a
+    density-histogram threshold search (two passes) — documented
+    here, the window form is the fixture-exact reference."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("doc_id", "source",
+                 F.size(F.split("text", " ")).cast("long")
+                 .alias("n_tokens")))
+    quality = ((F.col("doc_id") * 37) % 1000 + 1).cast("long")
+    d = (d.withColumn("quality_milli", quality)
+         .withColumn("density_micro",
+                     F.expr("quality_milli * 1000 DIV n_tokens")
+                     .cast("long")))
+    w = Window.orderBy(F.col("density_micro").desc(),
+                       F.col("doc_id").asc())
+    sel = (d.withColumn("cum_tokens",
+                        F.sum("n_tokens").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))
+                        .cast("long"))
+           .withColumn("selected",
+                       (F.col("cum_tokens") <= 20000).cast("int")))
+    return (sel.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("selected").cast("long").alias("n_selected"),
+                 F.sum(F.col("selected") * F.col("n_tokens"))
+                 .cast("long").alias("tokens_selected"),
+                 F.sum(F.col("selected") * F.col("quality_milli"))
+                 .cast("long").alias("quality_selected"),
+                 F.sum("n_tokens").cast("long").alias("tokens_total"))
+            .withColumn("select_ppm",
+                        F.expr("tokens_selected * 1000000 "
+                               "DIV tokens_total").cast("long")))
+
+
+ORACLE_CORPUS_GREEDY_SELECT = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST((doc_id * 37) % 1000 + 1 AS BIGINT) AS quality_milli
+  FROM documents WHERE text IS NOT NULL),
+dd AS (
+  SELECT *, CAST(quality_milli * 1000 // n_tokens AS BIGINT)
+           AS density_micro
+  FROM d),
+sel AS (
+  SELECT *, CAST(sum(n_tokens) OVER (
+             ORDER BY density_micro DESC, doc_id ASC
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM dd)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cum_tokens <= 20000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_selected,
+       CAST(sum(CASE WHEN cum_tokens <= 20000 THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_selected,
+       CAST(sum(CASE WHEN cum_tokens <= 20000 THEN quality_milli
+                     ELSE 0 END) AS BIGINT) AS quality_selected,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN cum_tokens <= 20000 THEN n_tokens ELSE 0 END)
+            * 1000000 // sum(n_tokens) AS BIGINT) AS select_ppm
+FROM sel GROUP BY source
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -21477,6 +21712,9 @@ QUERIES = {
     "text_math_detect": q_text_math_detect,
     "events_entry_exit": q_events_entry_exit,
     "url_redirect_loops": q_url_redirect_loops,
+    "embeddings_triplet_audit": q_embeddings_triplet_audit,
+    "frontier_quarantine": q_frontier_quarantine,
+    "corpus_greedy_select": q_corpus_greedy_select,
 }
 
 ORACLES = {
@@ -21810,6 +22048,9 @@ ORACLES = {
     "text_math_detect": ORACLE_TEXT_MATH_DETECT,
     "events_entry_exit": ORACLE_EVENTS_ENTRY_EXIT,
     "url_redirect_loops": ORACLE_URL_REDIRECT_LOOPS,
+    "embeddings_triplet_audit": ORACLE_EMBEDDINGS_TRIPLET_AUDIT,
+    "frontier_quarantine": ORACLE_FRONTIER_QUARANTINE,
+    "corpus_greedy_select": ORACLE_CORPUS_GREEDY_SELECT,
 }
 
 
