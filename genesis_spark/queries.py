@@ -21381,6 +21381,259 @@ FROM sel GROUP BY source
 """
 
 
+def q_url_default_port(spark, sf_dir):
+    """DEFAULT-PORT and empty-path normalization per RFC 3986 §6.2.3
+    — the last syntax-based normalization pass the url_* family was
+    missing (:80 on http and :443 on https are the defaults, so
+    http://h:80/x aliases http://h/x; an empty path after the
+    authority normalizes to '/'): per URL, the normalized form,
+    which of the two rules fired, and the alias-family census on
+    the normalized key.
+
+    Fixture: every 3rd URL carries :80, every 5th :443 (on an
+    https scheme), every 4th has an empty path.
+
+    Plan/scale: regexp codegen + one groupBy(normalized) census —
+    composes with url_case_fold/url_pct_normalize into the full
+    §6.2 pipeline."""
+    k = F.col("o_orderkey")
+    scheme = F.when(k % 5 == 0, F.lit("https")).otherwise(F.lit("http"))
+    port = (F.when(k % 3 == 0, F.lit(":80"))
+            .when(k % 5 == 0, F.lit(":443"))
+            .otherwise(F.lit("")))
+    path = F.when(k % 4 == 0, F.lit("")) \
+        .otherwise(F.concat(F.lit("/p"), (k % 25).cast("string")))
+    url = F.concat(scheme, F.lit("://host"), (k % 90).cast("string"),
+                   F.lit(".onion"), port, path)
+    d = (_t(spark, sf_dir, "orders")
+         .select(url.alias("url")).distinct())
+    noport = F.regexp_replace(
+        F.regexp_replace("url", r"^(http://[^/:]+):80(/|$)", "$1$2"),
+        r"^(https://[^/:]+):443(/|$)", "$1$2")
+    norm = F.when(noport.rlike(r"^https?://[^/]+$"),
+                  F.concat(noport, F.lit("/"))).otherwise(noport)
+    t = (d.withColumn("url_norm", norm)
+         .withColumn("port_stripped",
+                     (F.col("url") != noport).cast("int"))
+         .withColumn("path_added",
+                     (noport != norm).cast("int")))
+    fam = (t.groupBy("url_norm")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_variants"),
+                F.sum("port_stripped").cast("long").alias("n_port"),
+                F.sum("path_added").cast("long").alias("n_path")))
+    return fam.withColumn("fetches_saved",
+                          (F.col("n_variants") - 1).cast("long"))
+
+
+ORACLE_URL_DEFAULT_PORT = """
+WITH d AS (
+  SELECT DISTINCT
+         CASE WHEN o_orderkey % 5 = 0 THEN 'https' ELSE 'http' END
+         || '://host' || (o_orderkey % 90) || '.onion'
+         || CASE WHEN o_orderkey % 3 = 0 THEN ':80'
+                 WHEN o_orderkey % 5 = 0 THEN ':443' ELSE '' END
+         || CASE WHEN o_orderkey % 4 = 0 THEN ''
+                 ELSE '/p' || (o_orderkey % 25) END AS url
+  FROM orders),
+s AS (
+  SELECT url,
+         regexp_replace(regexp_replace(url,
+             '^(http://[^/:]+):80(/|$)', '\\1\\2'),
+             '^(https://[^/:]+):443(/|$)', '\\1\\2') AS noport
+  FROM d),
+t AS (
+  SELECT url, noport,
+         CASE WHEN regexp_matches(noport, '^https?://[^/]+$')
+              THEN noport || '/' ELSE noport END AS url_norm
+  FROM s)
+SELECT url_norm, CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(sum(CASE WHEN url <> noport THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_port,
+       CAST(sum(CASE WHEN noport <> url_norm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_path,
+       CAST(count(*) - 1 AS BIGINT) AS fetches_saved
+FROM t GROUP BY url_norm
+"""
+
+
+def q_corpus_dedup_mix_shift(spark, sf_dir):
+    """Dedup MIX-SHIFT audit — deduplication is not mix-neutral
+    (boilerplate-heavy sources lose more mass), so a curation
+    pipeline must re-check its source mixture AFTER dedup or the
+    carefully-tuned weights silently drift: over the twin corpus,
+    per source (docs keyed back to their origin), the pre-dedup and
+    post-dedup (exact md5, keep-lowest-id) doc counts and shares in
+    ppm, and the mix shift each source suffered.
+
+    Plan/scale: the exact-dedup groupBy the dedup family already
+    pays, plus two census aggs; the shift math is arithmetic on the
+    census rows."""
+    c = _corpus(spark, sf_dir)
+    src = F.when(F.col("doc_id") % 3 == 0, F.lit("web")) \
+        .when(F.col("doc_id") % 3 == 1, F.lit("forum")) \
+        .otherwise(F.lit("docs"))
+    tagged = c.withColumn("source", src)
+    keep = (tagged.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id")))
+    kept = tagged.join(keep, "doc_id")
+    pre = (tagged.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pre")))
+    post = (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_post")))
+    tp = pre.agg(F.sum("n_pre").cast("long").alias("tot_pre"))
+    to = post.agg(F.sum("n_post").cast("long").alias("tot_post"))
+    j = (pre.join(post, "source")
+         .crossJoin(F.broadcast(tp)).crossJoin(F.broadcast(to)))
+    return (j.withColumn("pre_ppm",
+                         F.expr("n_pre * 1000000 DIV tot_pre")
+                         .cast("long"))
+            .withColumn("post_ppm",
+                        F.expr("n_post * 1000000 DIV tot_post")
+                        .cast("long"))
+            .withColumn("shift_ppm",
+                        (F.col("post_ppm") - F.col("pre_ppm"))
+                        .cast("long"))
+            .withColumn("survival_ppm",
+                        F.expr("n_post * 1000000 DIV n_pre")
+                        .cast("long"))
+            .select("source", "n_pre", "n_post", "pre_ppm", "post_ppm",
+                    "shift_ppm", "survival_ppm"))
+
+
+ORACLE_CORPUS_DEDUP_MIX_SHIFT = f"""
+WITH {_CORPUS_SQL},
+tagged AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 3 = 0 THEN 'web'
+              WHEN doc_id % 3 = 1 THEN 'forum'
+              ELSE 'docs' END AS source
+  FROM corpus),
+keep AS (
+  SELECT md5(text) AS h, min(doc_id) AS doc_id
+  FROM tagged GROUP BY md5(text)),
+kept AS (
+  SELECT t.source FROM tagged t JOIN keep k ON k.doc_id = t.doc_id),
+pre AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_pre
+  FROM tagged GROUP BY source),
+post AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_post
+  FROM kept GROUP BY source)
+SELECT source, n_pre, n_post,
+       CAST(n_pre * 1000000 // (SELECT sum(n_pre) FROM pre) AS BIGINT)
+         AS pre_ppm,
+       CAST(n_post * 1000000 // (SELECT sum(n_post) FROM post)
+            AS BIGINT) AS post_ppm,
+       CAST(n_post * 1000000 // (SELECT sum(n_post) FROM post)
+            - n_pre * 1000000 // (SELECT sum(n_pre) FROM pre)
+            AS BIGINT) AS shift_ppm,
+       CAST(n_post * 1000000 // n_pre AS BIGINT) AS survival_ppm
+FROM pre JOIN post USING (source)
+"""
+
+
+def q_events_qini_curve(spark, sf_dir):
+    """QINI / uplift-by-decile curve — the standard evaluation for
+    any targeting model (does the model's top decile actually show
+    more treatment lift than the bottom?): users are ranked by a
+    deterministic model score, cut into 10 deciles by exact
+    nearest-rank, and each decile reports treatment vs control
+    conversion in exact ppm, the decile lift, and the cumulative
+    qini numerator (conv_t·N_c − conv_c·N_t scaled) that the area-
+    under-qini reads off.
+
+    Exactness: deciles via integer rank math ((rank−1)·10 DIV n);
+    all rates exact ppm; the qini term is pure integer cross-
+    multiplication.
+
+    Plan/scale: one per-user census, one rank window over users
+    (at 10^10 users: pre-aggregate to score histograms), one
+    decile groupBy + one cumsum over 10 rows."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  (F.col("event_type") == "purchase").cast("int")
+                  .alias("conv")))
+    per_u = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ev"),
+                  F.max("conv").cast("long").alias("converted")))
+    score = ((F.col("user_id") * 61 + F.col("n_ev") * 17) % 1000) \
+        .cast("long")
+    arm = (F.col("user_id") % 2).cast("int")
+    t = per_u.withColumn("score", score).withColumn("arm", arm)
+    wr = Window.orderBy(F.col("score").desc(), F.col("user_id").asc())
+    nn = t.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = (t.withColumn("rnk", F.row_number().over(wr).cast("long"))
+              .crossJoin(F.broadcast(nn))
+              .withColumn("decile",
+                          F.expr("(rnk - 1) * 10 DIV n").cast("long")))
+    dec = (ranked.groupBy("decile")
+           .agg(F.sum((F.col("arm") == 1).cast("int")).cast("long")
+                .alias("n_t"),
+                F.sum(((F.col("arm") == 1) & (F.col("converted") == 1))
+                      .cast("int")).cast("long").alias("c_t"),
+                F.sum((F.col("arm") == 0).cast("int")).cast("long")
+                .alias("n_c"),
+                F.sum(((F.col("arm") == 0) & (F.col("converted") == 1))
+                      .cast("int")).cast("long").alias("c_c")))
+    rate_t = F.when(F.col("n_t") > 0,
+                    F.expr("c_t * 1000000 DIV n_t"))
+    rate_c = F.when(F.col("n_c") > 0,
+                    F.expr("c_c * 1000000 DIV n_c"))
+    scored = (dec.withColumn("rate_t_ppm", rate_t.cast("long"))
+              .withColumn("rate_c_ppm", rate_c.cast("long"))
+              .withColumn("lift_ppm",
+                          (rate_t - rate_c).cast("long"))
+              .withColumn("qini_term",
+                          (F.col("c_t") * F.col("n_c")
+                           - F.col("c_c") * F.col("n_t")).cast("long")))
+    wq = Window.orderBy("decile")
+    return (scored.withColumn("qini_cum",
+                              F.sum("qini_term").over(wq).cast("long"))
+            .select("decile", "n_t", "c_t", "n_c", "c_c",
+                    "rate_t_ppm", "rate_c_ppm", "lift_ppm", "qini_cum"))
+
+
+ORACLE_EVENTS_QINI_CURVE = """
+WITH pu AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted
+  FROM events GROUP BY user_id),
+t AS (
+  SELECT user_id, converted,
+         CAST((user_id * 61 + n_ev * 17) % 1000 AS BIGINT) AS score,
+         CAST(user_id % 2 AS INT) AS arm
+  FROM pu),
+r AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, user_id ASC)
+                 AS BIGINT) AS rnk,
+         (SELECT CAST(count(*) AS BIGINT) FROM t) AS n
+  FROM t),
+d AS (
+  SELECT CAST((rnk - 1) * 10 // n AS BIGINT) AS decile,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_t,
+         CAST(sum(CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_t,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_c,
+         CAST(sum(CASE WHEN arm = 0 AND converted = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_c
+  FROM r GROUP BY 1)
+SELECT decile, n_t, c_t, n_c, c_c,
+       CAST(CASE WHEN n_t > 0 THEN c_t * 1000000 // n_t END AS BIGINT)
+         AS rate_t_ppm,
+       CAST(CASE WHEN n_c > 0 THEN c_c * 1000000 // n_c END AS BIGINT)
+         AS rate_c_ppm,
+       CAST(CASE WHEN n_t > 0 AND n_c > 0
+                 THEN c_t * 1000000 // n_t - c_c * 1000000 // n_c
+            END AS BIGINT) AS lift_ppm,
+       CAST(sum(c_t * n_c - c_c * n_t) OVER (ORDER BY decile)
+            AS BIGINT) AS qini_cum
+FROM d
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -21715,6 +21968,9 @@ QUERIES = {
     "embeddings_triplet_audit": q_embeddings_triplet_audit,
     "frontier_quarantine": q_frontier_quarantine,
     "corpus_greedy_select": q_corpus_greedy_select,
+    "url_default_port": q_url_default_port,
+    "corpus_dedup_mix_shift": q_corpus_dedup_mix_shift,
+    "events_qini_curve": q_events_qini_curve,
 }
 
 ORACLES = {
@@ -22051,6 +22307,9 @@ ORACLES = {
     "embeddings_triplet_audit": ORACLE_EMBEDDINGS_TRIPLET_AUDIT,
     "frontier_quarantine": ORACLE_FRONTIER_QUARANTINE,
     "corpus_greedy_select": ORACLE_CORPUS_GREEDY_SELECT,
+    "url_default_port": ORACLE_URL_DEFAULT_PORT,
+    "corpus_dedup_mix_shift": ORACLE_CORPUS_DEDUP_MIX_SHIFT,
+    "events_qini_curve": ORACLE_EVENTS_QINI_CURVE,
 }
 
 
