@@ -21634,6 +21634,198 @@ FROM d
 """
 
 
+def q_corpus_storage_tiering(spark, sf_dir):
+    """HOT/WARM/COLD storage-tier planning — the cost lever every
+    100 TB corpus store pulls (hot SSD for the working set, warm
+    object storage for occasional reads, cold archive for the
+    long tail): docs tier by access recency (age <= 30d hot,
+    <= 90d warm, else cold — the freshness-decay fixture's ages),
+    and the plan reports per-tier object count, byte mass, the
+    monthly cost in exact micro-units (hot 23, warm 10, cold 2 per
+    char — S3-ish ratios), and the saving vs an all-hot layout.
+
+    Plan/scale: per-row CASE + ONE census groupBy(tier) — the plan
+    is three rows at any corpus size; the mover job that executes
+    it reads only the tier column."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "n_chars",
+                 ((F.col("doc_id") * 3) % 180).cast("long")
+                 .alias("age_days")))
+    tier = (F.when(F.col("age_days") <= 30, F.lit("hot"))
+            .when(F.col("age_days") <= 90, F.lit("warm"))
+            .otherwise(F.lit("cold")))
+    price = (F.when(F.col("age_days") <= 30, F.lit(23))
+             .when(F.col("age_days") <= 90, F.lit(10))
+             .otherwise(F.lit(2))).cast("long")
+    staged = d.withColumn("tier", tier).withColumn("price", price)
+    cen = (staged.groupBy("tier")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("bytes"),
+                F.sum(F.col("n_chars") * F.col("price")).cast("long")
+                .alias("cost_micro")))
+    return (cen.withColumn("all_hot_micro",
+                           (F.col("bytes") * 23).cast("long"))
+            .withColumn("saving_micro",
+                        (F.col("bytes") * 23 - F.col("cost_micro"))
+                        .cast("long")))
+
+
+ORACLE_CORPUS_STORAGE_TIERING = """
+WITH d AS (
+  SELECT n_chars, CAST((doc_id * 3) % 180 AS BIGINT) AS age_days
+  FROM documents),
+s AS (
+  SELECT n_chars,
+         CASE WHEN age_days <= 30 THEN 'hot'
+              WHEN age_days <= 90 THEN 'warm'
+              ELSE 'cold' END AS tier,
+         CAST(CASE WHEN age_days <= 30 THEN 23
+              WHEN age_days <= 90 THEN 10 ELSE 2 END AS BIGINT) AS price
+  FROM d)
+SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS bytes,
+       CAST(sum(n_chars * price) AS BIGINT) AS cost_micro,
+       CAST(sum(n_chars) * 23 AS BIGINT) AS all_hot_micro,
+       CAST(sum(n_chars) * 23 - sum(n_chars * price) AS BIGINT)
+         AS saving_micro
+FROM s GROUP BY tier
+"""
+
+
+def q_events_seasonal_residual(spark, sf_dir):
+    """Hour-of-day SEASONAL-RESIDUAL anomaly — the detector the
+    plain z-score row misfires on (3am traffic is 'anomalously low'
+    only if you ignore that 3am is always low): per (event_type,
+    hour-of-day) cell, the mean daily count over the corpus day
+    span in exact centi-events, the single worst day's count, and
+    the anomaly flag when the peak runs >= 2x the cell's own
+    seasonal baseline — deviation FROM the cycle, not from the
+    global mean.
+
+    Exactness: pure epoch integer arithmetic for day/hour; mean in
+    centi via integer DIV over the full day span (absent days count
+    as zero — that is the baseline's denominator by definition).
+
+    Plan/scale: one (type, hour, day) census, one (type, hour)
+    rollup — 24·|types| output rows at any scale."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr("unix_timestamp(ts) DIV 86400").alias("day"),
+                  F.expr("unix_timestamp(ts) % 86400 DIV 3600")
+                  .cast("long").alias("hour")))
+    span = ev.agg((F.max("day") - F.min("day") + 1).cast("long")
+                  .alias("span_days"))
+    cell = (ev.groupBy("event_type", "hour", "day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    per = (cell.groupBy("event_type", "hour")
+           .agg(F.sum("n").cast("long").alias("total"),
+                F.max("n").cast("long").alias("peak"),
+                F.count(F.lit(1)).cast("long").alias("n_days_active")))
+    j = per.crossJoin(F.broadcast(span))
+    return (j.withColumn("mean_centi",
+                         F.expr("total * 100 DIV span_days")
+                         .cast("long"))
+            .withColumn("is_anomalous",
+                        (F.col("peak") * 100
+                         >= 2 * F.col("mean_centi")).cast("int"))
+            .select("event_type", "hour", "total", "peak",
+                    "n_days_active", "mean_centi", "is_anomalous"))
+
+
+ORACLE_EVENTS_SEASONAL_RESIDUAL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(floor(epoch(ts)) AS BIGINT) % 86400 // 3600 AS hour
+  FROM events),
+span AS (
+  SELECT CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days FROM ev),
+cell AS (
+  SELECT event_type, hour, day, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY event_type, hour, day),
+per AS (
+  SELECT event_type, hour, CAST(sum(n) AS BIGINT) AS total,
+         CAST(max(n) AS BIGINT) AS peak,
+         CAST(count(*) AS BIGINT) AS n_days_active
+  FROM cell GROUP BY event_type, hour)
+SELECT event_type, hour, total, peak, n_days_active,
+       CAST(total * 100 // span.span_days AS BIGINT) AS mean_centi,
+       CAST(CASE WHEN peak * 100 >= 2 * (total * 100 // span.span_days)
+                 THEN 1 ELSE 0 END AS INT) AS is_anomalous
+FROM per CROSS JOIN span
+"""
+
+
+def q_url_param_sort(spark, sf_dir):
+    """Query-parameter SORT canonicalization — parameter order is
+    semantically irrelevant for virtually every server (?b=2&a=1
+    serves ?a=1&b=2), so a frontier that preserves order aliases
+    n! variants of the same resource; the canonical form sorts
+    pairs by (key, value) with a stable array_sort. Per URL: the
+    sorted form, whether sorting changed it, and the alias-family
+    census on the canonical key.
+
+    Fixture: each resource emits its params in 2-3 deterministic
+    orders across order keys, so families genuinely collapse.
+
+    Plan/scale: split + array_sort + array_join codegen, one
+    census groupBy — composes after url_param_strip (strip first,
+    then sort what survives)."""
+    k = F.col("o_orderkey")
+    a = F.concat(F.lit("a="), (k % 5).cast("string"))
+    b = F.concat(F.lit("b="), (k % 7).cast("string"))
+    c = F.concat(F.lit("c="), (k % 3).cast("string"))
+    sel = F.expr("(o_orderkey DIV 420) % 3")
+    qs = (F.when(sel == 0, F.concat_ws("&", a, b, c))
+          .when(sel == 1, F.concat_ws("&", c, a, b))
+          .otherwise(F.concat_ws("&", b, c, a)))
+    base = F.concat(F.lit("http://site"), (k % 60).cast("string"),
+                    F.lit(".onion/q"))
+    d = (_t(spark, sf_dir, "orders")
+         .select(F.concat(base, F.lit("?"), qs).alias("url"))
+         .distinct())
+    parts = F.split(F.substring_index("url", "?", -1), "&")
+    canon = F.concat(F.substring_index("url", "?", 1), F.lit("?"),
+                     F.array_join(F.array_sort(parts), "&"))
+    t = (d.withColumn("url_canon", canon)
+         .withColumn("reordered",
+                     (F.col("url") != F.col("url_canon")).cast("int")))
+    return (t.groupBy("url_canon")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_variants"),
+                 F.sum("reordered").cast("long").alias("n_reordered"))
+            .withColumn("fetches_saved",
+                        (F.col("n_variants") - 1).cast("long")))
+
+
+ORACLE_URL_PARAM_SORT = """
+WITH d AS (
+  SELECT DISTINCT
+         'http://site' || (o_orderkey % 60) || '.onion/q?'
+         || CASE WHEN (o_orderkey // 420) % 3 = 0 THEN
+                 'a=' || (o_orderkey % 5) || '&b=' || (o_orderkey % 7)
+                 || '&c=' || (o_orderkey % 3)
+              WHEN (o_orderkey // 420) % 3 = 1 THEN
+                 'c=' || (o_orderkey % 3) || '&a=' || (o_orderkey % 5)
+                 || '&b=' || (o_orderkey % 7)
+              ELSE
+                 'b=' || (o_orderkey % 7) || '&c=' || (o_orderkey % 3)
+                 || '&a=' || (o_orderkey % 5) END AS url
+  FROM orders),
+t AS (
+  SELECT url,
+         string_split(url, '?')[1] || '?'
+         || array_to_string(list_sort(
+                string_split(string_split(url, '?')[2], '&')), '&')
+           AS url_canon
+  FROM d)
+SELECT url_canon, CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(sum(CASE WHEN url <> url_canon THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reordered,
+       CAST(count(*) - 1 AS BIGINT) AS fetches_saved
+FROM t GROUP BY url_canon
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -21971,6 +22163,9 @@ QUERIES = {
     "url_default_port": q_url_default_port,
     "corpus_dedup_mix_shift": q_corpus_dedup_mix_shift,
     "events_qini_curve": q_events_qini_curve,
+    "corpus_storage_tiering": q_corpus_storage_tiering,
+    "events_seasonal_residual": q_events_seasonal_residual,
+    "url_param_sort": q_url_param_sort,
 }
 
 ORACLES = {
@@ -22310,6 +22505,9 @@ ORACLES = {
     "url_default_port": ORACLE_URL_DEFAULT_PORT,
     "corpus_dedup_mix_shift": ORACLE_CORPUS_DEDUP_MIX_SHIFT,
     "events_qini_curve": ORACLE_EVENTS_QINI_CURVE,
+    "corpus_storage_tiering": ORACLE_CORPUS_STORAGE_TIERING,
+    "events_seasonal_residual": ORACLE_EVENTS_SEASONAL_RESIDUAL,
+    "url_param_sort": ORACLE_URL_PARAM_SORT,
 }
 
 
