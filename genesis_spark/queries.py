@@ -21826,6 +21826,211 @@ FROM t GROUP BY url_canon
 """
 
 
+def q_graph_katz_bounded(spark, sf_dir):
+    """Bounded KATZ centrality (2-walk truncation) — the attenuated
+    walk-count centrality that ranks influence without PageRank's
+    iteration: katz(v) = Σ_k α^k · walks_k(v) truncated at k=2,
+    which is deg(v) + α·Σ_{u∈N(v)} deg(u) exactly — one degree
+    census and one neighbor join, no fixpoint. α = 1/4 keeps the
+    score an exact integer in milli-units (deg·1000 +
+    250·Σ deg(u)). The truncation is the standard cheap Katz
+    screen before anyone pays for the full solve.
+
+    Plan/scale: degree census + ONE join of the edge list to the
+    degree table + one groupBy — linear in edges, no iteration."""
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    raw = (_t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("t"), (k % 30).cast("string")).alias("u"),
+        F.concat(F.lit("t"), ((c % 30) % 20).cast("string")).alias("v"))
+        .filter(F.col("u") != F.col("v")))
+    und = (raw.select(F.least("u", "v").alias("a"),
+                      F.greatest("u", "v").alias("b"))
+           .distinct())
+    sym = (und.select(F.col("a").alias("n"), F.col("b").alias("m"))
+           .unionByName(und.select(F.col("b").alias("n"),
+                                   F.col("a").alias("m"))))
+    deg = sym.groupBy("n").agg(F.count(F.lit(1)).cast("long")
+                               .alias("deg"))
+    nbr = (sym.join(deg.select(F.col("n").alias("m"),
+                               F.col("deg").alias("deg_m")), "m")
+           .groupBy("n")
+           .agg(F.sum("deg_m").cast("long").alias("sum_nbr_deg")))
+    return (deg.join(nbr, "n")
+            .withColumn("katz_milli",
+                        (F.col("deg") * 1000
+                         + 250 * F.col("sum_nbr_deg")).cast("long"))
+            .select(F.col("n").alias("host_key"), "deg",
+                    "sum_nbr_deg", "katz_milli"))
+
+
+ORACLE_GRAPH_KATZ_BOUNDED = """
+WITH raw AS (
+  SELECT 't' || (o_orderkey % 30) AS u, 't' || ((o_custkey % 30) % 20) AS v
+  FROM orders
+  WHERE 't' || (o_orderkey % 30) <> 't' || ((o_custkey % 30) % 20)),
+und AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw),
+sym AS (
+  SELECT a AS n, b AS m FROM und
+  UNION ALL SELECT b AS n, a AS m FROM und),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY n),
+nbr AS (
+  SELECT s.n, CAST(sum(d.deg) AS BIGINT) AS sum_nbr_deg
+  FROM sym s JOIN deg d ON d.n = s.m GROUP BY s.n)
+SELECT deg.n AS host_key, deg.deg, nbr.sum_nbr_deg,
+       CAST(deg.deg * 1000 + 250 * nbr.sum_nbr_deg AS BIGINT)
+         AS katz_milli
+FROM deg JOIN nbr USING (n)
+"""
+
+
+def q_text_template_mine(spark, sf_dir):
+    """Log/boilerplate TEMPLATE mining (Drain-style, one level) —
+    the structure extractor for machine-generated text: lines that
+    become identical once their variable slots (digit runs) are
+    masked to '<N>' belong to one template; per template the census
+    reports instance count, how many DISTINCT raw variants filled
+    it, the slot count, and the template class (static: one
+    variant; parametric: many variants through few slots). Mining
+    templates first is how log corpora dedup 100:1 before any
+    n-gram pass.
+
+    Fixture: deterministic machine lines ('fetch <id> took <ms> ms'
+    shapes) emitted with varying ids/latencies.
+
+    Plan/scale: mask via one regexp_replace, census via ONE
+    groupBy(template) with count + countDistinct — the template
+    space is Heaps-tiny; raw lines shuffle once."""
+    k = F.col("o_orderkey")
+    line = (F.when(k % 4 == 0,
+                   F.concat(F.lit("fetch "), k.cast("string"),
+                            F.lit(" took "), (k % 900).cast("string"),
+                            F.lit(" ms")))
+            .when(k % 4 == 1,
+                  F.concat(F.lit("retry "), (k % 5).cast("string"),
+                           F.lit(" for host h"),
+                           (k % 120).cast("string")))
+            .when(k % 4 == 2,
+                  F.concat(F.lit("parsed "), (k % 60).cast("string"),
+                           F.lit(" links depth "),
+                           (k % 3).cast("string")))
+            .otherwise(F.lit("politeness sleep done")))
+    d = _t(spark, sf_dir, "orders").select(line.alias("line"))
+    tpl = F.regexp_replace("line", "[0-9]+", "<N>")
+    t = d.withColumn("template", tpl)
+    cen = (t.groupBy("template")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_instances"),
+                F.countDistinct("line").cast("long").alias("n_variants")))
+    n_slots = F.expr(
+        "CAST((length(template) - "
+        "length(replace(template, '<N>', 'xx'))) AS BIGINT)")
+    return (cen.withColumn("n_slots", n_slots)
+            .withColumn("template_class",
+                        F.when(F.col("n_variants") == 1, F.lit("static"))
+                        .otherwise(F.lit("parametric"))))
+
+
+ORACLE_TEXT_TEMPLATE_MINE = """
+WITH d AS (
+  SELECT CASE WHEN o_orderkey % 4 = 0 THEN
+              'fetch ' || o_orderkey || ' took ' || (o_orderkey % 900)
+              || ' ms'
+            WHEN o_orderkey % 4 = 1 THEN
+              'retry ' || (o_orderkey % 5) || ' for host h'
+              || (o_orderkey % 120)
+            WHEN o_orderkey % 4 = 2 THEN
+              'parsed ' || (o_orderkey % 60) || ' links depth '
+              || (o_orderkey % 3)
+            ELSE 'politeness sleep done' END AS line
+  FROM orders),
+t AS (
+  SELECT line, regexp_replace(line, '[0-9]+', '<N>', 'g') AS template
+  FROM d),
+cen AS (
+  SELECT template, CAST(count(*) AS BIGINT) AS n_instances,
+         CAST(count(DISTINCT line) AS BIGINT) AS n_variants
+  FROM t GROUP BY template)
+SELECT template, n_instances, n_variants,
+       CAST(length(template) - length(replace(template, '<N>', 'xx'))
+            AS BIGINT) AS n_slots,
+       CASE WHEN n_variants = 1 THEN 'static'
+            ELSE 'parametric' END AS template_class
+FROM cen
+"""
+
+
+def q_host_uptime_sla(spark, sf_dir):
+    """Host UPTIME-SLA attainment — the availability grade a crawl
+    operator reads before blaming its own fetcher (a host that was
+    genuinely down doesn't count against crawler health): a host-day
+    is DOWN when errors carry more than half that day's events;
+    uptime = up-days over observed days in exact ppm, graded
+    against the standard SLA ladder (99.9% / 99% / 95%) with the
+    credit tier a real SLA would pay out.
+
+    Plan/scale: one (host, day) census with conditional sums, one
+    host rollup — two map-side-combinable aggs, no windows."""
+    ev = (_t(spark, sf_dir, "events")
+          .select((F.col("user_id") % 20).cast("long").alias("host_id"),
+                  F.expr("unix_timestamp(ts) DIV 86400").alias("day"),
+                  (F.col("event_type") == "error").cast("int")
+                  .alias("is_err")))
+    hd = (ev.groupBy("host_id", "day")
+          .agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum("is_err").cast("long").alias("e")))
+    flagged = hd.withColumn("down", (F.col("e") * 2 > F.col("n"))
+                            .cast("int"))
+    per = (flagged.groupBy("host_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                F.sum("down").cast("long").alias("down_days")))
+    up_ppm = F.expr("(n_days - down_days) * 1000000 DIV n_days")
+    return (per.withColumn("uptime_ppm", up_ppm.cast("long"))
+            .withColumn("sla_tier",
+                        F.when(up_ppm >= 999000, F.lit("meets-99.9"))
+                        .when(up_ppm >= 990000, F.lit("meets-99"))
+                        .when(up_ppm >= 950000, F.lit("meets-95"))
+                        .otherwise(F.lit("breach")))
+            .withColumn("credit_pct",
+                        F.when(up_ppm >= 999000, F.lit(0))
+                        .when(up_ppm >= 990000, F.lit(10))
+                        .when(up_ppm >= 950000, F.lit(25))
+                        .otherwise(F.lit(100)).cast("long")))
+
+
+ORACLE_HOST_UPTIME_SLA = """
+WITH ev AS (
+  SELECT CAST(user_id % 20 AS BIGINT) AS host_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events),
+hd AS (
+  SELECT host_id, day, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(is_err) AS BIGINT) AS e
+  FROM ev GROUP BY host_id, day),
+per AS (
+  SELECT host_id, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(CASE WHEN e * 2 > n THEN 1 ELSE 0 END) AS BIGINT)
+           AS down_days
+  FROM hd GROUP BY host_id),
+u AS (
+  SELECT host_id, n_days, down_days,
+         CAST((n_days - down_days) * 1000000 // n_days AS BIGINT)
+           AS uptime_ppm
+  FROM per)
+SELECT host_id, n_days, down_days, uptime_ppm,
+       CASE WHEN uptime_ppm >= 999000 THEN 'meets-99.9'
+            WHEN uptime_ppm >= 990000 THEN 'meets-99'
+            WHEN uptime_ppm >= 950000 THEN 'meets-95'
+            ELSE 'breach' END AS sla_tier,
+       CAST(CASE WHEN uptime_ppm >= 999000 THEN 0
+                 WHEN uptime_ppm >= 990000 THEN 10
+                 WHEN uptime_ppm >= 950000 THEN 25
+                 ELSE 100 END AS BIGINT) AS credit_pct
+FROM u
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_network_type": q_url_network_type,
@@ -22166,6 +22371,9 @@ QUERIES = {
     "corpus_storage_tiering": q_corpus_storage_tiering,
     "events_seasonal_residual": q_events_seasonal_residual,
     "url_param_sort": q_url_param_sort,
+    "graph_katz_bounded": q_graph_katz_bounded,
+    "text_template_mine": q_text_template_mine,
+    "host_uptime_sla": q_host_uptime_sla,
 }
 
 ORACLES = {
@@ -22508,6 +22716,9 @@ ORACLES = {
     "corpus_storage_tiering": ORACLE_CORPUS_STORAGE_TIERING,
     "events_seasonal_residual": ORACLE_EVENTS_SEASONAL_RESIDUAL,
     "url_param_sort": ORACLE_URL_PARAM_SORT,
+    "graph_katz_bounded": ORACLE_GRAPH_KATZ_BOUNDED,
+    "text_template_mine": ORACLE_TEXT_TEMPLATE_MINE,
+    "host_uptime_sla": ORACLE_HOST_UPTIME_SLA,
 }
 
 
