@@ -1,10 +1,9 @@
-"""Block-103 operators: benchmark decontamination screen,
-Luhn-validated PAN detection, CUSUM changepoint."""
+"""Block-103 operators: Luhn-validated PAN detection, CUSUM
+changepoint."""
 
 from __future__ import annotations
 
-from genesis_spark.queries import (_DECON_PHRASE, q_corpus_decontaminate,
-                                   q_events_cusum, q_text_luhn_pii)
+from genesis_spark.queries import q_events_cusum, q_text_luhn_pii
 
 SF = "/root/testdata/sf0.001"
 
@@ -13,38 +12,6 @@ def _docs(spark):
     return [(r["doc_id"], r["text"]) for r in
             spark.read.parquet(f"{SF}/documents.parquet")
             .select("doc_id", "text").collect() if r["text"] is not None]
-
-
-def test_decontaminate_golden(spark):
-    eval_g, per_doc = set(), {}
-    for did, text in _docs(spark):
-        xt = text + _DECON_PHRASE if (did % 25 == 0 or did % 10 == 3) \
-            else text
-        w = xt.split(" ")
-        grams = {" ".join(w[i:i + 8]) for i in range(len(w) - 7)} \
-            if len(w) >= 8 else set()
-        if did % 25 == 0:
-            eval_g |= grams
-        else:
-            per_doc[did] = grams
-    got = {r["doc_id"]: r for r in
-           q_corpus_decontaminate(spark, SF).collect()}
-    assert set(got) == set(per_doc)
-    for did, grams in per_doc.items():
-        shared = len(grams & eval_g)
-        r = got[did]
-        assert r["n_ngrams"] == len(grams)
-        assert r["n_shared"] == shared
-        assert r["contaminated"] == int(shared > 0)
-        exp_ppm = shared * 10**6 // len(grams) if grams else 0
-        assert r["contamination_ppm"] == exp_ppm
-    # the planted phrase is found: every %10==3 training doc with
-    # >= 0 own tokens shares at least the 3 phrase-internal 8-grams
-    planted = [d for d in per_doc if d % 10 == 3]
-    assert planted
-    assert all(got[d]["n_shared"] >= 3 for d in planted)
-    # and uncontaminated docs exist (the screen separates)
-    assert any(r["contaminated"] == 0 for r in got.values())
 
 
 def _luhn_ok(s):

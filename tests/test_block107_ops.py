@@ -1,49 +1,14 @@
-"""Block-107 operators: Matryoshka truncated-dim recall, integer
-EWMA forecast backtest, userinfo strip + deception screen."""
+"""Block-107 operators: integer EWMA forecast backtest, userinfo
+strip + deception screen."""
 
 from __future__ import annotations
 
 from collections import defaultdict
 
-from genesis_spark.queries import (q_embeddings_matryoshka,
-                                   q_events_ewma_forecast,
+from genesis_spark.queries import (q_events_ewma_forecast,
                                    q_url_userinfo_strip)
 
 SF = "/root/testdata/sf0.001"
-
-
-def test_matryoshka_golden(spark):
-    vecs = {r["vec_id"]: [int(round(float(x) * 1e6))
-                          for x in r["embedding"]]
-            for r in spark.read.parquet(f"{SF}/embeddings.parquet")
-            .collect()}
-    qids = [v for v in vecs if v % 20 == 0]
-    levels = (8, 16, 32, 64)
-
-    def top5(qid, lvl):
-        q = vecs[qid]
-        scored = sorted(
-            ((-sum(a * b for a, b in zip(q[:lvl], vecs[c][:lvl])), c)
-             for c in vecs if c != qid))
-        return {c for _s, c in scored[:5]}
-
-    gt = {q: top5(q, 64) for q in qids}
-    exp = {}
-    for lvl in levels:
-        hits = sum(len(top5(q, lvl) & gt[q]) for q in qids)
-        exp[lvl] = hits
-    got = {r["dim_level"]: r for r in
-           q_embeddings_matryoshka(spark, SF).collect()}
-    assert set(got) == set(levels)
-    for lvl in levels:
-        r = got[lvl]
-        assert r["n_queries"] == len(qids)
-        assert r["total_hits"] == exp[lvl]
-        assert r["recall_ppm"] == exp[lvl] * 10**6 // (5 * len(qids))
-    # full dim is its own ground truth; recall is monotone-ish:
-    # the widest prefix is at least as good as the narrowest
-    assert got[64]["recall_ppm"] == 10**6
-    assert got[32]["recall_ppm"] >= got[8]["recall_ppm"]
 
 
 def test_ewma_forecast_golden(spark):

@@ -1,5 +1,5 @@
-"""Block-108 operators: two-phase anneal data plan, DNS prefetch
-wave planning, NFC normalization audit."""
+"""Block-108 operators: two-phase anneal data plan, NFC
+normalization audit."""
 
 from __future__ import annotations
 
@@ -7,7 +7,6 @@ import re
 from collections import defaultdict
 
 from genesis_spark.queries import (q_corpus_anneal_plan,
-                                   q_frontier_dns_prefetch,
                                    q_text_unicode_nfc)
 
 SF = "/root/testdata/sf0.001"
@@ -49,37 +48,6 @@ def test_anneal_plan_golden(spark):
     assert re.fullmatch(r"(anneal,)*(mixed,)?(pretrain,?)*", joined)
     # anneal mass exactly fills the 10% budget
     assert sum(r["tokens_anneal"] for r in got.values()) == budget
-
-
-def test_dns_prefetch_golden(spark):
-    waves = defaultdict(int)
-    wh = set()
-    for r in spark.read.parquet(f"{SF}/orders.parquet") \
-            .select("o_orderkey").collect():
-        k = r["o_orderkey"]
-        waves[k % 5] += 1
-        wh.add((k % 5, f"h{(k * 7) % 80}"))
-    first = {}
-    for w, h in sorted(wh):
-        first.setdefault(h, w)
-    got = {r["wave"]: r for r in
-           q_frontier_dns_prefetch(spark, SF).collect()}
-    assert set(got) == set(waves)
-    total_resolve = 0
-    for w in waves:
-        hosts = {h for ww, h in wh if ww == w}
-        resolve = sum(1 for h in hosts if first[h] == w)
-        r = got[w]
-        assert r["n_urls"] == waves[w]
-        assert r["n_hosts"] == len(hosts)
-        assert r["n_resolve"] == resolve
-        assert r["n_cached"] == len(hosts) - resolve
-        assert r["prefetch_ppm"] == resolve * 10**6 // len(hosts)
-        total_resolve += resolve
-    # every distinct host is resolved exactly once across all waves
-    assert total_resolve == len(first)
-    # wave 0 has no cache to hit
-    assert got[0]["n_cached"] == 0
 
 
 def test_unicode_nfc_golden(spark):

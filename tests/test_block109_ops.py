@@ -1,55 +1,14 @@
-"""Block-109 operators: split-leakage audit, sample-ratio-mismatch
-guardrail, hour-profile seasonality strength."""
+"""Block-109 operators: sample-ratio-mismatch guardrail,
+hour-profile seasonality strength."""
 
 from __future__ import annotations
 
-import hashlib
 from collections import defaultdict
 
-from genesis_spark.queries import (q_corpus_split_leakage,
-                                   q_events_seasonality_strength,
+from genesis_spark.queries import (q_events_seasonality_strength,
                                    q_events_srm_check)
 
 SF = "/root/testdata/sf0.001"
-
-
-def _split(doc_id):
-    b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 10
-    return "train" if b <= 7 else "val" if b == 8 else "test"
-
-
-def test_split_leakage_golden(spark):
-    docs = {}
-    for r in spark.read.parquet(f"{SF}/documents.parquet") \
-            .select("doc_id", "text").collect():
-        if r["text"] is not None:
-            docs[r["doc_id"]] = r["text"]
-    corpus = dict(docs)
-    for did, text in docs.items():
-        if did % 2 == 0:
-            twin = text if did % 5 == 0 else text.rsplit(" ", 1)[0]
-            corpus[did + 100000] = twin
-    by_hash = defaultdict(list)
-    for did, text in corpus.items():
-        by_hash[text].append(did)
-    leaked_docs = set()
-    for text, dids in by_hash.items():
-        if len({_split(d) for d in dids}) >= 2:
-            leaked_docs |= set(dids)
-    exp = defaultdict(lambda: [0, 0])
-    for did in corpus:
-        s = _split(did)
-        exp[s][0] += 1
-        exp[s][1] += int(did in leaked_docs)
-    got = {r["split"]: r for r in
-           q_corpus_split_leakage(spark, SF).collect()}
-    assert set(got) == set(exp)
-    for s, (n, lk) in exp.items():
-        r = got[s]
-        assert (r["n_docs"], r["n_leaked"]) == (n, lk)
-        assert r["leak_ppm"] == lk * 10**6 // n
-    # the planted exact twins guarantee real leakage to catch
-    assert sum(r["n_leaked"] for r in got.values()) > 0
 
 
 def test_srm_check_golden(spark):

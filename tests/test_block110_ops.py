@@ -1,5 +1,4 @@
-"""Block-110 operators: HTTPS-upgrade readiness, host geo-mix,
-curation-funnel census."""
+"""Block-110 operators: host geo-mix, curation-funnel census."""
 
 from __future__ import annotations
 
@@ -7,7 +6,7 @@ import hashlib
 from collections import defaultdict
 
 from genesis_spark.queries import (q_corpus_curation_funnel,
-                                   q_host_geo_mix, q_url_https_upgrade)
+                                   q_host_geo_mix)
 
 SF = "/root/testdata/sf0.001"
 
@@ -16,37 +15,6 @@ def _keys(spark):
     return [r["o_orderkey"] for r in
             spark.read.parquet(f"{SF}/orders.parquet")
             .select("o_orderkey").collect()]
-
-
-def test_https_upgrade_golden(spark):
-    cens = defaultdict(lambda: [0, 0])
-    for k in _keys(spark):
-        h = k % 60
-        if h % 5 == 0:
-            s = "https"
-        elif h % 5 == 1:
-            s = "http"
-        else:
-            s = "https" if k % 2 == 0 else "http"
-        cens[f"h{h}"][s == "https"] += 1
-    got = {r["host_key"]: r for r in
-           q_url_https_upgrade(spark, SF).collect()}
-    assert set(got) == set(cens)
-    for hk, (nh, ns) in cens.items():
-        r = got[hk]
-        assert (r["n_http"], r["n_https"]) == (nh, ns)
-        share = ns * 10**6 // (nh + ns)
-        assert r["https_share_ppm"] == share
-        exp_cls = ("https_only" if nh == 0 else
-                   "http_only" if ns == 0 else "dual")
-        assert r["upgrade_class"] == exp_cls
-        assert r["upgrade_safe"] == int(
-            nh == 0 or (ns > 0 and share >= 500000))
-    # http-only hosts are never rewritten
-    assert all(r["upgrade_safe"] == 0 for r in got.values()
-               if r["upgrade_class"] == "http_only")
-    assert all(r["upgrade_safe"] == 1 for r in got.values()
-               if r["upgrade_class"] == "https_only")
 
 
 def test_geo_mix_golden(spark):

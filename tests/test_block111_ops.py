@@ -1,56 +1,14 @@
-"""Block-111 operators: subdomain sprawl census, audience overlap,
-image caption-coverage audit."""
+"""Block-111 operators: audience overlap, image caption-coverage
+audit."""
 
 from __future__ import annotations
 
 from collections import defaultdict
 
 from genesis_spark.queries import (q_events_audience_overlap,
-                                   q_host_subdomain_sprawl,
                                    q_spans_alt_text_audit)
 
 SF = "/root/testdata/sf0.001"
-
-
-def test_subdomain_sprawl_golden(spark):
-    urls = defaultdict(lambda: [0, 0])
-    hosts = defaultdict(set)
-    for r in spark.read.parquet(f"{SF}/orders.parquet") \
-            .select("o_orderkey").collect():
-        k = r["o_orderkey"]
-        did = k % 30
-        dom = f"d{did}.example"
-        if did % 9 == 0:
-            sub = f"s{(k // 30) % 400}"
-        elif k % 5 < 2:
-            sub = ""
-        elif k % 3 == 0:
-            sub = "www"
-        elif k % 3 == 1:
-            sub = "api"
-        else:
-            sub = "blog"
-        urls[dom][0] += 1
-        urls[dom][1] |= int(sub == "")
-        hosts[dom].add(sub)
-    got = {r["domain"]: r for r in
-           q_host_subdomain_sprawl(spark, SF).collect()}
-    assert set(got) == set(urls)
-    for dom, (n, apex) in urls.items():
-        subs = {s for s in hosts[dom] if s != ""}
-        r = got[dom]
-        assert r["n_urls"] == n
-        assert r["has_apex"] == apex
-        assert r["n_hosts"] == len(hosts[dom])
-        assert r["n_subdomains"] == len(subs)
-        assert r["is_sprawl"] == int(len(subs) >= 50)
-        assert r["budget_scope"] == (
-            "per_domain" if len(subs) >= 50 else "per_host")
-    # wildcard domains sprawl; honest domains never exceed 3 subs
-    wild = [d for d in urls if int(d[1:].split(".")[0]) % 9 == 0]
-    tame = [d for d in urls if int(d[1:].split(".")[0]) % 9 != 0]
-    assert wild and all(got[d]["is_sprawl"] == 1 for d in wild)
-    assert tame and all(got[d]["n_subdomains"] <= 3 for d in tame)
 
 
 def test_audience_overlap_golden(spark):
