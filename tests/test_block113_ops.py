@@ -1,0 +1,107 @@
+"""Block-113 operators: leaky-bucket politeness replay (closed
+form), gibberish detection, host yield ROI."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import defaultdict
+
+from genesis_spark.queries import (q_frontier_leaky_bucket,
+                                   q_host_yield_roi, q_text_gibberish)
+
+SF = "/root/testdata/sf0.001"
+LEAK, COST, CAP = 1, 1000, 2000
+
+
+def test_leaky_bucket_golden(spark):
+    by_type = defaultdict(list)
+    for r in spark.read.parquet(f"{SF}/events.parquet") \
+            .select("event_id", "event_type", "ts").collect():
+        ts_s = int(r["ts"].timestamp())
+        by_type[r["event_type"]].append((ts_s, r["event_id"]))
+    got = {r["event_id"]: r for r in
+           q_frontier_leaky_bucket(spark, SF).collect()}
+    n_viol = 0
+    for t, rows in by_type.items():
+        rows.sort()
+        debt, prev_ts = 0, None
+        for ts_s, eid in rows:
+            # the sequential recursion the closed form must reproduce
+            if prev_ts is not None:
+                debt = max(0, debt - LEAK * (ts_s - prev_ts))
+            debt += COST
+            prev_ts = ts_s
+            r = got[eid]
+            assert r["event_type"] == t
+            assert r["debt_milli"] == debt, (t, eid)
+            assert r["violated"] == int(debt > CAP)
+            n_viol += int(debt > CAP)
+    # the fixture's bursts actually exercise the violation branch
+    assert n_viol > 0
+    assert any(r["violated"] == 0 for r in got.values())
+
+
+def test_gibberish_golden(spark):
+    cons = "bcdfghjklmnpqrstvwxyz"
+    got = {r["doc_id"]: r for r in q_text_gibberish(spark, SF).collect()}
+    mash_docs, clean_docs = [], []
+    for r in spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text").collect():
+        if r["text"] is None:
+            continue
+        did = r["doc_id"]
+        lt = (r["text"] + " asdfghjkl qwrtypsdfg zxcvbnmm"
+              if did % 8 == 0 else r["text"]).lower()
+        letters = len(re.sub("[^a-z]", "", lt))
+        vowels = len(lt) - len(re.sub("[aeiou]", "", lt))
+        runs = [len(m) for m in re.findall(f"[{cons}]+", lt)]
+        mash = len(re.findall(rf"\b[{cons}]{{5,}}\b", lt))
+        g = got[did]
+        assert g["n_letters"] == letters
+        assert g["n_vowels"] == vowels
+        assert g["max_cons_run"] == (max(runs) if runs else 0)
+        assert g["n_mash_tokens"] == mash
+        ppm = vowels * 10**6 // letters if letters else 0
+        assert g["vowel_ppm"] == ppm
+        votes = (int(ppm < 250000) + int(g["max_cons_run"] >= 6)
+                 + int(mash >= 2))
+        assert g["is_gibberish"] == int(votes >= 2)
+        (mash_docs if did % 8 == 0 else clean_docs).append(g)
+    # injected mash is caught; prose never trips the 2-of-3 vote
+    assert mash_docs and all(
+        g["is_gibberish"] == 1 for g in mash_docs)
+    assert clean_docs and sum(
+        g["is_gibberish"] for g in clean_docs) == 0
+
+
+def test_yield_roi_golden(spark):
+    docs = {}
+    for r in spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "text").collect():
+        if r["text"] is not None:
+            docs[r["doc_id"]] = r["text"]
+    corpus = dict(docs)
+    for did, text in docs.items():
+        if did % 2 == 0:
+            corpus[did + 100000] = (text if did % 5 == 0
+                                    else text.rsplit(" ", 1)[0])
+    per = defaultdict(lambda: [0, set()])
+    for did, text in corpus.items():
+        hk = f"h{did % 40}"
+        per[hk][0] += 1
+        per[hk][1].add(hashlib.md5(text.encode()).hexdigest())
+    got = {r["host_key"]: r for r in q_host_yield_roi(spark, SF).collect()}
+    assert set(got) == set(per)
+    for hk, (n, uniq) in per.items():
+        r = got[hk]
+        assert (r["n_fetches"], r["n_unique"]) == (n, len(uniq))
+        y = len(uniq) * 10**6 // n
+        assert r["yield_ppm"] == y
+        assert r["wasted_ppm"] == 10**6 - y
+        assert r["budget_verdict"] == (
+            "quarantine" if y <= 600000 else
+            "reduce" if y <= 800000 else "keep")
+    # exact twins land in the same host bucket (100000 % 40 == 0),
+    # so hosts with many %10==0 docs show real duplicate waste
+    assert any(r["wasted_ppm"] > 0 for r in got.values())
