@@ -9,6 +9,10 @@ from genesis_spark.queries import (q_events_queueing_mm1,
                                    q_events_spc_control,
                                    q_graph_bipartite_projection)
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -10,6 +10,10 @@ from genesis_spark.queries import (_CITE_ADD_A, _CITE_ADD_B, _MD_HEADER,
                                    q_text_markdown_structure,
                                    q_text_ocr_artifacts)
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 SF = "/root/testdata/sf0.001"
 
 

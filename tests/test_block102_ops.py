@@ -8,6 +8,10 @@ from genesis_spark.queries import (_CHINCHILLA_SIZES,
                                    q_corpus_loss_mask_audit,
                                    q_corpus_source_ablation)
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 SF = "/root/testdata/sf0.001"
 
 

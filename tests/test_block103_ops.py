@@ -5,6 +5,10 @@ from __future__ import annotations
 
 from genesis_spark.queries import q_events_cusum, q_text_luhn_pii
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -6,6 +6,10 @@ from collections import defaultdict
 
 from genesis_spark.queries import q_url_ext_mismatch
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -6,6 +6,10 @@ from collections import defaultdict
 
 from genesis_spark.queries import q_corpus_mix_waterfill
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 SF = "/root/testdata/sf0.001"
 
 

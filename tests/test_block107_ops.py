@@ -8,6 +8,10 @@ from collections import defaultdict
 from genesis_spark.queries import (q_events_ewma_forecast,
                                    q_url_userinfo_strip)
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -9,6 +9,10 @@ from collections import defaultdict
 from genesis_spark.queries import (q_corpus_anneal_plan,
                                    q_text_unicode_nfc)
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 SF = "/root/testdata/sf0.001"
 
 

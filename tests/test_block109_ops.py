@@ -8,6 +8,10 @@ from collections import defaultdict
 from genesis_spark.queries import (q_events_seasonality_strength,
                                    q_events_srm_check)
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -4,6 +4,10 @@ tracking-param stripping, and reciprocal-link detection."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import struct
 
 from pyspark.sql import functions as F

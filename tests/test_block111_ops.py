@@ -3,6 +3,10 @@ audit."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from collections import defaultdict
 
 from genesis_spark.queries import (q_events_audience_overlap,

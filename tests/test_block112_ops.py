@@ -3,6 +3,10 @@ isotropy audit, growth-accounting decomposition."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 from collections import defaultdict
 from datetime import date

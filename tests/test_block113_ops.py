@@ -3,6 +3,10 @@ form), gibberish detection, host yield ROI."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import hashlib
 import re
 from collections import defaultdict

@@ -6,6 +6,10 @@ values (the DuckDB oracle covers the large fixture separately)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import hashlib
 import math
 

@@ -4,6 +4,10 @@ hand-built table with closed-form expectations."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import datetime as dt
 
 from genesis_spark import queries as Q

@@ -7,6 +7,10 @@ present for every query)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import hashlib
 import re
 

@@ -4,6 +4,10 @@ hand-built tables."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from genesis_spark import queries as Q
 
 

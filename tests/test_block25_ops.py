@@ -3,6 +3,10 @@ consistent-hash reshard churn."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from genesis_spark import queries as Q
 
 

@@ -5,6 +5,10 @@ per-doc text rebuild preserves original order."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from genesis_spark import queries as Q
 
 _TEXT = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"

@@ -5,6 +5,10 @@ quantized values must equal the Python replay."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 
 from genesis_spark import queries as Q

@@ -5,6 +5,10 @@ numpy-free Python replay."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 
 from pyspark.sql import functions as F

@@ -4,6 +4,10 @@ vs a brute-force Python waterline)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import duckdb
 import pytest
 from hypothesis import given, settings

@@ -4,6 +4,10 @@ computation."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from genesis_spark import queries as Q
 from genesis_spark.operators import multimodal as MM
 

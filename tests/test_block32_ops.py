@@ -3,6 +3,10 @@ assertions for domain frequency capping."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from genesis_spark import queries as Q
 
 SF = "/root/testdata/sf0.001"

@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import duckdb
 
 from genesis_spark.queries import (q_frontier_crawl_delay, q_host_trustrank,

@@ -3,6 +3,10 @@ centrality."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import duckdb
 
 from genesis_spark.queries import (q_fetch_revalidate, q_graph_harmonic,

@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import duckdb
 
 from genesis_spark.queries import (q_host_ip_colocation,

@@ -3,6 +3,10 @@ profile."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import hashlib
 
 import duckdb

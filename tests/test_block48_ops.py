@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import duckdb
 
 from genesis_spark.queries import (q_dns_cache_plan, q_fetch_backoff_plan,

@@ -4,6 +4,10 @@ scoring, int8 quantization, and the funnel/recrawl query kernels."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 
 from pyspark.sql import Row, Window

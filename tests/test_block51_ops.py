@@ -3,6 +3,10 @@ URL template mining."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import hashlib
 import re
 

@@ -3,6 +3,10 @@ multi-touch attribution."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 
 import duckdb

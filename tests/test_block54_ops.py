@@ -3,6 +3,10 @@ politeness makespan."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import duckdb
 
 from genesis_spark.operators.similarity import pq_centroids

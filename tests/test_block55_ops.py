@@ -3,6 +3,10 @@ consolidation."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 import re
 from collections import Counter

@@ -3,6 +3,10 @@ repurchase survival, HTTP cache-header freshness rules."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 from collections import Counter, defaultdict
 

@@ -3,6 +3,10 @@ intensity histogram."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import re
 from collections import Counter, defaultdict
 

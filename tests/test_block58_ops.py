@@ -3,6 +3,10 @@ Wilson lower-bound host ranking."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 from collections import defaultdict
 

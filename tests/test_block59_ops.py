@@ -3,6 +3,10 @@ IVF cell-balance audit."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import re
 from collections import Counter, defaultdict
 

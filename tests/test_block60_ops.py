@@ -3,6 +3,10 @@ guard, shard-hostname family detection."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import re
 from collections import defaultdict
 

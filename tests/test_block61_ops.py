@@ -3,6 +3,10 @@ profile, soft-404 detection."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import datetime as dt
 
 from genesis_spark.queries import (q_events_seasonality, q_host_typosquat,

@@ -3,6 +3,10 @@ URL families, Gini traffic concentration."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from genesis_spark.queries import (q_events_gini, q_http_security_headers,
                                    q_url_lang_variant)
 

@@ -3,6 +3,10 @@ robots directives, RSS/Atom feed source."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from pyspark.sql import functions as F
 
 from genesis_spark.functions.urls import (pct_normalize_expr,

@@ -3,6 +3,10 @@ padding accounting, exact sliding-window DAU/MAU."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from collections import defaultdict
 
 from genesis_spark.queries import (q_corpus_length_buckets,

@@ -3,6 +3,10 @@ drift telemetry, multi-source seed merge."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 
 from genesis_spark.operators import similarity as SIM

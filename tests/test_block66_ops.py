@@ -3,6 +3,10 @@ audit, dedup threshold-calibration curve."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import os
 import tempfile
 from collections import defaultdict

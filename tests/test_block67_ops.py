@@ -3,6 +3,10 @@ triage, URL-vs-content dedup agreement audit."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from genesis_spark.queries import (q_text_lexicon_triage,
                                    q_url_content_agreement,
                                    q_url_rel_canonical)

@@ -3,6 +3,10 @@ audit, robots-vs-page-directive conflict census."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from collections import defaultdict
 
 from genesis_spark.queries import (q_ann_recall_vs_nprobe,

@@ -3,6 +3,10 @@ span diff, streaming interleaved-document reassembly."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import hashlib
 from collections import defaultdict
 

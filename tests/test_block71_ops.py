@@ -3,6 +3,10 @@ IDN homograph detection."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from genesis_spark.operators import dedup as D
 from genesis_spark.queries import (_corpus, q_dedup_lsh_bucket_audit,
                                    q_dedup_minhash_lsh, q_graph_conductance,

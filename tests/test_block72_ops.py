@@ -3,6 +3,10 @@ packing fragmentation audit."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from collections import defaultdict
 
 from genesis_spark.queries import (q_ann_binary_hamming,

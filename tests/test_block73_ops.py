@@ -3,6 +3,10 @@ ensemble, priority aging."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from genesis_spark.queries import (q_frontier_admission_ensemble,
                                    q_frontier_priority_decay,
                                    q_url_normalize_pipeline)

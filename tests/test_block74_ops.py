@@ -3,6 +3,10 @@ image entropy gate."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import hashlib
 from collections import defaultdict
 

@@ -3,6 +3,10 @@ centroid-distance OOD scoring."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 
 from genesis_spark.operators import similarity as SIM

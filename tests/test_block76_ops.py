@@ -3,6 +3,10 @@ census, per-user inter-arrival burstiness."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import hashlib
 import math
 import re

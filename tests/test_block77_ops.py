@@ -3,6 +3,10 @@ reduction, per-node local clustering coefficient."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import itertools
 import math
 

@@ -3,6 +3,10 @@ overlap pairs, frontier rank churn."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import hashlib
 
 from genesis_spark.queries import (q_frontier_rank_churn,

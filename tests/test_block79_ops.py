@@ -3,6 +3,10 @@ value, rich-club coefficient ladder."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import itertools
 
 from genesis_spark.queries import (q_corpus_freshness_value,

@@ -4,6 +4,10 @@ hub/authority scores, plus plan audits for the batch rows."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from pyspark.sql import functions as F
 
 from genesis_spark.operators import similarity as SIM

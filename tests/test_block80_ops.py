@@ -3,6 +3,10 @@ A/B power analysis."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 
 from genesis_spark.queries import (q_corpus_license_gate,

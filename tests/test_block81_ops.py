@@ -3,6 +3,10 @@ kNN hubness audit."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 
 from genesis_spark.queries import (q_embeddings_hubness_audit,

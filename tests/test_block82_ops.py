@@ -3,6 +3,10 @@ census, crawl-schedule smear audit."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import hashlib
 import math
 import re

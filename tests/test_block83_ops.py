@@ -3,6 +3,10 @@ plan, FineWeb line-quality rules."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 import re
 

@@ -3,6 +3,10 @@ URL-shortener detection."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import hashlib
 import math
 

@@ -3,6 +3,10 @@ vocabulary coverage curve."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from genesis_spark.queries import (q_corpus_vocab_coverage,
                                    q_frontier_aimd_window,
                                    q_url_fragment_policy)

@@ -3,6 +3,10 @@ entropy, residual HTML-entity audit."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 import re
 

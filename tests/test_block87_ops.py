@@ -3,6 +3,10 @@ in-text document dating."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 import re
 

@@ -3,6 +3,10 @@ host vertical mix."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from genesis_spark.queries import (q_events_ltv_triangle,
                                    q_events_simpson_audit,
                                    q_host_vertical_mix)

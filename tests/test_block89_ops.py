@@ -3,6 +3,10 @@ census, redirect-loop detection."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import re
 from itertools import permutations
 

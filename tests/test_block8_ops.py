@@ -5,6 +5,10 @@ image hash kernel."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 

@@ -3,6 +3,10 @@ audit, Qini uplift curve."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import hashlib
 import re
 

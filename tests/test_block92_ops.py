@@ -3,6 +3,10 @@ query-param sort canonicalization."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from genesis_spark.queries import (q_corpus_storage_tiering,
                                    q_events_seasonal_residual,
                                    q_url_param_sort)

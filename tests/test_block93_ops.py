@@ -3,6 +3,10 @@ host uptime SLA."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import re
 
 from genesis_spark.queries import (q_graph_katz_bounded,

@@ -3,6 +3,10 @@ mining, media bitrate planning."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 from genesis_spark.queries import (q_corpus_instruction_pairs,
                                    q_media_bitrate_plan,
                                    q_text_gazetteer_tag)

@@ -3,6 +3,10 @@ data-repetition value curve."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 
 from genesis_spark.queries import (q_corpus_repeat_value,

@@ -3,6 +3,10 @@ fill-in-the-middle transform plan."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import hashlib
 import math
 

@@ -3,6 +3,10 @@ Theil-Sen robust trend."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import math
 
 from genesis_spark.queries import (q_events_hhi, q_events_pareto_front,

@@ -4,6 +4,10 @@ n-gram-profile language-ID plumbing."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.block
+
 import struct
 
 from pyspark.sql import functions as F
