@@ -435,3 +435,52 @@ def assemble_stream(spans: DataFrame):
         fn, "doc_id string, n_spans int, text_rt string, n_media int",
         "offs array<int>, txts array<string>, med array<int>, total int",
         "append", GroupStateTimeout.NoTimeout)
+
+
+def rate_limit_stream(requests: DataFrame, leak: int = 1,
+                      cost: int = 1000, cap: int = 2000):
+    """Streaming LEAKY-BUCKET politeness limiter as a CUSTOM STATEFUL
+    operator (``applyInPandasWithState``): per host, the state is TWO
+    scalars — (debt_milli, last_ts_s) — not a history; each request
+    first leaks debt for the elapsed seconds, then adds its cost, and
+    is emitted with its post-request debt and the violation flag
+    (debt > cap). This is the streaming twin of the batch
+    ``frontier_leaky_bucket`` closed-form query, which is exactly what
+    its oracle asserts per request.
+
+    Ingestion contract: event-time ordered per key across micro-batches
+    (the sessionize_stream arrangement); within a batch the operator
+    sorts by (ts_s, event_id). O(1) state per host — the shape that
+    holds at 10^10 hosts."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            debt, last = state.get
+        else:
+            debt, last = 0, -1
+        host = key[0]
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["ts_s"].astype("int64"),
+                            pdf["event_id"].astype("int64")))
+        rows.sort()
+        out = []
+        for ts_s, eid in rows:
+            ts_s, eid = int(ts_s), int(eid)
+            if last >= 0:
+                debt = max(0, debt - leak * (ts_s - last))
+            debt += cost
+            last = ts_s
+            out.append((eid, host, debt, int(debt > cap)))
+        state.update((int(debt), int(last)))
+        yield pd.DataFrame(
+            out, columns=["event_id", "event_type", "debt_milli",
+                          "violated"])
+
+    return requests.groupBy("event_type").applyInPandasWithState(
+        fn, "event_id bigint, event_type string, debt_milli bigint, "
+            "violated int",
+        "debt bigint, last bigint", "append",
+        GroupStateTimeout.NoTimeout)

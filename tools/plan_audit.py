@@ -57,6 +57,8 @@ PANDAS_SANCTIONED = {
     "warc_ingest": "WARC record framing (byte-stream kernel)",
     "url_idn_normalize": "RFC 3490 punycode via stdlib idna codec",
     "stream_dedup": "applyInPandasWithState custom stateful URL-seen",
+    "stream_leaky_bucket": "applyInPandasWithState leaky-bucket limiter "
+                           "(two scalars of state per host)",
     "seen_anti_join_cuckoo": "cuckoo shard build/probe (numpy tables)",
     "spans_pipeline": "packing stage reuses the multimodal kernels",
 }
