@@ -55,3 +55,104 @@ def zorder_py(a: int, b: int, bits: int = ZORDER_BITS) -> int:
         out |= ((a >> i) & 1) << (2 * i + 1)
         out |= ((b >> i) & 1) << (2 * i)
     return out
+
+
+# ------------------------------------------------------------- Hilbert
+#
+# The Hilbert curve is the locality-tighter sibling of the Morton key
+# above: consecutive key values are always grid-adjacent (Morton jumps
+# across the plane at quadrant boundaries), so file min/max envelopes
+# are tighter for the same file count — the reason Databricks liquid
+# clustering and Amazon S3 analytics layouts moved from Z-order to
+# Hilbert. Same contract as zorder_key: pure integer arithmetic, no
+# UDF, expressible identically in Spark Columns and ANSI SQL so the
+# DuckDB oracle restates the exact formula. The transform is the
+# canonical xy2d walk (one quadrant decision + rotation per bit,
+# Wikipedia "Hilbert curve" C form) unrolled over `bits` levels; the
+# per-level state (hx, hy, hd) is carried as named projection columns
+# so the expression tree stays linear in `bits` (a single nested
+# Column would grow 3^bits).
+
+HILBERT_BITS = 16
+
+
+def hilbert_py(a: int, b: int, bits: int = HILBERT_BITS) -> int:
+    """Pure-Python oracle: Hilbert distance of cell (a, b) on the
+    2^bits x 2^bits grid (canonical xy2d)."""
+    n = 1 << bits
+    x, y, d = a, b, 0
+    s = n >> 1
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:             # rotate quadrant
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def with_hilbert_key(df, a: str, b: str, out: str = "hkey",
+                     bits: int = HILBERT_BITS):
+    """Append the Hilbert key of (df[a], df[b]) as `out`.
+
+    Chained projections, one per bit level — Catalyst collapses them
+    into a single whole-stage-codegen project; zero shuffle."""
+    n = 1 << bits
+    df = (df.withColumn("_hx", F.col(a).cast("long"))
+            .withColumn("_hy", F.col(b).cast("long"))
+            .withColumn("_hd", F.lit(0).cast("long")))
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.shiftright(F.col("_hx"), i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("_hy"), i).bitwiseAND(F.lit(1))
+        quad = F.when(rx == 1, F.lit(3) - ry).otherwise(ry)
+        nx = (F.when(ry == 0,
+                     F.when(rx == 1, F.lit(n - 1) - F.col("_hy"))
+                     .otherwise(F.col("_hy")))
+              .otherwise(F.col("_hx")))
+        ny = (F.when(ry == 0,
+                     F.when(rx == 1, F.lit(n - 1) - F.col("_hx"))
+                     .otherwise(F.col("_hx")))
+              .otherwise(F.col("_hy")))
+        df = (df.withColumn("_hd2",
+                            F.col("_hd") + F.lit(s * s).cast("long") * quad)
+                .withColumn("_hx2", nx)
+                .withColumn("_hy2", ny)
+                .drop("_hx", "_hy", "_hd")
+                .withColumnRenamed("_hx2", "_hx")
+                .withColumnRenamed("_hy2", "_hy")
+                .withColumnRenamed("_hd2", "_hd"))
+    return (df.withColumn(out, F.col("_hd"))
+              .drop("_hx", "_hy", "_hd"))
+
+
+def hilbert_sql_ctes(a: str, b: str, carry: str, base: str,
+                     bits: int = HILBERT_BITS) -> str:
+    """The identical unrolled xy2d walk as a chain of SQL CTEs over
+    input relation `base` (column expressions `a`, `b`; `carry` =
+    comma-joined passthrough columns). Each level gets fresh names
+    hx{i}/hy{i}/hd{i} — no lateral-alias ambiguity in either engine.
+    Final CTE is `h0` with the key in column `hkey`."""
+    n = 1 << bits
+    parts = [
+        f"h{bits} AS (SELECT {carry}, CAST({a} AS BIGINT) AS hx{bits}, "
+        f"CAST({b} AS BIGINT) AS hy{bits}, CAST(0 AS BIGINT) AS hd{bits} "
+        f"FROM {base})"]
+    for i in range(bits - 1, -1, -1):
+        s, j = 1 << i, i + 1
+        rx = f"((hx{j} >> {i}) & 1)"
+        ry = f"((hy{j} >> {i}) & 1)"
+        parts.append(
+            f"h{i} AS (SELECT {carry}, "
+            f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 "
+            f"THEN {n - 1} - hy{j} ELSE hy{j} END ELSE hx{j} END AS hx{i}, "
+            f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 "
+            f"THEN {n - 1} - hx{j} ELSE hx{j} END ELSE hy{j} END AS hy{i}, "
+            f"hd{j} + {s * s} * (CASE WHEN {rx} = 1 THEN 3 - {ry} "
+            f"ELSE {ry} END) AS hd{i} FROM h{j})")
+    parts.append(f"hfin AS (SELECT {carry}, hd0 AS hkey FROM h0)")
+    return ",\n".join(parts)
