@@ -759,3 +759,99 @@ def detect_scenes(df: DataFrame, blob_col: str = "media_blob",
                 "scene_id": pd.Series(scenes, dtype="int32")})
 
     return df.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# letterbox detection over gray8 bitmaps
+# ---------------------------------------------------------------------------
+
+
+def gray8_letterbox_by_doc_id(doc_id: int) -> bytes:
+    """Deterministic synthetic bitmap with letterbox bars: dims
+    w = 8 + doc_id % 16, h = 12 + (doc_id // 3) % 12; bar rows per side
+    = (doc_id // 4) % 5; bar pixel value 16 (dark) except doc_id % 5 == 0
+    -> 200 (a BRIGHT uniform band, which is NOT a letterbox and must not
+    be counted); doc_id % 3 == 0 drops the bottom band (one-sided crop).
+    Content pixel (r, c) = (doc_id * 31 + (r * w + c) * 7) % 256 — the
+    stride-7 walk is never row-uniform, so content can't false-positive.
+    Pure integer arithmetic an ANSI-SQL oracle restates exactly."""
+    w, h = 8 + doc_id % 16, 12 + (doc_id // 3) % 12
+    bar = (doc_id // 4) % 5
+    bar_val = 200 if doc_id % 5 == 0 else 16
+    top = set(range(bar))
+    bottom = set() if doc_id % 3 == 0 else set(range(h - bar, h))
+    px = bytearray()
+    for r in range(h):
+        if r in top or r in bottom:
+            px.extend([bar_val] * w)
+        else:
+            px.extend((doc_id * 31 + (r * w + c) * 7) % 256
+                      for c in range(w))
+    return encode_gray8(w, h, bytes(px))
+
+
+def detect_letterbox(df: DataFrame, blob_col: str = "media_blob",
+                     dark_max: int = 32) -> DataFrame:
+    """Letterbox/pillarbox bar detection — the crop-planning pass a
+    video/image ingest runs before resize so padding never reaches the
+    model: count consecutive UNIFORM rows with value <= ``dark_max``
+    from the top and from the bottom (numpy row min==max scan over
+    Arrow batches), emit bar counts, the surviving content height, and
+    the crop verdict. Bright uniform bands (title cards) do not count.
+    Malformed blobs are skipped (poison-guard policy of
+    extract_media_meta).
+
+    Scale shape: pure mapInPandas over the scan, zero shuffles; output
+    is O(rows) metadata."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType([
+        df.schema["doc_id"],
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("top_bars", T.IntegerType(), False),
+        T.StructField("bottom_bars", T.IntegerType(), False),
+        T.StructField("content_h", T.IntegerType(), False),
+        T.StructField("letterboxed", T.IntegerType(), False),
+    ])
+
+    def bars(arr, rng):
+        n = 0
+        for r in rng:
+            row = arr[r]
+            if int(row.min()) == int(row.max()) and int(row[0]) <= dark_max:
+                n += 1
+            else:
+                break
+        return n
+
+    def run(batches):
+        for pdf in batches:
+            ids, ws, hs, tops, bots, chs, lbs = [], [], [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None or len(blob) < 8:
+                    continue
+                try:
+                    w, h, arr = decode_gray8(blob)
+                except ValueError:
+                    continue
+                top = bars(arr, range(h))
+                bot = bars(arr, range(h - 1, top - 1, -1))
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                tops.append(top)
+                bots.append(bot)
+                chs.append(h - top - bot)
+                lbs.append(1 if (top or bot) else 0)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "w": pd.Series(ws, dtype="int32"),
+                "h": pd.Series(hs, dtype="int32"),
+                "top_bars": pd.Series(tops, dtype="int32"),
+                "bottom_bars": pd.Series(bots, dtype="int32"),
+                "content_h": pd.Series(chs, dtype="int32"),
+                "letterboxed": pd.Series(lbs, dtype="int32")})
+
+    return df.mapInPandas(run, out_schema)

@@ -40,6 +40,8 @@ PANDAS_SANCTIONED = {
     "leak_collect": "dynamic search-flow collector (DOM scrape kernel)",
     "media_decode": "image container header decode (binary kernel)",
     "media_resize": "pixel-buffer resize (numpy kernel)",
+    "media_letterbox": "row-uniformity bar scan over pixel buffers "
+                       "(numpy kernel)",
     "media_phash": "perceptual hash over pixel buffers",
     "media_entropy_filter": "per-image pixel-entropy gate over the same "
                             "gray8 bincount Arrow kernel as "
