@@ -855,3 +855,68 @@ def detect_letterbox(df: DataFrame, blob_col: str = "media_blob",
                 "letterboxed": pd.Series(lbs, dtype="int32")})
 
     return df.mapInPandas(run, out_schema)
+
+
+def resample_pcm16(df: DataFrame, blob_col: str = "media_blob",
+                   target: int = 256) -> DataFrame:
+    """Linear-interpolation audio resampling with EXACT integer math —
+    the sample-rate-normalization pass every audio-training pipeline
+    runs before featurization (16 kHz mono is the whisper-style
+    standard): output index t maps to source position
+    t*(n-1)/(target-1); the interpolated value is kept in integer
+    units of (target-1), out_q[t] = s[i]*(target-1-r) + s[i+1]*r where
+    i, r are the integer quotient/remainder — no float ever enters, so
+    an ANSI-SQL oracle restates the formula exactly. Emits per-clip
+    aggregate features of the resampled signal (sum / min / max of
+    out_q, exact int64) — the proof the gather+blend ran, at metadata
+    size. Malformed blobs are skipped (poison-guard policy of
+    extract_media_meta); clips shorter than 2 samples are skipped
+    (no interpolable interval).
+
+    Scale shape: pure mapInPandas over the scan, zero shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    if target < 2:
+        raise ValueError("target must be >= 2")
+
+    out_schema = T.StructType([
+        df.schema["doc_id"],
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("target", T.IntegerType(), False),
+        T.StructField("out_sum_q", T.LongType(), False),
+        T.StructField("out_min_q", T.LongType(), False),
+        T.StructField("out_max_q", T.LongType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            ids, ns, sums, mins, maxs = [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None or len(blob) < 8:
+                    continue
+                b = bytes(blob)
+                n, _rate = struct.unpack(">II", b[:8])
+                if len(b) != 8 + 2 * n or n < 2:
+                    continue
+                s = np.frombuffer(b, dtype="<i2", offset=8).astype(np.int64)
+                t = np.arange(target, dtype=np.int64)
+                pos = t * (n - 1)
+                i = pos // (target - 1)
+                r = pos % (target - 1)
+                nxt = np.minimum(i + 1, n - 1)   # r == 0 there; no OOB
+                out_q = s[i] * (target - 1 - r) + s[nxt] * r
+                ids.append(doc_id)
+                ns.append(n)
+                sums.append(int(out_q.sum()))
+                mins.append(int(out_q.min()))
+                maxs.append(int(out_q.max()))
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "n_samples": pd.Series(ns, dtype="int32"),
+                "target": pd.Series([target] * len(ids), dtype="int32"),
+                "out_sum_q": pd.Series(sums, dtype="int64"),
+                "out_min_q": pd.Series(mins, dtype="int64"),
+                "out_max_q": pd.Series(maxs, dtype="int64")})
+
+    return df.mapInPandas(run, out_schema)

@@ -484,3 +484,47 @@ def rate_limit_stream(requests: DataFrame, leak: int = 1,
             "violated int",
         "debt bigint, last bigint", "append",
         GroupStateTimeout.NoTimeout)
+
+
+def forecast_stream(obs: DataFrame):
+    """Streaming Holt linear-trend smoothing as a CUSTOM STATEFUL
+    operator (``applyInPandasWithState``) — the live per-series
+    forecaster a dispatcher runs over daily count series: state per
+    event_type is THREE scalars (level, trend, step). Rows (t, y)
+    arrive time-ordered; the recursion matches q_events_holt_linear's
+    closed batch form exactly (init l = y1, b = y2 - y1, then
+    l' = (y + l + b)/2, b' = ((l' - l) + b)/2 — alpha = beta = 1/2,
+    exact dyadic doubles). Each batch emits the post-update state with
+    its step counter, so the max-step emission per key IS the final
+    batch state however the replay was micro-batched."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            level, trend, step = state.get
+        else:
+            level, trend, step = 0.0, 0.0, 0
+        etype = key[0]
+        rows = []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("t").iterrows():
+                y = float(row["y"])
+                if step == 0:
+                    level, trend = y, 0.0
+                else:
+                    if step == 1:
+                        trend = y - level
+                    ln = (y + level + trend) / 2.0
+                    trend = ((ln - level) + trend) / 2.0
+                    level = ln
+                step += 1
+                rows.append((etype, step, level, trend))
+        state.update((level, trend, step))
+        yield pd.DataFrame(
+            rows, columns=["event_type", "step", "level", "trend"])
+
+    return obs.groupBy("event_type").applyInPandasWithState(
+        fn, "event_type string, step int, level double, trend double",
+        "level double, trend double, step int",
+        "append", GroupStateTimeout.NoTimeout)

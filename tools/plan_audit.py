@@ -42,6 +42,8 @@ PANDAS_SANCTIONED = {
     "media_resize": "pixel-buffer resize (numpy kernel)",
     "media_letterbox": "row-uniformity bar scan over pixel buffers "
                        "(numpy kernel)",
+    "media_audio_resample": "integer linear-interp PCM resample "
+                            "(numpy kernel)",
     "media_phash": "perceptual hash over pixel buffers",
     "media_entropy_filter": "per-image pixel-entropy gate over the same "
                             "gray8 bincount Arrow kernel as "
