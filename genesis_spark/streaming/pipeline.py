@@ -528,3 +528,51 @@ def forecast_stream(obs: DataFrame):
         fn, "event_type string, step int, level double, trend double",
         "level double, trend double, step int",
         "append", GroupStateTimeout.NoTimeout)
+
+
+def anomaly_stream(points: DataFrame, min_history: int = 5,
+                   k_sigma: int = 3):
+    """Streaming z-score anomaly detection as a CUSTOM STATEFUL
+    operator — per event_type, THREE integer scalars of state
+    (n, sum, sum of squares over integer cent values); each arriving
+    point is judged against the statistics of all PRIOR points
+    (never itself), then folded in. The flag decision is the
+    cross-multiplied integer inequality
+        (n*x - S)^2 * (n-1) > k^2 * n * (n*Q - S^2)
+    — sample variance with no division, so the verdict is exact and a
+    batch prefix-window oracle reproduces it bit-for-bit. Points
+    before ``min_history`` priors exist are never flagged (cold
+    start). Emits one row per point with the verdict and its ordinal,
+    so stream==batch is checked per point, not per aggregate."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            n, s, q = state.get
+        else:
+            n, s, q = 0, 0, 0
+        etype = key[0]
+        out = []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(["ts", "event_id"]).iterrows():
+                x = int(row["cents"])
+                if n >= min_history:
+                    lhs = (n * x - s) ** 2 * (n - 1)
+                    rhs = k_sigma * k_sigma * n * (n * q - s * s)
+                    flag = 1 if lhs > rhs else 0
+                else:
+                    flag = 0
+                n, s, q = n + 1, s + x, q + x * x
+                out.append((etype, int(row["event_id"]), n, x, flag))
+        state.update((n, s, q))
+        yield pd.DataFrame(
+            out, columns=["event_type", "event_id", "ordinal",
+                          "cents", "is_anomaly"])
+
+    return points.groupBy("event_type").applyInPandasWithState(
+        fn,
+        "event_type string, event_id long, ordinal long, "
+        "cents long, is_anomaly int",
+        "n bigint, s bigint, q bigint",
+        "append", GroupStateTimeout.NoTimeout)
