@@ -920,3 +920,65 @@ def resample_pcm16(df: DataFrame, blob_col: str = "media_blob",
                 "out_max_q": pd.Series(maxs, dtype="int64")})
 
     return df.mapInPandas(run, out_schema)
+
+
+def patchify_gray8(df: DataFrame, blob_col: str = "media_blob",
+                   patch: int = 8) -> DataFrame:
+    """ViT-style patch extraction — the vision-transformer
+    preprocessing pass (image -> non-overlapping patch grid, zero-pad
+    to a patch multiple, per-patch statistics): one output row per
+    patch with its grid coordinates and exact integer sum/min/max.
+    Padding pixels are 0 and DO count toward the patch stats, exactly
+    as a real pipeline's pad-then-normalize does. numpy pad + reshape
+    over Arrow batches; malformed blobs skipped (extract_media_meta
+    poison policy).
+
+    Scale shape: pure mapInPandas over the scan; patch rows are
+    metadata-sized (the pixels never shuffle)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType([
+        df.schema["doc_id"],
+        T.StructField("py", T.IntegerType(), False),
+        T.StructField("px", T.IntegerType(), False),
+        T.StructField("p_sum", T.LongType(), False),
+        T.StructField("p_min", T.IntegerType(), False),
+        T.StructField("p_max", T.IntegerType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            ids, pys, pxs, sums, mins, maxs = [], [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None or len(blob) < 8:
+                    continue
+                try:
+                    w, h, arr = decode_gray8(blob)
+                except ValueError:
+                    continue
+                ph = -(-h // patch) * patch
+                pw = -(-w // patch) * patch
+                padded = np.zeros((ph, pw), dtype=np.int64)
+                padded[:h, :w] = arr
+                grid = (padded.reshape(ph // patch, patch,
+                                       pw // patch, patch)
+                        .transpose(0, 2, 1, 3))
+                for gy in range(ph // patch):
+                    for gx in range(pw // patch):
+                        p = grid[gy, gx]
+                        ids.append(doc_id)
+                        pys.append(gy)
+                        pxs.append(gx)
+                        sums.append(int(p.sum()))
+                        mins.append(int(p.min()))
+                        maxs.append(int(p.max()))
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "py": pd.Series(pys, dtype="int32"),
+                "px": pd.Series(pxs, dtype="int32"),
+                "p_sum": pd.Series(sums, dtype="int64"),
+                "p_min": pd.Series(mins, dtype="int32"),
+                "p_max": pd.Series(maxs, dtype="int32")})
+
+    return df.mapInPandas(run, out_schema)

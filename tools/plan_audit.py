@@ -44,6 +44,7 @@ PANDAS_SANCTIONED = {
                        "(numpy kernel)",
     "media_audio_resample": "integer linear-interp PCM resample "
                             "(numpy kernel)",
+    "media_patches": "ViT patch pad/reshape stats (numpy kernel)",
     "media_phash": "perceptual hash over pixel buffers",
     "media_entropy_filter": "per-image pixel-entropy gate over the same "
                             "gray8 bincount Arrow kernel as "
