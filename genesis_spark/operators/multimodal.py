@@ -982,3 +982,62 @@ def patchify_gray8(df: DataFrame, blob_col: str = "media_blob",
                 "p_max": pd.Series(maxs, dtype="int32")})
 
     return df.mapInPandas(run, out_schema)
+
+
+def equalize_gray8(df: DataFrame, blob_col: str = "media_blob") -> DataFrame:
+    """Histogram EQUALIZATION over gray8 bitmaps — the classic
+    contrast-normalization preprocessing pass (map pixel v to
+    floor(cdf(v) * 255 / n_px), cdf = count of pixels <= v): numpy
+    bincount + cumsum + gather over Arrow batches, emitting per-image
+    exact integer features of the equalized image (sum / min / max /
+    distinct-level count) so the oracle can restate the whole mapping
+    in integer SQL. Malformed blobs skipped (extract_media_meta poison
+    policy).
+
+    Scale shape: pure mapInPandas over the scan, zero shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType([
+        df.schema["doc_id"],
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("eq_sum", T.LongType(), False),
+        T.StructField("eq_min", T.IntegerType(), False),
+        T.StructField("eq_max", T.IntegerType(), False),
+        T.StructField("eq_levels", T.IntegerType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            ids, ws, hs, sums, mins, maxs, lvls = [], [], [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                if blob is None or len(blob) < 8:
+                    continue
+                try:
+                    w, h, arr = decode_gray8(blob)
+                except ValueError:
+                    continue
+                flat = arr.ravel().astype(np.int64)
+                n = flat.size
+                hist = np.bincount(flat, minlength=256)
+                cdf = np.cumsum(hist)
+                lut = (cdf * 255) // n
+                eq = lut[flat]
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(eq.sum()))
+                mins.append(int(eq.min()))
+                maxs.append(int(eq.max()))
+                lvls.append(int(np.unique(eq).size))
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "w": pd.Series(ws, dtype="int32"),
+                "h": pd.Series(hs, dtype="int32"),
+                "eq_sum": pd.Series(sums, dtype="int64"),
+                "eq_min": pd.Series(mins, dtype="int32"),
+                "eq_max": pd.Series(maxs, dtype="int32"),
+                "eq_levels": pd.Series(lvls, dtype="int32")})
+
+    return df.mapInPandas(run, out_schema)

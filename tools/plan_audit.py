@@ -45,6 +45,8 @@ PANDAS_SANCTIONED = {
     "media_audio_resample": "integer linear-interp PCM resample "
                             "(numpy kernel)",
     "media_patches": "ViT patch pad/reshape stats (numpy kernel)",
+    "media_equalize": "histogram-equalization LUT over pixel buffers "
+                      "(numpy kernel)",
     "media_phash": "perceptual hash over pixel buffers",
     "media_entropy_filter": "per-image pixel-entropy gate over the same "
                             "gray8 bincount Arrow kernel as "
