@@ -62,6 +62,8 @@ PANDAS_SANCTIONED = {
                                "(numpy kernel; dedup groupBy is JVM)",
     "media_vad": "voice-activity segmentation over PCM16",
     "warc_ingest": "WARC record framing (byte-stream kernel)",
+    "warc_wet_derive": "same WARC framing kernel; WET/WAT derivation "
+                       "itself is codegen",
     "url_idn_normalize": "RFC 3490 punycode via stdlib idna codec",
     "stream_dedup": "applyInPandasWithState custom stateful URL-seen",
     "stream_leaky_bucket": "applyInPandasWithState leaky-bucket limiter "
