@@ -474,3 +474,79 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
                         F.round(F.col("n_common") / F.col("n_a"), 4))
             .filter(F.col("containment") >= threshold)
             .select("doc_id", "contained_in", "containment"))
+
+
+#: SpotSigs anchor stopwords (fixed literal set — both engines and the
+#: oracle bake the same list).
+SPOTSIG_ANCHORS = ("the", "a", "of", "to", "is")
+SPOTSIG_CHAIN = 2
+
+
+def spotsig_expr(text: Column) -> Column:
+    """SpotSigs signature set (Theobald, Siddharth & Paepcke, SIGIR
+    2008): at every stopword ANCHOR position, chain the next
+    ``SPOTSIG_CHAIN`` non-stopword tokens — near-duplicate news/boiler
+    pages keep their spot signatures even when ads and navigation
+    differ, which plain shingles can't ignore. Pure array codegen:
+    tokenize, find anchor positions, skip stopwords forward, join the
+    chain; anchors too close to the end (short chain) emit nothing."""
+    anchors = F.array(*[F.lit(a) for a in SPOTSIG_ANCHORS])
+    toks = F.filter(F.split(F.lower(text), "[^a-z0-9]+"),
+                    lambda t: F.length(t) >= 1)
+    pos = F.filter(F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+                   lambda i: F.array_contains(anchors,
+                                              F.element_at(toks, i)))
+    def chain(i):
+        rest = F.slice(toks, i + 1, F.greatest(F.size(toks), F.lit(1)))
+        nonstop = F.filter(rest,
+                           lambda t: ~F.array_contains(anchors, t))
+        return F.slice(nonstop, 1, SPOTSIG_CHAIN)
+
+    sigs = F.transform(
+        pos, lambda i: F.when(
+            F.size(chain(i)) == SPOTSIG_CHAIN,
+            F.concat_ws(":", F.concat(F.array(F.element_at(toks, i)),
+                                      chain(i)))))
+    return F.filter(sigs, lambda s: s.isNotNull())
+
+
+def spotsigs_pairs(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", threshold: float = 0.4,
+                   max_df: int | None = None) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over SpotSigs signature sets —
+    the same bucketed self-equi-join shape as ``ngram_jaccard_pairs``
+    (distinct sig sets, optional hot-sig df cap, intersection by ONE
+    equi-join on the signature, |A∪B| closed from sizes); threshold on
+    the 4dp-rounded score for engine portability."""
+    sh = docs.select(
+        F.col(id_col).alias("d"),
+        F.explode(spotsig_expr(F.col(text_col))).alias("sig")
+    ).distinct()
+    if max_df is not None:
+        keep = (sh.groupBy("sig").agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_df).select("sig"))
+        sh = sh.join(keep, "sig")
+    # no persist: the caller owns caching (the returned plan reuses sh
+    # three times; at fixture scale recompute is cheaper than the
+    # cache-leak hazard ADVICE r2 flagged on simhash64)
+    sizes = sh.groupBy("d").agg(F.count("*").alias("sz"))
+    inter = (sh.alias("x")
+             .join(sh.alias("y"),
+                   (F.col("x.sig") == F.col("y.sig"))
+                   & (F.col("x.d") < F.col("y.d")))
+             .groupBy(F.col("x.d").alias("a"), F.col("y.d").alias("b"))
+             .agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.select(F.col("d").alias("a"),
+                              F.col("sz").alias("sza")), "a")
+           .join(sizes.select(F.col("d").alias("b"),
+                              F.col("sz").alias("szb")), "b")
+           .withColumn("jaccard",
+                       F.round(F.col("inter")
+                               / (F.col("sza") + F.col("szb")
+                                  - F.col("inter")), 4))
+           .filter(F.col("jaccard") >= threshold)
+           .select("a", "b", "inter",
+                   F.col("sza").cast("long").alias("sza"),
+                   F.col("szb").cast("long").alias("szb"), "jaccard"))
+    return out
