@@ -61,6 +61,7 @@ PANDAS_SANCTIONED = {
     "media_audio_fingerprint": "PCM16 window-energy fingerprint fold "
                                "(numpy kernel; dedup groupBy is JVM)",
     "media_vad": "voice-activity segmentation over PCM16",
+    "media_audio_qc": "PCM16 clipping/DC-offset census (numpy kernel)",
     "warc_ingest": "WARC record framing (byte-stream kernel)",
     "warc_wet_derive": "same WARC framing kernel; WET/WAT derivation "
                        "itself is codegen",
