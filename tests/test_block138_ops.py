@@ -47,7 +47,7 @@ def _py_content(k: int) -> str:
             lines.append(("# note " if k % 2 == 0 else "// note ")
                          + str(i))
         else:
-            lines.append(f"x{i} = {i};")
+            lines.append(f"v{k}_{i} = {k + i};")
     return out + "\n".join(lines)
 
 
