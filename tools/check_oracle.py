@@ -17,6 +17,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Vacuity gate (round-3 verdict finding #1): a query returning 0 rows at a
+# replay SF "matches" its oracle trivially — both sides empty proves
+# nothing. Any 0-row result is therefore a FAILURE unless the name is
+# explicitly allowlisted here with a reason. Currently empty: every
+# registry row is required to produce output at every replay SF.
+ALLOW_EMPTY: set[str] = set()
+
+
+def vacuous(name: str, n_rows: int) -> bool:
+    """True if this (query, row-count) pair is a vacuous pass."""
+    return n_rows == 0 and name not in ALLOW_EMPTY
+
 
 def norm_cell(v):
     if isinstance(v, float):
@@ -76,6 +88,9 @@ def main():
             status.append(f"cols spark={s_cols} oracle={o_cols}")
         if len(s_rows) != len(o_rows):
             status.append(f"rows spark={len(s_rows)} oracle={len(o_rows)}")
+        if not status and vacuous(name, len(s_rows)):
+            status.append("VACUOUS: 0 rows at this SF (empty==empty "
+                          "proves nothing; fix the fixture or allowlist)")
         if not status:
             sn, on = norm_rows(s_cols, s_rows), norm_rows(o_cols, o_rows)
             if sn != on:
