@@ -65,6 +65,18 @@ def default_dictionary_path() -> str:
         os.path.abspath(__file__))), "data", "dictionary.txt")
 
 
+def gensim_stopwords_path() -> str:
+    """Path of the bundled ``gensim.parsing.preprocessing.STOPWORDS`` dump
+    (337 words, the frozen public set the reference imports at
+    helper_method.py:8 and probes in is_stop_word :22-26). Pass this to
+    ``load_stopwords`` for exact reference parity on stopword-gated
+    paragraphs; the frozen fixture stand-in above stays the default so
+    existing parse goldens are unchanged."""
+    import os
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "stopwords.txt")
+
+
 def strip_special_character(text: str) -> str:
     """helper_method.py:29-31 — drop leading non-word run."""
     return re.sub(r"^\W+", "", text)
