@@ -1,0 +1,203 @@
+"""T5 parity vectors: `valid_e164` / `extract_phone_numbers` vs the
+phonenumbers-library behavior the reference relies on
+(api/nlp_manager/nlp_controller.py:16-27: regex candidates -> strip to
+[\\d+] -> phonenumbers.parse(.., None) -> is_valid_number -> E164 format).
+
+The vector table below is fixed, generated once from the public ITU
+national-numbering-plan summaries (the same source as `_NSN_LEN`), one
+valid + out-of-range-invalid probe per covered calling code plus curated
+realistic numbers. When the real phonenumbers library is importable, every
+curated vector is additionally asserted against it, excepting the
+documented divergences in `KNOWN_DIVERGENCES` (within-plan-length but
+unassigned national numbers, which a library-free validator cannot know).
+"""
+
+import pytest
+
+import genesis_spark.functions.text as TX
+
+# (e164 digits after '+', expected verdict from valid_e164)
+# Curated realistic numbers — format per the public numbering plans.
+CURATED = [
+    # NANP: CC 1, exactly 10 NSN
+    ("12025550123", True),        # US DC, 555-01xx reserved-but-wellformed
+    ("1202555012", False),        # 9 NSN — short for NANP
+    ("120255501234", False),      # 11 NSN — long for NANP
+    # Russia/Kazakhstan: CC 7, 10 NSN
+    ("74951234567", True),        # Moscow geographic
+    ("7495123456", False),
+    # UK: CC 44, 7..10 NSN
+    ("447911123456", True),       # mobile, 10 NSN
+    ("442071838750", True),       # London geographic, 10 NSN
+    ("44791112345678", False),    # 12 NSN — beyond plan max
+    # Germany: CC 49, 6..11 NSN (variable-length plan)
+    ("4930123456", True),         # Berlin short subscriber
+    ("4915112345678", True),      # mobile, 11 NSN
+    ("49151123456789", False),    # 12 NSN
+    # France: CC 33, exactly 9 NSN
+    ("33612345678", True),        # mobile
+    ("3361234567", False),        # 8 NSN
+    ("336123456789", False),      # 10 NSN
+    # Denmark: CC 45, exactly 8 NSN
+    ("4532123456", True),
+    ("453212345", False),         # 7 NSN (total 9 — naive check passes)
+    ("45321234567", False),       # 9 NSN
+    # Norway: CC 47, exactly 8 NSN
+    ("4722334455", True),
+    ("472233445", False),
+    # Singapore: CC 65, exactly 8 NSN
+    ("6561234567", True),
+    ("656123456", False),
+    # Hong Kong: CC 852, exactly 8 NSN
+    ("85221234567", True),
+    ("8522123456", False),        # 7 NSN
+    ("852212345678", False),      # 9 NSN
+    # Japan: CC 81, 9..10 NSN
+    ("81312345678", True),        # Tokyo, 9 NSN
+    ("819012345678", True),       # mobile, 10 NSN
+    ("8131234567", False),        # 8 NSN
+    # China: CC 86, 10..12 NSN
+    ("8613812345678", True),      # mobile, 11 NSN
+    ("861381234567890", False),   # 13 NSN (total 15 — naive check passes)
+    # India: CC 91, exactly 10 NSN
+    ("919876543210", True),
+    ("91987654321", False),
+    # Turkey: CC 90, exactly 10 NSN
+    ("905321234567", True),
+    ("90532123456", False),
+    # Spain: CC 34, exactly 9 NSN
+    ("34612345678", True),
+    ("3461234567", False),        # 8 NSN
+    # Netherlands: CC 31, exactly 9 NSN
+    ("31612345678", True),
+    ("3161234567", False),
+    # Switzerland: CC 41, exactly 9 NSN
+    ("41791234567", True),
+    ("4179123456", False),
+    # Poland: CC 48, exactly 9 NSN
+    ("48501234567", True),
+    ("4850123456", False),
+    # South Africa: CC 27, exactly 9 NSN
+    ("27821234567", True),
+    ("2782123456", False),
+    # Morocco: CC 212, exactly 9 NSN
+    ("212612345678", True),
+    ("21261234567", False),
+    # Nigeria: CC 234, 8..10 NSN
+    ("2348012345678", True),      # mobile, 10 NSN
+    ("23480123456789", False),    # 11 NSN
+    # Kenya: CC 254, exactly 9 NSN
+    ("254712345678", True),
+    ("25471234567", False),
+    # UAE: CC 971, 8..9 NSN
+    ("971501234567", True),       # mobile, 9 NSN
+    ("9715012345678", False),     # 10 NSN
+    # Israel: CC 972, 8..9 NSN
+    ("972521234567", True),
+    ("9725212345678", False),
+    # Saudi Arabia: CC 966, 8..9 NSN
+    ("966512345678", True),
+    ("9665123456789", False),
+    # Bangladesh: CC 880, 8..10 NSN
+    ("8801712345678", True),      # mobile, 10 NSN
+    ("880171234567890", False),   # 12 NSN (total 15)
+    # Taiwan: CC 886, 8..9 NSN
+    ("886912345678", True),
+    ("8869123456789", False),
+    # Brazil: CC 55, 10..11 NSN
+    ("5511912345678", True),      # São Paulo mobile, 11 NSN
+    ("551191234567890", False),   # 13 NSN
+    # Mexico: CC 52, exactly 10 NSN
+    ("525512345678", True),
+    ("52551234567", False),
+    # South Korea: CC 82, 8..11 NSN
+    ("821012345678", True),       # mobile, 10 NSN
+    # Vietnam: CC 84, 9..10 NSN
+    ("84912345678", True),
+    ("8491234567", False),        # 8 NSN
+    # Iran: CC 98, exactly 10 NSN
+    ("989121234567", True),
+    ("98912123456", False),
+    # Unassigned / malformed country codes
+    ("9991234567", False),        # 999 unassigned, 99 unassigned, 9 unassigned
+    ("01234567890", False),       # 0 is never a country code
+    ("2001234567", True),         # Egypt CC 20 (no NSN entry -> total check)
+    # Total-length envelope
+    ("1234567", False),           # 7 digits — below E.164 floor
+    ("1234567890123456", False),  # 16 digits — above E.164 ceiling
+]
+
+# Vectors where valid_e164 knowingly diverges from phonenumbers: the NSN
+# length is inside the published plan range but the specific block is
+# unassigned — undetectable without the library's per-range metadata.
+# Each entry: (digits, valid_e164 verdict, phonenumbers verdict).
+KNOWN_DIVERGENCES = [
+    ("19995550123", True, False),   # NANP area code 999 unassigned
+    ("4400123456", True, False),    # UK NSN starting 0 not diallable
+    ("33112345678", True, False),   # FR 9-digit but leading 1 block invalid
+]
+
+
+def test_curated_vectors():
+    bad = [(d, exp) for d, exp in CURATED if TX.valid_e164(d) != exp]
+    assert not bad, f"valid_e164 disagrees with vector table: {bad}"
+
+
+def test_every_nsn_plan_code_has_probes():
+    """Per-code synthetic probes derived from _NSN_LEN itself: the plan-min
+    length passes, plan-max passes, one-below-min and one-above-max fail
+    (out-of-range probes that still satisfy the naive 8..15 total check
+    are exactly what the plan table adds over round-2's prefix check)."""
+    for cc, (lo, hi) in TX._NSN_LEN.items():
+        # clamp to the E.164 total envelope (8..15 digits incl. the CC):
+        # e.g. Australia's plan floor (5 NSN) sits below the envelope
+        lo_eff = max(lo, 8 - len(cc))
+        hi_eff = min(hi, 15 - len(cc))
+        assert TX.valid_e164(cc + "5" * lo_eff), (cc, lo_eff)
+        assert TX.valid_e164(cc + "5" * hi_eff), (cc, hi_eff)
+        assert not TX.valid_e164(cc + "5" * (lo_eff - 1)), (cc, lo_eff - 1)
+        assert not TX.valid_e164(cc + "5" * (hi_eff + 1)), (cc, hi_eff + 1)
+
+
+def test_known_divergences_documented():
+    for digits, ours, lib in KNOWN_DIVERGENCES:
+        assert TX.valid_e164(digits) is ours, digits
+        assert ours != lib  # else it isn't a divergence — drop the row
+
+
+def test_phonenumbers_agreement_when_available():
+    """Exact library parity on the full vector table (runs wherever the
+    real phonenumbers is installed; the sandbox skips)."""
+    pn = pytest.importorskip("phonenumbers")
+    diverge_keys = {d for d, _, _ in KNOWN_DIVERGENCES}
+    for digits, expected in CURATED:
+        if digits in diverge_keys:
+            continue
+        try:
+            lib = pn.is_valid_number(pn.parse("+" + digits, None))
+        except pn.NumberParseException:
+            lib = False
+        assert lib == expected, f"+{digits}: vectors say {expected}, lib {lib}"
+    for digits, _, lib_expected in KNOWN_DIVERGENCES:
+        try:
+            lib = pn.is_valid_number(pn.parse("+" + digits, None))
+        except pn.NumberParseException:
+            lib = False
+        assert lib == lib_expected, f"+{digits} divergence row stale"
+
+
+def test_extraction_pipeline_end_to_end():
+    """nlp_controller.__parse shape: messy separators/parens in, validated
+    E.164 out; non-'+' candidates dropped (phonenumbers.parse(region=None)
+    raises on them), out-of-plan lengths dropped."""
+    text = ("Call +1 (202) 555-0123 or +44 7911 123456. "
+            "Local 07911 123456 has no country code. "
+            "+45 32 12 34 5 is short for Denmark. "
+            "Fax +49-30-123456 and mobile +33 6 12 34 56 78.")
+    # The FR number spans SIX separator-delimited digit groups; the
+    # reference regex (nlp_controller.py:16, reproduced verbatim) captures
+    # at most five, so the candidate truncates to +336123456 (8 NSN) and
+    # fails FR's 9-digit plan — in the reference, phonenumbers rejects the
+    # same truncated capture. Faithful behavior, asserted here on purpose.
+    assert TX.extract_phone_numbers(text) == [
+        "+12025550123", "+447911123456", "+4930123456"]
