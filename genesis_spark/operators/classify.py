@@ -111,6 +111,58 @@ def keyword_centroid_model_factory(
     return predict
 
 
+def npz_softmax_model_factory(checkpoint_path: str, hash_dim: int = 64,
+                              threshold: float = SCORE_THRESHOLD
+                              ) -> Callable[[], Callable[[str], list[str]]]:
+    """Checkpoint-backed REAL model: a softmax linear classifier over
+    hashed bag-of-words whose learned weights are loaded from an ``.npz``
+    file (arrays ``W`` [hash_dim, n_classes], ``b`` [n_classes],
+    ``classes`` [n_classes] unicode). Returns a *factory* (not a model):
+    the checkpoint read happens inside the factory call, i.e. exactly once
+    per python worker through ``_MODEL_CACHE`` — the reference's lazy
+    ``pipeline(model_path)`` singleton checkpoint load
+    (topic_classifier_model.py:11-14) with the same decision shape on top
+    (empty input or sub-threshold top probability -> 'general',
+    :15-31). Any trainer that writes this ``.npz`` drops into
+    ``classify_hosts`` with no harness change; the path must be visible to
+    every executor (shipped via ``--files`` or a shared FS on a cluster).
+
+    Feature hashing uses md5 (not ``hash()``) so the mapping is identical
+    across worker processes regardless of PYTHONHASHSEED."""
+    import re
+
+    def factory() -> Callable[[str], list[str]]:
+        import numpy as np
+        ckpt = np.load(checkpoint_path, allow_pickle=False)
+        W, b = ckpt["W"], ckpt["b"]
+        classes = [str(c) for c in ckpt["classes"]]
+
+        def featurize(text: str):
+            x = np.zeros(hash_dim)
+            for tok in re.findall(r"[a-z0-9]+", text.lower()):
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:4], "big")
+                x[h % hash_dim] += 1.0
+            n = np.linalg.norm(x)
+            return x / n if n else x
+
+        def predict(input_text: str) -> list[str]:
+            if not input_text:
+                return [conf.CONTENT_TYPE_GENERAL]
+            z = featurize(input_text) @ W + b
+            z -= z.max()
+            p = np.exp(z)
+            p /= p.sum()
+            i = int(p.argmax())
+            if p[i] > threshold:
+                return [classes[i]]
+            return [conf.CONTENT_TYPE_GENERAL]
+
+        return predict
+
+    return factory
+
+
 def classify_hosts(pages: DataFrame,
                    model_factory: Callable = stub_model_factory,
                    model_key: str = "topic-stub",
