@@ -4,7 +4,7 @@
 ``queries``/``oracle_sql`` expose every SQL-expressible operator from
 SURVEY.md §2 plus the training-data pipeline family (dedup, similarity,
 text analysis) as (Spark DataFrame, DuckDB SQL) pairs — see
-genesis_spark/queries.py for the implementations.
+the genesis_spark/queries/ package for the implementations.
 """
 
 from __future__ import annotations

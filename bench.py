@@ -266,8 +266,17 @@ def bench_frontier(cores: int, n_urls: int, repeats: int = 4,
     # plan — the frontier is referenced once per job, so a .persist()
     # materialization adds only a row-store write (allocation/GC cost that
     # does not scale with executor threads; see tools/diag_scaling.py)
-    frontier, _ = job()
+    frontier, admitted0 = job()
     n_installed, _, aborted = _watchdog_count(spark, frontier, off_cap)
+    if aborted:
+        return _abort_result([])
+    # one FULL-SIZE discard run of the complete job shape off the clock:
+    # the 10k-row warm covers plan compile/codegen but not JIT tiering,
+    # allocator growth, or shuffle-buffer sizing at the real row volume —
+    # observed as a 2-3x first-timed-run penalty at the hi level that one
+    # discarded run removes (min-of-runs then needs fewer repeats to find
+    # the floor)
+    _, _, aborted = _watchdog_count(spark, admitted0, off_cap)
     if aborted:
         return _abort_result([])
 

@@ -1,0 +1,934 @@
+"""Registry family: Structured Streaming (split from the monolithic queries.py)."""
+
+from __future__ import annotations
+
+from genesis_spark.queries._shared import *  # noqa: F401,F403
+from .events import ORACLE_EVENTS_CDC_APPLY
+
+
+
+def q_stream_dedup(spark, sf_dir):
+    """ST2/D1 streaming: the custom stateful URL-seen operator
+    (applyInPandasWithState) run as a real Structured Streaming query —
+    4 parquet files, one micro-batch each, duplicates spanning batches
+    suppressed by the state store. The final emitted set is exactly the
+    distinct (host, url) set, which is what the DuckDB oracle checks.
+
+    Scale caveat (ADVICE r2): the operator is a lossy PREFILTER by
+    construction — an xxh64 collision between distinct URLs of one host
+    drops a URL (~n^2/2^65 per host), and ``max_state_per_host``
+    insertion-order eviction re-admits old URLs once a host exceeds the
+    cap. The oracle match holds because the fixture sits far below both
+    bounds; at scale the exact frontier anti-join downstream remains the
+    source of truth (streaming/pipeline.py:125-136)."""
+    import os
+    import tempfile
+
+    from genesis_spark.streaming.pipeline import dedup_stream
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_dedup_{_STREAM_SEQ}"
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    links = d.select(
+        F.concat(F.lit("h"), (k % 20).cast("string")).alias("host_key"),
+        F.concat(F.lit("http://h"), (k % 20).cast("string"),
+                 F.lit(".onion/p"), (k % 100).cast("string")).alias("url"))
+    tmp = tempfile.mkdtemp(prefix="gs_stream_")
+    src, ck = os.path.join(tmp, "links"), os.path.join(tmp, "ckpt")
+    links.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("host_key string, url string")
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    q = (dedup_stream(stream).writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_windowed(spark, sf_dir):
+    """Stream==batch equivalence for the windowed metrics aggregation:
+    the events table replayed as 4 micro-batches through a Structured
+    Streaming 1-hour tumbling-window agg (state store accumulates windows
+    across batches, complete output); the oracle is the plain batch GROUP
+    BY — the streaming state machinery must reproduce it exactly. The
+    watermark *drop* semantic is covered separately by
+    test_metrics_stream_watermark_drops_late_rows (append mode needs
+    event-time progress, which a finite replay can't finalize)."""
+    import os
+    import tempfile
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_win_{_STREAM_SEQ}"
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="gs_streamw_")
+    src, ck = os.path.join(tmp, "events"), os.path.join(tmp, "ckpt")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("ts timestamp_ntz, event_type string, value double")
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    agg = (stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"))
+           .select(F.col("w.start").alias("window_start"), "event_type",
+                   "n_events", "total_value"))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_enrich(spark, sf_dir):
+    """Stream-STATIC join (the 4th streaming capability after stateful
+    dedup, windowed agg, and stateful sessionization): the events stream
+    replayed as 4 micro-batches is enriched per micro-batch against the
+    static customer dim (broadcast — the static side is re-planned into
+    each incremental batch), then windowed per market segment. Must equal
+    the plain batch join+GROUP BY."""
+    import os
+    import tempfile
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_enrich_{_STREAM_SEQ}"
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment")
+    tmp = tempfile.mkdtemp(prefix="gs_streame_")
+    src, ck = os.path.join(tmp, "events"), os.path.join(tmp, "ckpt")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("ts timestamp_ntz, user_id long, value double")
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    agg = (stream.join(F.broadcast(cust), "user_id")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"))
+           .select(F.col("w.start").alias("window_start"), "c_mktsegment",
+                   "n_events", "total_value"))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_ENRICH = """
+SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment,
+       count(*) AS n_events, round(sum(e.value), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey - 1
+GROUP BY 1, 2
+"""
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT 'h' || (doc_id % 20) AS host_key,
+       'http://h' || (doc_id % 20) || '.onion/p' || (doc_id % 100) AS url
+FROM documents
+"""
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """Stream==batch equivalence for CUSTOM STATEFUL sessionization: the
+    events table replayed as 4 event-time-ordered micro-batches through
+    ``sessionize_stream`` (applyInPandasWithState, two scalars of state
+    per user); the oracle is the plain batch lag+running-sum query — the
+    state machinery must reproduce every per-event session id, not just
+    aggregates. Files are global time ranges with strictly increasing
+    mtimes (FileStreamSource replays in (modTime, path) order), modelling
+    a per-user time-ordered ingestion partition."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from genesis_spark.streaming.pipeline import sessionize_stream
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_sess_{_STREAM_SEQ}"
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    b = ev.withColumn("_b", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    tmp = tempfile.mkdtemp(prefix="gs_sess_")
+    src, ck = os.path.join(tmp, "events"), os.path.join(tmp, "ckpt")
+    os.makedirs(src)
+    t0 = time.time() - 100
+    for i in range(1, 5):
+        part = os.path.join(tmp, f"part{i}")
+        (b.filter(F.col("_b") == i).select("user_id", "ts")
+         .coalesce(1).write.mode("overwrite").parquet(part))
+        f = glob.glob(os.path.join(part, "*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    stream = (spark.readStream.schema("user_id bigint, ts timestamp_ntz")
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    q = (sessionize_stream(stream).writeStream.format("memory")
+         .queryName(name).option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 21600
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, ts,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS INT)
+         AS session_n
+FROM o
+"""
+
+
+def q_stream_join(spark, sf_dir):
+    """Stream-STREAM inner join with per-side watermarks and a time-range
+    condition (the 5th streaming capability after stateful dedup,
+    windowed agg, stateful sessionization, and stream-static enrich):
+    signup events joined to purchase events of the same user within 7
+    days, both sides replayed as micro-batched file streams. The
+    watermark delay (365 days) exceeds the fixture's time span so no
+    match is dropped and the result must equal the batch join exactly;
+    at production cadence the same plan with a tight watermark bounds the
+    join state (Spark evicts buffered rows older than watermark - range)."""
+    import os
+    import tempfile
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_join_{_STREAM_SEQ}"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    tmp = tempfile.mkdtemp(prefix="gs_streamj_")
+    src, ck = os.path.join(tmp, "events"), os.path.join(tmp, "ckpt")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+
+    def _load():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .format("parquet").load(src))
+
+    # watermarks require TIMESTAMP (not NTZ); the cast shifts both sides
+    # identically and the timestamps never reach the output columns
+    signups = (_load().filter(F.col("event_type") == "signup")
+               .select(F.col("event_id").alias("signup_id"),
+                       F.col("ts").cast("timestamp").alias("s_ts"),
+                       F.col("user_id").alias("s_user"))
+               .withWatermark("s_ts", "365 days"))
+    purchases = (_load().filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("ts").cast("timestamp").alias("p_ts"),
+                         F.col("user_id").alias("p_user"))
+                 .withWatermark("p_ts", "365 days"))
+    joined = (signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")))
+        .select("signup_id", "purchase_id",
+                F.col("s_user").alias("user_id")))
+    q = (joined.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_JOIN = """
+SELECT s.event_id AS signup_id, p.event_id AS purchase_id, s.user_id
+FROM events s
+JOIN events p ON s.user_id = p.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+"""
+
+
+def q_stream_topk(spark, sf_dir):
+    """The 6th streaming capability: stateful heavy-hitter tracking —
+    per-host cumulative URL counts maintained in the state store (ONE
+    bigint per host) across a 4-micro-batch replay, then the exact
+    top-10 hosts recovered from the emissions. The cumulative counts are
+    monotone, so max-per-host over ALL emissions equals the final count
+    no matter how the replay was batched — which is exactly what the
+    batch GROUP BY oracle checks (counts AND ranking). At production
+    cadence this is the dispatcher's live who-dominates-traffic signal;
+    state stays O(hosts)."""
+    import os
+    import tempfile
+
+    from genesis_spark.streaming.pipeline import count_stream
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_topk_{_STREAM_SEQ}"
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    links = d.select(
+        F.concat(F.lit("h"), (k % 37).cast("string")).alias("host_key"),
+        F.concat(F.lit("http://h"), (k % 37).cast("string"),
+                 F.lit(".onion/p"), k.cast("string")).alias("url"))
+    tmp = tempfile.mkdtemp(prefix="gs_streamtk_")
+    src, ck = os.path.join(tmp, "links"), os.path.join(tmp, "ckpt")
+    links.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("host_key string, url string")
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    q = (count_stream(stream.drop("url"))
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    final = (spark.table(name).groupBy("host_key")
+             .agg(F.max("n_cum").alias("n_urls")))
+    w = Window.orderBy(F.desc("n_urls"), F.asc("host_key"))
+    return (final.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("rank", "host_key", "n_urls"))
+
+
+ORACLE_STREAM_TOPK = """
+WITH c AS (
+  SELECT 'h' || (doc_id % 37) AS host_key, count(*) AS n_urls
+  FROM documents GROUP BY 1)
+SELECT rank, host_key, n_urls FROM (
+  SELECT host_key, n_urls,
+         row_number() OVER (ORDER BY n_urls DESC, host_key ASC) AS rank
+  FROM c) WHERE rank <= 10
+"""
+
+
+
+
+def q_stream_dedup_wm(spark, sf_dir):
+    """The 7th streaming capability: Spark's BUILT-IN watermark-bounded
+    streaming dedup (``dropDuplicatesWithinWatermark``) next to the
+    custom stateful URL-seen of ``stream_dedup`` — the engine-managed
+    form whose state is EVICTED once the watermark passes (the
+    production-correct bounded-state shape; the custom operator exists
+    for the reference's per-host cap semantics). Replayed as 4
+    micro-batches; the 40-day watermark delay exceeds the fixture's
+    30-day event-time span (same contract as stream_join), so neither
+    late-drop nor state eviction can fire and the emitted set must equal
+    the batch DISTINCT exactly — which is what the oracle checks. At
+    production cadence the delay is minutes and the same plan holds
+    state only for watermark-delay worth of URLs."""
+    import os
+    import tempfile
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_dwm_{_STREAM_SEQ}"
+    d = _t(spark, sf_dir, "events")
+    links = d.select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.concat(F.lit("http://h"), (F.col("user_id") % 25).cast("string"),
+                 F.lit(".onion/p"), (F.col("event_id") % 200).cast("string")
+                 ).alias("url"))
+    tmp = tempfile.mkdtemp(prefix="gs_streamdwm_")
+    src_dir, ck = os.path.join(tmp, "links"), os.path.join(tmp, "ckpt")
+    links.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (spark.readStream.schema("ts timestamp, url string")
+              .option("maxFilesPerTrigger", 1).format("parquet")
+              .load(src_dir))
+    q = (stream.withWatermark("ts", "40 days")
+         .dropDuplicatesWithinWatermark(["url"])
+         .select("url")
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_DEDUP_WM = """
+SELECT DISTINCT 'http://h' || (user_id % 25) || '.onion/p'
+       || (event_id % 200) AS url
+FROM events
+"""
+
+
+def q_stream_upsert(spark, sf_dir):
+    """8th streaming capability — stream==batch equivalence for SNAPSHOT
+    MAINTENANCE: the events change log replayed as per-file micro-batches
+    (file order deliberately uncontrolled) through a foreachBatch
+    CDC-merge (streaming/pipeline.run_upsert_stream) that keeps the
+    later (ts, event_id) per key, retains tombstones, and adds op
+    counters. The final snapshot, filtered and projected, must equal the
+    BATCH events_cdc_apply row exactly — same oracle SQL verbatim. This
+    is the north star's "frontier state checkpoints ... crash-resume"
+    contract exercised through real Structured Streaming machinery with
+    out-of-order delivery."""
+    import os
+    import tempfile
+
+    from genesis_spark.streaming.pipeline import run_upsert_stream
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="gs_upsert_")
+    src = os.path.join(tmp, "events")
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    snap = run_upsert_stream(spark, src, tmp)
+    return (snap.filter(F.col("op") != "D")
+            .select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.round("value", 2).alias("last_value"),
+                    "n_ops", "n_deletes"))
+
+
+ORACLE_STREAM_UPSERT = ORACLE_EVENTS_CDC_APPLY
+
+
+def q_stream_histogram(spark, sf_dir):
+    """The 9th streaming capability: stateful mergeable HISTOGRAM-
+    SKETCH maintenance — the live twin of the batch hist_bins sketch
+    (events_quantile_sketch): per event_type the state store holds ONE
+    fixed 32-bin count array, each micro-batch bins its values and
+    adds in, emissions are cumulative non-empty bins. Replayed as 4
+    micro-batches; per-(key, bin) emissions are monotone, so
+    max-per-(key, bin) recovers the exact final histogram regardless
+    of batching — which must equal the batch GROUP BY binning
+    bit-for-bit (the oracle). At production cadence this is the
+    p50/p95 feed for live fetch-latency dashboards with O(keys x 32)
+    state."""
+    import os
+    import tempfile
+
+    from genesis_spark.streaming.pipeline import hist_stream
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_hist_{_STREAM_SEQ}"
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="gs_streamhist_")
+    src, ck = os.path.join(tmp, "ev"), os.path.join(tmp, "ckpt")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("event_type string, value double")
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    q = (hist_stream(stream, lo=0.0, hi=512.0, n_bins=32)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name).groupBy("event_type", "bin")
+            .agg(F.max("cnt_cum").cast("long").alias("cnt")))
+
+
+ORACLE_STREAM_HISTOGRAM = """
+SELECT event_type,
+       CAST(least(31, greatest(0, CAST(floor(value / 16.0) AS BIGINT)))
+            AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_stream_spans_ingest(spark, sf_dir):
+    """The 10th streaming capability — stateful INTERLEAVED-DOCUMENT
+    reassembly (streaming/pipeline.assemble_stream): the span table
+    exploded to rows, shuffled across 4 micro-batch files, and
+    reassembled per doc_id in the state store; a doc emits exactly
+    once, when all its spans have arrived, with its text rebuilt in
+    offset order and its media census. The emission set is invariant
+    to micro-batching (completeness gating), so it must equal the
+    batch reconstruction bit-for-bit — the streaming ingest form of
+    the north-rule payload (axes A+B: streaming x interleaved)."""
+    import os
+    import tempfile
+
+    from genesis_spark.sources.interleaved import (explode_spans,
+                                                   interleaved_docs)
+    from genesis_spark.streaming.pipeline import assemble_stream
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_spans_{_STREAM_SEQ}"
+    docs = interleaved_docs(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
+    rows = (explode_spans(docs)
+            .join(docs.select("doc_id",
+                              F.size("spans").cast("int")
+                              .alias("n_spans")), "doc_id"))
+    tmp = tempfile.mkdtemp(prefix="gs_streamspans_")
+    src, ck = os.path.join(tmp, "spans"), os.path.join(tmp, "ckpt")
+    rows.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("doc_id string, offset int, kind string, "
+                      "text string, media_ref string, n_spans int")
+              .option("maxFilesPerTrigger", 1)
+              .format("parquet").load(src))
+    q = (assemble_stream(stream)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select("doc_id", F.col("n_spans").cast("long").alias("n_spans"),
+                    "text_rt", F.col("n_media").cast("long")
+                    .alias("n_media")))
+
+
+ORACLE_STREAM_SPANS_INGEST = f"""
+WITH {_SPANS_EX_SQL}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       coalesce(array_to_string(
+         list(s.text ORDER BY off) FILTER (WHERE s.media_ref IS NULL),
+         ' '), '') AS text_rt,
+       CAST(sum(CASE WHEN s.media_ref IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_media
+FROM ex GROUP BY doc_id
+"""
+
+
+ORACLE_FRONTIER_LEAKY_BUCKET = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events),
+t1 AS (
+  SELECT *,
+         CAST(count(*) OVER w * 1000 AS BIGINT) AS p
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_s, event_id
+               ROWS UNBOUNDED PRECEDING)),
+t2 AS (
+  SELECT *, 1 * ts_s - (p - 1000) AS a FROM t1),
+t3 AS (
+  SELECT *,
+         CAST(max(a) OVER (PARTITION BY event_type
+              ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS m
+  FROM t2)
+SELECT event_id, event_type,
+       CAST(p - 1 * ts_s + m AS BIGINT) AS debt_milli,
+       CAST(CASE WHEN p - 1 * ts_s + m > 2000 THEN 1 ELSE 0 END
+            AS INT) AS violated
+FROM t3
+"""
+
+
+def q_stream_leaky_bucket(spark, sf_dir):
+    """Stream==batch equivalence for the LEAKY-BUCKET politeness
+    limiter: the events table replayed as 4 event-time-ordered
+    micro-batches through ``rate_limit_stream`` (applyInPandasWithState,
+    TWO scalars of state per host — debt and last timestamp); the
+    oracle is the batch closed-form query (frontier_leaky_bucket's
+    prefix-sum + running-max), so the state machinery must
+    reproduce every per-request debt, not just aggregates. Files
+    are global time ranges with strictly increasing mtimes
+    (FileStreamSource replays in (modTime, path) order)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from genesis_spark.streaming.pipeline import rate_limit_stream
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_lb_{_STREAM_SEQ}"
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  F.unix_timestamp("ts").cast("long").alias("ts_s")))
+    b = ev.withColumn("_b", F.ntile(4).over(
+        Window.orderBy("ts_s", "event_id")))
+    tmp = tempfile.mkdtemp(prefix="gs_lb_")
+    src, ck = os.path.join(tmp, "reqs"), os.path.join(tmp, "ckpt")
+    os.makedirs(src)
+    t0 = time.time() - 100
+    for i in range(1, 5):
+        part = os.path.join(tmp, f"part{i}")
+        (b.filter(F.col("_b") == i)
+         .select("event_id", "event_type", "ts_s")
+         .coalesce(1).write.mode("overwrite").parquet(part))
+        f = glob.glob(os.path.join(part, "*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    stream = (spark.readStream
+              .schema("event_id bigint, event_type string, ts_s bigint")
+              .option("maxFilesPerTrigger", 1).format("parquet")
+              .load(src))
+    q = (rate_limit_stream(stream).writeStream.format("memory")
+         .queryName(name).option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_forecast(spark, sf_dir):
+    """The 9th streaming capability: stateful Holt forecasting —
+    stream==batch for a RECURSIVE smoother. The dense per-type daily
+    series (_holt_dense, the exact table the batch closed form
+    pivots) is replayed as 4 time-ordered micro-batches through
+    ``forecast_stream`` (applyInPandasWithState; THREE scalars of
+    state per series), and the max-step emission per type must equal
+    the batch recursion's final level/trend bit-for-bit — the oracle
+    is the SAME unrolled CTE chain events_holt_linear checks against.
+    Two observations share each micro-batch, so within-batch
+    sequential processing is exercised, not just cross-batch state."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from genesis_spark.streaming.pipeline import forecast_stream
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_fc_{_STREAM_SEQ}"
+    dense = _holt_dense(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="gs_fc_")
+    src, ck = os.path.join(tmp, "obs"), os.path.join(tmp, "ckpt")
+    os.makedirs(src)
+    t0 = time.time() - 100
+    for i in range(1, 5):                      # t in {1,2}, {3,4}, ...
+        part = os.path.join(tmp, f"part{i}")
+        (dense.filter((F.col("t") >= i * 2 - 1) & (F.col("t") <= i * 2))
+         .coalesce(1).write.mode("overwrite").parquet(part))
+        f = glob.glob(os.path.join(part, "*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    stream = (spark.readStream
+              .schema("event_type string, t int, y bigint")
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    q = (forecast_stream(stream).writeStream.format("memory")
+         .queryName(name).option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    final = (spark.table(name)
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy("event_type").orderBy(F.desc("step"))))
+             .filter(F.col("rn") == 1))
+    return final.select(
+        "event_type", F.col("step").alias("n_obs"),
+        F.round(F.col("level") * 16384).cast("long").alias("level_u"),
+        F.round(F.col("trend") * 16384).cast("long").alias("trend_u"))
+
+
+ORACLE_STREAM_FORECAST = f"""
+WITH {_HOLT_CHAIN_SQL}
+SELECT event_type, CAST({_HOLT_N} AS INT) AS n_obs,
+       CAST(round(l{_HOLT_N} * 16384) AS BIGINT) AS level_u,
+       CAST(round(b{_HOLT_N} * 16384) AS BIGINT) AS trend_u
+FROM hs{_HOLT_N}
+"""
+
+
+def q_stream_anomaly(spark, sf_dir):
+    """The 10th streaming capability: stateful anomaly detection —
+    per event_type, a Welford-style (n, sum, sum-of-squares) integer
+    state judges every arriving value against all PRIOR points via
+    the cross-multiplied 3-sigma inequality (no division, no float —
+    the verdict is exact), replayed as 4 event-time-ordered
+    micro-batches. The batch oracle reproduces every per-point
+    verdict with prefix windows over the same (ts, event_id) total
+    order, so stream==batch holds row-for-row, including the cold
+    start (first 5 points per type are never flagged)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from genesis_spark.streaming.pipeline import anomaly_stream
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_anom_{_STREAM_SEQ}"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"))
+    b = ev.withColumn("_b", F.ntile(4).over(Window.orderBy("ts",
+                                                           "event_id")))
+    tmp = tempfile.mkdtemp(prefix="gs_anom_")
+    src, ck = os.path.join(tmp, "pts"), os.path.join(tmp, "ckpt")
+    os.makedirs(src)
+    t0 = time.time() - 100
+    for i in range(1, 5):
+        part = os.path.join(tmp, f"part{i}")
+        (b.filter(F.col("_b") == i).drop("_b")
+         .coalesce(1).write.mode("overwrite").parquet(part))
+        f = glob.glob(os.path.join(part, "*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    stream = (spark.readStream
+              .schema("event_type string, ts timestamp_ntz, "
+                      "event_id bigint, cents bigint")
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    q = (anomaly_stream(stream).writeStream.format("memory")
+         .queryName(name).option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_type", "event_id", "ordinal", "cents", "is_anomaly")
+
+
+ORACLE_STREAM_ANOMALY = """
+WITH pts AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+pre AS (
+  SELECT event_type, event_id, cents,
+         row_number() OVER w AS ordinal,
+         count(*) OVER wp AS n,
+         COALESCE(sum(cents) OVER wp, 0) AS s,
+         COALESCE(sum(cents * cents) OVER wp, 0) AS q
+  FROM pts
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
+         wp AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_type, event_id, CAST(ordinal AS BIGINT) AS ordinal, cents,
+       CAST(CASE WHEN n >= 5
+                  AND (CAST(n AS HUGEINT) * cents - s)
+                      * (CAST(n AS HUGEINT) * cents - s) * (n - 1)
+                      > 9 * CAST(n AS HUGEINT)
+                        * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+            THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM pre
+"""
+
+
+ORACLE_EVENTS_SESSION_NATIVE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 21600 SECOND
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+isl AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_n
+  FROM o)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       CAST(session_n AS INT) AS session_n
+FROM isl GROUP BY user_id, session_n
+"""
+
+
+def q_stream_session_native(spark, sf_dir):
+    """The 11th streaming capability: NATIVE streaming session
+    windows — ``session_window`` + watermark in append mode, replayed
+    as 4 event-time-ordered micro-batches, must reproduce the batch
+    sessionization exactly (the oracle is events_session_native's
+    islands SQL verbatim). Append mode only emits a session once the
+    watermark passes its END (last event + gap), so the corpus-tail
+    sessions would never finalize; a per-user SENTINEL event 30 days
+    past the corpus (delivered in the last micro-batch, excluded from
+    output by its timestamp) pushes the zero-delay watermark past
+    every real session end — the standard flush idiom for bounded
+    replays of unbounded operators."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"gs_stream_sessnat_{_STREAM_SEQ}"
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    mx = ev.agg(F.max("ts").alias("m"))
+    sentinel = (ev.select("user_id").distinct()
+                .crossJoin(F.broadcast(mx))
+                .select("user_id",
+                        F.expr("m + INTERVAL 30 DAYS").alias("ts")))
+    b = ev.withColumn("_b", F.ntile(4).over(Window.orderBy("ts",
+                                                           "user_id")))
+    tmp = tempfile.mkdtemp(prefix="gs_sessnat_")
+    src, ck = os.path.join(tmp, "ev"), os.path.join(tmp, "ckpt")
+    os.makedirs(src)
+    t0 = time.time() - 100
+    parts = [b.filter(F.col("_b") == i).drop("_b") for i in range(1, 5)]
+    parts.append(sentinel)
+    for i, pdf in enumerate(parts, 1):
+        part = os.path.join(tmp, f"part{i}")
+        pdf.coalesce(1).write.mode("overwrite").parquet(part)
+        f = glob.glob(os.path.join(part, "*.parquet"))[0]
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    stream = (spark.readStream.schema("user_id bigint, ts timestamp")
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    agg = (stream.withWatermark("ts", "0 seconds")
+           .groupBy("user_id",
+                    F.session_window("ts", "6 hours").alias("w"))
+           .agg(F.count("*").cast("long").alias("n_events"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts")))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    cutoff = mx.collect()[0]["m"]
+    return (spark.table(name)
+            .filter(F.col("first_ts") <= F.lit(cutoff))
+            .select("user_id", "n_events", "first_ts", "last_ts")
+            .withColumn("session_n", F.row_number().over(
+                Window.partitionBy("user_id").orderBy("first_ts"))
+                .cast("int")))
+
+
+def q_stream_consumer_lag(spark, sf_dir):
+    """Consumer-lag accounting for the ingest bus (the Kafka-shaped
+    numbers every streaming crawl pipeline watches: per partition and
+    tick, produced vs committed offsets, the lag, its per-tick DELTA
+    — growing lag means the consumer loses ground even while
+    'making progress' — and the integer catch-up ETA in ticks at the
+    consumer's observed rate): slow partitions (delay 1+p%3 ticks)
+    are planted so the growing/stable distinction and the ETA math
+    are both exercised.
+
+    Fixture: 8 partitions x 10 ticks; produced=(t+1)·(100+13p),
+    consumed lags by the partition's delay.
+
+    Plan/scale: one window (lag delta) partitioned by partition id —
+    a single exchange; offsets are metadata-sized at any throughput."""
+    cells = spark.range(80).select(
+        (F.col("id") % 8).alias("p"),
+        (F.col("id") / 8).cast("long").alias("t"))
+    rate = 100 + F.col("p") * 13
+    dp = 1 + F.col("p") % 3
+    produced = (F.col("t") + 1) * rate
+    consumed = F.greatest(F.lit(0), (F.col("t") + 1 - dp)) * rate
+    base = cells.select(
+        "p", "t", produced.alias("produced_n"),
+        consumed.alias("consumed_n"), rate.alias("rate"))
+    base = base.withColumn(
+        "lag_n", F.col("produced_n") - F.col("consumed_n"))
+    w = Window.partitionBy("p").orderBy("t")
+    return (base
+            .withColumn("lag_delta",
+                        F.col("lag_n") - F.coalesce(
+                            F.lag("lag_n").over(w), F.lit(0)))
+            .withColumn("eta_ticks",
+                        F.when(F.col("consumed_n") > 0,
+                               F.expr("(lag_n + rate - 1) div rate"))
+                        .otherwise(F.lit(-1)))
+            .withColumn("growing",
+                        (F.col("lag_delta") > 0).cast("int"))
+            .drop("rate"))
+
+
+ORACLE_STREAM_CONSUMER_LAG = """
+WITH cells AS (
+  SELECT i % 8 AS p, i // 8 AS t
+  FROM (SELECT unnest(range(80)) AS i)),
+base AS (
+  SELECT p, t,
+         (t + 1) * (100 + p * 13) AS produced_n,
+         greatest(0, t + 1 - (1 + p % 3)) * (100 + p * 13)
+           AS consumed_n,
+         100 + p * 13 AS rate
+  FROM cells),
+lagd AS (
+  SELECT p, t, produced_n, consumed_n, rate,
+         produced_n - consumed_n AS lag_n
+  FROM base)
+SELECT p, t, produced_n, consumed_n, lag_n,
+       lag_n - COALESCE(LAG(lag_n) OVER (PARTITION BY p ORDER BY t),
+                        0) AS lag_delta,
+       CASE WHEN consumed_n > 0
+            THEN (lag_n + rate - 1) // rate ELSE -1 END AS eta_ticks,
+       CAST(CASE WHEN lag_n - COALESCE(LAG(lag_n)
+                 OVER (PARTITION BY p ORDER BY t), 0) > 0
+            THEN 1 ELSE 0 END AS INT) AS growing
+FROM lagd
+"""
+
+
+def q_stream_ooo_audit(spark, sf_dir):
+    """Out-of-order arrival audit — the measurement that SIZES a
+    streaming watermark (allowed-lateness too small drops data, too
+    large bloats state; the right value is the observed disorder
+    distribution, which this row computes exactly): within each
+    user's arrival stream (event_id = arrival order), an event is
+    LATE if its event-time sits below the running max of everything
+    that arrived before it; per user the audit emits the late
+    fraction and the worst disorder in ms — the number the
+    withWatermark() call should quote.
+
+    Plan/scale: one per-user ordered window (running max, exclusive
+    frame) + one census agg on the same key — single exchange."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        # arrival jitter: the bus delivers event k at logical slot
+        # k + 3*(k%7) — a deterministic local reordering (the events
+        # table itself is time-sorted, so disorder must be modeled)
+        (F.col("event_id") + (F.col("event_id") % 7) * 3)
+        .alias("arrival_seq"),
+        # ts is TIMESTAMP_NTZ; the session pins UTC, so the cast is
+        # the identity instant DuckDB's epoch_ms sees
+        F.expr("unix_millis(cast(ts as timestamp))").alias("em"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("arrival_seq", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    marked = (ev.withColumn("prev_max", F.max("em").over(w))
+              .withColumn("late",
+                          (F.col("em") < F.col("prev_max"))
+                          .cast("long"))
+              .withColumn("disorder_ms",
+                          F.when(F.col("em") < F.col("prev_max"),
+                                 F.col("prev_max") - F.col("em"))
+                          .otherwise(F.lit(0))))
+    return (marked.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum(F.coalesce("late", F.lit(0))).cast("long")
+                 .alias("n_late"),
+                 F.max("disorder_ms").cast("long")
+                 .alias("max_disorder_ms"))
+            .withColumn("late_ppm",
+                        F.expr("(n_late * 1000000) div n_events")))
+
+
+ORACLE_STREAM_OOO_AUDIT = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         event_id + (event_id % 7) * 3 AS arrival_seq,
+         epoch_ms(ts) AS em
+  FROM events),
+marked AS (
+  SELECT user_id, em,
+         MAX(em) OVER (PARTITION BY user_id
+           ORDER BY arrival_seq, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM ev),
+flagged AS (
+  SELECT user_id,
+         CASE WHEN em < prev_max THEN 1 ELSE 0 END AS late,
+         CASE WHEN em < prev_max THEN prev_max - em ELSE 0 END
+           AS disorder_ms
+  FROM marked)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(late) AS BIGINT) AS n_late,
+       CAST(max(disorder_ms) AS BIGINT) AS max_disorder_ms,
+       (CAST(sum(late) AS BIGINT) * 1000000) // count(*) AS late_ppm
+FROM flagged GROUP BY user_id
+"""

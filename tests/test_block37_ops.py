@@ -97,8 +97,10 @@ def test_caption_pairs_general_shapes(spark):
                     ("image", None, "d1/img/3", 5)])]
     il = spark.createDataFrame(rows, schema)
 
-    # drive the same plan q_spans_caption_pairs builds, on custom spans
-    import genesis_spark.queries as Q
+    # drive the same plan q_spans_caption_pairs builds, on custom spans;
+    # patch _t in the module whose globals the function closes over (the
+    # spans family module since the queries.py -> queries/ split)
+    from genesis_spark.queries import spans as Q
     orig = Q._t
     try:
         Q._t = lambda s, d, n: il.selectExpr(
