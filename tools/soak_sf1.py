@@ -69,7 +69,8 @@ def main() -> None:
     import __spark_entry__ as E
 
     qs = E.queries()
-    spark = get_spark(app_name="soak-sf1", cores=32, shuffle_partitions=64)
+    spark = get_spark(app_name="soak-sf1", cores=32, shuffle_partitions=64,
+                      extra_conf={"spark.ui.enabled": "true"})
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
 
@@ -86,6 +87,7 @@ def main() -> None:
     results = {}
     prev = stage_totals(ui, app_id)
     for name in names:
+        peak["mb"] = rss_mb()          # per-query peak attribution
         t0 = time.perf_counter()
         try:
             n = qs[name](spark, sf_dir).count()
