@@ -777,3 +777,62 @@ SELECT doc_id, n_match_bits, n_inter, n_union,
            - (n_inter * 1000000) // n_union) AS abs_err_ppm
 FROM j
 """
+
+
+def q_seen_bloom_sizing(spark, sf_dir):
+    """Bloom URL-seen SHARD capacity planning — the ops row behind the
+    north-star's partitioned Bloom filter (operators/bloom.py shard
+    routing): per shard, the achieved false-positive rate of the current
+    fixed allocation and the power-of-two reallocation that restores the
+    1% target. Hosts follow the hub-plus-tail split (hub keys collapse
+    into shards 0-6, doubling their load) so the skew actually drives
+    shards over budget at sf>=0.01. Formulas are the standard Bloom
+    algebra with k=7 hashes: achieved_fpr = (1 - e^(-k*n/m))^k;
+    required bits m = ceil(9.585*n) (the -n*ln(0.01)/ln(2)^2 optimum,
+    embedded as one literal so both engines compute the identical
+    double), rounded up to a power of two as real allocators do. At
+    10^10 URLs this is the table a frontier operator reads to decide
+    shard splits — O(shards) rows, one aggregation, no data movement
+    beyond the count."""
+    key = F.col("o_orderkey")
+    shard = (F.when(key % 4 < 2, key % 7)
+             .otherwise(key % 48)).cast("long")
+    alloc_bits = 4096.0
+    n = F.col("n_keys").cast("double")
+    fpr = F.pow(F.lit(1.0) - F.exp(F.lit(-7.0) * n / F.lit(alloc_bits)),
+                F.lit(7.0))
+    m_req = F.ceil(n * F.lit(9.585)).cast("bigint")
+    rec_bits = F.pow(F.lit(2.0), F.ceil(F.log2(m_req.cast("double"))))
+    return (_t(spark, sf_dir, "orders")
+            .groupBy(shard.alias("shard"))
+            .agg(F.count("*").alias("n_keys"))
+            .select("shard", "n_keys",
+                    F.lit(4096).cast("bigint").alias("alloc_bits"),
+                    F.round(fpr, 6).alias("achieved_fpr"),
+                    (fpr > 0.01).alias("over_budget"),
+                    rec_bits.cast("bigint").alias("rec_bits"))
+            .orderBy("shard"))
+
+
+ORACLE_SEEN_BLOOM_SIZING = """
+WITH keys AS (
+  SELECT CASE WHEN o_orderkey % 4 < 2 THEN o_orderkey % 7
+              ELSE o_orderkey % 48 END AS shard
+  FROM orders
+),
+per AS (SELECT shard, count(*) AS n_keys FROM keys GROUP BY shard),
+calc AS (
+  SELECT shard, n_keys,
+         power(1 - exp(-7.0 * n_keys / 4096.0), 7.0) AS fpr,
+         CAST(ceil(n_keys * 9.585) AS BIGINT) AS m_req
+  FROM per
+)
+SELECT shard, n_keys,
+       CAST(4096 AS BIGINT) AS alloc_bits,
+       round(fpr, 6) AS achieved_fpr,
+       fpr > 0.01 AS over_budget,
+       CAST(power(2, ceil(log2(CAST(m_req AS DOUBLE)))) AS BIGINT)
+         AS rec_bits
+FROM calc
+ORDER BY shard
+"""

@@ -699,3 +699,146 @@ SELECT txn, n_prepare, n_commit,
             ELSE 'clean' END AS verdict
 FROM agg
 """
+
+
+def q_join_bloom_prefilter(spark, sf_dir):
+    """Runtime Bloom-prefilter payoff arithmetic for a selective
+    broadcast-dim join — the planning row behind Spark's runtime row
+    filters (AQE runtime filter / DPP): when only ~2% of parts survive
+    the dim predicate, a Bloom built from the build side skips most
+    probe rows BEFORE the shuffle. Per l_returnflag stripe: exact probe
+    and semi-join match counts, the expected false-positive admissions
+    of a k=7, 64 Kibit shard-local filter ((1-e^(-kn/m))^k over the
+    non-matching probe rows, rounded), and the resulting shuffle
+    reduction in ppm. The point at 100 TB: the reduction number is what
+    justifies spending build-side broadcast bytes — this row computes it
+    from first principles instead of guessing."""
+    part_keys = (_t(spark, sf_dir, "part")
+                 .filter(F.col("p_partkey") % 53 == 0)
+                 .select("p_partkey"))
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    probe = li.groupBy("l_returnflag").agg(F.count("*").alias("n_probe"))
+    match = (li.join(F.broadcast(part_keys),
+                     li.l_partkey == part_keys.p_partkey, "left_semi")
+             .groupBy("l_returnflag").agg(F.count("*").alias("n_match")))
+    n_build = part_keys.count()          # O(1) driver scalar, plan literal
+    m_bits = 65536.0
+    fpr = (1.0 - __import__("math").exp(-7.0 * n_build / m_bits)) ** 7
+    out = (probe.join(match, "l_returnflag")
+           .withColumn("n_build", F.lit(n_build).cast("long"))
+           .withColumn("expected_fp",
+                       F.round((F.col("n_probe") - F.col("n_match"))
+                               * F.lit(fpr)).cast("long"))
+           .withColumn("shuffled_rows",
+                       F.col("n_match") + F.col("expected_fp"))
+           .withColumn(
+               "reduction_ppm",
+               F.floor(F.lit(1000000)
+                       - F.col("shuffled_rows") * 1000000
+                       / F.col("n_probe")).cast("long")))
+    return (out.select("l_returnflag", "n_probe", "n_match", "n_build",
+                       "expected_fp", "shuffled_rows", "reduction_ppm")
+            .orderBy("l_returnflag"))
+
+
+ORACLE_JOIN_BLOOM_PREFILTER = """
+WITH bkeys AS (
+  SELECT p_partkey FROM part WHERE p_partkey % 53 = 0
+),
+nb AS (SELECT count(*) AS n_build FROM bkeys),
+probe AS (
+  SELECT l_returnflag, count(*) AS n_probe
+  FROM lineitem GROUP BY 1
+),
+mt AS (
+  SELECT l_returnflag, count(*) AS n_match
+  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM bkeys)
+  GROUP BY 1
+),
+calc AS (
+  SELECT p.l_returnflag, p.n_probe, m.n_match, nb.n_build,
+         CAST(round((p.n_probe - m.n_match)
+              * power(1 - exp(-7.0 * nb.n_build / 65536.0), 7))
+              AS BIGINT) AS expected_fp
+  FROM probe p JOIN mt m USING (l_returnflag) CROSS JOIN nb
+)
+SELECT l_returnflag, n_probe, n_match, n_build, expected_fp,
+       n_match + expected_fp AS shuffled_rows,
+       CAST(floor(1000000 - (n_match + expected_fp) * 1000000.0 / n_probe)
+            AS BIGINT) AS reduction_ppm
+FROM calc
+ORDER BY l_returnflag
+"""
+
+
+def q_shuffle_size_plan(spark, sf_dir):
+    """Shuffle-partition sizing from measured data volume — the number
+    every 100x scale-up gets wrong first (spark.sql.shuffle.partitions
+    is cluster-global; a fixed 200 gives 500 MB partitions at 100 GB and
+    1 KB partitions at 200 KB): per table, an engine-agnostic byte
+    estimate (exact octet length of string columns + fixed 8-byte width
+    per numeric/timestamp column) and the partition count that lands
+    partitions at the 64 MiB sweet spot, clamped to [1, 2048]. The
+    estimate is deliberately serialization-free (no to_json — engines
+    render timestamps/doubles differently) so the oracle matches bit-
+    for-bit."""
+    import functools
+    specs = {
+        "documents": (["text", "lang", "source"], 2),
+        "orders": (["o_orderstatus", "o_orderpriority"], 4),
+        "events": (["event_type", "props"], 4),
+        "lineitem": (["l_returnflag", "l_linestatus"], 9),
+    }
+    parts = []
+    for tab, (scols, n_num) in specs.items():
+        byte_col = functools.reduce(
+            lambda a, b: a + b,
+            [F.octet_length(F.coalesce(F.col(c), F.lit(""))) for c in scols]
+        ) + F.lit(8 * n_num)
+        parts.append(
+            _t(spark, sf_dir, tab)
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(byte_col.cast("bigint")).alias("est_bytes"))
+            .select(F.lit(tab).alias("table_name"), "n_rows", "est_bytes"))
+    out = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    rec = F.least(F.greatest(F.ceil(F.col("est_bytes")
+                                    / F.lit(64.0 * 1024 * 1024)),
+                             F.lit(1)), F.lit(2048)).cast("long")
+    return (out.withColumn("est_mb",
+                           F.round(F.col("est_bytes") / F.lit(1048576.0), 2))
+            .withColumn("rec_partitions", rec)
+            .orderBy("table_name"))
+
+
+ORACLE_SHUFFLE_SIZE_PLAN = """
+WITH census AS (
+  SELECT 'documents' AS table_name, count(*) AS n_rows,
+         CAST(sum(strlen(coalesce(text, ''))
+              + strlen(coalesce(lang, ''))
+              + strlen(coalesce(source, '')) + 16) AS BIGINT)
+           AS est_bytes
+  FROM documents
+  UNION ALL
+  SELECT 'orders', count(*),
+         CAST(sum(strlen(coalesce(o_orderstatus, ''))
+              + strlen(coalesce(o_orderpriority, '')) + 32)
+              AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'events', count(*),
+         CAST(sum(strlen(coalesce(event_type, ''))
+              + strlen(coalesce(props, '')) + 32) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'lineitem', count(*),
+         CAST(sum(strlen(coalesce(l_returnflag, ''))
+              + strlen(coalesce(l_linestatus, '')) + 72) AS BIGINT)
+  FROM lineitem
+)
+SELECT table_name, n_rows, est_bytes,
+       round(est_bytes / 1048576.0, 2) AS est_mb,
+       CAST(least(greatest(ceil(est_bytes / 67108864.0), 1), 2048)
+            AS BIGINT) AS rec_partitions
+FROM census
+ORDER BY table_name
+"""

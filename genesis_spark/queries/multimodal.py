@@ -1464,3 +1464,72 @@ SELECT stream,
          AS best_res_under_3mbps
 FROM audited
 """
+
+
+def q_media_duration_budget(spark, sf_dir):
+    """Epoch duration budgeting for audio/video clips — corpus_token_budget
+    for the time dimension (an AV training epoch is bounded by total
+    DURATION, not clip count): per source, clips are admitted in
+    deterministic md5 priority order until the 600 s per-source budget
+    is exhausted (first clip always admits, matching a greedy packer
+    that never emits an empty source). Durations are synthesized from
+    lineitem deterministically (1-60 s, hub sources 1-2 carry double
+    volume so their cut rate is visibly higher). Cumulative-sum window
+    per source — one shuffle on a 5-key column, O(clips) state."""
+    key = F.col("l_orderkey") * 7 + F.col("l_linenumber")
+    src = F.concat(F.lit("s"), (F.when(key % 4 < 2, key % 2)
+                                .otherwise(key % 5)).cast("string"))
+    clips = (_t(spark, sf_dir, "lineitem")
+             .select(key.cast("long").alias("clip_id"),
+                     src.alias("source"),
+                     ((key % 60) * 1000 + 1000).alias("duration_ms")))
+    w = (Window.partitionBy("source")
+         .orderBy(F.md5(F.col("clip_id").cast("string")), "clip_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = clips.withColumn("cum_ms", F.sum("duration_ms").over(w))
+    kept = F.when((F.col("cum_ms") <= 600000)
+                  | (F.col("cum_ms") == F.col("duration_ms")), 1).otherwise(0)
+    return (ranked.withColumn("is_kept", kept)
+            .groupBy("source")
+            .agg(F.count("*").alias("n_clips"),
+                 F.sum("is_kept").alias("n_kept"),
+                 F.sum(F.col("is_kept") * F.col("duration_ms"))
+                 .alias("kept_ms"),
+                 F.floor(F.lit(1000000) - F.sum("is_kept") * 1000000
+                         / F.count("*")).cast("long").alias("cut_ppm"))
+            .orderBy("source"))
+
+
+ORACLE_MEDIA_DURATION_BUDGET = """
+WITH clips AS (
+  SELECT l_orderkey * 7 + l_linenumber AS clip_id,
+         's' || (CASE WHEN (l_orderkey * 7 + l_linenumber) % 4 < 2
+                      THEN (l_orderkey * 7 + l_linenumber) % 2
+                      ELSE (l_orderkey * 7 + l_linenumber) % 5 END)
+           AS source,
+         ((l_orderkey * 7 + l_linenumber) % 60) * 1000 + 1000
+           AS duration_ms
+  FROM lineitem
+),
+ranked AS (
+  SELECT source, duration_ms,
+         sum(duration_ms) OVER (PARTITION BY source
+             ORDER BY md5(CAST(clip_id AS VARCHAR)), clip_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ms
+  FROM clips
+),
+flagged AS (
+  SELECT source, duration_ms,
+         CASE WHEN cum_ms <= 600000 OR cum_ms = duration_ms
+              THEN 1 ELSE 0 END AS is_kept
+  FROM ranked
+)
+SELECT source, count(*) AS n_clips,
+       sum(is_kept) AS n_kept,
+       sum(is_kept * duration_ms) AS kept_ms,
+       CAST(floor(1000000 - sum(is_kept) * 1000000.0 / count(*))
+            AS BIGINT) AS cut_ppm
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""

@@ -849,3 +849,86 @@ SELECT host_key,
                 THEN 1 ELSE 0 END) AS INT) AS tightened
 FROM j GROUP BY host_key
 """
+
+
+def q_robots_crawl_delay_budget(spark, sf_dir):
+    """Crawl-delay -> dispatch-cycle budget reconciliation — the planning
+    row that turns parsed politeness directives into the number the
+    scheduler actually needs: how many pending pages can this host
+    legally absorb per 10-minute dispatch cycle (the reference's crawl
+    loop cadence, crawl_controller dispatch; politeness clamp [500ms,
+    10s] as in crawler/politeness.py), and how many cycles of backlog
+    does its queue represent. Four robots shapes exercise the parse
+    (0.5 s delay, an extreme 30 s delay that hits the clamp, no
+    directive -> 1 s default, unparseable -> default); pending load is
+    hub-skewed (hosts 0-2 absorb half the queue) so starvation emerges
+    from delay x backlog jointly, not from either alone. All-integer
+    math; the directive parse is the SAME operator the robots_directives
+    row verifies (crawler.politeness.parse_robots_directives)."""
+    from genesis_spark.crawler.politeness import parse_robots_directives
+
+    r = F.col("id")
+    delay_line = (F.when(r % 4 == 0, "Crawl-delay: 0.5\n")
+                  .when(r % 4 == 1, "Crawl-delay: 30\n")
+                  .when(r % 4 == 2, "")
+                  .otherwise("Crawl-delay: oops\n"))
+    robots = spark.range(30).select(
+        F.concat(F.lit("h"), r.cast("string")).alias("host_key"),
+        F.concat(F.lit("User-agent: *\n"), delay_line).alias("robots_txt"))
+    dirs = parse_robots_directives(robots, agent="genesis").select(
+        "host_key", "crawl_delay_ms")
+
+    key = F.col("o_orderkey")
+    host = F.concat(F.lit("h"), (F.when(key % 4 < 2, key % 3)
+                                 .otherwise(key % 30)).cast("string"))
+    pending = (_t(spark, sf_dir, "orders")
+               .groupBy(host.alias("host_key"))
+               .agg(F.count("*").alias("pending")))
+
+    eff = F.least(F.greatest(F.coalesce(F.col("crawl_delay_ms"),
+                                        F.lit(1000)), F.lit(500)),
+                  F.lit(10000))
+    out = (pending.join(dirs, "host_key", "left")
+           .withColumn("effective_delay_ms", eff.cast("long"))
+           .withColumn("cycle_budget",
+                       (F.lit(600000) / F.col("effective_delay_ms"))
+                       .cast("long"))
+           .withColumn("backlog_cycles",
+                       ((F.col("pending") + F.col("cycle_budget") - 1)
+                        / F.col("cycle_budget")).cast("long"))
+           .withColumn("starved", F.col("backlog_cycles") > 7))
+    return (out.select("host_key", "effective_delay_ms", "pending",
+                       "cycle_budget", "backlog_cycles", "starved")
+            .orderBy("host_key"))
+
+
+ORACLE_ROBOTS_CRAWL_DELAY_BUDGET = """
+WITH delays AS (
+  SELECT 'h' || r AS host_key,
+         CASE r % 4 WHEN 0 THEN 500 WHEN 1 THEN 30000
+                    WHEN 2 THEN NULL ELSE NULL END AS crawl_delay_ms
+  FROM range(30) t(r)
+),
+pending AS (
+  SELECT 'h' || (CASE WHEN o_orderkey % 4 < 2 THEN o_orderkey % 3
+                      ELSE o_orderkey % 30 END) AS host_key,
+         count(*) AS pending
+  FROM orders GROUP BY 1
+),
+calc AS (
+  SELECT p.host_key, p.pending,
+         CAST(least(greatest(coalesce(d.crawl_delay_ms, 1000), 500),
+                    10000) AS BIGINT) AS effective_delay_ms
+  FROM pending p LEFT JOIN delays d USING (host_key)
+),
+budget AS (
+  SELECT host_key, effective_delay_ms, pending,
+         600000 // effective_delay_ms AS cycle_budget
+  FROM calc
+)
+SELECT host_key, effective_delay_ms, pending, cycle_budget,
+       (pending + cycle_budget - 1) // cycle_budget AS backlog_cycles,
+       (pending + cycle_budget - 1) // cycle_budget > 7 AS starved
+FROM budget
+ORDER BY host_key
+"""

@@ -4061,3 +4061,61 @@ SELECT doc_id,
        COALESCE(tags[1], '') AS first_tag
 FROM fields
 """
+
+
+def q_text_stopword_density(spark, sf_dir):
+    """Stopword-density quality signal over the REAL gensim STOPWORDS set
+    (the 337-word frozen public list the reference imports at
+    helper_method.py:8 and probes per token in is_stop_word :22-26, now
+    bundled at genesis_spark/data/stopwords.txt): natural prose keeps
+    20-70% of its tokens in the stopword set; keyword-stuffed listings
+    and gibberish fall outside. Integer ppm so the verdict hash-compares
+    exactly. The 337-literal array is built as ONE SQL parse (the r3
+    plan-construction discipline) and membership runs as codegen
+    array_contains — at 100 TB the set stays a plan literal (337 strings,
+    bytes), never a join."""
+    import genesis_spark.functions.text as TX
+    words = sorted(TX.load_stopwords(TX.gensim_stopwords_path()))
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in words) + ")"
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    return (_t(spark, sf_dir, "documents")
+            .selectExpr(
+                "doc_id",
+                f"cast(size({toks}) as bigint) AS n_tokens",
+                f"cast(size(filter({toks}, t -> "
+                f"array_contains({stop_arr}, t))) as bigint) AS n_stop")
+            .selectExpr(
+                "doc_id", "n_tokens", "n_stop",
+                "n_stop * 1000000 DIV greatest(n_tokens, 1) AS stop_ppm",
+                "n_stop * 1000000 DIV greatest(n_tokens, 1) "
+                "BETWEEN 200000 AND 700000 AS prose_like")
+            .orderBy("doc_id"))
+
+
+def _stopword_sql_list() -> str:
+    import genesis_spark.functions.text as TX
+    words = sorted(TX.load_stopwords(TX.gensim_stopwords_path()))
+    return "[" + ",".join(f"'{w}'" for w in words) + "]"
+
+
+ORACLE_TEXT_STOPWORD_DENSITY = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(ts, t -> list_contains(
+             {_stopword_sql_list()}, t))) AS BIGINT) AS n_stop
+  FROM toks
+)
+SELECT doc_id, n_tokens, n_stop,
+       n_stop * 1000000 // greatest(n_tokens, 1) AS stop_ppm,
+       n_stop * 1000000 // greatest(n_tokens, 1)
+         BETWEEN 200000 AND 700000 AS prose_like
+FROM counted
+ORDER BY doc_id
+"""
