@@ -1008,3 +1008,132 @@ SELECT doc_id,
        CAST(len(arts) > 0 AS INT) AS needs_dechunk
 FROM scanned
 """
+
+
+def q_cdx_collapse(spark, sf_dir):
+    """Wayback-style CDX COLLAPSE — the temporal complement of
+    cdx_ingest's digest dedup (that row answers "which capture per
+    content"; this one answers "how does each URL's content evolve"):
+    captures of one URL collapse into RUNS of consecutive identical
+    digests (the CDX server's collapse=digest), and the per-URL census
+    (captures, runs, longest run, storage saving) is what a recrawl
+    scheduler reads to find never-changing pages. Synthesis gives each
+    of 300 URL keys one capture per 300-key stride with the digest
+    rotating every 3rd capture, so runs have real length at every SF.
+    Plan/scale: one window on (url_key) ordered by timestamp + a
+    two-level aggregation — the shuffle key is the URL, uniform by
+    construction; output is O(distinct urls)."""
+    k = F.col("o_orderkey")
+    u = (k % 300).cast("long")
+    i = F.expr("o_orderkey DIV 300")
+    caps = _t(spark, sf_dir, "orders").select(
+        u.alias("url_key"),
+        (F.lit(20250101000000) + i * 100).alias("ts_num"),
+        F.md5(F.concat(F.lit("c"), u.cast("string"), F.lit("-"),
+                       F.expr("o_orderkey DIV 900").cast("string")))
+        .alias("digest"))
+    w = Window.partitionBy("url_key").orderBy("ts_num")
+    runs = (caps
+            .withColumn("is_new",
+                        F.when(F.lag("digest").over(w).isNull()
+                               | (F.lag("digest").over(w)
+                                  != F.col("digest")), 1).otherwise(0))
+            .withColumn("run_id", F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))))
+    per_run = runs.groupBy("url_key", "run_id").agg(
+        F.count("*").alias("run_len"))
+    return (per_run.groupBy("url_key")
+            .agg(F.sum("run_len").alias("n_captures"),
+                 F.count("*").alias("n_runs"),
+                 F.max("run_len").alias("max_run_len"))
+            .withColumn("saved_ppm",
+                        F.expr("(n_captures - n_runs) * 1000000 "
+                               "DIV n_captures"))
+            .orderBy("url_key"))
+
+
+ORACLE_CDX_COLLAPSE = """
+WITH caps AS (
+  SELECT o_orderkey % 300 AS url_key,
+         20250101000000 + (o_orderkey // 300) * 100 AS ts_num,
+         md5('c' || (o_orderkey % 300) || '-' || (o_orderkey // 900))
+           AS digest
+  FROM orders
+),
+flagged AS (
+  SELECT url_key, ts_num, digest,
+         CASE WHEN lag(digest) OVER w IS NULL
+                   OR lag(digest) OVER w <> digest
+              THEN 1 ELSE 0 END AS is_new
+  FROM caps
+  WINDOW w AS (PARTITION BY url_key ORDER BY ts_num)
+),
+runs AS (
+  SELECT url_key,
+         sum(is_new) OVER (PARTITION BY url_key ORDER BY ts_num
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+),
+per_run AS (
+  SELECT url_key, run_id, count(*) AS run_len
+  FROM runs GROUP BY url_key, run_id
+)
+SELECT url_key,
+       CAST(sum(run_len) AS BIGINT) AS n_captures,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS max_run_len,
+       (CAST(sum(run_len) AS BIGINT) - count(*)) * 1000000
+         // CAST(sum(run_len) AS BIGINT) AS saved_ppm
+FROM per_run GROUP BY url_key
+ORDER BY url_key
+"""
+
+
+def q_feed_poll_schedule(spark, sf_dir):
+    """Adaptive FEED POLLING schedule — the classic RSS/Atom scheduling
+    problem (poll too often = wasted fetches, too rarely = missed
+    posts): per feed, the observed posting cadence sets the poll
+    interval at half the mean inter-post gap (Nyquist for point
+    processes), clamped to [5 min, 1 day]. Feeds are events bucketed
+    40 ways; all math is integer (seconds), so the verdict is exact.
+    At 10^7 feeds this is one partial-agg pass at feed grain — the
+    refresh planner the reference's periodic re-feed loop (ST2) would
+    consult instead of its fixed cadence."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("f"), (F.col("event_id") % 40).cast("string"))
+        .alias("feed"),
+        F.unix_timestamp("ts").alias("t"))
+    agg = ev.groupBy("feed").agg(
+        F.count("*").alias("n_posts"),
+        (F.max("t") - F.min("t")).alias("span_s"))
+    return (agg
+            .withColumn("mean_gap_s",
+                        F.expr("span_s DIV greatest(n_posts - 1, 1)"))
+            .withColumn("rec_poll_s",
+                        F.expr("least(greatest(mean_gap_s DIV 2, 300), "
+                               "86400)"))
+            .withColumn("polls_per_day",
+                        F.expr("86400 DIV rec_poll_s"))
+            .orderBy("feed"))
+
+
+ORACLE_FEED_POLL_SCHEDULE = """
+WITH ev AS (
+  SELECT 'f' || (event_id % 40) AS feed,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+),
+agg AS (
+  SELECT feed, count(*) AS n_posts, max(t) - min(t) AS span_s
+  FROM ev GROUP BY feed
+)
+SELECT feed, n_posts, span_s,
+       span_s // greatest(n_posts - 1, 1) AS mean_gap_s,
+       least(greatest(span_s // greatest(n_posts - 1, 1) // 2, 300),
+             86400) AS rec_poll_s,
+       86400 // least(greatest(span_s // greatest(n_posts - 1, 1) // 2,
+                               300), 86400) AS polls_per_day
+FROM agg
+ORDER BY feed
+"""

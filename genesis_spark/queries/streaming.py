@@ -932,3 +932,104 @@ SELECT user_id,
        (CAST(sum(late) AS BIGINT) * 1000000) // count(*) AS late_ppm
 FROM flagged GROUP BY user_id
 """
+
+
+def q_stream_watermark_plan(spark, sf_dir):
+    """WATERMARK DELAY planning from the observed lateness distribution —
+    the number every withWatermark() call hard-codes and almost nobody
+    measures: per event type, how late do events actually arrive, and
+    what is the smallest candidate delay (10s/30s/1m/2m/5m/15m grid)
+    that keeps late-drops under the 5% SLO. Lateness is synthesized
+    per-type with different tail shapes (quadratic in event_id modulo a
+    type-specific base) so each type picks a DIFFERENT watermark —
+    the row proves the plan reacts to the distribution, not to a
+    constant. Nearest-rank p95 lateness reported alongside, matching
+    the frontier_age_stats convention. All integer seconds.
+
+    Plan/scale: one (type, candidate) aggregation over a 7-way
+    candidate explode — at 100 TB the explode multiplies rows 7x
+    BEFORE a partial agg that collapses to |types|x7, so the shuffle
+    carries only the collapsed grid."""
+    m = (F.when(F.col("event_type") == "signup", 7)
+         .when(F.col("event_type") == "click", 25)
+         .when(F.col("event_type") == "purchase", 13)
+         .when(F.col("event_type") == "view", 5)
+         .otherwise(31))
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  ((F.col("event_id") % m) * (F.col("event_id") % m))
+                  .cast("long").alias("delay_s")))
+    cands = [10, 30, 60, 120, 300, 900]
+    grid = (ev.select("event_type", "delay_s",
+                      F.explode(F.array([F.lit(c) for c in cands]))
+                      .alias("wm_s"))
+            .groupBy("event_type", "wm_s")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("delay_s") > F.col("wm_s"), 1)
+                       .otherwise(0)).alias("n_late"))
+            .withColumn("late_ppm", F.expr("n_late * 1000000 DIV n")))
+    chosen = (grid.filter(F.col("late_ppm") <= 50000)
+              .groupBy("event_type")
+              .agg(F.min("wm_s").alias("chosen_wm_s")))
+    # ties in delay_s make the within-tie order irrelevant: the p95 rank
+    # boundary lands inside a tie group and min() returns the tied value
+    w = Window.partitionBy("event_type").orderBy("delay_s")
+    ranked = (ev.withColumn("rn", F.row_number().over(w))
+              .withColumn("n_tot", F.count(F.lit(1)).over(
+                  Window.partitionBy("event_type"))))
+    p95 = (ranked.filter(F.col("rn") >= F.ceil(F.col("n_tot") * 0.95))
+           .groupBy("event_type")
+           .agg(F.min("delay_s").alias("p95_delay_s"),
+                F.max("n_tot").alias("n_events")))
+    out = (p95.join(chosen, "event_type")
+           .join(grid.select("event_type",
+                             F.col("wm_s").alias("chosen_wm_s"),
+                             F.col("late_ppm")),
+                 ["event_type", "chosen_wm_s"]))
+    return (out.select("event_type", "n_events", "p95_delay_s",
+                       "chosen_wm_s", "late_ppm")
+            .orderBy("event_type"))
+
+
+ORACLE_STREAM_WATERMARK_PLAN = """
+WITH ev AS (
+  SELECT event_type,
+         CAST((event_id % m) * (event_id % m) AS BIGINT) AS delay_s
+  FROM (
+    SELECT event_id, event_type,
+           CASE event_type WHEN 'signup' THEN 7 WHEN 'click' THEN 25
+                WHEN 'purchase' THEN 13 WHEN 'view' THEN 5
+                ELSE 31 END AS m
+    FROM events)
+),
+grid AS (
+  SELECT event_type, wm_s, count(*) AS n,
+         sum(CASE WHEN delay_s > wm_s THEN 1 ELSE 0 END) AS n_late
+  FROM ev CROSS JOIN (SELECT unnest([10, 30, 60, 120, 300, 900]) AS wm_s)
+  GROUP BY event_type, wm_s
+),
+ppm AS (
+  SELECT event_type, wm_s, n, n_late * 1000000 // n AS late_ppm
+  FROM grid
+),
+chosen AS (
+  SELECT event_type, min(wm_s) AS chosen_wm_s
+  FROM ppm WHERE late_ppm <= 50000 GROUP BY event_type
+),
+ranked AS (
+  SELECT event_type, delay_s,
+         row_number() OVER (PARTITION BY event_type ORDER BY delay_s)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_tot
+  FROM ev
+),
+p95 AS (
+  SELECT event_type, min(delay_s) AS p95_delay_s, max(n_tot) AS n_events
+  FROM ranked WHERE rn >= ceil(n_tot * 0.95) GROUP BY event_type
+)
+SELECT p.event_type, p.n_events, p.p95_delay_s, c.chosen_wm_s,
+       g.late_ppm
+FROM p95 p JOIN chosen c USING (event_type)
+JOIN ppm g ON g.event_type = p.event_type AND g.wm_s = c.chosen_wm_s
+ORDER BY p.event_type
+"""
