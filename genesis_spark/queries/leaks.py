@@ -443,3 +443,76 @@ SELECT victim_key, CAST(count(*) AS BIGINT) AS n_posts,
             AS INT) AS multi_site
 FROM d GROUP BY victim_key
 """
+
+
+def q_leak_entity_normalize(spark, sf_dir):
+    """Victim ENTITY NORMALIZATION across leak-site cards — the step
+    between extraction (leak_dispatch) and cross-site analytics
+    (leak_victim_overlap): the same organization appears as "Acme-7
+    Inc.", "ACME-7, LLC", "acme-7 GmbH" on different sites; triage
+    needs ONE canonical key. Normalization = lowercase, strip [.,],
+    collapse whitespace, drop trailing legal-suffix tokens (inc, llc,
+    gmbh, ltd, incorporated, corp — iterated so stacked suffixes
+    fall). Census per canonical entity: card mass, raw-variant count,
+    site spread, and the lexicographically-first raw form as the
+    display name. Pure codegen string pipeline; the shuffle key is the
+    canonical name (uniform by construction)."""
+    k = F.col("o_orderkey")
+    v = (k % 120).cast("string")
+    # style/site are driven by k DIV 120, NOT k — k % 120 fixes k % 5
+    # (gcd 5) and k % 3 (gcd 3), which would pin every entity to a
+    # single variant and a single site
+    s = F.expr("(o_orderkey DIV 120) % 5")
+    raw = (F.when(s == 0, F.concat(F.lit("Acme-"), v, F.lit(" Inc.")))
+           .when(s == 1, F.concat(F.lit("ACME-"), v, F.lit(", LLC")))
+           .when(s == 2, F.concat(F.lit("acme-"), v, F.lit(" GmbH")))
+           .when(s == 3, F.concat(F.lit("Acme-"), v))
+           .otherwise(F.concat(F.lit("Acme-"), v, F.lit(" Incorporated"))))
+    cards = _t(spark, sf_dir, "orders").select(
+        raw.alias("raw_name"),
+        F.concat(F.lit("site"),
+                 F.expr("(o_orderkey DIV 120) % 3").cast("string"))
+        .alias("site"))
+    canon = F.trim(F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.lower("raw_name"),
+                                          r"[.,]", ""),
+                         r"(?: (?:inc|llc|gmbh|ltd|incorporated|corp))+$",
+                         ""),
+        r"\s+", " "))
+    return (cards.withColumn("entity", canon)
+            .groupBy("entity")
+            .agg(F.count("*").alias("n_cards"),
+                 F.countDistinct("raw_name").alias("n_variants"),
+                 F.countDistinct("site").alias("n_sites"),
+                 F.min("raw_name").alias("display_name"))
+            .orderBy("entity"))
+
+
+ORACLE_LEAK_ENTITY_NORMALIZE = """
+WITH cards AS (
+  SELECT CASE (o_orderkey // 120) % 5
+           WHEN 0 THEN 'Acme-' || (o_orderkey % 120) || ' Inc.'
+           WHEN 1 THEN 'ACME-' || (o_orderkey % 120) || ', LLC'
+           WHEN 2 THEN 'acme-' || (o_orderkey % 120) || ' GmbH'
+           WHEN 3 THEN 'Acme-' || (o_orderkey % 120)
+           ELSE 'Acme-' || (o_orderkey % 120) || ' Incorporated'
+         END AS raw_name,
+         'site' || ((o_orderkey // 120) % 3) AS site
+  FROM orders
+),
+norm AS (
+  SELECT raw_name, site,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+             lower(raw_name), '[.,]', '', 'g'),
+             '(?: (?:inc|llc|gmbh|ltd|incorporated|corp))+$', ''),
+             '\\s+', ' ', 'g')) AS entity
+  FROM cards
+)
+SELECT entity,
+       count(*) AS n_cards,
+       CAST(count(DISTINCT raw_name) AS BIGINT) AS n_variants,
+       CAST(count(DISTINCT site) AS BIGINT) AS n_sites,
+       min(raw_name) AS display_name
+FROM norm GROUP BY entity
+ORDER BY entity
+"""

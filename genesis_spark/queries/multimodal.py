@@ -1533,3 +1533,67 @@ FROM flagged
 GROUP BY source
 ORDER BY source
 """
+
+
+def q_media_codec_matrix(spark, sf_dir):
+    """Container x codec COMPATIBILITY matrix with a transcode plan —
+    the ingest-triage step an AV pipeline runs before any decode work:
+    each (container, codec) cell is either directly usable or routed to
+    a normalization target (h264/mp4), and the census sizes the
+    transcode fleet. The support table is the well-known public matrix
+    (WebM carries only VP9/AV1; MP4 carries H.264/H.265/AV1; MKV is
+    omnivorous; MOV carries H.264/H.265/MPEG-2). Pure CASE census —
+    one partial agg to a 20-cell grid."""
+    k = F.col("l_orderkey") + F.col("l_linenumber")
+    container = (F.when(k % 4 == 0, "mp4").when(k % 4 == 1, "mkv")
+                 .when(k % 4 == 2, "webm").otherwise("mov"))
+    codec = (F.when(k % 5 == 0, "h264").when(k % 5 == 1, "h265")
+             .when(k % 5 == 2, "vp9").when(k % 5 == 3, "av1")
+             .otherwise("mpeg2"))
+    clips = _t(spark, sf_dir, "lineitem").select(
+        container.alias("container"), codec.alias("codec"))
+    compatible = (
+        (F.col("container") == "mkv")
+        | ((F.col("container") == "mp4")
+           & F.col("codec").isin("h264", "h265", "av1"))
+        | ((F.col("container") == "webm")
+           & F.col("codec").isin("vp9", "av1"))
+        | ((F.col("container") == "mov")
+           & F.col("codec").isin("h264", "h265", "mpeg2")))
+    return (clips.groupBy("container", "codec")
+            .agg(F.count("*").alias("n_clips"))
+            .withColumn("compatible", compatible)
+            .withColumn("transcode_target",
+                        F.when(compatible, F.lit("none"))
+                        .otherwise(F.lit("h264/mp4")))
+            .orderBy("container", "codec"))
+
+
+ORACLE_MEDIA_CODEC_MATRIX = """
+WITH clips AS (
+  SELECT CASE (l_orderkey + l_linenumber) % 4
+           WHEN 0 THEN 'mp4' WHEN 1 THEN 'mkv' WHEN 2 THEN 'webm'
+           ELSE 'mov' END AS container,
+         CASE (l_orderkey + l_linenumber) % 5
+           WHEN 0 THEN 'h264' WHEN 1 THEN 'h265' WHEN 2 THEN 'vp9'
+           WHEN 3 THEN 'av1' ELSE 'mpeg2' END AS codec
+  FROM lineitem
+),
+grid AS (
+  SELECT container, codec, count(*) AS n_clips FROM clips GROUP BY 1, 2
+)
+SELECT container, codec, n_clips,
+       (container = 'mkv'
+        OR (container = 'mp4' AND codec IN ('h264', 'h265', 'av1'))
+        OR (container = 'webm' AND codec IN ('vp9', 'av1'))
+        OR (container = 'mov' AND codec IN ('h264', 'h265', 'mpeg2')))
+         AS compatible,
+       CASE WHEN container = 'mkv'
+                 OR (container = 'mp4' AND codec IN ('h264','h265','av1'))
+                 OR (container = 'webm' AND codec IN ('vp9', 'av1'))
+                 OR (container = 'mov' AND codec IN ('h264', 'h265',
+                                                     'mpeg2'))
+            THEN 'none' ELSE 'h264/mp4' END AS transcode_target
+FROM grid
+ORDER BY container, codec
+"""
