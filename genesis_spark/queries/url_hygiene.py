@@ -3629,3 +3629,122 @@ SELECT rid, host, CAST(len(ls) AS INT) AS n_labels,
             AND NOT numeric_tld AS INT) AS is_valid
 FROM checked
 """
+
+
+def q_url_alias_resolve(spark, sf_dir):
+    """URL ALIAS RESOLUTION — the composition row over the three alias
+    signals the registry verifies separately (url_redirect_resolve,
+    url_rel_canonical, url_mobile_amp_collapse): redirect targets,
+    rel=canonical declarations, and amp./m. host variants all assert
+    "these URLs are the same page"; a frontier must crawl ONE
+    representative per alias component or it spends 4x fetches per
+    page. Edges form an undirected alias graph (variant -> base ->
+    canonical chains, diameter <= 2 by construction), components are
+    resolved by THREE unrolled rounds of hash-min label propagation
+    (the bounded-diameter closed form of operators/cc.py's loop —
+    SQL-expressible, so the oracle replays it exactly), and each
+    component elects its lexicographic-min URL. Output is one row per
+    distinct URL with its representative and component size.
+
+    Plan/scale: 3 self-joins on a uniform url key + one count per
+    component — O(E) per round, E = O(urls), no iteration beyond the
+    fixed unroll because alias chains are short in real crawls (and
+    anything longer belongs to the general CC operator)."""
+    k = F.col("o_orderkey")
+    b = k % 200
+    base = F.concat(F.lit("https://h"), (b % 20).cast("string"),
+                    F.lit(".example.com/p"), b.cast("string"))
+    canon = F.concat(F.lit("https://h"), (b % 20).cast("string"),
+                     F.lit(".example.com/canonical"),
+                     (b / 10).cast("long").cast("string"))
+    variant = (F.when(k % 3 == 0,
+                      F.concat(F.lit("https://amp.h"),
+                               (b % 20).cast("string"),
+                               F.lit(".example.com/p"), b.cast("string")))
+               .when(k % 3 == 1,
+                     F.concat(F.lit("https://m.h"), (b % 20).cast("string"),
+                              F.lit(".example.com/p"), b.cast("string")))
+               .otherwise(F.concat(base, F.lit("?utm_source=x"))))
+    orders = _t(spark, sf_dir, "orders")
+    e_var = orders.select(variant.alias("src"), base.alias("dst"))
+    # every 10th base also declares rel=canonical -> a 2-hop chain
+    e_can = (orders.filter(b % 10 == 0)
+             .select(base.alias("src"), canon.alias("dst")))
+    edges = e_var.unionByName(e_can).distinct()
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = (und.select(F.col("src").alias("url")).distinct())
+    lab = nodes.select("url", F.col("url").alias("lbl"))
+    for _ in range(3):
+        nbr = (und.join(lab, und.dst == lab.url)
+               .groupBy("src").agg(F.min("lbl").alias("nbr_min")))
+        lab = (lab.join(nbr, lab.url == nbr.src, "left")
+               .select(lab.url,
+                       F.least(F.col("lbl"),
+                               F.coalesce("nbr_min", F.col("lbl")))
+                       .alias("lbl")))
+    size = lab.groupBy("lbl").agg(F.count("*").alias("component_size"))
+    return (lab.join(size, "lbl")
+            .select("url", F.col("lbl").alias("canonical_rep"),
+                    "component_size")
+            .orderBy("url"))
+
+
+ORACLE_URL_ALIAS_RESOLVE = """
+WITH ords AS (
+  SELECT o_orderkey AS k, o_orderkey % 200 AS b FROM orders
+),
+named AS (
+  SELECT k, b,
+         'https://h' || (b % 20) || '.example.com/p' || b AS base,
+         'https://h' || (b % 20) || '.example.com/canonical' || (b // 10)
+           AS canon
+  FROM ords
+),
+e_var AS (
+  SELECT CASE k % 3
+           WHEN 0 THEN 'https://amp.h' || (b % 20) || '.example.com/p' || b
+           WHEN 1 THEN 'https://m.h' || (b % 20) || '.example.com/p' || b
+           ELSE base || '?utm_source=x'
+         END AS src, base AS dst
+  FROM named
+),
+e_can AS (
+  SELECT base AS src, canon AS dst FROM named WHERE b % 10 = 0
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM
+    (SELECT src, dst FROM e_var UNION ALL SELECT src, dst FROM e_can)
+),
+und AS (
+  SELECT DISTINCT src, dst FROM
+    (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+),
+l0 AS (SELECT DISTINCT src AS url, src AS lbl FROM und),
+l1 AS (
+  SELECT l.url,
+         least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+  FROM l0 l LEFT JOIN und e ON e.src = l.url
+            LEFT JOIN l0 n ON n.url = e.dst
+  GROUP BY l.url, l.lbl
+),
+l2 AS (
+  SELECT l.url,
+         least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+  FROM l1 l LEFT JOIN und e ON e.src = l.url
+            LEFT JOIN l1 n ON n.url = e.dst
+  GROUP BY l.url, l.lbl
+),
+l3 AS (
+  SELECT l.url,
+         least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+  FROM l2 l LEFT JOIN und e ON e.src = l.url
+            LEFT JOIN l2 n ON n.url = e.dst
+  GROUP BY l.url, l.lbl
+),
+sz AS (SELECT lbl, count(*) AS component_size FROM l3 GROUP BY lbl)
+SELECT l3.url, l3.lbl AS canonical_rep, sz.component_size
+FROM l3 JOIN sz USING (lbl)
+ORDER BY l3.url
+"""
