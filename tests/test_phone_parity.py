@@ -134,7 +134,7 @@ CURATED = [
 KNOWN_DIVERGENCES = [
     ("19995550123", True, False),   # NANP area code 999 unassigned
     ("4400123456", True, False),    # UK NSN starting 0 not diallable
-    ("33112345678", True, False),   # FR 9-digit but leading 1 block invalid
+    ("4501234567", True, False),    # DK NSN starting 0 (plan is [2-9]...)
 ]
 
 
