@@ -121,7 +121,8 @@ CURATED = [
     # Unassigned / malformed country codes
     ("9991234567", False),        # 999 unassigned, 99 unassigned, 9 unassigned
     ("01234567890", False),       # 0 is never a country code
-    ("2001234567", True),         # Egypt CC 20 (no NSN entry -> total check)
+    ("201012345678", True),       # Egypt mobile 10-XXXXXXXX (CC 20 has no
+                                  # NSN entry -> total-length check only)
     # Total-length envelope
     ("1234567", False),           # 7 digits — below E.164 floor
     ("1234567890123456", False),  # 16 digits — above E.164 ceiling
