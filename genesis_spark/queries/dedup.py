@@ -7,6 +7,9 @@ from genesis_spark.queries._shared import *  # noqa: F401,F403
 
 
 def q_seen_anti_join(spark, sf_dir):
+    """D1/J1: the URL-seen gate as an exact left-anti equi-join —
+    candidate links minus the crawled set — the semantics the Bloom /
+    cuckoo prefilters accelerate without changing."""
     new = _t(spark, sf_dir, "lineitem").select(
         F.concat(F.lit("http://u"), (F.col("l_orderkey") % 1000).cast("string"),
                  F.lit(".onion")).alias("url")).distinct()
@@ -60,6 +63,9 @@ ORACLE_SEEN_ANTI_JOIN_CUCKOO = ORACLE_SEEN_ANTI_JOIN
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact dedup over the twin corpus: md5 pre-hash groupBy so wide
+    text never shuffles (operators/dedup.exact_dedup); one row per
+    distinct content with its copy count."""
     return D.exact_dedup(_corpus(spark, sf_dir))
 
 
@@ -150,6 +156,9 @@ FROM isl GROUP BY doc_id, island
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs at J>=0.5: shingle -> 16-perm
+    signature -> banded equi-join, never all-pairs
+    (operators/dedup.minhash_lsh_pairs)."""
     return D.minhash_lsh_pairs(_corpus(spark, sf_dir), threshold=0.5)
 
 
@@ -297,6 +306,10 @@ GROUP BY t.doc_id
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """SimHash-16 bucket census over the twin corpus: 16-bit fingerprint
+    exact-collision buckets with member lists
+    (operators/dedup.simhash_buckets); the 64-bit banded variant is the
+    scale path (dedup_simhash64)."""
     b = D.simhash_buckets(_corpus(spark, sf_dir))
     return b.select(
         "simhash", "n_docs",
@@ -317,6 +330,10 @@ ORACLE_DEDUP_SIMHASH64 = _simhash64_oracle()
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard pairs at >=0.6 with the hot-shingle df cap —
+    a shingle in more than max_df docs is dropped before the self-join,
+    bounding fan-out at max_df^2 per shingle
+    (operators/dedup.ngram_jaccard_pairs)."""
     # max_df: hot-shingle guard — a shingle in > max_df docs is dropped from
     # every shingle set before the self-join (bounds join fan-out at
     # max_df^2 per shingle); the oracle applies the identical cap

@@ -11,6 +11,10 @@ from genesis_spark.queries._shared import *  # noqa: F401,F403
 # ---------------------------------------------------------------------------
 
 def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors over the
+    embeddings table (operators/similarity.cosine_topk) — the exact
+    baseline the LSH / IVF / PQ paths are graded against
+    (ann_recall_eval)."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 

@@ -43,6 +43,9 @@ WHERE abs(round((value - mu) / sd, 4)) >= 2.0
 # ---------------------------------------------------------------------------
 
 def q_events_windowed(spark, sf_dir):
+    """Hourly tumbling-window event aggregation (count + value sum per
+    type) — the batch twin of the streaming windowed row
+    (stream_windowed)."""
     e = _t(spark, sf_dir, "events")
     return (e.groupBy(F.date_trunc("hour", "ts").alias("window_start"),
                       "event_type")

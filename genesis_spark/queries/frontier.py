@@ -7,6 +7,10 @@ from genesis_spark.queries._shared import *  # noqa: F401,F403
 
 
 def q_frontier_install(spark, sf_dir):
+    """S1/S8: the seed-install pipeline — validate -> canonicalize ->
+    MERGE-dedup (first (installed_at, seq) wins) -> global priority rank
+    -> round assignment at host_budget 8 (crawl_model.py:73) — the exact
+    operator the crawl engine's install path runs."""
     frontier = engine.install_seeds(_orders_seeds(spark, sf_dir), host_budget=8)
     return frontier.select("url", "installed_at", "seq", "round", "host_rank")
 
@@ -30,6 +34,9 @@ FROM (SELECT *, row_number() OVER (ORDER BY installed_at, seq) - 1
 
 
 def q_frontier_wave_select(spark, sf_dir):
+    """S2/O1: wave selection — the pending rows of one crawl round in
+    (installed_at, seq) priority order, the frontier scan run_rounds
+    issues each dispatch cycle."""
     k = F.col("o_orderkey")
     entries = _t(spark, sf_dir, "orders").select(
         F.concat(F.lit("h"), (k % 50).cast("string")).alias("host_key"),

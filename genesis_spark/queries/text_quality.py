@@ -58,6 +58,9 @@ SELECT token, count(*) AS n_tok FROM toks GROUP BY token
 # ---------------------------------------------------------------------------
 
 def q_text_lang_id(spark, sf_dir):
+    """Marker-word language ID (textstats.lang_id_expr) censused per
+    detected language; the trained Cavnar-Trenkle trigram tier is
+    text_langid_ngram."""
     d = _t(spark, sf_dir, "documents")
     return (d.select(TS.lang_id_expr(F.col("text")).alias("lang_detected"))
             .groupBy("lang_detected").agg(F.count("*").alias("n_docs")))
@@ -67,6 +70,9 @@ ORACLE_TEXT_LANG_ID = _lang_oracle()
 
 
 def q_text_quality(spark, sf_dir):
+    """Length/punctuation/stopword-ratio quality rubric
+    (textstats.quality_score_expr) aggregated per source — the
+    calibration input for the corpus_clean gate."""
     d = _t(spark, sf_dir, "documents")
     return (d.select("source",
                      TS.quality_score_expr(F.col("text")).alias("q"))
@@ -86,6 +92,9 @@ FROM qs GROUP BY source
 
 
 def q_text_token_count(spark, sf_dir):
+    """Token counting two ways per source: whitespace tokens and a
+    BPE-ish regex tokenization ([A-Za-z]{1,4} | digit runs | symbol) —
+    both pure codegen (textstats.token_counts_exprs)."""
     d = _t(spark, sf_dir, "documents")
     tc = TS.token_counts_exprs(F.col("text"))
     return (d.select("source", tc["n_tokens_ws"].alias("ws"),
@@ -106,6 +115,9 @@ FROM documents GROUP BY source
 
 
 def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting (textstats.fingerprint_expr rolling
+    hash) grouped to fingerprint buckets with member lists — exact-dup
+    detection at fingerprint grain over the twin corpus."""
     c = _corpus(spark, sf_dir)
     fp = c.select("doc_id", TS.fingerprint_expr(F.col("text")).alias("fp"))
     return (fp.groupBy("fp")

@@ -7,6 +7,9 @@ from genesis_spark.queries._shared import *  # noqa: F401,F403
 
 
 def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 pricing summary verbatim — the cross-engine parity
+    anchor row: if this diverges, the harness (not an operator) is
+    broken."""
     li = _t(spark, sf_dir, "lineitem")
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")

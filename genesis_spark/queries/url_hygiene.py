@@ -12,6 +12,11 @@ from genesis_spark.queries._shared import *  # noqa: F401,F403
 # ---------------------------------------------------------------------------
 
 def q_url_canonicalize(spark, sf_dir):
+    """P1 on_clean_url canonicalization (helper_method.py:34-47) over
+    messy synthesized URLs — scheme+host lowercase, one leading www.
+    stripped, trailing '/ ' trimmed — through the shared codegen expr
+    (functions/urls.canonicalize_expr), the same kernel the crawl
+    install path runs."""
     k = F.col("o_orderkey")
     raw = F.when(k % 2 == 0,
                  F.concat(F.lit("HTTP://WWW.Site"), (k % 50).cast("string"),
@@ -35,6 +40,8 @@ FROM orders WHERE o_orderkey < 2000
 
 
 def q_url_network_type(spark, sf_dir):
+    """P5 get_network_type (helper_method.py:55-62): onion / i2p /
+    clearnet classification, grouped to a 3-row census."""
     k = F.col("o_orderkey")
     raw = (F.when(k % 4 == 0, F.concat(F.lit("http://h"), k.cast("string"), F.lit(".onion/x")))
            .when(k % 4 == 1, F.concat(F.lit("http://h"), k.cast("string"), F.lit(".i2p")))
@@ -55,6 +62,8 @@ FROM orders GROUP BY 1
 
 
 def q_url_host_key(spark, sf_dir):
+    """P6 get_host_name (helper_method.py:50-53): registrable host-key
+    extraction through the codegen expr over synthesized URLs."""
     k = F.col("o_orderkey")
     raw = F.concat(F.lit("http://www.shop"), (k % 20).cast("string"),
                    F.lit(".com/item/"), k.cast("string"))
@@ -70,6 +79,8 @@ FROM orders WHERE o_orderkey < 1000
 
 
 def q_url_ext_bucket(spark, sf_dir):
+    """T16 extension bucketing: path extension -> media-class routing
+    (the reference's parser dispatch tables), grouped per bucket."""
     k = F.col("o_orderkey")
     ext = (F.when(k % 5 == 0, ".jpg").when(k % 5 == 1, ".mp4")
            .when(k % 5 == 2, ".pdf").when(k % 5 == 3, ".zip")
