@@ -1137,3 +1137,56 @@ SELECT feed, n_posts, span_s,
 FROM agg
 ORDER BY feed
 """
+
+
+def q_warc_date_coverage(spark, sf_dir):
+    """Archive TEMPORAL-COVERAGE audit — the collection-management QA
+    every web archive runs before claiming it "covers" a host (IIPC
+    collection-profile practice): per host, how many distinct capture
+    days exist, what span they stretch over, the coverage ratio, and
+    the LONGEST capture gap inside the span (the number that decides
+    whether a replay of date D will find a near-date capture).
+    Synthesized capture days drop every (host+day) % 7 == 0 slot so
+    real gaps exist at every SF. One distinct + one lag window per
+    host + a final per-host rollup — all integer day arithmetic."""
+    k = F.col("o_orderkey")
+    caps = (_t(spark, sf_dir, "orders")
+            .select(F.concat(F.lit("h"), (k % 25).cast("string"))
+                    .alias("host_key"),
+                    ((F.expr("o_orderkey DIV 25")) % 60).alias("day"))
+            .filter(((k % 25) + F.col("day")) % 7 != 0)
+            .distinct())
+    w = Window.partitionBy("host_key").orderBy("day")
+    gaps = caps.withColumn(
+        "gap", F.col("day") - F.lag("day").over(w) - 1)
+    return (gaps.groupBy("host_key")
+            .agg(F.count("*").alias("n_days"),
+                 (F.max("day") - F.min("day") + 1).alias("span_days"),
+                 F.coalesce(F.max("gap"), F.lit(0)).alias("max_gap_days"))
+            .withColumn("coverage_ppm",
+                        F.expr("n_days * 1000000 DIV span_days"))
+            .orderBy("host_key"))
+
+
+ORACLE_WARC_DATE_COVERAGE = """
+WITH caps AS (
+  SELECT DISTINCT 'h' || (o_orderkey % 25) AS host_key,
+         (o_orderkey // 25) % 60 AS day
+  FROM orders
+  WHERE ((o_orderkey % 25) + (o_orderkey // 25) % 60) % 7 <> 0
+),
+gaps AS (
+  SELECT host_key, day,
+         day - lag(day) OVER (PARTITION BY host_key ORDER BY day) - 1
+           AS gap
+  FROM caps
+)
+SELECT host_key,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_days,
+       CAST(count(*) AS BIGINT) * 1000000
+         // CAST(max(day) - min(day) + 1 AS BIGINT) AS coverage_ppm
+FROM gaps GROUP BY host_key
+ORDER BY host_key
+"""
