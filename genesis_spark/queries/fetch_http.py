@@ -1830,3 +1830,75 @@ SELECT 'h' || hn AS host,
        CAST(sum(resumed) * 120 AS BIGINT) AS ms_saved
 FROM flagged GROUP BY hn
 """
+
+
+def q_http_meta_refresh(spark, sf_dir):
+    """META-REFRESH redirect extraction — the HTML-level redirect the
+    HTTP-level rows (url_redirect_resolve, url_redirect_loops) never
+    see: <meta http-equiv="refresh" content="N;url=..."> is how parked
+    pages, interstitials, and soft-moved sites redirect without a 3xx,
+    and a frontier that ignores it crawls the shell and misses the
+    content. Pages are synthesized four ways (immediate redirect,
+    delayed redirect, bare reload without url=, no meta at all); the
+    extraction is one case-insensitive regexp over the document —
+    pure codegen, fused into the scan — emitting (url, target, delay)
+    edges plus a per-class census column."""
+    k = F.col("doc_id")
+    url = F.concat(F.lit("http://s"), (k % 30).cast("string"),
+                   F.lit(".onion/p"), k.cast("string"))
+    target = F.concat(F.lit("http://s"), (k % 30).cast("string"),
+                      F.lit(".onion/new"), (k % 50).cast("string"))
+    html = (F.when(k % 4 == 0, F.concat(
+                F.lit('<html><head><META HTTP-EQUIV="Refresh" '
+                      'CONTENT="0;URL='), target,
+                F.lit('"></head><body>moved</body></html>')))
+            .when(k % 4 == 1, F.concat(
+                F.lit('<html><head><meta http-equiv="refresh" '
+                      'content="5; url='), target,
+                F.lit('"></head><body>wait</body></html>')))
+            .when(k % 4 == 2, F.lit(
+                '<html><head><meta http-equiv="refresh" '
+                'content="30"></head><body>reload</body></html>'))
+            .otherwise(F.lit("<html><body>plain</body></html>")))
+    pages = (_t(spark, sf_dir, "documents")
+             .select(url.alias("url"), html.alias("html")))
+    content = F.regexp_extract(
+        F.col("html"),
+        r'(?i)<meta\s+http-equiv="refresh"\s+content="([^"]*)"', 1)
+    delay = F.regexp_extract(content, r"^\s*(\d+)", 1)
+    tgt = F.regexp_extract(content, r"(?i);\s*url=([^\"]+)", 1)
+    out = (pages
+           .withColumn("refresh_delay_s",
+                       F.when(delay == "", F.lit(-1))
+                       .otherwise(delay.cast("long")))
+           .withColumn("refresh_target", tgt)
+           .withColumn("refresh_class",
+                       F.when(content == "", "none")
+                       .when(tgt == "", "reload_only")
+                       .when(F.col("refresh_delay_s") == 0, "immediate")
+                       .otherwise("delayed")))
+    return (out.select("url", "refresh_class", "refresh_delay_s",
+                       "refresh_target")
+            .orderBy("url"))
+
+
+ORACLE_HTTP_META_REFRESH = """
+WITH pages AS (
+  SELECT 'http://s' || (doc_id % 30) || '.onion/p' || doc_id AS url,
+         doc_id % 4 AS shape,
+         'http://s' || (doc_id % 30) || '.onion/new' || (doc_id % 50)
+           AS target
+  FROM documents
+)
+SELECT url,
+       CASE shape WHEN 0 THEN 'immediate' WHEN 1 THEN 'delayed'
+                  WHEN 2 THEN 'reload_only' ELSE 'none' END
+         AS refresh_class,
+       CAST(CASE shape WHEN 0 THEN 0 WHEN 1 THEN 5
+                       WHEN 2 THEN 30 ELSE -1 END AS BIGINT)
+         AS refresh_delay_s,
+       CASE WHEN shape IN (0, 1) THEN target ELSE '' END
+         AS refresh_target
+FROM pages
+ORDER BY url
+"""

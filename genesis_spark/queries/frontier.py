@@ -2140,3 +2140,51 @@ SELECT 'h' || hn AS host, round,
          AS urls_lost
 FROM outcomes
 """
+
+
+def q_frontier_byte_budget(spark, sf_dir):
+    """BYTE-based crawl budgeting — the bandwidth complement of the
+    count-based allocators (host_budget_waterfill allocates page
+    COUNTS; politeness paces requests): a fetch fleet is ultimately
+    bounded by bytes/round, and hosts serving 10x heavier pages must
+    get proportionally fewer fetches. Per host: observed mean page
+    bytes (synthesized heavy-tail: hub hosts serve 8x pages), the
+    page quota a 64 MiB per-round byte cap buys at that weight, and
+    whether the byte quota (not the count budget of 500) is the
+    binding constraint. Integer arithmetic throughout; one partial
+    agg at host grain."""
+    k = F.col("l_orderkey")
+    host = F.concat(F.lit("h"), (k % 40).cast("string"))
+    page_bytes = (F.when(k % 40 < 5, 400_000).otherwise(50_000)
+                  + (k % 97) * 100)
+    obs = (_t(spark, sf_dir, "lineitem")
+           .select(host.alias("host_key"), page_bytes.alias("bytes"))
+           .groupBy("host_key")
+           .agg(F.count("*").alias("n_pages"),
+                F.sum("bytes").alias("total_bytes")))
+    mean_b = F.expr("total_bytes DIV n_pages")
+    byte_quota = F.expr("67108864 DIV (total_bytes DIV n_pages)")
+    return (obs.withColumn("mean_page_bytes", mean_b)
+            .withColumn("byte_quota_pages", byte_quota)
+            .withColumn("binding_constraint",
+                        F.when(byte_quota < 500, F.lit("bytes"))
+                        .otherwise(F.lit("count")))
+            .orderBy("host_key"))
+
+
+ORACLE_FRONTIER_BYTE_BUDGET = """
+WITH obs AS (
+  SELECT 'h' || (l_orderkey % 40) AS host_key,
+         count(*) AS n_pages,
+         sum(CASE WHEN l_orderkey % 40 < 5 THEN 400000
+                  ELSE 50000 END + (l_orderkey % 97) * 100) AS total_bytes
+  FROM lineitem GROUP BY 1
+)
+SELECT host_key, n_pages, total_bytes,
+       total_bytes // n_pages AS mean_page_bytes,
+       67108864 // (total_bytes // n_pages) AS byte_quota_pages,
+       CASE WHEN 67108864 // (total_bytes // n_pages) < 500
+            THEN 'bytes' ELSE 'count' END AS binding_constraint
+FROM obs
+ORDER BY host_key
+"""
