@@ -3759,3 +3759,58 @@ SELECT l3.url, l3.lbl AS canonical_rep, sz.component_size
 FROM l3 JOIN sz USING (lbl)
 ORDER BY l3.url
 """
+
+
+def q_url_scheme_downgrade(spark, sf_dir):
+    """HTTPS->HTTP DOWNGRADE-link detection — the security-ops signal on
+    link EDGES that url_scheme_consolidate (which merges scheme-duplicate
+    URLs) cannot see: a secure page linking to a cleartext target leaks
+    referrer context and invites SSLstrip-style interception, and sites
+    with a high downgrade share need scheme-upgrade rewriting at the
+    frontier. Edges are synthesized with a per-host mix (every 3rd host
+    serves half its outlinks as downgrades, every 7th link on any host
+    is cleartext-to-cleartext — not a downgrade); per source host: edge
+    mass, downgrade count, share in ppm, and the rewrite flag at the 20%
+    threshold. Pure codegen census, one partial agg at host grain."""
+    k = F.col("l_orderkey") + F.col("l_linenumber")
+    h = k % 30
+    src_secure = ~((k % 7 == 0) | ((h % 3 == 0) & (k % 2 == 0)))
+    dst_secure = ~((k % 7 == 0) | ((h % 3 == 0) & (k % 4 < 2)))
+    edges = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("h"), h.cast("string")).alias("src_host"),
+        src_secure.alias("src_https"), dst_secure.alias("dst_https"))
+    is_down = (F.col("src_https") & ~F.col("dst_https")).cast("long")
+    return (edges.groupBy("src_host")
+            .agg(F.count("*").alias("n_links"),
+                 F.sum(is_down).alias("n_downgrade"))
+            .withColumn("downgrade_ppm",
+                        F.expr("n_downgrade * 1000000 DIV n_links"))
+            .withColumn("needs_rewrite",
+                        F.expr("n_downgrade * 1000000 DIV n_links")
+                        >= 200000)
+            .orderBy("src_host"))
+
+
+ORACLE_URL_SCHEME_DOWNGRADE = """
+WITH edges AS (
+  SELECT 'h' || ((l_orderkey + l_linenumber) % 30) AS src_host,
+         NOT ((l_orderkey + l_linenumber) % 7 = 0
+              OR (((l_orderkey + l_linenumber) % 30) % 3 = 0
+                  AND (l_orderkey + l_linenumber) % 2 = 0)) AS src_https,
+         NOT ((l_orderkey + l_linenumber) % 7 = 0
+              OR (((l_orderkey + l_linenumber) % 30) % 3 = 0
+                  AND (l_orderkey + l_linenumber) % 4 < 2)) AS dst_https
+  FROM lineitem
+),
+agg AS (
+  SELECT src_host, count(*) AS n_links,
+         sum(CASE WHEN src_https AND NOT dst_https THEN 1 ELSE 0 END)
+           AS n_downgrade
+  FROM edges GROUP BY src_host
+)
+SELECT src_host, n_links, n_downgrade,
+       n_downgrade * 1000000 // n_links AS downgrade_ppm,
+       n_downgrade * 1000000 // n_links >= 200000 AS needs_rewrite
+FROM agg
+ORDER BY src_host
+"""
