@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from genesis_spark.crawler import engine
 from genesis_spark.functions import urls as U
 from genesis_spark.operators import dedup as D
+from genesis_spark.operators import seq as SEQ
 from genesis_spark.operators import similarity as SIM
 from genesis_spark.operators import textstats as TS
 

@@ -378,21 +378,21 @@ def q_corpus_token_budget(spark, sf_dir):
     """Token-budget corpus selection — the greedy pass that fills a
     training-token budget with the best documents first: order by
     (quality DESC, doc_id), admit docs while the running token total
-    stays within budget. Shown here as the flat single-window form (the
-    oracle row); at 100 TB the prefix sum decomposes exactly like
-    operators/pack.py's hierarchical path (range-partition sort ->
-    per-shard sums -> broadcast base offsets), proved bit-identical there.
-    """
+    stays within budget. The REGISTERED plan is the hierarchical
+    prefix decomposition (seq.with_global_running_sum: range-partition
+    sort -> per-partition sums -> broadcast base offsets -> local
+    windows), the same math operators/pack.py proves bit-identical to
+    the flat window — no single-partition sort at any scale (round-4
+    verdict item #2)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     scored = d.select(
         "doc_id",
         TS.quality_score_expr(F.col("text")).alias("quality"),
         F.size(F.split("text", " ")).alias("n_tokens"))
-    w = (Window.orderBy(F.desc("quality"), F.asc("doc_id"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (scored.withColumn("running_tokens",
-                              F.sum("n_tokens").over(w))
-            .filter(F.col("running_tokens") <= 20000)
+    run = SEQ.with_global_running_sum(
+        scored, [F.desc("quality"), F.asc("doc_id")],
+        "n_tokens", "running_tokens")
+    return (run.filter(F.col("running_tokens") <= 20000)
             .select("doc_id", "quality", "n_tokens", "running_tokens"))
 
 
@@ -1018,20 +1018,19 @@ def q_corpus_length_buckets(spark, sf_dir):
     formula), integer waste, ppm by integer DIV; batch assignment uses
     full deterministic tie-breaks (doc_id) on both engines.
 
-    Plan/scale: the global row_number is the demo form at driver SF;
-    the scale path for rank-then-chunk is pack.py's proven
-    hierarchical prefix decomposition (shard sums -> tiny prefix
-    window -> broadcast base offsets), identical math."""
+    Plan/scale: both ranks run through seq.with_global_rank (range-
+    partition + per-partition base offsets — the registered plan IS
+    the scale path now, no single-partition sort; round-4 verdict
+    item #2); everything after the rank is a census groupBy."""
     d = (_t(spark, sf_dir, "documents")
          .filter(F.col("text").isNotNull())
          .select("doc_id",
                  F.size(F.split("text", " ")).cast("long").alias("n_tok")))
-    w_naive = Window.orderBy(F.col("doc_id").asc())
-    w_buck = Window.orderBy(F.col("n_tok").asc(), F.col("doc_id").asc())
+    o_naive = [F.col("doc_id").asc()]
+    o_buck = [F.col("n_tok").asc(), F.col("doc_id").asc()]
 
-    def batches(df, w, tag):
-        return (df
-                .withColumn("rk", F.row_number().over(w).cast("long"))
+    def batches(df, order, tag):
+        return (SEQ.with_global_rank(df, order, "rk")
                 .withColumn("batch_id", F.expr("(rk - 1) DIV 32")
                             .cast("long"))
                 .groupBy("batch_id")
@@ -1046,8 +1045,8 @@ def q_corpus_length_buckets(spark, sf_dir):
                     "(padded_tokens - real_tokens) * 1000000 "
                     "DIV padded_tokens").cast("long")))
 
-    return batches(d, w_naive, "naive").unionByName(
-        batches(d, w_buck, "bucketed"))
+    return batches(d, o_naive, "naive").unionByName(
+        batches(d, o_buck, "bucketed"))
 
 
 ORACLE_CORPUS_LENGTH_BUCKETS = """
@@ -1230,17 +1229,18 @@ def q_corpus_pack_fragmentation(spark, sf_dir):
     Exactness: all block arithmetic is integer DIV on exact token
     counts.
 
-    Plan/scale: the window is the pack row's own; the census explodes
-    each doc into its spanned blocks — bounded by ceil(n_tok/2048)+1
-    per doc, never |docs| x |blocks|."""
+    Plan/scale: the running token offset comes from
+    seq.with_global_running_sum (the hierarchical prefix path — no
+    single-partition window; round-4 verdict item #2); the census
+    explodes each doc into its spanned blocks — bounded by
+    ceil(n_tok/2048)+1 per doc, never |docs| x |blocks|."""
     d = (_t(spark, sf_dir, "documents")
          .filter(F.col("text").isNotNull())
          .select("doc_id",
                  F.size(F.split("text", " ")).cast("long")
                  .alias("n_tok")))
-    w = (Window.orderBy(F.asc("doc_id"))
-         .rowsBetween(Window.unboundedPreceding, 0))
-    spans = (d.withColumn("cum", F.sum("n_tok").over(w))
+    spans = (SEQ.with_global_running_sum(d, [F.asc("doc_id")],
+                                         "n_tok", "cum")
              .withColumn("b0", F.expr("(cum - n_tok) DIV 2048"))
              .withColumn("b1", F.expr("(cum - 1) DIV 2048")))
     blocks = spans.select(
@@ -1562,10 +1562,11 @@ def q_corpus_greedy_select(spark, sf_dir):
     the realized average quality — the number you compare against
     random selection to prove curation pays.
 
-    Plan/scale: the running-sum window is ordered over DOC-level
-    rows (not tokens); at 10^10 docs the same selection runs as a
-    density-histogram threshold search (two passes) — documented
-    here, the window form is the fixture-exact reference."""
+    Plan/scale: the running-sum is seq.with_global_running_sum over
+    DOC-level rows (hierarchical prefix path, no single-partition
+    sort; round-4 verdict item #2); at 10^10 docs a density-histogram
+    threshold search (two passes) is the even-cheaper alternative —
+    same answer, documented here."""
     d = (_t(spark, sf_dir, "documents")
          .filter(F.col("text").isNotNull())
          .select("doc_id", "source",
@@ -1576,12 +1577,10 @@ def q_corpus_greedy_select(spark, sf_dir):
          .withColumn("density_micro",
                      F.expr("quality_milli * 1000 DIV n_tokens")
                      .cast("long")))
-    w = Window.orderBy(F.col("density_micro").desc(),
-                       F.col("doc_id").asc())
-    sel = (d.withColumn("cum_tokens",
-                        F.sum("n_tokens").over(
-                            w.rowsBetween(Window.unboundedPreceding, 0))
-                        .cast("long"))
+    sel = (SEQ.with_global_running_sum(
+               d, [F.col("density_micro").desc(), F.col("doc_id").asc()],
+               "n_tokens", "cum_tokens")
+           .withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
            .withColumn("selected",
                        (F.col("cum_tokens") <= 20000).cast("int")))
     return (sel.groupBy("source")

@@ -1556,10 +1556,11 @@ def q_events_concurrency(spark, sf_dir):
     Exactness: integer epoch seconds, deterministic (t, delta,
     event_id) total order, integer running sum.
 
-    Plan/scale: ONE global-order window at driver SF (the demo form);
-    at 10^10 events the sum decomposes exactly like pack.py's
-    hierarchical prefix path (per-shard sums + broadcast base
-    offsets) — the identical math, documented there."""
+    Plan/scale: the sweep's running sum is seq.with_global_running_sum
+    — the hierarchical prefix decomposition (range-partition sort,
+    per-partition deltas, broadcast base offsets) IS the registered
+    plan, so no single-partition window at any scale (round-4 verdict
+    item #2); the per-hour census is one groupBy."""
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         F.unix_timestamp("ts").cast("long").alias("s"))
@@ -1570,9 +1571,9 @@ def q_events_concurrency(spark, sf_dir):
                      "event_id")
            .unionByName(iv.select(F.col("e").alias("t"),
                                   F.lit(-1).alias("delta"), "event_id")))
-    w = (Window.orderBy(F.asc("t"), F.asc("delta"), F.asc("event_id"))
-         .rowsBetween(Window.unboundedPreceding, 0))
-    run = pts.withColumn("live", F.sum("delta").over(w))
+    run = SEQ.with_global_running_sum(
+        pts, [F.asc("t"), F.asc("delta"), F.asc("event_id")],
+        "delta", "live")
     return (run.withColumn("hour", F.expr("t DIV 3600").cast("long"))
             .groupBy("hour")
             .agg(F.max("live").cast("long").alias("peak_live"),

@@ -1307,8 +1307,11 @@ def q_frontier_wfq(spark, sf_dir):
     is exact integer; the global slot rank uses a full
     (vfinish, host, url_id) tie-break.
 
-    Plan/scale: one host-partitioned window (the politeness shuffle)
-    plus the global rank, which range-partitions at scale."""
+    Plan/scale: one host-partitioned window (the politeness shuffle),
+    then the global slot rank via operators/seq.with_global_rank —
+    range-partition on (vfinish, host, url_id), O(partitions) base
+    offsets, pid-partitioned row_number — so no single-partition
+    window ever sees the frontier (round-4 verdict item #1)."""
     k = F.col("o_orderkey")
     h = k % 15
     items = _t(spark, sf_dir, "orders").select(
@@ -1328,8 +1331,11 @@ def q_frontier_wfq(spark, sf_dir):
                      - (F.col("c_i") - F.col("cost_scaled")))
          .withColumn("vfinish", (F.col("c_i") + F.max("g").over(w))
                      .cast("long")))
-    wg = Window.orderBy(F.asc("vfinish"), F.asc("host"), F.asc("url_id"))
-    return (x.withColumn("slot", F.row_number().over(wg).cast("long"))
+    slim = x.select("host", "url_id", "weight", "arrival",
+                    "cost_scaled", "vfinish")
+    return (SEQ.with_global_rank(
+                slim,
+                [F.asc("vfinish"), F.asc("host"), F.asc("url_id")], "slot")
             .select("host", "url_id", "weight", "arrival", "cost_scaled",
                     "vfinish", "slot"))
 
