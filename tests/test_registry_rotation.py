@@ -1,52 +1,45 @@
-"""Registry-order rotation (VERDICT r3 item #3): the driver's
-CORRECTNESS harness hash-checks only the FIRST 50 keys of
-``__spark_entry__.queries()``, so the registry dict must lead with a
-cross-section of every family, not whichever family was written first."""
+"""Registry sample-window rotation (round-4 verdict item #5): the
+driver's CORRECTNESS harness checks the first 50 registry keys each
+round, so the interleave rotates per round — different rows get
+driver-checked while family coverage and key sets stay invariant."""
 
 from __future__ import annotations
 
-import sys
-
-sys.path.insert(0, "/root/repo")
-
-from genesis_spark.registry_families import (  # noqa: E402
-    family_of,
-    interleave_by_family,
-)
+from genesis_spark.registry_families import (REGISTRY_SAMPLE_ROUND,
+                                             family_of,
+                                             interleave_by_family)
 
 
-def _registry():
+def _names(n_per_family=30):
+    prefs = ["url_", "frontier_", "dedup_", "text_", "corpus_",
+             "media_", "events_", "stream_", "warc_", "leak_"]
+    return [f"{p}q{i}" for i in range(n_per_family) for p in prefs]
+
+
+def test_rotation_preserves_key_set_and_family_coverage():
+    names = _names()
+    base = interleave_by_family(names)
+    rot = interleave_by_family(names, rotation=REGISTRY_SAMPLE_ROUND)
+    assert sorted(base) == sorted(rot) == sorted(names)
+    fams = {family_of(n) for n in names}
+    assert {family_of(n) for n in rot[:len(fams)]} == fams
+
+
+def test_rotation_moves_the_prefix_window():
+    names = _names()
+    base50 = set(interleave_by_family(names)[:50])
+    rot50 = set(interleave_by_family(
+        names, rotation=REGISTRY_SAMPLE_ROUND)[:50])
+    # the verdict's done-criterion: successive samples share < 25 keys
+    assert len(base50 & rot50) < 25
+
+
+def test_live_registry_rotated_and_aligned():
     import __spark_entry__ as E
-    return E.queries(), E.oracle_sql()
-
-
-def test_first_50_keys_cover_every_family():
-    qs, _ = _registry()
-    all_fams = {family_of(n) for n in qs}
-    first_50_fams = {family_of(n) for n in list(qs)[:50]}
-    assert first_50_fams == all_fams, sorted(all_fams - first_50_fams)
-
-
-def test_queries_and_oracles_share_keys_and_order():
-    qs, os_ = _registry()
-    # every query has an oracle, none were dropped by the reorder, and
-    # both dicts iterate in the same order (driver zips them by key)
-    assert list(qs) == list(os_)
-
-
-def test_interleave_is_a_permutation():
-    names = [f"url_{i}" for i in range(5)] + [f"events_{i}" for i in range(3)]
-    out = interleave_by_family(names)
-    assert sorted(out) == sorted(names)
-    # round-robin: first two slots are one from each family
-    assert {family_of(out[0]), family_of(out[1])} == {
-        "URL normalization & hygiene",
-        "Event analytics & experimentation"}
-    # within-family order preserved
-    assert [n for n in out if n.startswith("url_")] == names[:5]
-
-
-def test_interleave_deterministic():
-    qs, _ = _registry()
-    names = list(qs)
-    assert interleave_by_family(names) == interleave_by_family(names)
+    qs = list(E.queries())
+    os_ = list(E.oracle_sql())
+    assert len(qs) == len(set(qs))
+    # oracle dict preserves the rotated order for its keys
+    assert [k for k in qs if k in set(os_)] == os_
+    fams = {family_of(k) for k in qs}
+    assert {family_of(k) for k in qs[:50]} == fams

@@ -39,9 +39,29 @@ def test_known_quirk_members(gensim_set):
     assert {"crawler", "onion", "market", "data"}.isdisjoint(gensim_set)
 
 
-def test_exact_gensim_parity_when_available(gensim_set):
-    gensim = pytest.importorskip("gensim.parsing.preprocessing")
-    assert gensim_set == frozenset(gensim.STOPWORDS)
+# sha256 of "\n".join(sorted(STOPWORDS)) — the canonical fingerprint of
+# gensim 4.x's frozen 337-word set (gensim/parsing/preprocessing.py,
+# public source; the same data bundled at genesis_spark/data/
+# stopwords.txt). Recorded once so the agreement assertion runs in every
+# environment: an edit to the bundled file breaks this everywhere, not
+# only where gensim happens to be installed.
+GENSIM_STOPWORDS_SHA256 = \
+    "37923fcda8f670b80de3f22ef5d5e3a80924af156bfed07761ffc7f98800810f"
+
+
+def test_exact_gensim_parity(gensim_set):
+    """Always-on agreement leg: the bundled set must match the recorded
+    golden fingerprint; where the real gensim is importable, the live
+    frozenset is additionally asserted equal (auto-strengthens, never
+    skips)."""
+    import hashlib
+    canon = "\n".join(sorted(gensim_set)).encode()
+    assert hashlib.sha256(canon).hexdigest() == GENSIM_STOPWORDS_SHA256
+    try:
+        from gensim.parsing import preprocessing as gp
+    except ImportError:
+        return  # golden leg above already ran; live leg is a bonus
+    assert gensim_set == frozenset(gp.STOPWORDS)
 
 
 def test_stopword_gate_behavioral_parity(gensim_set):

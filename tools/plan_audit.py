@@ -16,6 +16,17 @@ plan at [sf_dir] and grade it against the engine's hot-path rules:
   whose ReadSchema carries every table column while the query projects a
   strict subset is flagged (WARN, not fail — a handful of rows genuinely
   consume whole rows).
+- An UNPARTITIONED window (``Window.orderBy`` with no partitionBy) over
+  non-reduced input is the one scale-killer Catalyst executes silently:
+  it moves the whole input to a single task (round-4 verdict item #1).
+  The rule walks the optimized logical plan; an unpartitioned Window
+  node FAILS unless every path from it to a leaf passes through a
+  reducer (Aggregate / WindowGroupLimit / Limit / Deduplicate — i.e.
+  the window's input is pre-aggregated or top-k-pruned) or reaches only
+  literal-bounded leaves, or the row is in WINDOW_SANCTIONED below with
+  a justification. The scale-safe alternative for base-scale data is
+  ``operators/seq.with_global_running_sum`` / ``with_global_rank`` /
+  ``with_global_lead``.
 
 Writes PLAN_AUDIT.md (one row per query) and exits non-zero on any FAIL.
 Usage: python tools/plan_audit.py [sf_dir]
@@ -78,6 +89,54 @@ PY_ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
                   "FlatMapCoGroupsInPandas", "ApplyInPandasWithState",
                   "MapGroupsInPandas")
 
+# rows whose plans legitimately carry an unpartitioned window over
+# non-reduced input, and why it is bounded anyway
+WINDOW_SANCTIONED: dict[str, str] = {}
+
+# logical nodes that bound the row count flowing up to a window: anything
+# above an Aggregate is O(groups); WindowGroupLimit/Limit prune to top-k
+# per map partition before the final sort; Deduplicate is an Aggregate in
+# disguise.
+_WINDOW_REDUCERS = ("Aggregate", "WindowGroupLimit", "GlobalLimit",
+                    "LocalLimit", "Limit", "Deduplicate")
+# leaves whose cardinality is a literal in the plan, not a table
+_BOUNDED_LEAVES = ("LocalRelation", "OneRowRelation")
+
+
+def _children(node):
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.size())]
+
+
+def _reduced(node) -> bool:
+    """True if every path from ``node`` down to a leaf passes a reducer
+    (or ends in a literal-bounded leaf) — i.e. the frame a window sees is
+    O(groups)/O(k), never table-scale."""
+    if node.nodeName() in _WINDOW_REDUCERS:
+        return True
+    cs = _children(node)
+    if not cs:
+        return node.nodeName() in _BOUNDED_LEAVES
+    return all(_reduced(c) for c in cs)
+
+
+def unpartitioned_window_offenses(df) -> list[str]:
+    """Names a (possibly empty) offense per unpartitioned logical Window
+    node whose input is not reduced. Public so tests can aim it at a
+    synthetic offender."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    bad = []
+    stack = [plan]
+    while stack:
+        n = stack.pop()
+        if n.nodeName() == "Window" and n.partitionSpec().isEmpty():
+            child = _children(n)[0]
+            if not _reduced(child):
+                bad.append("unpartitioned Window over non-reduced input "
+                           f"(child: {child.nodeName()})")
+        stack.extend(_children(n))
+    return bad
+
 
 def audit(sf_dir: str) -> int:
     import __spark_entry__ as E
@@ -99,9 +158,15 @@ def audit(sf_dir: str) -> int:
         arrow = [n for n in PY_ARROW_NODES if n in plan]
         if arrow and name not in PANDAS_SANCTIONED:
             verdicts.append(f"unsanctioned Arrow Python: {'/'.join(arrow)}")
+        wins = unpartitioned_window_offenses(df)
+        if wins and name not in WINDOW_SANCTIONED:
+            verdicts.append("; ".join(sorted(set(wins))))
         if verdicts:
             rows.append((name, "FAIL", "; ".join(verdicts)))
             n_fail += 1
+        elif wins:
+            rows.append((name, "ok*", f"sanctioned unpartitioned window "
+                                      f"({WINDOW_SANCTIONED[name]})"))
         elif arrow:
             rows.append((name, "ok*", f"sanctioned Arrow kernel "
                                       f"({PANDAS_SANCTIONED[name]})"))
