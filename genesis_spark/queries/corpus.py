@@ -421,17 +421,25 @@ def q_corpus_epoch_shuffle(spark, sf_dir):
     training loader needs, as a pure map + rank: epoch e's order key is
     md5(e || doc_id), so each epoch is a different but REPRODUCIBLE
     permutation (restart-safe, no RNG state). Emitted for 2 epochs; the
-    position is a per-epoch dense rank. At 100 TB the rank is a sort by
-    the hash key (range-partitioned, one shuffle per epoch manifest) and
-    the loader reads in key order instead of materializing positions."""
+    position is a per-epoch dense rank. A window PARTITIONED by epoch
+    would still put one whole corpus in each partition (2 epochs = 2
+    tasks), so the rank is seq.with_global_rank over the epoch-major
+    (epoch, shuffle_key) order — range-partitioned, never task-bounded
+    by corpus size — and the per-epoch position falls out as
+    global_rank − epoch·n_docs (epoch blocks are contiguous and all
+    exactly n_docs long)."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
     eps = d.crossJoin(spark.range(2).select(
         F.col("id").cast("int").alias("epoch")))
     key = F.md5(F.concat(F.col("epoch").cast("string"), F.lit("|"),
                          F.col("doc_id").cast("string")))
-    w = Window.partitionBy("epoch").orderBy("shuffle_key")
-    return (eps.withColumn("shuffle_key", key)
-            .withColumn("position", F.row_number().over(w))
+    ranked = SEQ.with_global_rank(
+        eps.withColumn("shuffle_key", key),
+        [F.asc("epoch"), F.asc("shuffle_key"), F.asc("doc_id")], "_grk")
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return (ranked.crossJoin(F.broadcast(nn))
+            .withColumn("position",
+                        F.col("_grk") - F.col("epoch") * F.col("_n"))
             .select("epoch", "doc_id", "shuffle_key", "position"))
 
 
