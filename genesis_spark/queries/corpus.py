@@ -3211,3 +3211,66 @@ SELECT doc_id, ignore_previous, system_prompt, disregard,
             OR print_secrets = 1 AS INT) AS injected
 FROM flagged
 """
+
+
+def q_corpus_sort_manifest(spark, sf_dir):
+    """Sorted-EXPORT file manifest — the writer-side plan for laying a
+    corpus out as globally sorted parquet (quality-major, the layout
+    that makes zonemaps/min-max pruning actually fire on the quality
+    predicate every curation query carries): docs are ranked in
+    (quality desc, doc_id asc) order, cut into fixed 100-doc files,
+    and the manifest emits per file the doc count, the quality span
+    the file's zonemap will advertise (min/max), the boundary doc_ids
+    (min_by/max_by on the rank), and the token payload — everything a
+    committer needs to write file k without seeing file k±1.
+
+    Exactness: the rank is unique (doc_id tiebreak); min_by/max_by on
+    the rank are deterministic in both engines; integer token counts.
+
+    Plan/scale: the global rank is seq.with_global_rank (range-
+    partition + per-partition offsets, no single-partition sort —
+    files of one export range land in one task's range partition, the
+    exact write pattern a sorted 100 TB export uses); the manifest is
+    one groupBy over O(docs/100) file groups.
+
+    Reference basis: the reference stores parsed docs unsorted via its
+    Mongo sink (crawler_services/mongo_manager); a columnar export
+    with pruning-friendly layout is the Spark-native replacement."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("doc_id",
+                 TS.quality_score_expr(F.col("text")).alias("quality"),
+                 F.size(F.split("text", " ")).cast("long")
+                 .alias("n_tokens")))
+    ranked = SEQ.with_global_rank(
+        d, [F.desc("quality"), F.asc("doc_id")], "rk")
+    return (ranked.withColumn("file_id",
+                              F.expr("(rk - 1) DIV 100").cast("long"))
+            .groupBy("file_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("quality").alias("min_quality"),
+                 F.max("quality").alias("max_quality"),
+                 F.expr("min_by(doc_id, rk)").alias("first_doc_id"),
+                 F.expr("max_by(doc_id, rk)").alias("last_doc_id"),
+                 F.sum("n_tokens").cast("long").alias("file_tokens")))
+
+
+ORACLE_CORPUS_SORT_MANIFEST = f"""
+WITH {_quality_cte("doc_id", "documents")},
+d AS (
+  SELECT t.doc_id, qs.q AS quality,
+         CAST(len(string_split(t.text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents t JOIN qs USING (doc_id)
+  WHERE t.text IS NOT NULL),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM d)
+SELECT CAST((rk - 1) // 100 AS BIGINT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(quality) AS min_quality,
+       max(quality) AS max_quality,
+       min_by(doc_id, rk) AS first_doc_id,
+       max_by(doc_id, rk) AS last_doc_id,
+       CAST(sum(n_tokens) AS BIGINT) AS file_tokens
+FROM r GROUP BY 1
+"""
