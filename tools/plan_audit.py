@@ -182,6 +182,10 @@ def audit(sf_dir: str) -> int:
             os.path.abspath(__file__))), "PLAN_AUDIT.md"), "w") as f:
         f.write("# PLAN AUDIT — registry-wide physical-plan hygiene\n\n")
         f.write(f"Input: `{sf_dir}`. Rules: no `BatchEvalPython` anywhere; "
+                f"no unpartitioned Window over non-reduced input (the "
+                f"single-partition-sort scale killer — global ordering must "
+                f"go through operators/seq's two-level scan, a pre-"
+                f"aggregated frame, or a WindowGroupLimit top-k); "
                 f"Arrow-batched Python only on the sanctioned kernel rows "
                 f"(see tools/plan_audit.py).\n\n")
         f.write(f"**{len(rows)} queries audited, {n_fail} failures.**\n\n")
