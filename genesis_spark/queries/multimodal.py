@@ -355,7 +355,10 @@ def q_media_phash_pairs(spark, sf_dir):
     (band, value) keys and CARRIES all 4 segments through the join, so
     hamming rescoring needs no join-back; duplicate candidates (pairs
     agreeing on several bands) collapse in one distinct. Band buckets
-    are 16-bit-bounded. Same shape that dedups 10^9 images."""
+    are 16-bit-bounded. NOTE the output itself is quadratic in exact-
+    duplicate cluster size (the round-5 sf10 soak measured 407M pairs /
+    90 GB spill at 100-way duplication) — at that dup density run
+    media_phash_star instead: identical components, linear edges."""
     segs = _phash_segs(spark, sf_dir)
     segcols = [f"seg{k}" for k in range(4)]
     bands = segs.select(
@@ -382,6 +385,92 @@ def q_media_phash_pairs(spark, sf_dir):
 
 
 ORACLE_MEDIA_PHASH_PAIRS = _phash_pairs_oracle()
+
+
+def q_media_phash_star(spark, sf_dir):
+    """STAR-collapsed near-dup image edges — the production form of
+    media_phash_pairs for corpora with heavy exact duplication (the
+    round-5 sf10 soak measured the clique form at 407M pairs / 90 GB
+    spill on a 100-way-replicated corpus; this row is the fix):
+    identical 64-bit aHashes collapse to their min-doc_id
+    representative first, each member contributes ONE 'exact' star
+    edge (hamming 0) instead of a clique — linear in duplicates, and
+    hamming(a, b) for same-hash members is 0 = hamming(rep_a, rep_b),
+    so components are IDENTICAL to the clique pair set's — and the
+    banded hamming join then runs over DISTINCT hashes only ('near'
+    edges, 1 <= hamming <= 8 between reps). Downstream clustering
+    (dedup_cluster_reps' hash-to-min CC) consumes these edges
+    unchanged; only the edge multiplicity differs, never the
+    connectivity (proved against the clique form in
+    tests/test_phash_star.py).
+
+    Plan/scale: one groupBy on the 8-byte hash (map-side combinable),
+    one broadcast-able join for star edges, and the same 4-band
+    equi-join as the pairs row but over |distinct hashes| rows —
+    exactly the quadratic term the soak saw removed."""
+    segs = _phash_segs(spark, sf_dir)
+    segcols = [f"seg{k}" for k in range(4)]
+    reps = (segs.groupBy(*segcols)
+            .agg(F.min("doc_id").alias("rep_id")))
+    exact = (segs.join(reps, segcols)
+             .filter(F.col("doc_id") != F.col("rep_id"))
+             .select(F.col("rep_id").alias("id_a"),
+                     F.col("doc_id").alias("id_b"),
+                     F.lit(0).cast("int").alias("hamming"),
+                     F.lit("exact").alias("kind")))
+    bands = reps.select(
+        "rep_id", *segcols,
+        F.posexplode(F.array(*segcols)).alias("band", "val"))
+    a = bands.select(F.col("rep_id").alias("id_a"),
+                     *[F.col(c).alias(f"a{k}")
+                       for k, c in enumerate(segcols)],
+                     "band", "val")
+    b = bands.select(F.col("rep_id").alias("id_b"),
+                     *[F.col(c).alias(f"b{k}")
+                       for k, c in enumerate(segcols)],
+                     "band", "val")
+    ham = sum(F.expr(f"bit_count(a{k} ^ b{k})") for k in range(4))
+    near = (a.join(b, ["band", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    *[f"a{k}" for k in range(4)],
+                    *[f"b{k}" for k in range(4)])
+            .distinct()
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= 8)
+            .select("id_a", "id_b", "hamming",
+                    F.lit("near").alias("kind")))
+    return exact.unionByName(near)
+
+
+def _phash_star_oracle() -> str:
+    ham = " + ".join(
+        f"bit_count(xor(a.seg{k}::BIGINT, b.seg{k}::BIGINT))"
+        for k in range(4))
+    bands = " OR ".join(f"a.seg{k} = b.seg{k}" for k in range(4))
+    return f"""
+WITH {_PHASH_SEGS_SQL},
+reps AS (
+  SELECT seg0, seg1, seg2, seg3, min(doc_id) AS rep_id
+  FROM segs GROUP BY seg0, seg1, seg2, seg3),
+exact AS (
+  SELECT r.rep_id AS id_a, s.doc_id AS id_b,
+         0 AS hamming, 'exact' AS kind
+  FROM segs s JOIN reps r USING (seg0, seg1, seg2, seg3)
+  WHERE s.doc_id <> r.rep_id),
+near AS (
+  SELECT a.rep_id AS id_a, b.rep_id AS id_b,
+         CAST({ham} AS INT) AS hamming, 'near' AS kind
+  FROM reps a JOIN reps b
+    ON a.rep_id < b.rep_id AND ({bands})
+  WHERE {ham} <= 8)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming, kind FROM exact
+UNION ALL
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming, kind FROM near
+"""
+
+
+ORACLE_MEDIA_PHASH_STAR = _phash_star_oracle()
 
 
 def q_media_audio_fingerprint(spark, sf_dir):

@@ -66,6 +66,8 @@ PANDAS_SANCTIONED = {
                              "(numpy kernel; ppm window is JVM)",
     "media_phash_pairs": "same _phash_segs pixel-buffer kernel as "
                          "media_phash; pairing itself is JVM band joins",
+    "media_phash_star": "same _phash_segs pixel-buffer kernel; star "
+                        "collapse + rep band join are JVM",
     "media_framesample": "video frame sampling (binary kernel)",
     "media_scenes": "frame-delta scene cuts (numpy kernel)",
     "media_audio": "PCM16 windowed energy/ZCR (numpy kernel)",
