@@ -205,6 +205,53 @@ def simhash64_pairs(docs: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
+def simhash64_star_pairs(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         max_hamming: int = 8) -> DataFrame:
+    """STAR-collapsed form of ``simhash64_pairs`` for corpora with heavy
+    exact duplication — the round-5 sf10 soak measured the clique form
+    at 423M pairs / 21 GB spill on a 100-way-duplicated corpus, because
+    identical texts hash to identical fingerprints and the pair output
+    is quadratic in that cluster size. Here identical 64-bit signatures
+    collapse to their min-id representative first (one ``exact`` star
+    edge per member — linear; hamming within an identical-signature
+    cluster is 0, so connectivity is unchanged), and the 4-band
+    equi-join runs over DISTINCT signatures only (``near`` edges,
+    1..max_hamming between representatives). Emits
+    (doc_a, doc_b, hamming, kind); feed straight into the hash-to-min
+    CC — components equal the clique form's exactly."""
+    sig = simhash64_signatures(docs, id_col, text_col)
+    segs = [f"seg{k}" for k in range(N_SIMHASH_BANDS)]
+    reps = sig.groupBy(*segs).agg(F.min(id_col).alias("_rep"))
+    exact = (sig.join(reps, segs)
+             .filter(F.col(id_col) != F.col("_rep"))
+             .select(F.col("_rep").alias("doc_a"),
+                     F.col(id_col).alias("doc_b"),
+                     F.lit(0).cast("int").alias("hamming"),
+                     F.lit("exact").alias("kind")))
+    bands = reps.select(
+        "_rep", *segs,
+        F.posexplode(F.array(*[F.col(s) for s in segs]))
+        .alias("_band", "_bk"))
+    left = bands.select(F.col("_rep").alias("doc_a"), "_band", "_bk",
+                        *[F.col(s).alias(f"a{k}")
+                          for k, s in enumerate(segs)])
+    right = bands.select(F.col("_rep").alias("doc_b"), "_band", "_bk",
+                         *[F.col(s).alias(f"b{k}")
+                           for k, s in enumerate(segs)])
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")))
+        for k in range(N_SIMHASH_BANDS))
+    near = (left.join(right, ["_band", "_bk"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    hamming.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+            .withColumn("kind", F.lit("near")))
+    return exact.unionByName(near)
+
+
 def _shingle_sets(docs: DataFrame, id_col: str, text_col: str,
                   n_gram: int, max_df: int | None) -> DataFrame:
     """Shared shingle-set prep for the set-similarity pair operators:

@@ -334,6 +334,53 @@ WHERE {ham} <= 8
 """
 
 
+def _simhash64_star_oracle() -> str:
+    votes = ",\n  ".join(
+        [f"sum(CASE WHEN (lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+         for b in range(32)] +
+        [f"sum(CASE WHEN (hi >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{32 + b}"
+         for b in range(32)])
+    segs = ",\n  ".join(
+        " + ".join(f"(CASE WHEN s{16 * k + i} > 0 THEN {1 << i} ELSE 0 END)"
+                   for i in range(16)) + f" AS seg{k}"
+        for k in range(D.N_SIMHASH_BANDS))
+    seg_cols = ", ".join(f"seg{k}" for k in range(D.N_SIMHASH_BANDS))
+    cand = "\nUNION\n".join(
+        f"SELECT a._rep AS doc_a, b._rep AS doc_b FROM reps a "
+        f"JOIN reps b ON a.seg{k} = b.seg{k} AND a._rep < b._rep"
+        for k in range(D.N_SIMHASH_BANDS))
+    ham = " + ".join(f"bit_count(xor(sa.seg{k}, sb.seg{k}))"
+                     for k in range(D.N_SIMHASH_BANDS))
+    return f"""
+WITH {_CORPUS_SQL},
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus),
+h AS (SELECT doc_id,
+        CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hi,
+        CAST(concat('0x', substr(md5(word), 9, 8)) AS BIGINT) AS lo
+      FROM w),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+sg AS (SELECT doc_id, {segs} FROM v),
+reps AS (SELECT {seg_cols}, min(doc_id) AS _rep
+         FROM sg GROUP BY {seg_cols}),
+exact AS (
+  SELECT r._rep AS doc_a, s.doc_id AS doc_b,
+         0 AS hamming, 'exact' AS kind
+  FROM sg s JOIN reps r USING ({seg_cols})
+  WHERE s.doc_id <> r._rep),
+cand AS ({cand}),
+near AS (
+  SELECT c.doc_a, c.doc_b, CAST({ham} AS INTEGER) AS hamming,
+         'near' AS kind
+  FROM cand c
+  JOIN reps sa ON sa._rep = c.doc_a
+  JOIN reps sb ON sb._rep = c.doc_b
+  WHERE {ham} <= 8)
+SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming, kind FROM exact
+UNION ALL
+SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming, kind FROM near
+"""
+
+
 _NGRAM_MAX_DF = 50
 
 

@@ -329,6 +329,24 @@ def q_dedup_simhash64(spark, sf_dir):
 ORACLE_DEDUP_SIMHASH64 = _simhash64_oracle()
 
 
+def q_dedup_simhash_star(spark, sf_dir):
+    """STAR-collapsed 64-bit simhash near-dup edges — the production
+    form of dedup_simhash64 at high exact-duplication (the round-5 sf10
+    soak measured the clique form at 423M pairs / 21 GB spill on a
+    100-way-duplicated corpus): identical fingerprints collapse to a
+    min-id representative (linear 'exact' edges, hamming 0), the 4-band
+    join then runs over DISTINCT signatures only ('near' edges).
+    Components are identical to the clique form's — identical texts
+    have identical signatures, so intra-cluster hamming is 0 and the
+    star spans the same component (union-find equality asserted in
+    tests/test_phash_star.py's simhash twin). Same-input sf10 check:
+    no spill, output linear in duplicates (BENCH.md)."""
+    return D.simhash64_star_pairs(_corpus(spark, sf_dir), max_hamming=8)
+
+
+ORACLE_DEDUP_SIMHASH_STAR = _simhash64_star_oracle()
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard pairs at >=0.6 with the hot-shingle df cap —
     a shingle in more than max_df docs is dropped before the self-join,

@@ -45,3 +45,19 @@ def test_star_components_equal_clique_components(spark):
     assert all(1 <= r.hamming <= 8 for r in star_rows
                if r.kind == "near")
     assert all(r.hamming == 0 for r in star_rows if r.kind == "exact")
+
+
+def test_simhash_star_components_equal_clique_components(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    clique = [(r.doc_a, r.doc_b) for r in
+              E.queries()["dedup_simhash64"](spark, sf).collect()]
+    star_rows = E.queries()["dedup_simhash_star"](spark, sf).collect()
+    star = [(r.doc_a, r.doc_b) for r in star_rows]
+    nodes = {n for e in clique for n in e} | {n for e in star for n in e}
+    assert _components(clique, nodes) == _components(star, nodes)
+    assert len(star) <= len(clique)
+    assert all(r.hamming == 0 for r in star_rows if r.kind == "exact")
+    assert all(1 <= r.hamming <= 8 for r in star_rows
+               if r.kind == "near")
