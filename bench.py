@@ -46,6 +46,8 @@ HEADLINE = [
     "url_shard_rebalance",
     "cdx_ingest", "media_audio_fingerprint", "host_budget_waterfill",
     "embeddings_standardize",
+    # round-5 star-collapsed scale paths (the sf10-soak cliff fixes)
+    "media_phash_star", "dedup_simhash_star",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "300"))
