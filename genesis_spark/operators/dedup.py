@@ -89,6 +89,61 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("doc_a", "doc_b", "est_jaccard"))
 
 
+def minhash_star_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       threshold: float = 0.5) -> DataFrame:
+    """STAR-collapsed form of ``minhash_lsh_pairs`` — completes the
+    round-5 star trilogy (phash, simhash, minhash). Safe here because
+    the pair score is the SIGNATURE estimate (#matching slots / 16), a
+    pure function of the two 16-slot signatures: members of an
+    identical-signature group estimate 1.0 against each other (their
+    clique edges always exist), and any cross-group edge depends only
+    on the signatures, so representative edges span exactly the
+    components the clique pair set spans. Identical signatures collapse
+    to their min-id representative (one ``exact`` edge per member,
+    est_jaccard 1.0 — linear in duplicates), then the 4-band equi-join
+    + estimate threshold runs over DISTINCT signatures only (``near``
+    edges between representatives). Emits
+    (doc_a, doc_b, est_jaccard, kind)."""
+    sig = minhash_signatures(docs, id_col, text_col).persist()
+    mh = [f"mh{i}" for i in range(N_MINHASH)]
+    bcols = [f"b{b}" for b in range(N_BANDS)]
+    reps = (sig.groupBy(*mh, *bcols)
+            .agg(F.min(id_col).alias("_rep")))
+    exact = (sig.join(reps.select(*mh, "_rep"), mh)
+             .filter(F.col(id_col) != F.col("_rep"))
+             .select(F.col("_rep").alias("doc_a"),
+                     F.col(id_col).alias("doc_b"),
+                     F.lit(1.0).alias("est_jaccard"),
+                     F.lit("exact").alias("kind")))
+    cand = None
+    for band in range(N_BANDS):
+        left = reps.select(F.col("_rep").alias("doc_a"),
+                           F.col(f"b{band}").alias("_bk"))
+        right = reps.select(F.col("_rep").alias("doc_b"),
+                            F.col(f"b{band}").alias("_bk"))
+        p = (left.join(right, "_bk")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b"))
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    sa = reps.select(F.col("_rep").alias("doc_a"),
+                     *[F.col(f"mh{i}").alias(f"a{i}")
+                       for i in range(N_MINHASH)])
+    sb = reps.select(F.col("_rep").alias("doc_b"),
+                     *[F.col(f"mh{i}").alias(f"b{i}")
+                       for i in range(N_MINHASH)])
+    matches = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                  for i in range(N_MINHASH))
+    near = (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("est_jaccard",
+                        F.round(matches / F.lit(float(N_MINHASH)), 4))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("doc_a", "doc_b", "est_jaccard",
+                    F.lit("near").alias("kind")))
+    return exact.unionByName(near)
+
+
 def _bit_votes(b: int, h: str = "_h") -> Column:
     # +1/-1 vote for bit b of the word hash; summed per doc in ONE groupBy
     # pass (explode + grouped conditional sums — the single-traversal shape;

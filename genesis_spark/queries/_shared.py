@@ -334,6 +334,51 @@ WHERE {ham} <= 8
 """
 
 
+def _minhash_star_oracle() -> str:
+    mh_cols = ",\n  ".join(
+        f"min(substr(md5('{i}|' || shingle), 1, 16)) AS mh{i}"
+        for i in range(D.N_MINHASH))
+    bands = ", ".join(
+        "mh%d || mh%d || mh%d || mh%d AS b%d" % (
+            b * 4, b * 4 + 1, b * 4 + 2, b * 4 + 3, b)
+        for b in range(D.N_BANDS))
+    mh_list = ", ".join(f"mh{i}" for i in range(D.N_MINHASH))
+    b_list = ", ".join(f"b{b}" for b in range(D.N_BANDS))
+    cand = "\nUNION\n".join(
+        f"SELECT a._rep AS doc_a, b._rep AS doc_b FROM reps a "
+        f"JOIN reps b ON a.b{b} = b.b{b} AND a._rep < b._rep"
+        for b in range(D.N_BANDS))
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(D.N_MINHASH))
+    return f"""
+WITH {_CORPUS_SQL},
+{_shingle_sql(3)},
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+sigb AS (SELECT *, {bands} FROM sig),
+reps AS (SELECT {mh_list}, {b_list}, min(doc_id) AS _rep
+         FROM sigb GROUP BY {mh_list}, {b_list}),
+exact AS (
+  SELECT r._rep AS doc_a, s.doc_id AS doc_b,
+         1.0 AS est_jaccard, 'exact' AS kind
+  FROM sigb s JOIN reps r USING ({mh_list})
+  WHERE s.doc_id <> r._rep),
+cand AS ({cand}),
+near AS (
+  SELECT c.doc_a, c.doc_b,
+         round(({matches}) / 16.0, 4) AS est_jaccard, 'near' AS kind
+  FROM cand c
+  JOIN reps sa ON sa._rep = c.doc_a
+  JOIN reps sb ON sb._rep = c.doc_b
+  WHERE round(({matches}) / 16.0, 4) >= 0.5)
+SELECT doc_a, doc_b, CAST(est_jaccard AS DOUBLE) AS est_jaccard, kind
+FROM exact
+UNION ALL
+SELECT doc_a, doc_b, CAST(est_jaccard AS DOUBLE) AS est_jaccard, kind
+FROM near
+"""
+
+
 def _simhash64_star_oracle() -> str:
     votes = ",\n  ".join(
         [f"sum(CASE WHEN (lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"

@@ -347,6 +347,21 @@ def q_dedup_simhash_star(spark, sf_dir):
 ORACLE_DEDUP_SIMHASH_STAR = _simhash64_star_oracle()
 
 
+def q_dedup_minhash_star(spark, sf_dir):
+    """STAR-collapsed MinHash-LSH near-dup edges — completes the star
+    trilogy (phash/simhash/minhash). Safe for minhash because the pair
+    score is the SIGNATURE-estimate jaccard (#matching slots / 16):
+    identical signatures estimate 1.0 pairwise, so collapsing them to a
+    min-id representative ('exact' edges, linear) and band-joining only
+    DISTINCT signatures ('near' edges between reps) spans exactly the
+    clique form's components (operators/dedup.minhash_star_pairs;
+    union-find equality asserted in tests/test_phash_star.py)."""
+    return D.minhash_star_pairs(_corpus(spark, sf_dir), threshold=0.5)
+
+
+ORACLE_DEDUP_MINHASH_STAR = _minhash_star_oracle()
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard pairs at >=0.6 with the hot-shingle df cap —
     a shingle in more than max_df docs is dropped before the self-join,

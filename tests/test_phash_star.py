@@ -47,6 +47,23 @@ def test_star_components_equal_clique_components(spark):
     assert all(r.hamming == 0 for r in star_rows if r.kind == "exact")
 
 
+def test_minhash_star_components_equal_clique_components(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    clique = [(r.doc_a, r.doc_b) for r in
+              E.queries()["dedup_minhash_lsh"](spark, sf).collect()]
+    star_rows = E.queries()["dedup_minhash_star"](spark, sf).collect()
+    star = [(r.doc_a, r.doc_b) for r in star_rows]
+    nodes = {n for e in clique for n in e} | {n for e in star for n in e}
+    assert _components(clique, nodes) == _components(star, nodes)
+    assert len(star) <= len(clique)
+    assert all(r.est_jaccard == 1.0 for r in star_rows
+               if r.kind == "exact")
+    assert all(r.est_jaccard >= 0.5 for r in star_rows
+               if r.kind == "near")
+
+
 def test_simhash_star_components_equal_clique_components(spark):
     import __spark_entry__ as E
 
